@@ -1,0 +1,321 @@
+"""Deterministic synthetic image+caption corpus (the engine's input table).
+
+Implements the input_hint schema from BASELINE.json —
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` — plus a ``qa`` binary column (CFMask-style
+QA raster per image) and sidecar tables:
+
+- ``polygons.parquet``  : axis-aligned rectangular vector polygons with
+  explicit ring coordinates AND (xmin, ymin, xmax, ymax, cx, cy) columns so
+  a DuckDB oracle can verify point-in-polygon / kNN joins independently.
+- ``tiles_expected.parquet`` : closed-form tile lattice (tile_id, image_id,
+  row_off, col_off, gt, centroid, cell ix/iy) for tile-assignment oracles.
+- ``images_expected.parquet`` : per-image planted-feature counts (water
+  pixels, saturated pixels, NoData pixels, QA-masked pixels) computed with
+  inline numpy at generation time (not via the engine's kernels) so mask
+  operators have independent expected outputs.
+- ``manifest.json`` : generation parameters incl. true endmember spectra.
+
+Everything is a pure function of (seed, n_images); identical bytes across
+runs and across parallelism levels. Pixel content is a linear mixture of
+three endmember spectra with Dirichlet abundances plus Gaussian noise, with
+planted NoData strips, saturated pixels, a low-band-5 "water" region and QA
+cloud values — so every reference mask operator (density_slice, cfmask,
+saturation_mask, binary_mask) has a computable expected output
+(reference semantics: /root/reference/unmixing/utils.py:230-263,560-579,
+971-997).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..constants import NODATA
+from .. import cellindex, geo
+from ..codecs import encode_image
+
+# Corpus geometry: images on a lattice in a UTM-like meters CRS.
+IMG_W = 64
+IMG_H = 64
+BANDS = 6
+PX = 30.0                 # pixel size, meters
+TILE = 32                 # tile edge, pixels
+CELL_LEVEL = 12           # 2^22 / 2^12 = 1024 m cell edge (~one 960 m tile)
+ORIGIN_X = 300000.0
+ORIGIN_Y = 3000000.0
+CRS = "ENGINE:UTM-LIKE"   # fixed working CRS label (no CRS database in env)
+
+# True endmember spectra (q=3 endmembers x p=6 bands): vegetation,
+# bright/impervious, dark/water. Int-valued reflectance x1e4 scale.
+ENDMEMBERS = np.array([
+    [300, 550, 450, 4200, 2400, 1100],
+    [2600, 2900, 3200, 3600, 4100, 3900],
+    [700, 900, 800, 500, 300, 200],
+], dtype=np.float64)
+
+_WORDS = (
+    "landsat scene over the study area showing urban vegetation water "
+    "impervious surface reflectance composite tile mixed spectra bands "
+    "clear cloudy riparian agricultural forest shadow bright dark"
+).split()
+
+DATA_ROOT = "/tmp/ray_unmix_data"
+
+
+def n_images_for_sf(sf):
+    return max(60, int(round(float(sf) * 120000)))
+
+
+def sf_of_dir(sf_dir):
+    """Parse the scale factor from a testdata dir name like .../sf0.01."""
+    name = pathlib.Path(str(sf_dir)).name
+    if name.startswith("sf"):
+        return float(name[2:])
+    raise ValueError("cannot parse scale factor from %r" % (sf_dir,))
+
+
+def corpus_dir_for(sf_dir):
+    return os.path.join(DATA_ROOT, pathlib.Path(str(sf_dir)).name)
+
+
+def image_geotransform(seq, n_images):
+    """Deterministic lattice layout: row-major grid of images."""
+    ncols = int(np.ceil(np.sqrt(n_images)))
+    gx = seq % ncols
+    gy = seq // ncols
+    x0 = ORIGIN_X + gx * IMG_W * PX
+    y0 = ORIGIN_Y - gy * IMG_H * PX
+    return (x0, PX, 0.0, y0, 0.0, -PX)
+
+
+def _caption(rng, seq):
+    words = [str(_WORDS[i]) for i in rng.integers(0, len(_WORDS), size=6)]
+    return "caption %06d: %s" % (seq, " ".join(words))
+
+
+def _phash(pixels):
+    h = hashlib.blake2b(pixels.tobytes(), digest_size=8).digest()
+    return int.from_bytes(h, "little", signed=True)
+
+
+def _make_pixels(rng):
+    """One image's pixels: S.T @ Dirichlet abundances + noise, int16."""
+    alpha = rng.uniform(0.3, 2.5, size=3)
+    gam = rng.gamma(shape=alpha[:, None], scale=1.0, size=(3, IMG_H * IMG_W))
+    ab = gam / gam.sum(axis=0, keepdims=True)
+    refl = ENDMEMBERS.T @ ab                  # (6, h*w)
+    refl = refl + rng.normal(0.0, 20.0, size=refl.shape)
+    refl = np.clip(refl, 0, 10000)
+    return refl.reshape((BANDS, IMG_H, IMG_W)).astype(np.int16)
+
+
+def _plant(pixels, qa, seq):
+    """Plant deterministic features; mutates pixels/qa in place."""
+    if seq % 3 == 0:   # water region: band index 4 <= 1000
+        pixels[4, 40:56, 8:24] = 800
+    if seq % 5 == 0:   # saturated pixels in band index 3
+        pixels[3, 10:12, 10:14] = 10700
+    if seq % 7 == 0:   # NoData strip across all bands
+        pixels[:, 0:4, :] = NODATA
+    if seq % 4 == 0:   # QA cloud block
+        qa[0:8, 48:64] = (1, 2, 3, 4, 255)[seq % 5]
+
+
+def _expected_counts(pixels, qa):
+    """Planted-feature ground truth, inline numpy (NOT engine kernels)."""
+    b4 = pixels[4]
+    water = int(((b4 <= 1000) & (b4 != NODATA)).sum())
+    saturated = int((pixels > 10000).any(axis=0).sum())
+    nodat = int((pixels[0] == NODATA).sum())
+    qa_masked = int(np.isin(qa, (1, 2, 3, 4, 255)).sum())
+    return water, saturated, nodat, qa_masked
+
+
+def generate_corpus(out_dir, n_images, seed=7, force=False):
+    """Write the corpus into ``out_dir``; idempotent via a DONE marker."""
+    out = pathlib.Path(out_dir)
+    done = out / "_DONE"
+    if done.exists() and not force:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    fmts = ("raw", "zraw", "q8", "tiff")
+    writer = None
+    exp_rows = {"image_id": [], "n_water": [], "n_saturated": [],
+                "n_nodata": [], "n_qa_masked": []}
+    prev_pixels = None
+    chunk = 512
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("qa", pa.binary()),
+        ("gt", pa.list_(pa.float64(), 6)), ("crs", pa.string()),
+    ])
+    try:
+        for start in range(0, n_images, chunk):
+            stop = min(start + chunk, n_images)
+            cols = {k: [] for k in (
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "qa", "gt", "crs")}
+            for seq in range(start, stop):
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([seed, seq]))
+                if seq % 97 == 1 and prev_pixels is not None:
+                    pixels = prev_pixels.copy()   # planted exact duplicate
+                    qa = np.zeros((IMG_H, IMG_W), dtype=np.uint8)
+                else:
+                    pixels = _make_pixels(rng)
+                    qa = np.zeros((IMG_H, IMG_W), dtype=np.uint8)
+                    _plant(pixels, qa, seq)
+                prev_pixels = pixels
+                fmt = fmts[seq % len(fmts)]
+                gt = image_geotransform(seq, n_images)
+                image_id = "img%08d" % seq
+                cols["image_id"].append(image_id)
+                cols["bytes"].append(encode_image(pixels, fmt))
+                cols["w"].append(IMG_W)
+                cols["h"].append(IMG_H)
+                cols["fmt"].append(fmt)
+                cols["caption"].append(_caption(rng, seq))
+                cols["phash"].append(_phash(pixels))
+                cols["qa"].append(qa.tobytes())
+                cols["gt"].append(list(gt))
+                cols["crs"].append(CRS)
+                w_, s_, n_, q_ = _expected_counts(pixels, qa)
+                exp_rows["image_id"].append(image_id)
+                exp_rows["n_water"].append(w_)
+                exp_rows["n_saturated"].append(s_)
+                exp_rows["n_nodata"].append(n_)
+                exp_rows["n_qa_masked"].append(q_)
+            tbl = pa.table(
+                {"image_id": pa.array(cols["image_id"], pa.string()),
+                 "bytes": pa.array(cols["bytes"], pa.binary()),
+                 "w": pa.array(cols["w"], pa.int32()),
+                 "h": pa.array(cols["h"], pa.int32()),
+                 "fmt": pa.array(cols["fmt"], pa.string()),
+                 "caption": pa.array(cols["caption"], pa.string()),
+                 "phash": pa.array(cols["phash"], pa.int64()),
+                 "qa": pa.array(cols["qa"], pa.binary()),
+                 "gt": pa.array(cols["gt"], pa.list_(pa.float64(), 6)),
+                 "crs": pa.array(cols["crs"], pa.string())},
+                schema=schema)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    str(out / "images.parquet"), schema)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+
+    pq.write_table(pa.table({k: pa.array(v) for k, v in exp_rows.items()}),
+                   str(out / "images_expected.parquet"))
+    _write_tiles_expected(out, n_images)
+    _write_polygons(out, n_images, seed)
+    manifest = {
+        "n_images": n_images, "seed": seed, "w": IMG_W, "h": IMG_H,
+        "bands": BANDS, "px": PX, "tile": TILE, "cell_level": CELL_LEVEL,
+        "origin_x": ORIGIN_X, "origin_y": ORIGIN_Y, "crs": CRS,
+        "endmembers": ENDMEMBERS.tolist(),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    done.write_text("ok")
+    return str(out)
+
+
+def _write_tiles_expected(out, n_images):
+    """Closed-form tile lattice: pure arithmetic, no pixel decode."""
+    tiles_per_side = IMG_W // TILE
+    rows = {k: [] for k in (
+        "tile_id", "image_id", "row_off", "col_off", "cx", "cy",
+        "cell_ix", "cell_iy", "cell_level",
+        "gt0", "gt1", "gt2", "gt3", "gt4", "gt5")}
+    edge = cellindex.cell_edge(CELL_LEVEL)
+    for seq in range(n_images):
+        gt = image_geotransform(seq, n_images)
+        image_id = "img%08d" % seq
+        for ty in range(tiles_per_side):
+            for tx in range(tiles_per_side):
+                row_off, col_off = ty * TILE, tx * TILE
+                tgt = geo.tile_geotransform(gt, col_off, row_off)
+                cx = tgt[0] + (TILE / 2.0) * tgt[1]
+                cy = tgt[3] + (TILE / 2.0) * tgt[5]
+                rows["tile_id"].append("%s_t%d_%d" % (image_id, ty, tx))
+                rows["image_id"].append(image_id)
+                rows["row_off"].append(row_off)
+                rows["col_off"].append(col_off)
+                rows["cx"].append(cx)
+                rows["cy"].append(cy)
+                rows["cell_ix"].append(int((cx - cellindex.GRID_ORIGIN_X) // edge))
+                rows["cell_iy"].append(int((cy - cellindex.GRID_ORIGIN_Y) // edge))
+                rows["cell_level"].append(CELL_LEVEL)
+                for i in range(6):
+                    rows["gt%d" % i].append(tgt[i])
+    pq.write_table(pa.table({k: pa.array(v) for k, v in rows.items()}),
+                   str(out / "tiles_expected.parquet"))
+
+
+def _write_polygons(out, n_images, seed):
+    """Axis-aligned rectangular polygons over the corpus extent.
+
+    Bounds end in .5 m so they never coincide with integer tile-centroid
+    coordinates (no inclusive/exclusive boundary ambiguity vs the SQL
+    oracle's BETWEEN).
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 10**9]))
+    ncols = int(np.ceil(np.sqrt(n_images)))
+    nrows = int(np.ceil(n_images / ncols))
+    extent_w = ncols * IMG_W * PX
+    extent_h = nrows * IMG_H * PX
+    n_polys = max(8, n_images // 10)
+    rows = {k: [] for k in (
+        "poly_id", "xmin", "ymin", "xmax", "ymax", "cx", "cy",
+        "ring", "cells")}
+    for i in range(n_polys):
+        w = float(rng.integers(1, 5)) * TILE * PX * rng.uniform(0.5, 1.5)
+        h = float(rng.integers(1, 5)) * TILE * PX * rng.uniform(0.5, 1.5)
+        x0 = ORIGIN_X + rng.uniform(0, max(1.0, extent_w - w))
+        y1 = ORIGIN_Y - rng.uniform(0, max(1.0, extent_h - h))
+        xmin = float(np.floor(x0)) + 0.5
+        ymax = float(np.floor(y1)) + 0.5
+        xmax = xmin + float(np.floor(w))
+        ymin = ymax - float(np.floor(h))
+        ring = [(xmin, ymax), (xmax, ymax), (xmax, ymin), (xmin, ymin),
+                (xmin, ymax)]
+        rows["poly_id"].append("poly%05d" % i)
+        rows["xmin"].append(xmin)
+        rows["ymin"].append(ymin)
+        rows["xmax"].append(xmax)
+        rows["ymax"].append(ymax)
+        rows["cx"].append((xmin + xmax) / 2.0)
+        rows["cy"].append((ymin + ymax) / 2.0)
+        rows["ring"].append([[x, y] for x, y in ring])
+        rows["cells"].append(
+            cellindex.cover_bbox(xmin, ymin, xmax, ymax, CELL_LEVEL))
+    tbl = pa.table({
+        "poly_id": pa.array(rows["poly_id"], pa.string()),
+        "xmin": pa.array(rows["xmin"], pa.float64()),
+        "ymin": pa.array(rows["ymin"], pa.float64()),
+        "xmax": pa.array(rows["xmax"], pa.float64()),
+        "ymax": pa.array(rows["ymax"], pa.float64()),
+        "cx": pa.array(rows["cx"], pa.float64()),
+        "cy": pa.array(rows["cy"], pa.float64()),
+        "ring": pa.array(rows["ring"], pa.list_(pa.list_(pa.float64(), 2))),
+        "cells": pa.array(rows["cells"], pa.list_(pa.uint64())),
+    })
+    pq.write_table(tbl, str(out / "polygons.parquet"))
+
+
+def ensure_corpus(sf_dir, seed=7):
+    """Map a testdata sf dir to its synthetic corpus dir, generating it on
+    first use (cached under /tmp/ray_unmix_data/<sfname>)."""
+    sf = sf_of_dir(sf_dir)
+    out_dir = corpus_dir_for(sf_dir)
+    return generate_corpus(out_dir, n_images_for_sf(sf), seed=seed)
