@@ -1,0 +1,110 @@
+"""Flagship pipeline end-to-end + checkpoint/resume + parallelism
+invariance (the Ray analogue of the reference's 1-proc==2-proc pin)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from unmixing_ray.pipelines import flagship
+from unmixing_ray.sources import synth
+from unmixing_ray.state import manifest as ckpt
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def flagship_result(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("flagship"))
+    res = flagship.run_flagship(
+        small_corpus, out, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=2)
+    return small_corpus, out, res
+
+
+def test_flagship_outputs(flagship_result):
+    corpus, out, res = flagship_result
+    ab = ckpt.read_output(res["abundances_dir"])
+    assert ab is not None
+    assert ab.num_rows == 40 * 4
+    q = ab["q"][0].as_py()
+    assert q == 3
+    # abundances: non-negative, sum-to-one per pixel
+    for i in range(0, ab.num_rows, 37):
+        a = np.asarray(ab["abundance"][i].as_py(), dtype=np.float64)
+        h, w = ab["h"][i].as_py(), ab["w"][i].as_py()
+        cube = a.reshape(q, h * w)
+        assert (cube >= -1e-9).all()
+        assert np.allclose(cube.sum(axis=0), 1.0, atol=1e-6)
+    # caption survives to the final output (north-star invariant)
+    imgs = pq.read_table(os.path.join(corpus, "images.parquet"),
+                         columns=["image_id", "caption"])
+    capmap = dict(zip(imgs["image_id"].to_pylist(),
+                      imgs["caption"].to_pylist()))
+    for i in range(0, ab.num_rows, 13):
+        assert ab["caption"][i].as_py() == \
+            capmap[ab["image_id"][i].as_py()]
+
+
+def test_flagship_lineage_manifest(flagship_result):
+    _corpus, _out, res = flagship_result
+    rows = ckpt.read_manifest(res["abundances_dir"])
+    assert len(rows) > 1
+    assert sum(r["rows"] for r in rows) == 40 * 4
+    for r in rows:
+        assert r["stage"] == "abundances"
+        assert r["bytes"] > 0 and r["wall_ms"] >= 0
+
+
+def test_flagship_join_rows(flagship_result):
+    corpus, _out, res = flagship_result
+    import duckdb
+    got = duckdb.sql(
+        f"SELECT kind, count(*) AS n FROM "
+        f"read_parquet('{res['join_dir']}/*.parquet') GROUP BY kind "
+        f"ORDER BY kind").df()
+    kinds = dict(zip(got["kind"], got["n"]))
+    assert kinds.get("knn") == 40 * 4 * 2
+    assert kinds.get("pip", 0) > 0
+
+
+def test_resume_skips_completed(small_corpus, tmp_path):
+    out = str(tmp_path / "resume")
+    tiles = flagship.build_tiles(small_corpus, out, tile=synth.TILE,
+                                 cell_level=synth.CELL_LEVEL)
+    n1 = tiles.count()
+    done_before = ckpt.completed_partitions(os.path.join(out, "tiles"))
+    assert len(done_before) > 0
+    # second run: everything already complete -> no rewrites
+    import time
+    mtimes = {}
+    tdir = os.path.join(out, "tiles")
+    for name in os.listdir(tdir):
+        p = os.path.join(tdir, name, "data.parquet")
+        if os.path.exists(p):
+            mtimes[name] = os.path.getmtime(p)
+    tiles2 = flagship.build_tiles(small_corpus, out, tile=synth.TILE,
+                                  cell_level=synth.CELL_LEVEL)
+    assert tiles2.count() == n1
+    for name, m in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(tdir, name, "data.parquet")) == m
+
+
+def test_parallelism_invariance(small_corpus, tmp_path):
+    """Same endmembers + identical abundance values at different batch
+    sizes / concurrency (Ray analogue of test/tests.py:62-82)."""
+    outs = []
+    for bs, conc in ((16, 1), (128, 2)):
+        out = str(tmp_path / f"par{bs}")
+        res = flagship.run_flagship(
+            small_corpus, out, tile=synth.TILE,
+            cell_level=synth.CELL_LEVEL, q=3, k_knn=0,
+            unmix_concurrency=conc, unmix_batch_size=bs)
+        ab = ckpt.read_output(res["abundances_dir"])
+        order = np.argsort(np.asarray(ab["tile_id"].to_pylist()))
+        vals = [np.asarray(ab["abundance"][int(i)].as_py()) for i in order]
+        outs.append((res["endmembers"], np.concatenate(vals)))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])

@@ -1,0 +1,83 @@
+"""Spatial join stages through Ray, verified against brute force and
+the DuckDB range-join oracle."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from unmixing_ray.sources import images as src
+from unmixing_ray.sources import synth
+from unmixing_ray.stages import decode as dstage
+from unmixing_ray.stages import join as jstage
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def tiles_and_polygons(small_corpus):
+    ds = src.read_images(small_corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
+    polygons = pq.read_table(os.path.join(small_corpus, "polygons.parquet"))
+    return small_corpus, tiles, polygons
+
+
+def test_broadcast_join_pip_matches_duckdb(tiles_and_polygons):
+    corpus, tiles, polygons = tiles_and_polygons
+    joined = jstage.broadcast_spatial_join(tiles, polygons, k=2)
+    df = joined.to_pandas()
+    pip = df[df["kind"] == "pip"][["tile_id", "poly_id"]]\
+        .sort_values(["tile_id", "poly_id"]).reset_index(drop=True)
+    oracle = duckdb.sql(f"""
+        SELECT t.tile_id, p.poly_id
+        FROM read_parquet('{corpus}/tiles_expected.parquet') t
+        JOIN read_parquet('{corpus}/polygons.parquet') p
+          ON t.cx BETWEEN p.xmin AND p.xmax
+         AND t.cy BETWEEN p.ymin AND p.ymax
+        ORDER BY t.tile_id, p.poly_id
+    """).df()
+    assert len(pip) == len(oracle)
+    assert pip["tile_id"].tolist() == oracle["tile_id"].tolist()
+    assert pip["poly_id"].tolist() == oracle["poly_id"].tolist()
+    assert len(pip) > 0   # the corpus plants intersecting polygons
+
+
+def test_broadcast_join_knn_matches_duckdb(tiles_and_polygons):
+    corpus, tiles, polygons = tiles_and_polygons
+    joined = jstage.broadcast_spatial_join(tiles, polygons, k=2)
+    df = joined.to_pandas()
+    knn = df[df["kind"] == "knn"][["tile_id", "rank", "poly_id", "dist"]]\
+        .sort_values(["tile_id", "rank"]).reset_index(drop=True)
+    oracle = duckdb.sql(f"""
+        WITH d AS (
+          SELECT t.tile_id, p.poly_id,
+                 sqrt((t.cx-p.cx)*(t.cx-p.cx)+(t.cy-p.cy)*(t.cy-p.cy))
+                   AS dist,
+                 row_number() OVER (
+                   PARTITION BY t.tile_id
+                   ORDER BY sqrt((t.cx-p.cx)*(t.cx-p.cx)
+                                +(t.cy-p.cy)*(t.cy-p.cy)), p.poly_id)
+                   AS rn
+          FROM read_parquet('{corpus}/tiles_expected.parquet') t
+          CROSS JOIN read_parquet('{corpus}/polygons.parquet') p)
+        SELECT tile_id, rn - 1 AS rank, poly_id, dist FROM d
+        WHERE rn <= 2 ORDER BY tile_id, rn
+    """).df()
+    assert len(knn) == len(oracle)
+    assert knn["poly_id"].tolist() == oracle["poly_id"].tolist()
+    assert np.allclose(knn["dist"].to_numpy(), oracle["dist"].to_numpy())
+
+
+def test_partitioned_join_pip_equals_broadcast(tiles_and_polygons):
+    corpus, tiles, polygons = tiles_and_polygons
+    b = jstage.broadcast_spatial_join(tiles, polygons, k=0).to_pandas()
+    p = jstage.partitioned_spatial_join(
+        tiles, polygons, synth.CELL_LEVEL, k=0).to_pandas()
+    bp = b[b["kind"] == "pip"].sort_values(["tile_id", "poly_id"])
+    pp = p[p["kind"] == "pip"].sort_values(["tile_id", "poly_id"])
+    assert bp["tile_id"].tolist() == pp["tile_id"].tolist()
+    assert bp["poly_id"].tolist() == pp["poly_id"].tolist()

@@ -1,0 +1,116 @@
+"""The flagship pipeline (north star end-to-end):
+
+    read images → decode+tile (+mask chain) → [checkpoint tiles parquet]
+    → MNF fit (partials pass) → endmember induction (NFINDR on pooled
+    per-tile candidates | distributed PPI) → MNF project + FCLS actor pool
+    → abundance tiles → spatial join (PIP + kNN vs polygons)
+    → checkpoint-partitioned writes with per-partition lineage.
+
+Scale design: the input is read ONCE; the tiles table is the resumable
+checkpoint on storage; every later pass is a column-pruned read of that
+parquet (pixels only where needed, metadata-only for the join). No stage
+materializes the full dataset in memory. Reference flow: SURVEY.md §3.1
+(docs/Overview_LSMA_in_Python.ipynb).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..constants import DEFAULT_CELL_LEVEL, DEFAULT_TILE
+from ..sources.images import read_images, read_polygons
+from ..stages import decode as decode_stage
+from ..stages import join as join_stage
+from ..stages import masks as mask_stage
+from ..stages import mnf as mnf_stage
+from ..stages import unmix as unmix_stage
+from ..state import manifest as ckpt
+
+
+def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
+                cell_level=DEFAULT_CELL_LEVEL, clean=True,
+                checkpoint=True, partition_shift=4):
+    """Images → (masked) tiles. With ``checkpoint`` the tiles table is
+    written partitioned-by-coarse-cell and re-read (the resume point);
+    otherwise the lazy Dataset is returned directly."""
+    ds = read_images(corpus_dir)
+    fn = decode_stage.make_decode_and_tile(tile=tile, cell_level=cell_level)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    if clean:
+        tiles = tiles.map_batches(mask_stage.make_clean_stage(),
+                                  batch_format="pyarrow", batch_size=64)
+    if not checkpoint:
+        return tiles
+    tiles_dir = os.path.join(out_dir, "tiles")
+
+    def add_part(batch):
+        import pyarrow as pa
+        part = (batch["cell"].to_numpy(zero_copy_only=False)
+                >> np.uint64(partition_shift)).astype(np.uint64)
+        return batch.append_column("part", pa.array(part, pa.uint64()))
+
+    parted = tiles.map_batches(add_part, batch_format="pyarrow")
+    remaining, _skipped = ckpt.resume_filter(parted, tiles_dir, "part")
+    ckpt.checkpointed_write(remaining, tiles_dir, "part", stage="tiles")
+    return ray.data.read_parquet(tiles_dir, file_extensions=["parquet"])
+
+
+def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
+                 cell_level=DEFAULT_CELL_LEVEL, q=3, k_knn=2,
+                 induce="nfindr", clean=True, checkpoint=True,
+                 unmix_concurrency=None, unmix_batch_size=64):
+    """Run the full pipeline; returns dict of result handles."""
+    os.makedirs(out_dir, exist_ok=True)
+    tiles = build_tiles(corpus_dir, out_dir, tile, cell_level, clean,
+                        checkpoint)
+
+    # MNF fit: one streaming pass reduced to tiny partials
+    W, snr = mnf_stage.fit_mnf(tiles)
+    apply_fn = mnf_stage.make_apply_mnf(W)
+    tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
+                                  batch_size=64)
+
+    # endmember induction in MNF space
+    if induce == "ppi":
+        endmembers = unmix_stage.ppi_global(tiles_mnf, q=q)
+    else:
+        endmembers = unmix_stage.induce_endmembers_nfindr(tiles_mnf, q=q)
+
+    # FCLS actor pool → abundance tiles → checkpointed partitioned write
+    abundances = unmix_stage.unmix(
+        tiles_mnf, endmembers, concurrency=unmix_concurrency,
+        batch_size=unmix_batch_size)
+    ab_dir = os.path.join(out_dir, "abundances")
+
+    def add_part(batch):
+        import pyarrow as pa
+        part = (batch["cell"].to_numpy(zero_copy_only=False)
+                >> np.uint64(4)).astype(np.uint64)
+        return batch.append_column("part", pa.array(part, pa.uint64()))
+
+    ab_parted = abundances.map_batches(add_part, batch_format="pyarrow")
+    remaining, _ = ckpt.resume_filter(ab_parted, ab_dir, "part")
+    lineage = ckpt.checkpointed_write(remaining, ab_dir, "part",
+                                     stage="abundances")
+
+    # spatial join on tile metadata only (column-pruned read)
+    polygons = pq.read_table(os.path.join(corpus_dir, "polygons.parquet"))
+    join_rows = join_stage.broadcast_spatial_join(
+        tiles.select_columns(["tile_id", "cell", "cx", "cy"]),
+        polygons, k=k_knn)
+    join_dir = os.path.join(out_dir, "join_rows")
+    join_rows.write_parquet(join_dir)
+
+    return {
+        "rotation": W,
+        "snr": snr,
+        "endmembers": endmembers,
+        "abundances_dir": ab_dir,
+        "join_dir": join_dir,
+        "lineage": lineage,
+    }

@@ -1,0 +1,176 @@
+"""Spatial join primitives: STRtree, point-in-polygon, kNN.
+
+Engine-new (axis A of the graft): the reference only *generates* pixel
+polygons (lsma.py:695-741); the north star requires joining raster tiles
+to vector polygons via point-in-polygon and kNN lookups against a
+per-partition STRtree. All pure numpy, deterministic:
+
+- ``STRtree``: classic Sort-Tile-Recursive bulk load (Leutenegger et al.
+  1997) over polygon bboxes; ``query`` returns candidate polygon indices
+  for a probe bbox/point, vectorized over probes.
+- ``points_in_ring``: even-odd ray-casting PIP, vectorized over points.
+- ``knn_centroids``: k nearest polygons by centroid distance with
+  deterministic (distance, poly_id) tie-breaking — the metric the SQL
+  oracle can verify independently; ``point_ring_distance`` provides true
+  boundary distance for geometry-exact use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class STRtree:
+    """Static STR-packed R-tree over (n, 4) bboxes [xmin, ymin, xmax, ymax].
+
+    Built once per actor / partition (SURVEY.md §2.4): bulk load by STR:
+    sort by x-center, cut into vertical slices, sort each slice by
+    y-center, pack leaves of ``node_capacity``; repeat upward.
+    """
+
+    def __init__(self, bboxes, node_capacity=16):
+        bboxes = np.asarray(bboxes, dtype=np.float64).reshape((-1, 4))
+        self.n = len(bboxes)
+        self.leaf_bboxes = bboxes
+        self.node_capacity = node_capacity
+        if self.n == 0:
+            self.levels = []
+            self.order = np.empty(0, dtype=np.int64)
+            return
+        cx = (bboxes[:, 0] + bboxes[:, 2]) / 2.0
+        cy = (bboxes[:, 1] + bboxes[:, 3]) / 2.0
+        cap = node_capacity
+        n_leaves = int(np.ceil(self.n / cap))
+        n_slices = int(np.ceil(np.sqrt(n_leaves)))
+        per_slice = n_slices * cap
+        order = np.lexsort((cy, cx))  # primary x, secondary y
+        chunks = []
+        for s in range(0, self.n, per_slice):
+            sl = order[s:s + per_slice]
+            sl = sl[np.argsort(cy[sl], kind="stable")]
+            chunks.append(sl)
+        self.order = np.concatenate(chunks)
+        # level 0 = leaves in packed order
+        self.levels = []
+        boxes = bboxes[self.order]
+        while len(boxes) > 1:
+            m = int(np.ceil(len(boxes) / cap))
+            parent = np.empty((m, 4))
+            for i in range(m):
+                grp = boxes[i * cap:(i + 1) * cap]
+                parent[i] = (grp[:, 0].min(), grp[:, 1].min(),
+                             grp[:, 2].max(), grp[:, 3].max())
+            self.levels.append(boxes)
+            boxes = parent
+        self.levels.append(boxes)
+
+    def query_point(self, x, y):
+        """Candidate leaf indices (original polygon indices) whose bbox
+        contains the point. Scalar probe."""
+        return self.query_box(x, y, x, y)
+
+    def query_box(self, xmin, ymin, xmax, ymax):
+        if self.n == 0:
+            return np.empty(0, dtype=np.int64)
+        cap = self.node_capacity
+        # descend from root
+        nodes = [0]
+        for level in range(len(self.levels) - 1, 0, -1):
+            boxes = self.levels[level - 1]
+            nxt = []
+            for nd in nodes:
+                lo = nd * cap
+                hi = min(lo + cap, len(boxes))
+                grp = boxes[lo:hi]
+                hit = ((grp[:, 0] <= xmax) & (grp[:, 2] >= xmin)
+                       & (grp[:, 1] <= ymax) & (grp[:, 3] >= ymin))
+                nxt.extend((lo + np.nonzero(hit)[0]).tolist())
+            nodes = nxt
+            if not nodes:
+                return np.empty(0, dtype=np.int64)
+        # final leaf-bbox filter (also covers the single-node tree where
+        # the descent loop body never runs)
+        nodes = np.asarray(nodes, dtype=np.int64)
+        leaves = self.levels[0][nodes]
+        hit = ((leaves[:, 0] <= xmax) & (leaves[:, 2] >= xmin)
+               & (leaves[:, 1] <= ymax) & (leaves[:, 3] >= ymin))
+        return np.sort(self.order[nodes[hit]])
+
+    def query_points(self, xs, ys):
+        """Vectorized multi-probe: list of candidate index arrays."""
+        return [self.query_point(float(x), float(y))
+                for x, y in zip(xs, ys)]
+
+
+def points_in_ring(xs, ys, ring):
+    """Even-odd ray-casting PIP, vectorized over points.
+
+    ring: (v, 2) closed or open ring (closing vertex optional). Points
+    exactly on an edge follow the half-open crossing convention (the
+    synthetic data avoids boundary coincidence by construction).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    inside = np.zeros(xs.shape, dtype=bool)
+    v = len(ring)
+    j = v - 1
+    for i in range(v):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        spans = (yi > ys) != (yj > ys)
+        if yj != yi:  # horizontal edges never satisfy `spans`
+            crosses = spans & (xs < (xj - xi) * (ys - yi) / (yj - yi) + xi)
+            inside ^= crosses
+        j = i
+    return inside
+
+
+def point_ring_distance(x, y, ring):
+    """Exact euclidean distance from a point to a polygon ring (0 if
+    inside)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if points_in_ring(np.array([x]), np.array([y]), ring)[0]:
+        return 0.0
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ab = b - a
+    ap = np.array([x, y]) - a
+    denom = (ab * ab).sum(axis=1)
+    t = np.clip(np.where(denom > 0, (ap * ab).sum(axis=1) / denom, 0.0),
+                0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d = np.hypot(proj[:, 0] - x, proj[:, 1] - y)
+    return float(d.min())
+
+
+def knn_centroids(px, py, cx, cy, k, tie_ids=None):
+    """k nearest polygon centroids for each probe point, deterministic.
+
+    px, py: (m,) probe points. cx, cy: (n,) polygon centroids.
+    tie_ids: (n,) sortable ids for tie-breaking (default: index order).
+    Returns (idx, dist): (m, k) arrays (k clipped to n).
+    """
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cx = np.asarray(cx, dtype=np.float64)[None, :]
+    cy = np.asarray(cy, dtype=np.float64)[None, :]
+    d = np.hypot(px - cx, py - cy)
+    n = d.shape[1]
+    k = min(k, n)
+    if tie_ids is None:
+        tie = np.arange(n)
+    else:
+        tie = np.argsort(np.argsort(tie_ids))
+    # stable argsort on distance preserves column order on exact ties, so
+    # reorder columns by tie rank first to make poly_id the tiebreak
+    order = np.argsort(tie, kind="stable")
+    d_t = d[:, order]
+    idx_t = np.argsort(d_t, axis=1, kind="stable")[:, :k]
+    idx = order[idx_t]
+    dist = np.take_along_axis(d, idx, axis=1)
+    return idx, dist

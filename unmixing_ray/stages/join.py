@@ -1,0 +1,248 @@
+"""Spatial join stages: tiles ⨝ polygons (PIP + kNN).
+
+Two physical plans for the same logical join (SURVEY.md §2.4):
+
+- ``SpatialJoinActor`` + ``broadcast_spatial_join``: the polygon side is
+  small relative to the tile stream (the common case at any scale — vector
+  layers are MBs, imagery is TBs), so it is ``ray.put`` once and each actor
+  builds its STRtree ONCE in ``__init__``; tiles stream through
+  ``map_batches`` with zero shuffle.
+- ``partitioned_spatial_join``: both sides partitioned by cell — polygons
+  replicated to every covering cell (flat map), tiles keyed by their cell,
+  then a co-group ``groupby(cell).map_groups`` builds a per-partition
+  STRtree and probes the partition's tiles. kNN within a partition uses
+  ring expansion: polygons are replicated to ``knn_ring`` extra neighbor
+  rings so each tile sees every polygon within that many cells (documented
+  partitioning assumption; with rect cells of edge E the result is exact
+  for neighbors within knn_ring*E of the cell border).
+
+Join-row output schema: (tile_id, cell, poly_id, kind, rank, dist) where
+kind ∈ {'pip', 'knn'}; pip rows have rank=-1, dist=0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import cellindex
+from ..spatial import STRtree, knn_centroids, points_in_ring
+
+JOIN_SCHEMA = pa.schema([
+    ("tile_id", pa.string()),
+    ("cell", pa.uint64()),
+    ("poly_id", pa.string()),
+    ("kind", pa.string()),
+    ("rank", pa.int32()),
+    ("dist", pa.float64()),
+])
+
+
+def _polygons_to_arrays(polygons):
+    """polygons: pyarrow Table with poly_id, ring, cx, cy (+ bbox cols)."""
+    ids = np.asarray(polygons["poly_id"].to_pylist())
+    rings = [np.asarray(r, dtype=np.float64)
+             for r in polygons["ring"].to_pylist()]
+    if {"xmin", "ymin", "xmax", "ymax"} <= set(polygons.column_names):
+        bboxes = np.stack([
+            polygons[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")
+        ], axis=1)
+    else:
+        bboxes = np.array([[r[:, 0].min(), r[:, 1].min(),
+                            r[:, 0].max(), r[:, 1].max()] for r in rings])
+    if {"cx", "cy"} <= set(polygons.column_names):
+        cx = polygons["cx"].to_numpy()
+        cy = polygons["cy"].to_numpy()
+    else:
+        cx = (bboxes[:, 0] + bboxes[:, 2]) / 2
+        cy = (bboxes[:, 1] + bboxes[:, 3]) / 2
+    return ids, rings, bboxes, cx.astype(np.float64), cy.astype(np.float64)
+
+
+def _probe(ids, rings, tree, cx, cy, tile_ids, cells, txs, tys, k):
+    """Shared probe body: PIP via STRtree candidates + kNN by centroid."""
+    out = {k_: [] for k_ in ("tile_id", "cell", "poly_id", "kind",
+                             "rank", "dist")}
+    n = len(tile_ids)
+    if n and len(ids):
+        # PIP
+        for i in range(n):
+            cands = tree.query_point(float(txs[i]), float(tys[i]))
+            for c in cands:
+                if points_in_ring(np.array([txs[i]]), np.array([tys[i]]),
+                                  rings[c])[0]:
+                    out["tile_id"].append(tile_ids[i])
+                    out["cell"].append(cells[i])
+                    out["poly_id"].append(ids[c])
+                    out["kind"].append("pip")
+                    out["rank"].append(-1)
+                    out["dist"].append(0.0)
+        # kNN by centroid distance, poly_id tiebreak
+        if k > 0:
+            idx, dist = knn_centroids(txs, tys, cx, cy, k, tie_ids=ids)
+            for i in range(n):
+                for r in range(idx.shape[1]):
+                    out["tile_id"].append(tile_ids[i])
+                    out["cell"].append(cells[i])
+                    out["poly_id"].append(ids[idx[i, r]])
+                    out["kind"].append("knn")
+                    out["rank"].append(r)
+                    out["dist"].append(float(dist[i, r]))
+    return pa.table({
+        "tile_id": pa.array(out["tile_id"], pa.string()),
+        "cell": pa.array(out["cell"], pa.uint64()),
+        "poly_id": pa.array(out["poly_id"], pa.string()),
+        "kind": pa.array(out["kind"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "dist": pa.array(out["dist"], pa.float64()),
+    }, schema=JOIN_SCHEMA)
+
+
+class SpatialJoinActor:
+    """Stateful map_batches stage: STRtree built once per actor from the
+    broadcast polygon table (axis B actor-pool pattern)."""
+
+    def __init__(self, polygons_ref, k=3):
+        polygons = ray.get(polygons_ref) if not isinstance(
+            polygons_ref, pa.Table) else polygons_ref
+        (self.ids, self.rings, bboxes,
+         self.cx, self.cy) = _polygons_to_arrays(polygons)
+        self.tree = STRtree(bboxes)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _probe(
+            self.ids, self.rings, self.tree, self.cx, self.cy,
+            batch["tile_id"].to_pylist(),
+            batch["cell"].to_numpy(zero_copy_only=False),
+            batch["cx"].to_numpy(), batch["cy"].to_numpy(), self.k)
+
+
+def broadcast_spatial_join(tiles, polygons, k=3, concurrency=None,
+                           batch_size=256):
+    """tiles: Dataset with (tile_id, cell, cx, cy); polygons: pa.Table.
+    Returns the join-row Dataset."""
+    if concurrency is None:
+        from .unmix import default_pool_size
+        concurrency = default_pool_size()
+    ref = ray.put(polygons)
+    probe_cols = tiles.select_columns(["tile_id", "cell", "cx", "cy"])
+    return probe_cols.map_batches(
+        SpatialJoinActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def replicate_polygons_to_cells(polygons, cell_level, knn_ring=1):
+    """Driver-side flat map: one (cell, polygon row) per covering cell
+    (+ ``knn_ring`` rings of neighbors for kNN correctness near borders).
+    Polygons are small; this expansion is cheap and bounded."""
+    ids, rings, bboxes, cx, cy = _polygons_to_arrays(polygons)
+    rows = []
+    for i in range(len(ids)):
+        cover = set(cellindex.cover_bbox(*bboxes[i], cell_level))
+        expand = set(cover)
+        for _ in range(knn_ring):
+            ring_cells = set()
+            for c in expand:
+                ring_cells.update(cellindex.neighbors(c))
+            expand |= ring_cells
+        for c in sorted(expand):
+            rows.append({
+                "cell": np.uint64(c), "poly_id": ids[i],
+                "ring": rings[i].tolist(),
+                "xmin": bboxes[i, 0], "ymin": bboxes[i, 1],
+                "xmax": bboxes[i, 2], "ymax": bboxes[i, 3],
+                "cx": cx[i], "cy": cy[i],
+                "in_cover": bool(c in cover),
+            })
+    return rows
+
+
+def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1):
+    """Explicit co-partitioned join: groupby(cell) over the union of tile
+    probes and replicated polygon rows. Demonstrates the shuffle plan used
+    when the polygon side is too large to broadcast."""
+    poly_rows = replicate_polygons_to_cells(polygons, cell_level, knn_ring)
+    poly_ds = ray.data.from_items([
+        {"cell": r["cell"], "poly_id": r["poly_id"], "tile_id": "",
+         "cx": r["cx"], "cy": r["cy"],
+         "xmin": r["xmin"], "ymin": r["ymin"],
+         "xmax": r["xmax"], "ymax": r["ymax"],
+         "ring_flat": [float(v) for xy in r["ring"] for v in xy],
+         "in_cover": r["in_cover"], "side": "poly"}
+        for r in poly_rows
+    ])
+    probe = tiles.select_columns(["tile_id", "cell", "cx", "cy"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "side", pa.array(["tile"] * n, pa.string())
+        ).append_column(
+            "poly_id", pa.array([""] * n, pa.string())
+        ).append_column(
+            "ring_flat", pa.nulls(n, pa.list_(pa.float64()))
+        ).append_column(
+            "in_cover", pa.nulls(n, pa.bool_())
+        ).append_column(
+            "xmin", pa.nulls(n, pa.float64())
+        ).append_column(
+            "ymin", pa.nulls(n, pa.float64())
+        ).append_column(
+            "xmax", pa.nulls(n, pa.float64())
+        ).append_column(
+            "ymax", pa.nulls(n, pa.float64()))
+
+    tagged = probe.map_batches(tag, batch_format="pyarrow")
+    unioned = tagged.union(poly_ds)
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        tiles_g = df[df["side"] == "tile"]
+        polys_g = df[df["side"] == "poly"]
+        if not len(tiles_g) or not len(polys_g):
+            return pd.DataFrame({c: [] for c in (
+                "tile_id", "cell", "poly_id", "kind", "rank", "dist")})
+        ids = polys_g["poly_id"].to_numpy()
+        rings = [np.asarray(r, dtype=np.float64).reshape((-1, 2))
+                 for r in polys_g["ring_flat"]]
+        bboxes = polys_g[["xmin", "ymin", "xmax", "ymax"]].to_numpy(
+            dtype=np.float64)
+        in_cover = polys_g["in_cover"].to_numpy(dtype=bool)
+        cx = polys_g["cx"].to_numpy(dtype=np.float64)
+        cy = polys_g["cy"].to_numpy(dtype=np.float64)
+        # PIP uses only covering polygons (a polygon can only contain
+        # points of cells it covers); kNN uses cover + neighbor rings
+        tree = STRtree(bboxes[in_cover])
+        tbl = _probe(
+            ids[in_cover], [r for r, c in zip(rings, in_cover) if c],
+            tree, cx, cy, tiles_g["tile_id"].tolist(),
+            tiles_g["cell"].to_numpy(), tiles_g["cx"].to_numpy(),
+            tiles_g["cy"].to_numpy(), 0)
+        pip_df = tbl.to_pandas()
+        idx, dist = knn_centroids(
+            tiles_g["cx"].to_numpy(), tiles_g["cy"].to_numpy(),
+            cx, cy, k, tie_ids=ids)
+        rows = {"tile_id": [], "cell": [], "poly_id": [], "kind": [],
+                "rank": [], "dist": []}
+        t_ids = tiles_g["tile_id"].tolist()
+        t_cells = tiles_g["cell"].to_numpy()
+        for i in range(len(t_ids)):
+            for r in range(idx.shape[1]):
+                rows["tile_id"].append(t_ids[i])
+                rows["cell"].append(t_cells[i])
+                rows["poly_id"].append(ids[idx[i, r]])
+                rows["kind"].append("knn")
+                rows["rank"].append(r)
+                rows["dist"].append(float(dist[i, r]))
+        return pd.concat([pip_df, pd.DataFrame(rows)], ignore_index=True)
+
+    return unioned.groupby("cell").map_groups(
+        join_group, batch_format="pandas")

@@ -1,0 +1,122 @@
+"""Distributed MNF: two-pass fit/transform over the tiles table.
+
+Pass 1 (``fit``): every batch reduces to ONE tiny partial-statistics row
+(sums, cross-products, shift-difference cross-products — kernels/mnf.py);
+the driver merges partials (exactly associative) and eigendecomposes.
+Pass 2 (``transform``): the (p×p) rotation matrix is broadcast by value
+into a stateless ``map_batches`` that projects every tile and emits an
+``mnf`` list<float32> column alongside the original pixels.
+
+Reference: transform.py:104-118 computes the same statistics on a whole
+in-RAM image; the partial/merge split makes the identical math streaming
+(SURVEY.md §2.7 "MNF" row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..constants import NODATA
+from ..kernels import mnf as mnf_k
+from .decode import tiles_to_ndarray
+
+
+def _stats_batch(batch: pa.Table) -> pa.Table:
+    arrays, uniform = tiles_to_ndarray(batch)
+    if uniform is not None:
+        # one partial for the whole batch, computed vectorized:
+        # reshape (n, p, h, w) -> treat as p x (n*h*w) for sums/crossprods;
+        # horizontal diffs stay within tiles (rows are per-tile)
+        n, p, h, w = uniform.shape
+        a = uniform.astype(np.float64).copy()
+        a[a == NODATA] = 0.0
+        X = a.transpose(1, 0, 2, 3).reshape(p, -1)
+        d = (a[:, :, :, :-1] - a[:, :, :, 1:])\
+            .transpose(1, 0, 2, 3).reshape(p, -1)
+        part = {
+            "n": X.shape[1], "s": X.sum(axis=1), "ss": X @ X.T,
+            "dn": d.shape[1], "ds": d.sum(axis=1), "dss": d @ d.T,
+        }
+    else:
+        part = mnf_k.merge_stats([mnf_k.partial_stats(a) for a in arrays])
+    return pa.table({
+        "n": pa.array([part["n"]], pa.int64()),
+        "s": pa.array([part["s"].tolist()], pa.list_(pa.float64())),
+        "ss": pa.array([part["ss"].ravel().tolist()],
+                       pa.list_(pa.float64())),
+        "dn": pa.array([part["dn"]], pa.int64()),
+        "ds": pa.array([part["ds"].tolist()], pa.list_(pa.float64())),
+        "dss": pa.array([part["dss"].ravel().tolist()],
+                        pa.list_(pa.float64())),
+    })
+
+
+def fit_mnf(tiles):
+    """One streaming pass → (rotation W, snr eigenvalues). The collected
+    result is O(num_batches × p²) — tiny."""
+    partials = tiles.map_batches(
+        _stats_batch, batch_format="pyarrow").take_all()
+    parts = []
+    for row in partials:
+        p = len(row["s"])
+        parts.append({
+            "n": row["n"], "s": np.asarray(row["s"]),
+            "ss": np.asarray(row["ss"]).reshape(p, p),
+            "dn": row["dn"], "ds": np.asarray(row["ds"]),
+            "dss": np.asarray(row["dss"]).reshape(p, p),
+        })
+    merged = mnf_k.merge_stats(parts)
+    return mnf_k.rotation_from_stats(merged)
+
+
+def make_apply_mnf(W):
+    """Stateless projection stage: adds an ``mnf`` list<float32> column
+    (band-major (p, h, w) per tile, components along the band axis)."""
+    W = np.asarray(W, dtype=np.float64)
+
+    def apply_batch(batch: pa.Table) -> pa.Table:
+        arrays, uniform = tiles_to_ndarray(batch)
+        if uniform is not None:
+            n, p, h, w = uniform.shape
+            a = uniform.astype(np.float64).copy()
+            a[a == NODATA] = 0.0
+            X = a.transpose(1, 0, 2, 3).reshape(p, -1)
+            proj = (W.T @ X).reshape(p, n, h, w).transpose(1, 0, 2, 3)
+            values = proj.astype(np.float32).reshape(-1)
+            sizes = np.full(n, p * h * w, dtype=np.int64)
+        else:
+            outs = [mnf_k.apply_rotation(a, W).astype(np.float32).ravel()
+                    for a in arrays]
+            values = np.concatenate(outs) if outs else np.empty(
+                0, np.float32)
+            sizes = np.array([o.size for o in outs], dtype=np.int64)
+        offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()),
+            pa.array(values, pa.float32()))
+        return batch.append_column("mnf", col)
+
+    return apply_batch
+
+
+def mnf_pixels_view(batch: pa.Table):
+    """(n, p, h, w) float32 view of the mnf column for uniform batches,
+    else per-tile list."""
+    col = batch["mnf"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    bands = batch["bands"].to_numpy()
+    hs = batch["h"].to_numpy()
+    ws = batch["w"].to_numpy()
+    n = batch.num_rows
+    if n and (bands == bands[0]).all() and (hs == hs[0]).all() \
+            and (ws == ws[0]).all():
+        return None, values[offsets[0]:offsets[-1]].reshape(
+            (n, int(bands[0]), int(hs[0]), int(ws[0])))
+    arrays = [values[offsets[i]:offsets[i + 1]].reshape(
+        (int(bands[i]), int(hs[i]), int(ws[i]))) for i in range(n)]
+    return arrays, None

@@ -1,0 +1,267 @@
+"""Distributed endmember induction + FCLS unmixing stages.
+
+- ``collect_endmember_candidates``: per-TILE extreme-pixel candidates
+  (deterministic regardless of batching — candidates depend only on tile
+  content), pooled on the driver, refined with NFINDR. The engine analogue
+  of per-partition NFINDR → driver refinement (SURVEY.md §2.7).
+- ``ppi_global``: distributed PPI — per-batch skewer extremes with
+  (value, tile_id, pixel) merge keys so the global extremity counts are
+  independent of batching; same shared seeded skewer matrix everywhere.
+- ``FCLSUnmixActor``: the stateful actor-pool stage (axis B): endmember
+  matrix + dimension-drop (k = q-1, reference lsma.py:190-197) prepared
+  once in ``__init__``; every batch collapses all tiles' pixels into one
+  (N, k) matrix for ONE vectorized exact-FCLS solve, then re-splits to
+  per-tile abundance payloads. Deterministic at any parallelism
+  (reference pin: test/tests.py:62-82).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..kernels import endmembers as em_k
+from ..kernels import nnls
+from .mnf import mnf_pixels_view
+
+
+# ---------------------------------------------------------------------------
+# endmember candidates → driver NFINDR
+
+def _candidates_batch(q):
+    def fn(batch: pa.Table) -> pa.Table:
+        arrays, uniform = mnf_pixels_view(batch)
+        tile_ids = batch["tile_id"].to_pylist()
+        out_specs = []
+        out_tiles = []
+        out_px = []
+        if uniform is not None:
+            n, p, h, w = uniform.shape
+            X = uniform.reshape(n, p, h * w)
+            k = max(1, q - 1)
+            # per-tile extremes in the first k MNF dims: argmin/argmax per
+            # dim + max-norm pixel -> ≤ 2k+1 candidates per tile
+            for i in range(n):
+                Xi = X[i, :k].T                      # (hw, k)
+                cand = set()
+                for dsel in range(k):
+                    cand.add(int(np.argmin(Xi[:, dsel])))
+                    cand.add(int(np.argmax(Xi[:, dsel])))
+                cand.add(int(np.argmax((Xi * Xi).sum(axis=1))))
+                for c in sorted(cand):
+                    out_specs.append(X[i, :, c].astype(np.float64))
+                    out_tiles.append(tile_ids[i])
+                    out_px.append(c)
+        else:
+            for i, a in enumerate(arrays):
+                p = a.shape[0]
+                Xi = a.reshape(p, -1).T
+                k = max(1, q - 1)
+                cand = set()
+                for dsel in range(k):
+                    cand.add(int(np.argmin(Xi[:, dsel])))
+                    cand.add(int(np.argmax(Xi[:, dsel])))
+                cand.add(int(np.argmax((Xi[:, :k] ** 2).sum(axis=1))))
+                for c in sorted(cand):
+                    out_specs.append(Xi[c].astype(np.float64))
+                    out_tiles.append(tile_ids[i])
+                    out_px.append(c)
+        return pa.table({
+            "tile_id": pa.array(out_tiles, pa.string()),
+            "pixel": pa.array(out_px, pa.int32()),
+            "spectrum": pa.array([s.tolist() for s in out_specs],
+                                 pa.list_(pa.float64())),
+        })
+    return fn
+
+
+def induce_endmembers_nfindr(tiles_mnf, q=3):
+    """Streaming candidate collection + driver NFINDR refinement.
+    Returns (q, p) endmember spectra in MNF space, deterministically
+    ordered by (tile_id, pixel) of the winning candidates."""
+    cand = tiles_mnf.map_batches(
+        _candidates_batch(q), batch_format="pyarrow").take_all()
+    # deterministic pool order independent of batch arrival
+    cand.sort(key=lambda r: (r["tile_id"], r["pixel"]))
+    X = np.array([r["spectrum"] for r in cand])
+    idx, _vol = em_k.nfindr(X, q=q)
+    idx = np.sort(idx)
+    return X[idx]
+
+
+# ---------------------------------------------------------------------------
+# distributed PPI
+
+def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
+    """Distributed Pixel Purity Index over all tiles' MNF pixels.
+
+    Per batch: extremes per skewer with (value, tile_id, pixel) keys;
+    driver merge breaks ties on (tile_id, pixel) so the answer is
+    batching-invariant. Returns (q, p) spectra of the top-q pixels by
+    extremity count (count desc, then (tile_id, pixel) asc).
+    """
+    state = {"sk": None}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arrays, uniform = mnf_pixels_view(batch)
+        tile_ids = batch["tile_id"].to_pylist()
+        if uniform is None:
+            mats = arrays
+        else:
+            mats = [uniform[i] for i in range(uniform.shape[0])]
+        rows = {"skewer": [], "kind": [], "value": [], "tile_id": [],
+                "pixel": [], "spectrum": []}
+        for tid, a in zip(tile_ids, mats):
+            p = a.shape[0]
+            if state["sk"] is None or state["sk"].shape[1] != p:
+                state["sk"] = em_k.ppi_skewers(p, num_skewers, seed)
+            X = a.reshape(p, -1).T.astype(np.float64)
+            imin, vmin, imax, vmax = em_k.ppi_block_extremes(X, state["sk"])
+            s = np.arange(num_skewers)
+            for kind, ii, vv in (("min", imin, vmin), ("max", imax, vmax)):
+                rows["skewer"].extend(s.tolist())
+                rows["kind"].extend([kind] * num_skewers)
+                rows["value"].extend(vv.tolist())
+                rows["tile_id"].extend([tid] * num_skewers)
+                rows["pixel"].extend(ii.tolist())
+                rows["spectrum"].extend(X[ii].tolist())
+        return pa.table({
+            "skewer": pa.array(rows["skewer"], pa.int32()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "tile_id": pa.array(rows["tile_id"], pa.string()),
+            "pixel": pa.array(rows["pixel"], pa.int32()),
+            "spectrum": pa.array(rows["spectrum"],
+                                 pa.list_(pa.float64())),
+        })
+
+    parts = tiles_mnf.map_batches(fn, batch_format="pyarrow").take_all()
+    # driver merge: per (skewer, kind) pick extreme value with
+    # deterministic (tile_id, pixel) tiebreak
+    best = {}
+    for r in parts:
+        key = (r["skewer"], r["kind"])
+        cur = best.get(key)
+        cand = (r["value"], r["tile_id"], r["pixel"], r["spectrum"])
+        if cur is None:
+            best[key] = cand
+            continue
+        if r["kind"] == "min":
+            better = (cand[0], cand[1], cand[2]) < (cur[0], cur[1], cur[2])
+        else:
+            better = (-cand[0], cand[1], cand[2]) < (-cur[0], cur[1],
+                                                     cur[2])
+        if better:
+            best[key] = cand
+    counts = {}
+    for (sk, kind), (v, tid, px, spec) in best.items():
+        key = (tid, px)
+        if key not in counts:
+            counts[key] = [0, spec]
+        counts[key][0] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    return np.array([spec for (_k, (_c, spec)) in ranked[:q]])
+
+
+# ---------------------------------------------------------------------------
+# FCLS actor
+
+ABUNDANCE_FIELDS = [
+    ("tile_id", pa.string()), ("image_id", pa.string()),
+    ("cell", pa.uint64()), ("h", pa.int32()), ("w", pa.int32()),
+    ("q", pa.int32()), ("abundance", pa.list_(pa.float32())),
+    ("gt", pa.list_(pa.float64(), 6)), ("crs", pa.string()),
+    ("caption", pa.string()),
+]
+
+
+class FCLSUnmixActor:
+    """Actor-pool FCLS stage. Constructor args are broadcast by value
+    (endmember matrix is tiny). Implements the reference's dimension-drop:
+    q endmembers are located in k = q-1 spectral dims (lsma.py:190-197),
+    so both the endmember matrix and the pixel matrix are truncated to the
+    first k MNF components before the solve."""
+
+    def __init__(self, endmembers, input_col="mnf"):
+        U = np.asarray(endmembers, dtype=np.float64)
+        self.q = U.shape[0]
+        self.k = self.q - 1
+        self.U = U[:, : self.k]
+        self.input_col = input_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.input_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        bands = batch["bands"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        n = batch.num_rows
+        per_tile = []
+        sizes = np.empty(n, dtype=np.int64)
+        if n and (bands == bands[0]).all() and (hs == hs[0]).all() \
+                and (ws == ws[0]).all():
+            p, h, w = int(bands[0]), int(hs[0]), int(ws[0])
+            cube = values[offsets[0]:offsets[-1]].reshape((n, p, h * w))
+            X = cube[:, : self.k, :].transpose(0, 2, 1)\
+                .reshape(n * h * w, self.k).astype(np.float64)
+            ab = nnls.fcls_pixels(X, self.U)            # (n*h*w, q)
+            ab = ab.reshape(n, h * w, self.q).transpose(0, 2, 1)
+            flat = ab.astype(np.float32).reshape(-1)
+            sizes[:] = self.q * h * w
+            all_values = flat
+        else:
+            for i in range(n):
+                p, h, w = int(bands[i]), int(hs[i]), int(ws[i])
+                a = values[offsets[i]:offsets[i + 1]].reshape((p, h * w))
+                X = a[: self.k].T.astype(np.float64)
+                ab = nnls.fcls_pixels(X, self.U).T      # (q, h*w)
+                per_tile.append(ab.astype(np.float32).ravel())
+                sizes[i] = ab.size
+            all_values = np.concatenate(per_tile) if per_tile else \
+                np.empty(0, np.float32)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        ab_col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()),
+            pa.array(all_values, pa.float32()))
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "image_id": batch["image_id"],
+            "cell": batch["cell"],
+            "h": batch["h"], "w": batch["w"],
+            "q": pa.array([self.q] * n, pa.int32()),
+            "abundance": ab_col,
+            "gt": batch["gt"], "crs": batch["crs"],
+            "caption": batch["caption"],
+        }, schema=pa.schema(ABUNDANCE_FIELDS))
+
+
+def default_pool_size(reserve=2, cap=None):
+    """Actor-pool size that leaves ``reserve`` CPUs for the read/write
+    stages — an all-CPU pool starves upstream operators and deadlocks the
+    streaming executor (observed: 4 idle actors on a 4-CPU session hold
+    every CPU while ReadParquet is backpressured)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if \
+        ray.is_initialized() else 4
+    size = max(1, cpus - reserve)
+    return min(size, cap) if cap else size
+
+
+def unmix(tiles_mnf, endmembers, concurrency=None, batch_size=64,
+          input_col="mnf"):
+    """Run the FCLS actor pool over MNF tiles → abundance-tile Dataset."""
+    if concurrency is None:
+        concurrency = default_pool_size()
+    return tiles_mnf.map_batches(
+        FCLSUnmixActor,
+        fn_constructor_args=(endmembers, input_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
