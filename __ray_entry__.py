@@ -1,44 +1,620 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data unmixing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray BEFORE importing this module; nothing here (or
+in the library) calls ``ray.init``/``ray.shutdown``. ``queries()`` returns
+one callable per implemented operator/pipeline (SURVEY.md §2 inventory);
+``oracle_sql()`` the DuckDB-equivalent SQL. Geospatial queries run over
+the deterministic synthetic image corpus (generated on first use under
+/tmp/ray_unmix_data/<sf>/ — the engine's input table per BASELINE.json
+input_hint); their oracles read the corpus sidecar parquet directly.
+Column names and integer scalings match between both sides so the
+driver's order-insensitive value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+SF01_CORPUS = "/tmp/ray_unmix_data/sf0.01"
+
+
+def _corpus(sf_dir):
+    from unmixing_ray.sources import synth
+    return synth.ensure_corpus(sf_dir)
+
+
+def _read(sf_dir, name, **kw):
+    import ray.data
+    return ray.data.read_parquet(
+        os.path.join(str(sf_dir), name + ".parquet"), **kw)
+
+
+# ---------------------------------------------------------------------------
+# entry
+
+def _out_dir(tag, sf_dir):
+    """Output dir keyed by corpus generation stamp: checkpoint-resume
+    assumes immutable input, so a regenerated corpus gets a fresh dir
+    (a fixed dir accumulated stale partitions across generator bumps)."""
+    from unmixing_ray.sources import synth
+    name = os.path.basename(str(sf_dir))
+    return "/tmp/ray_unmix_out/%s_%s_v%d" % (tag, name,
+                                             synth.GENERATOR_VERSION)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: decode → tile → MNF → NFINDR → FCLS
+    → join; returns the abundance-tile Dataset."""
+    import ray.data
+    from unmixing_ray.pipelines import flagship
+    from unmixing_ray.sources import synth
+    corpus = _corpus("/root/testdata/sf0.001")
+    out = _out_dir("entry", "/root/testdata/sf0.001")
+    res = flagship.run_flagship(
+        corpus, out, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=2)
+    return ray.data.read_parquet(res["abundances_dir"],
+                                 file_extensions=["parquet"])
 
+
+# ---------------------------------------------------------------------------
+# geospatial queries (synthetic corpus)
+
+def _tiles_ds(sf_dir, clean=False):
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import masks as mstage
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    if clean:
+        tiles = tiles.map_batches(mstage.make_clean_stage(),
+                                  batch_format="pyarrow", batch_size=64)
+    return corpus, tiles
+
+
+def q_tile_assignment(sf_dir):
+    """Bit-exact tile→cell assignment through the decode path."""
+    import pyarrow as pa
+    from unmixing_ray import cellindex
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ix, iy, lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "image_id": batch["image_id"],
+            "row_off": batch["row_off"].cast(pa.int64()),
+            "col_off": batch["col_off"].cast(pa.int64()),
+            "cell_ix": pa.array(ix, pa.int64()),
+            "cell_iy": pa.array(iy, pa.int64()),
+            "cx": batch["cx"], "cy": batch["cy"],
+        })
+
+    return tiles.map_batches(project, batch_format="pyarrow")
+
+
+def q_pixel_to_xy(sf_dir):
+    """The bit-for-bit affine transform: per-tile origin and far-corner
+    map coordinates computed from the tile gt through pixel_to_xy."""
+    import pyarrow as pa
+    from unmixing_ray import geo
+    _c, tiles = _tiles_ds(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        gts = batch["gt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        x0 = np.empty(len(gts))
+        y0 = np.empty(len(gts))
+        x1 = np.empty(len(gts))
+        y1 = np.empty(len(gts))
+        for i, gt in enumerate(gts):
+            (a, b), (c, d) = geo.pixel_to_xy(
+                [(0, 0), (int(ws[i]), int(hs[i]))], gt)
+            x0[i], y0[i], x1[i], y1[i] = a, b, c, d
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "x0": pa.array(x0), "y0": pa.array(y0),
+            "x1": pa.array(x1), "y1": pa.array(y1),
+        })
+
+    return tiles.map_batches(project, batch_format="pyarrow")
+
+
+def q_spatial_join_pip(sf_dir):
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    joined = jstage.broadcast_spatial_join(tiles, polygons, k=0)
+    df = joined.to_pandas()
+    return df[df["kind"] == "pip"][["tile_id", "poly_id"]]\
+        .reset_index(drop=True)
+
+
+def q_spatial_join_knn(sf_dir):
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    joined = jstage.broadcast_spatial_join(tiles, polygons, k=2)
+    df = joined.to_pandas()
+    knn = df[df["kind"] == "knn"].copy()
+    knn["knn_rank"] = knn["rank"].astype("int64")
+    knn["dist_u6"] = np.floor(knn["dist"] * 1_000_000).astype("int64")
+    return knn[["tile_id", "knn_rank", "poly_id", "dist_u6"]]\
+        .reset_index(drop=True)
+
+
+def q_mask_counts(sf_dir):
+    """Planted-feature mask counts per image through the decode path:
+    density-slice water, saturation, NoData, cfmask-QA (reference ops
+    utils.py:560-579, 971-997, 230-263)."""
+    import pyarrow as pa
+    from unmixing_ray.kernels import masks as mk
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.decode import decode_batch
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        dec = decode_batch(batch)
+        out = {"image_id": [], "n_water": [], "n_saturated": [],
+               "n_nodata": [], "n_qa_masked": []}
+        for i in range(dec.num_rows):
+            arr = np.asarray(dec["pixels"][i].as_py(), dtype=np.int16)\
+                .reshape((dec["bands"][i].as_py(),
+                          dec["h"][i].as_py(), dec["w"][i].as_py()))
+            qa = np.frombuffer(dec["qa"][i].as_py(), dtype=np.uint8)\
+                .reshape((dec["h"][i].as_py(), dec["w"][i].as_py()))
+            water = mk.density_slice(arr[4:5], threshold=1000)
+            sat = mk.saturation_mask(arr)
+            cf = mk.cfmask(qa)
+            out["image_id"].append(dec["image_id"][i].as_py())
+            out["n_water"].append(int(water.sum()))
+            out["n_saturated"].append(int(sat.sum()))
+            out["n_nodata"].append(int((arr[0] == -9999).sum()))
+            out["n_qa_masked"].append(int(cf.sum()))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(counts, batch_format="pyarrow", batch_size=32)
+
+
+def q_image_dedup_phash(sf_dir):
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.dedup import exact_dedup_images
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus, columns=["image_id", "phash"])
+    return exact_dedup_images(ds)
+
+
+def q_decode_invariants(sf_dir):
+    """Per-row decode invariant (rows-only check): lossless exact or
+    PSNR >= 40 dB, plus caption passthrough."""
+    import pyarrow as pa
+    from unmixing_ray.codecs import LOSSLESS, decode_image, encode_image, \
+        psnr
+    from unmixing_ray.sources import images
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+
+    def check(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "fmt": [], "psnr_ok": [], "caption": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            arr = decode_image(batch["bytes"][i].as_py(), fmt, w, h)
+            if fmt in LOSSLESS:
+                # lossless: encode→decode round trip must be exact
+                rt = decode_image(encode_image(arr, fmt), fmt, w, h)
+                ok = bool(np.array_equal(rt, arr))
+            else:
+                # lossy: re-encoding the reconstruction must stay within
+                # the PSNR >= 40 dB invariant
+                rt = decode_image(encode_image(arr, fmt), fmt, w, h)
+                ok = bool(psnr(arr, rt) >= 40.0)
+            out["image_id"].append(batch["image_id"][i].as_py())
+            out["fmt"].append(fmt)
+            out["psnr_ok"].append(ok)
+            out["caption"].append(batch["caption"][i].as_py())
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=32)
+
+
+def q_unmix_abundance(sf_dir):
+    """Flagship FCLS output (rows-only): per-tile abundance band means in
+    micro-units, caption preserved."""
+    import pyarrow as pa
+    import ray.data
+    from unmixing_ray.pipelines import flagship
+    from unmixing_ray.sources import synth
+    corpus = _corpus(sf_dir)
+    out = _out_dir("flagship", sf_dir)
+    res = flagship.run_flagship(
+        corpus, out, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=0)
+    ab = ray.data.read_parquet(res["abundances_dir"],
+                               file_extensions=["parquet"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = {"tile_id": [], "caption": [], "q": [],
+                "mean_ab0_u6": [], "mean_ab1_u6": [], "mean_ab2_u6": []}
+        for i in range(batch.num_rows):
+            q = batch["q"][i].as_py()
+            a = np.asarray(batch["abundance"][i].as_py(),
+                           dtype=np.float64).reshape((q, -1))
+            rows["tile_id"].append(batch["tile_id"][i].as_py())
+            rows["caption"].append(batch["caption"][i].as_py())
+            rows["q"].append(q)
+            for b in range(3):
+                rows["mean_ab%d_u6" % b].append(
+                    int(np.floor(a[b].mean() * 1_000_000)))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    return ab.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_composite_cells(sf_dir):
+    """Multi-date composite over synthetic dates (rows-only): per tile,
+    three deterministic 'dates' composited per band with max*/median
+    reducers (reference composite3 semantics)."""
+    import pyarrow as pa
+    from unmixing_ray.kernels import composite as ck
+    from unmixing_ray.stages.decode import tiles_to_ndarray
+    _c, tiles = _tiles_ds(sf_dir)
+
+    def comp(batch: pa.Table) -> pa.Table:
+        arrays, uniform = tiles_to_ndarray(batch)
+        rows = {"tile_id": [], "checksum": []}
+        n = batch.num_rows
+        for i in range(n):
+            a = uniform[i] if uniform is not None else arrays[i]
+            dates = [a, np.where(a == -9999, -9999, a + 10),
+                     np.where(a == -9999, -9999, a - 10)]
+            out = ck.composite3(
+                ("max*", "median", "mean*", "min*", "median", "max*"),
+                *dates, normalize=None)
+            rows["tile_id"].append(batch["tile_id"][i].as_py())
+            rows["checksum"].append(
+                int(np.floor(np.where(out == -9999, 0, out).sum())))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    return tiles.map_batches(comp, batch_format="pyarrow", batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# engine-generality queries over the provided TPC-H-ish tables
+
+def q_tpch_q1(sf_dir):
+    """Pricing summary with exact integer cent-scaled sums."""
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100)\
+            .astype(np.int64)
+        tax_c = np.rint(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty": qty, "price_c": price_c,
+            "disc_price": price_c * (100 - disc_c),
+            "charge": price_c * (100 - disc_c) * (100 + tax_c),
+            "one": np.ones(len(df), dtype=np.int64),
+        })
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False)\
+            .sum()
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    partials = ds.map_batches(agg, batch_format="pandas").to_pandas()
+    out = partials.groupby(["l_returnflag", "l_linestatus"],
+                           as_index=False).sum()
+    out = out.rename(columns={
+        "qty": "sum_qty", "price_c": "sum_base_price_c",
+        "disc_price": "sum_disc_price_c2", "charge": "sum_charge_c4",
+        "one": "count_order"})
+    return out
+
+
+def q_revenue_by_nation(sf_dir):
+    """lineitem ⨝ supplier ⨝ nation with broadcast small sides (the
+    broadcast hash-join pattern), revenue in exact cent^2 units."""
+    sup = _read(sf_dir, "supplier").to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    sup_nat = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100)\
+            .astype(np.int64)
+        nation = df["l_suppkey"].map(
+            lambda s: nat_name[sup_nat[s]])
+        g = pd.DataFrame({
+            "n_name": nation,
+            "revenue_c2": price_c * (100 - disc_c),
+            "one": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("n_name", as_index=False).sum()
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    partials = ds.map_batches(agg, batch_format="pandas").to_pandas()
+    out = partials.groupby("n_name", as_index=False).sum()
+    return out.rename(columns={"one": "n_items"})
+
+
+def q_events_window(sf_dir):
+    """Tumbling 1-hour windows per event_type: count + exact min/max."""
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = (df["ts"].astype("int64") // 1_000_000 // 3600)\
+            .astype("int64")
+        g = pd.DataFrame({
+            "event_type": df["event_type"], "hour_bucket": bucket,
+            "value": df["value"]})
+        out = g.groupby(["event_type", "hour_bucket"]).agg(
+            n=("value", "size"), min_value=("value", "min"),
+            max_value=("value", "max")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    partials = ds.map_batches(agg, batch_format="pandas").to_pandas()
+    out = partials.groupby(["event_type", "hour_bucket"],
+                           as_index=False).agg(
+        n=("n", "sum"), min_value=("min_value", "min"),
+        max_value=("max_value", "max"))
+    return out
+
+
+def q_orders_topk(sf_dir):
+    """Top 10 orders by o_totalprice (sort + limit), exact cents."""
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "total_c": np.rint(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = ds.map_batches(to_cents, batch_format="pandas")\
+        .sort(["total_c", "o_orderkey"], descending=[True, False])\
+        .limit(10)
+    return top.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / ANN queries
+
+def q_token_count(sf_dir):
+    from unmixing_ray.stages import text
+    return text.token_count(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def q_lang_stats(sf_dir):
+    from unmixing_ray.stages import text
+    return text.lang_stats(_read(sf_dir, "documents",
+                                 columns=["lang", "n_chars"]))
+
+
+def q_quality_score(sf_dir):
+    from unmixing_ray.stages import text
+    return text.quality_score(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir):
+    from unmixing_ray.stages import text
+    return text.lang_id(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def q_fingerprint(sf_dir):
+    from unmixing_ray.stages import text
+    return text.fingerprint(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def q_dedup_exact_docs(sf_dir):
+    from unmixing_ray.stages import dedup
+    return dedup.exact_dedup_docs(_read(sf_dir, "documents",
+                                        columns=["doc_id", "text"]))
+
+
+def q_minhash_pairs(sf_dir):
+    from unmixing_ray.stages import dedup
+    return dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.35)
+
+
+def q_simhash_pairs(sf_dir):
+    from unmixing_ray.stages import dedup
+    return dedup.simhash_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_ann_topk(sf_dir):
+    from unmixing_ray.stages import ann
+    return ann.brute_force_topk(_read(sf_dir, "embeddings"), k=10)
+
+
+def q_ann_lsh(sf_dir):
+    from unmixing_ray.stages import ann
+    return ann.lsh_topk(_read(sf_dir, "embeddings"), k=10)
+
+
+def q_cosine_near_dup(sf_dir):
+    # threshold chosen so the synthetic embeddings yield real pairs (their
+    # max pairwise cosine is ~0.51); the operator is threshold-generic
+    from unmixing_ray.stages import ann
+    return ann.cosine_near_dup_exact(_read(sf_dir, "embeddings"),
+                                     threshold=0.45)
+
+
+def q_cosine_near_dup_lsh(sf_dir):
+    from unmixing_ray.stages import ann
+    return ann.cosine_near_dup_pairs(_read(sf_dir, "embeddings"),
+                                     threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# registries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # generate the corpora the driver will exercise (cached, idempotent)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if os.path.isdir(sf):
+            try:
+                _corpus(sf)
+            except Exception:
+                pass
+    return {
+        "tile_assignment": q_tile_assignment,
+        "pixel_to_xy": q_pixel_to_xy,
+        "spatial_join_pip": q_spatial_join_pip,
+        "spatial_join_knn": q_spatial_join_knn,
+        "mask_counts": q_mask_counts,
+        "image_dedup_phash": q_image_dedup_phash,
+        "decode_invariants": q_decode_invariants,
+        "unmix_abundance": q_unmix_abundance,
+        "composite_cells": q_composite_cells,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_window": q_events_window,
+        "orders_topk": q_orders_topk,
+        "token_count": q_token_count,
+        "lang_stats": q_lang_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "cosine_near_dup": q_cosine_near_dup,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from unmixing_ray.stages import ann, text
+    C = SF01_CORPUS
+    return {
+        "tile_assignment": f"""
+            SELECT tile_id, image_id,
+                   CAST(row_off AS BIGINT) AS row_off,
+                   CAST(col_off AS BIGINT) AS col_off,
+                   CAST(cell_ix AS BIGINT) AS cell_ix,
+                   CAST(cell_iy AS BIGINT) AS cell_iy, cx, cy
+            FROM read_parquet('{C}/tiles_expected.parquet')""",
+        "pixel_to_xy": f"""
+            SELECT tile_id,
+                   0*gt1 + gt0 AS x0, 0*gt5 + gt3 AS y0,
+                   32*gt1 + gt0 AS x1, 32*gt5 + gt3 AS y1
+            FROM read_parquet('{C}/tiles_expected.parquet')""",
+        "spatial_join_pip": f"""
+            SELECT t.tile_id, p.poly_id
+            FROM read_parquet('{C}/tiles_expected.parquet') t
+            JOIN read_parquet('{C}/polygons.parquet') p
+              ON t.cx BETWEEN p.xmin AND p.xmax
+             AND t.cy BETWEEN p.ymin AND p.ymax""",
+        "spatial_join_knn": f"""
+            WITH d AS (
+              SELECT t.tile_id, p.poly_id,
+                     sqrt((t.cx-p.cx)*(t.cx-p.cx)
+                          +(t.cy-p.cy)*(t.cy-p.cy)) AS dist,
+                     row_number() OVER (
+                       PARTITION BY t.tile_id
+                       ORDER BY sqrt((t.cx-p.cx)*(t.cx-p.cx)
+                                     +(t.cy-p.cy)*(t.cy-p.cy)),
+                                p.poly_id) AS rn
+              FROM read_parquet('{C}/tiles_expected.parquet') t
+              CROSS JOIN read_parquet('{C}/polygons.parquet') p)
+            SELECT tile_id, CAST(rn-1 AS BIGINT) AS knn_rank, poly_id,
+                   CAST(floor(dist*1000000) AS BIGINT) AS dist_u6
+            FROM d WHERE rn <= 2""",
+        "mask_counts": f"""
+            SELECT image_id, CAST(n_water AS BIGINT) AS n_water,
+                   CAST(n_saturated AS BIGINT) AS n_saturated,
+                   CAST(n_nodata AS BIGINT) AS n_nodata,
+                   CAST(n_qa_masked AS BIGINT) AS n_qa_masked
+            FROM read_parquet('{C}/images_expected.parquet')""",
+        "image_dedup_phash": f"""
+            SELECT phash, min(image_id) AS keep_image_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM read_parquet('{C}/images.parquet') GROUP BY phash""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                     AS BIGINT) AS sum_base_price_c,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                     AS BIGINT) AS sum_disc_price_c2,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT)))
+                     AS BIGINT) AS sum_charge_c4,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                     AS BIGINT) AS revenue_c2,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "events_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type, hour_bucket""",
+        "orders_topk": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+            FROM orders
+            ORDER BY total_c DESC, o_orderkey LIMIT 10""",
+        "token_count": text.token_count_sql(),
+        "lang_stats": text.lang_stats_sql(),
+        "quality_score": text.quality_score_sql(),
+        "lang_id": text.lang_id_sql(),
+        "fingerprint": text.fingerprint_sql(),
+        "dedup_exact_docs": (
+            "SELECT md5(text) AS text_hash, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY md5(text)"),
+        "ann_topk": ann.brute_force_topk_sql(),
+        "cosine_near_dup": """
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+                   CAST(b.vec_id AS BIGINT) AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.45""",
+        # decode_invariants / unmix_abundance / composite_cells /
+        # minhash_pairs / simhash_pairs / ann_lsh: non-SQL-expressible
+        # (decode, FCLS, approximate LSH) -> rows-only checks.
+    }

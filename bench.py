@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "tiles_per_sec": ...}
+
+--scaling: run the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and print both throughputs plus
+scaling efficiency (the sandbox protocol for the N→4N-nodes rule, see
+BASELINE.md).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_scaling():
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the page cache + corpus cache (untimed)
+    warm_env = dict(os.environ, RAY_GRAFT_CPUS="8",
+                    RAY_GRAFT_WARMUP_ONLY="1")
+    subprocess.run([sys.executable, os.path.abspath(__file__)],
+                   env=warm_env, capture_output=True, text=True)
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "tiles_per_sec_8": lo.get("tiles_per_sec"),
+        "tiles_per_sec_32": hi.get("tiles_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }))
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from unmixing_ray.sources import synth
+
+    # corpus generation is setup, not measured (cached across runs)
+    corpus = synth.ensure_corpus(sf_dir)
+    if os.environ.get("RAY_GRAFT_WARMUP_ONLY"):
+        print(json.dumps({"warmed": corpus}))
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from unmixing_ray.pipelines import flagship
+    from unmixing_ray.state import manifest as ckpt
+
+    out_dir = "/tmp/ray_unmix_bench/run_%d_%d" % (os.getpid(), ncpu)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries = {}
+
+    t0 = time.monotonic()
+    res = flagship.run_flagship(
+        corpus, out_dir, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=2)
+    total = time.monotonic() - t0
+    queries["flagship"] = round(total, 3)
+    n_tiles = sum(r["rows"] for r in ckpt.read_manifest(
+        res["abundances_dir"]))
+
+    # secondary pipelines over the provided tables
+    import __ray_entry__ as em
+    for name in ("tpch_q1", "dedup_exact_docs", "token_count", "ann_topk",
+                 "spatial_join_pip"):
+        t0 = time.monotonic()
+        r = em.queries()[name](sf_dir)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    tiles_per_sec = round(n_tiles / queries["flagship"], 2)
+    print(json.dumps({
+        "metric": "flagship_pipeline_seconds",
+        "value": queries["flagship"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(str(sf_dir)),
+        "num_cpus": ncpu,
+        "n_tiles": n_tiles,
+        "tiles_per_sec": tiles_per_sec,
+    }))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

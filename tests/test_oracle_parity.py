@@ -1,0 +1,96 @@
+"""Driver-emulation: every oracle-checked query must match its DuckDB SQL
+on row count, schema (column names), and exact values at sf0.01."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()   # ray Dataset
+
+
+def _normalize(df):
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return q, o
+
+
+@pytest.mark.parametrize("name", [
+    "tile_assignment", "pixel_to_xy", "spatial_join_pip",
+    "spatial_join_knn", "mask_counts", "image_dedup_phash", "tpch_q1",
+    "revenue_by_nation", "events_window", "orders_topk", "token_count",
+    "lang_stats", "quality_score", "lang_id", "fingerprint",
+    "dedup_exact_docs", "ann_topk", "cosine_near_dup",
+])
+def test_query_matches_oracle(registry, con, name):
+    queries, oracles = registry
+    got = _normalize(_to_pandas(queries[name](SF_DIR)))
+    want = _normalize(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        (list(got.columns), list(want.columns))
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (a == b).all(), c
+
+
+@pytest.mark.parametrize("name", [
+    "decode_invariants", "composite_cells", "minhash_pairs",
+    "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
+])
+def test_rows_only_queries_run(registry, name):
+    queries, _ = registry
+    got = _to_pandas(queries[name](SF_DIR))
+    assert len(got) >= 0
+    if name == "decode_invariants":
+        assert got["psnr_ok"].all()
+
+
+def test_oracle_keys_subset_of_queries(registry):
+    queries, oracles = registry
+    assert set(oracles) <= set(queries)
+
+
+def test_entry_smoke(registry):
+    ds = entrymod.entry()
+    assert ds.count() > 0
+    assert "abundance" in ds.schema().names

@@ -62,40 +62,44 @@ def fcls_exact(X, U):
     out = np.zeros((c, q))
     unsolved = np.ones(c, dtype=bool)
     for P in _supports(q):
-        if not unsolved.any():
+        rows = np.nonzero(unsolved)[0]
+        if not len(rows):
             break
         idx = np.asarray(P)
         m = len(idx)
         # KKT system for support P with multiplier lam:
         #   [G_PP  1] [a_P ]   [B_P]
         #   [1'    0] [lam ] = [ 1 ]
+        # K is pixel-independent: invert once, solve all pixels by matmul.
         K = np.zeros((m + 1, m + 1))
         K[:m, :m] = G[np.ix_(idx, idx)]
         K[:m, m] = 1.0
         K[m, :m] = 1.0
-        rhs = np.empty((m + 1, c))
-        rhs[:m] = B[:, idx].T
-        rhs[m] = 1.0
         try:
-            sol = np.linalg.solve(K, rhs)        # (m+1, c)
+            Kinv = np.linalg.inv(K)
         except np.linalg.LinAlgError:
             continue
-        aP = sol[:m]                              # (m, c)
-        lam = sol[m]                              # (c,)
-        primal_ok = (aP >= -_EPS).all(axis=0)
+        Brows = B[rows][:, idx]                       # (r, m)
+        # sol_j = Kinv[j, :m]·B_P + Kinv[j, m] -> (r, m+1) via one matmul
+        sol = Brows @ Kinv[:, :m].T + Kinv[:, m][None, :]
+        aP = sol[:, :m]                               # (r, m)
+        lam = sol[:, m]                               # (r,)
+        primal_ok = (aP >= -_EPS).all(axis=1)
         # dual feasibility on the complement: grad_i = (G a)_i - B_i + lam
         comp = np.setdiff1d(np.arange(q), idx)
         if comp.size:
-            grad = G[np.ix_(comp, idx)] @ aP - B[:, comp].T + lam[None, :]
-            dual_ok = (grad >= -1e-8).all(axis=0)
+            grad = aP @ G[np.ix_(idx, comp)] - B[rows][:, comp] \
+                + lam[:, None]
+            dual_ok = (grad >= -1e-8).all(axis=1)
         else:
-            dual_ok = np.ones(c, dtype=bool)
-        take = unsolved & primal_ok & dual_ok
-        if take.any():
-            full = np.zeros((q, c))
-            full[idx] = np.clip(aP, 0.0, None)
-            out[take] = full[:, take].T
-            unsolved[take] = False
+            dual_ok = np.ones(len(rows), dtype=bool)
+        take = primal_ok & dual_ok
+        sel = rows[take]
+        if len(sel):
+            out[np.repeat(sel, m),
+                np.tile(idx, len(sel))] = np.clip(aP[take], 0.0,
+                                                  None).ravel()
+            unsolved[sel] = False
     if unsolved.any():
         # numerically degenerate pixels: fall back to Lawson-Hanson on the
         # delta-augmented system (deterministic)

@@ -34,7 +34,7 @@ from ..state import manifest as ckpt
 
 def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
                 cell_level=DEFAULT_CELL_LEVEL, clean=True,
-                checkpoint=True, partition_shift=4):
+                checkpoint=True, partition_shift=8):
     """Images → (masked) tiles. With ``checkpoint`` the tiles table is
     written partitioned-by-coarse-cell and re-read (the resume point);
     otherwise the lazy Dataset is returned directly."""
@@ -65,21 +65,29 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
                  induce="nfindr", clean=True, checkpoint=True,
                  unmix_concurrency=None, unmix_batch_size=64):
     """Run the full pipeline; returns dict of result handles."""
+    import time
+    timings = {}
     os.makedirs(out_dir, exist_ok=True)
+    t0 = time.monotonic()
     tiles = build_tiles(corpus_dir, out_dir, tile, cell_level, clean,
                         checkpoint)
+    timings["tiles_checkpoint"] = round(time.monotonic() - t0, 3)
 
     # MNF fit: one streaming pass reduced to tiny partials
+    t0 = time.monotonic()
     W, snr = mnf_stage.fit_mnf(tiles)
+    timings["mnf_fit"] = round(time.monotonic() - t0, 3)
     apply_fn = mnf_stage.make_apply_mnf(W)
     tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
                                   batch_size=64)
 
     # endmember induction in MNF space
+    t0 = time.monotonic()
     if induce == "ppi":
         endmembers = unmix_stage.ppi_global(tiles_mnf, q=q)
     else:
         endmembers = unmix_stage.induce_endmembers_nfindr(tiles_mnf, q=q)
+    timings["induce"] = round(time.monotonic() - t0, 3)
 
     # FCLS actor pool → abundance tiles → checkpointed partitioned write
     abundances = unmix_stage.unmix(
@@ -90,21 +98,25 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     def add_part(batch):
         import pyarrow as pa
         part = (batch["cell"].to_numpy(zero_copy_only=False)
-                >> np.uint64(4)).astype(np.uint64)
+                >> np.uint64(8)).astype(np.uint64)
         return batch.append_column("part", pa.array(part, pa.uint64()))
 
+    t0 = time.monotonic()
     ab_parted = abundances.map_batches(add_part, batch_format="pyarrow")
     remaining, _ = ckpt.resume_filter(ab_parted, ab_dir, "part")
     lineage = ckpt.checkpointed_write(remaining, ab_dir, "part",
                                      stage="abundances")
+    timings["unmix_write"] = round(time.monotonic() - t0, 3)
 
     # spatial join on tile metadata only (column-pruned read)
+    t0 = time.monotonic()
     polygons = pq.read_table(os.path.join(corpus_dir, "polygons.parquet"))
     join_rows = join_stage.broadcast_spatial_join(
         tiles.select_columns(["tile_id", "cell", "cx", "cy"]),
         polygons, k=k_knn)
     join_dir = os.path.join(out_dir, "join_rows")
     join_rows.write_parquet(join_dir)
+    timings["spatial_join"] = round(time.monotonic() - t0, 3)
 
     return {
         "rotation": W,
@@ -113,4 +125,5 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
         "abundances_dir": ab_dir,
         "join_dir": join_dir,
         "lineage": lineage,
+        "timings": timings,
     }

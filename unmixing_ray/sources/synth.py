@@ -39,7 +39,10 @@ import pyarrow.parquet as pq
 
 from ..constants import NODATA
 from .. import cellindex, geo
-from ..codecs import encode_image
+from ..codecs import decode_image, encode_image
+
+# bump when generator semantics change: forces cached corpora to rebuild
+GENERATOR_VERSION = 2
 
 # Corpus geometry: images on a lattice in a UTM-like meters CRS.
 IMG_W = 64
@@ -142,7 +145,8 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
     """Write the corpus into ``out_dir``; idempotent via a DONE marker."""
     out = pathlib.Path(out_dir)
     done = out / "_DONE"
-    if done.exists() and not force:
+    stamp = "v%d n%d seed%d" % (GENERATOR_VERSION, n_images, seed)
+    if done.exists() and not force and done.read_text() == stamp:
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -189,7 +193,11 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                 cols["qa"].append(qa.tobytes())
                 cols["gt"].append(list(gt))
                 cols["crs"].append(CRS)
-                w_, s_, n_, q_ = _expected_counts(pixels, qa)
+                # ground truth is the DECODED payload (lossy fmts alter
+                # pixels near mask thresholds)
+                stored = pixels if fmt != "q8" else decode_image(
+                    cols["bytes"][-1], fmt, IMG_W, IMG_H)
+                w_, s_, n_, q_ = _expected_counts(stored, qa)
                 exp_rows["image_id"].append(image_id)
                 exp_rows["n_water"].append(w_)
                 exp_rows["n_saturated"].append(s_)
@@ -226,7 +234,7 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
         "endmembers": ENDMEMBERS.tolist(),
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
-    done.write_text("ok")
+    done.write_text(stamp)
     return str(out)
 
 

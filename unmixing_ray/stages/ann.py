@@ -1,0 +1,242 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+- ``brute_force_topk``: the exact baseline — the query matrix is broadcast
+  (tiny), each batch computes one vectorized matmul of its embeddings
+  against ALL queries, keeps a per-batch top-k, and the driver merges the
+  small partials. No shuffle; one streaming pass.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets
+  (sign-bit codes), probing only the query's bucket (+ multi-probe
+  neighbors at Hamming distance 1). Approximate; same output schema.
+- ``cosine_near_dup_pairs``: embedding-cosine near-duplicate pairs via
+  the same LSH buckets (exact verify inside buckets).
+
+Ranking note: DuckDB's ``list_cosine_similarity`` computes in float32
+while numpy accumulates in float64 — similarities can differ in the 6th
+decimal. Compared outputs therefore rank on ``floor(sim * 1e4)`` (ties
+broken by vec_id, identical in both engines) and omit the raw similarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _batch_embeddings(df):
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _normalize(M):
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def get_query_matrix(embeddings_ds, query_ids):
+    """Gather the query vectors (tiny) from the dataset."""
+    wanted = set(int(q) for q in query_ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].isin(wanted)]
+
+    rows = embeddings_ds.map_batches(pick, batch_format="pandas")\
+        .to_pandas()
+    rows = rows.sort_values("vec_id")
+    return (rows["vec_id"].to_numpy(),
+            np.stack(rows["embedding"].to_numpy()).astype(np.float64))
+
+
+def brute_force_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10):
+    """Exact cosine top-k for each query id.
+    Returns pandas (query_id, rnk, vec_id), rank 0-based,
+    self-matches excluded."""
+    qids, Q = get_query_matrix(embeddings_ds, query_ids)
+    Qn = _normalize(Q)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_embeddings(df)
+        sims = _normalize(M) @ Qn.T                 # (n, q)
+        vec_ids = df["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim_u4": []}
+        for j in range(len(qids)):
+            s = sims[:, j]
+            keep = vec_ids != qids[j]
+            su4 = np.floor(s * 10_000).astype(np.int64)
+            order = np.lexsort((vec_ids[keep], -su4[keep]))[:k]
+            sel = np.nonzero(keep)[0][order]
+            out["query_id"].extend([int(qids[j])] * len(sel))
+            out["vec_id"].extend(vec_ids[sel].tolist())
+            out["sim_u4"].extend(su4[sel].tolist())
+        return pd.DataFrame(out)
+
+    partials = embeddings_ds.map_batches(
+        partial_topk, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "sim_u4", "vec_id"],
+        ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount()
+    return out[["query_id", "rnk", "vec_id"]].reset_index(drop=True)
+
+
+def brute_force_topk_sql(query_ids=(0, 1, 2, 3, 4), k=10):
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN ({qlist})),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+                 CAST(floor(list_cosine_similarity(e.embedding, q.qe)
+                            * 10000) AS BIGINT) AS sim_u4
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id),
+        r AS (
+          SELECT query_id, vec_id, sim_u4,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim_u4 DESC, vec_id) AS rn
+          FROM s)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rn - 1 AS BIGINT) AS rnk,
+               CAST(vec_id AS BIGINT) AS vec_id
+        FROM r WHERE rn <= {k}"""
+
+
+def _hyperplanes(dim, nbits, seed=4321):
+    rng = np.random.default_rng(np.random.SeedSequence([seed, dim, nbits]))
+    return rng.normal(size=(nbits, dim))
+
+
+def _codes(M, planes):
+    bits = (M @ planes.T) > 0
+    code = np.zeros(len(M), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        code |= bits[:, b].astype(np.int64) << b
+    return code
+
+
+def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=8,
+             seed=4321):
+    """Approximate top-k: probe the query's LSH bucket plus all buckets at
+    Hamming distance 1 (multi-probe). Scale path: bucket id is the shuffle
+    key; each bucket is searched independently."""
+    qids, Q = get_query_matrix(embeddings_ds, query_ids)
+    Qn = _normalize(Q)
+    sample = Q.shape[1]
+    planes = _hyperplanes(sample, nbits, seed)
+    qcodes = _codes(Qn, planes)
+    probe_sets = []
+    for c in qcodes:
+        probes = {int(c)}
+        for b in range(nbits):
+            probes.add(int(c) ^ (1 << b))
+        probe_sets.append(probes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_embeddings(df)
+        Mn = _normalize(M)
+        codes = _codes(Mn, planes)
+        vec_ids = df["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim_u4": []}
+        for j in range(len(qids)):
+            mask = np.isin(codes, list(probe_sets[j])) \
+                & (vec_ids != qids[j])
+            if not mask.any():
+                continue
+            s = Mn[mask] @ Qn[j]
+            su4 = np.floor(s * 10_000).astype(np.int64)
+            ids = vec_ids[mask]
+            order = np.lexsort((ids, -su4))[:k]
+            out["query_id"].extend([int(qids[j])] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["sim_u4"].extend(su4[order].tolist())
+        return pd.DataFrame(out)
+
+    partials = embeddings_ds.map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame({"query_id": [], "rnk": [], "vec_id": []})
+    partials = partials.sort_values(
+        ["query_id", "sim_u4", "vec_id"], ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount()
+    return out[["query_id", "rnk", "vec_id"]].reset_index(drop=True)
+
+
+def cosine_near_dup_exact(embeddings_ds, threshold=0.95):
+    """Exact embedding-cosine near-dup pairs: the embedding table's
+    vector side is broadcast once (ray.put) and every batch computes a
+    vectorized batch×all similarity block, emitting (vec_a < vec_b)
+    pairs. Exact counterpart of the SQL self-join oracle; the LSH variant
+    below is the approximate scale path."""
+    import ray
+    all_rows = embeddings_ds.to_pandas()
+    all_ids = all_rows["vec_id"].to_numpy()
+    all_M = _normalize(np.stack(all_rows["embedding"].to_numpy())
+                       .astype(np.float64))
+    ref = ray.put((all_ids, all_M))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, M_all = ray.get(ref)
+        M = _normalize(_batch_embeddings(df))
+        ids = df["vec_id"].to_numpy()
+        sims = M @ M_all.T
+        rows = {"vec_a": [], "vec_b": []}
+        for i in range(len(ids)):
+            mask = (sims[i] >= threshold) & (ids_all > ids[i])
+            sel = np.nonzero(mask)[0]
+            rows["vec_a"].extend([int(ids[i])] * len(sel))
+            rows["vec_b"].extend(ids_all[sel].tolist())
+        return pd.DataFrame({
+            "vec_a": pd.Series(rows["vec_a"], dtype="int64"),
+            "vec_b": pd.Series(rows["vec_b"], dtype="int64")})
+
+    out = embeddings_ds.map_batches(pairs, batch_format="pandas")\
+        .to_pandas()
+    if not len(out):
+        # keep the schema on an empty result (Ray drops columns of a
+        # fully-empty dataset on to_pandas)
+        out = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                            "vec_b": pd.Series([], dtype="int64")})
+    return out
+
+
+def cosine_near_dup_pairs(embeddings_ds, threshold=0.95, nbits=6,
+                          seed=4321):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket groupby, exact
+    all-pairs verify within buckets (buckets are small by construction).
+    Returns (vec_a, vec_b, sim_u6) with vec_a < vec_b."""
+    planes_holder = {}
+
+    def code_stage(df: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_embeddings(df)
+        dim = M.shape[1]
+        if "p" not in planes_holder:
+            planes_holder["p"] = _hyperplanes(dim, nbits, seed)
+        Mn = _normalize(M)
+        codes = _codes(Mn, planes_holder["p"])
+        return pd.DataFrame({
+            "bucket": codes, "vec_id": df["vec_id"],
+            "embedding": df["embedding"],
+        })
+
+    coded = embeddings_ds.map_batches(code_stage, batch_format="pandas")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"vec_a": [], "vec_b": [], "sim_u6": []}
+        if len(g) >= 2:
+            g = g.sort_values("vec_id")
+            M = _normalize(_batch_embeddings(g))
+            ids = g["vec_id"].to_numpy()
+            sims = M @ M.T
+            iu = np.triu_indices(len(ids), 1)
+            s = sims[iu]
+            keep = s >= threshold
+            rows["vec_a"] = ids[iu[0][keep]].tolist()
+            rows["vec_b"] = ids[iu[1][keep]].tolist()
+            rows["sim_u6"] = np.floor(
+                s[keep] * 1_000_000).astype(np.int64).tolist()
+        return pd.DataFrame(rows)
+
+    return coded.groupby("bucket").map_groups(
+        bucket_verify, batch_format="pandas")

@@ -1,0 +1,147 @@
+"""Multi-date composite + global-mode QA stages (the explicit shuffles).
+
+- ``composite_by_cell``: ``groupby(cell)`` over (cell, date) tile rows →
+  per-group composite3 kernel (reference utils.py:343-525 semantics). The
+  group key is the spatial cell so all dates of a pixel meet in one group;
+  salting here must use spatial sub-blocks, NOT row hashing (a pixel's
+  dates must stay together), so hot-cell handling splits tiles into
+  quadrant sub-tiles before the shuffle when requested.
+- ``mask_ledaps_qa_two_pass``: global QA value counts (small shuffle on
+  qa value) → driver mode → broadcast apply (reference utils.py:796-845).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..constants import NODATA
+from ..kernels import composite as ck
+from ..kernels import masks as mk
+from .decode import tiles_to_ndarray
+
+
+def composite_by_cell(tiles, reducers, normalize="sum", nodata=NODATA,
+                      dtype=np.float32):
+    """tiles: Dataset with (cell, date, h, w, bands, pixels) — one row per
+    (cell, date). Returns one composited tile row per cell."""
+
+    def comp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("date")
+        arrays = [
+            np.asarray(px, dtype=np.float64).reshape(
+                (int(b), int(h), int(w)))
+            for px, b, h, w in zip(g["pixels"], g["bands"], g["h"],
+                                   g["w"])
+        ]
+        out = ck.composite3(reducers, *arrays, normalize=normalize,
+                            nodata=nodata, dtype=dtype)
+        return pd.DataFrame({
+            "cell": [g["cell"].iloc[0]],
+            "bands": [out.shape[0]],
+            "h": [out.shape[1]], "w": [out.shape[2]],
+            "n_dates": [len(arrays)],
+            "pixels": [out.astype(np.float32).ravel().tolist()],
+        })
+
+    return tiles.groupby("cell").map_groups(comp, batch_format="pandas")
+
+
+def qa_mode_global(tiles, qa_col="qa"):
+    """Pass 1 of mask_ledaps_qa: distributed QA value counts → global
+    modal value (reference computes np.bincount on the whole raster,
+    utils.py:835)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch[qa_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(values, return_counts=True)
+        return pa.table({
+            "qa_value": pa.array(vals.astype(np.int64)),
+            "n": pa.array(cnts.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = tiles.map_batches(counts, batch_format="pyarrow")\
+        .groupby("qa_value").aggregate(Sum("n", alias_name="n"))\
+        .to_pandas()
+    # top-1 by count, lowest value on tie (bincount-argmax analogue)
+    agg = agg.sort_values(["n", "qa_value"],
+                          ascending=[False, True])
+    return int(agg.iloc[0]["qa_value"])
+
+
+def make_ledaps_apply(mode, nodata=NODATA):
+    """Pass 2: broadcast modal value, mask every tile."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        arrays, uniform = tiles_to_ndarray(batch)
+        qa_col = batch["qa"]
+        if isinstance(qa_col, pa.ChunkedArray):
+            qa_col = qa_col.combine_chunks()
+        n = batch.num_rows
+        outs = []
+        for i in range(n):
+            a = uniform[i] if uniform is not None else arrays[i]
+            h, w = a.shape[1], a.shape[2]
+            qa = np.asarray(qa_col[i].as_py(), dtype=np.int64)\
+                .reshape(h, w)
+            outs.append(mk.mask_ledaps_qa_apply(a, qa, mode, nodata)
+                        .astype(np.int16).ravel())
+        values = np.concatenate(outs) if outs else np.empty(0, np.int16)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        if outs:
+            offsets[1:] = np.cumsum([o.size for o in outs])
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()),
+            pa.array(values, pa.int16()))
+        i = batch.column_names.index("pixels")
+        return batch.set_column(i, "pixels", col)
+
+    return apply
+
+
+def split_hot_tiles(tiles, hot_cells, sub=2):
+    """Skew handling for composites: split tiles of hot cells into
+    ``sub``×``sub`` spatial sub-tiles (key becomes (cell, sub_id)), which
+    preserves all-dates-per-pixel grouping while dividing group size."""
+    hot = set(int(c) for c in hot_cells)
+
+    def split(batch: pa.Table) -> pa.Table:
+        arrays, uniform = tiles_to_ndarray(batch)
+        out = {k: [] for k in ("cell", "sub_id", "date", "bands", "h",
+                               "w", "pixels")}
+        for i in range(batch.num_rows):
+            a = uniform[i] if uniform is not None else arrays[i]
+            cell = batch["cell"][i].as_py()
+            date = batch["date"][i].as_py() if "date" in \
+                batch.column_names else 0
+            if int(cell) not in hot:
+                out["cell"].append(cell)
+                out["sub_id"].append(0)
+                out["date"].append(date)
+                out["bands"].append(a.shape[0])
+                out["h"].append(a.shape[1])
+                out["w"].append(a.shape[2])
+                out["pixels"].append(a.ravel().tolist())
+                continue
+            hh = a.shape[1] // sub
+            ww = a.shape[2] // sub
+            for sy in range(sub):
+                for sx in range(sub):
+                    part = a[:, sy * hh:(sy + 1) * hh,
+                             sx * ww:(sx + 1) * ww]
+                    out["cell"].append(cell)
+                    out["sub_id"].append(sy * sub + sx + 1)
+                    out["date"].append(date)
+                    out["bands"].append(part.shape[0])
+                    out["h"].append(part.shape[1])
+                    out["w"].append(part.shape[2])
+                    out["pixels"].append(
+                        np.ascontiguousarray(part).ravel().tolist())
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return tiles.map_batches(split, batch_format="pyarrow")

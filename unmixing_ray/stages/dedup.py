@@ -1,0 +1,214 @@
+"""Deduplication operators (training-data pipeline ops).
+
+- exact dedup by content hash (md5(text) / image phash): vectorized hash
+  in ``map_batches`` → ``groupby(hash)`` keep-first — the canonical
+  hash-partitioned exact dedup.
+- MinHash+LSH near-dup: shingle → minhash signature (deterministic
+  universal hashing over md5-derived 64-bit shingle ids) → band buckets →
+  ``groupby(band, key)`` candidate pairs → exact Jaccard verify.
+- SimHash near-dup: 64-bit simhash over token features, 4-segment
+  blocking for Hamming distance <= 3.
+- n-gram Jaccard: exact pairwise verification kernel (used by the LSH
+  candidates and standalone for small sets).
+- embedding-cosine near-dup: see stages/ann.py.
+
+At 100 TB the shuffle key is the content hash / band bucket; hot buckets
+(boilerplate dup clusters) are bounded by emitting only (min_id, other)
+pairs per bucket group instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Count, Min
+
+
+def _md5_hex(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def exact_dedup_docs(docs):
+    """First (min doc_id) per distinct md5(text); returns
+    (text_hash, keep_doc_id, n_dups)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text_hash": df["text"].map(_md5_hex),
+        })
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
+def exact_dedup_docs_sql():
+    return ("SELECT md5(text) AS text_hash, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY md5(text)")
+
+
+def exact_dedup_images(images):
+    """Image dedup by the input table's phash column: keep the min
+    image_id per phash (north-star input schema op)."""
+    return images.groupby("phash").aggregate(
+        Min("image_id", alias_name="keep_image_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / jaccard
+
+def char_shingles(text, k=8):
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def ngram_jaccard(a, b, k=8):
+    sa, sb = char_shingles(a, k), char_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def _shingle_ids(text, k=8):
+    """Deterministic 64-bit shingle ids via md5."""
+    out = np.empty(max(1, len(text) - k + 1) if text else 0,
+                   dtype=np.uint64)
+    if not text:
+        return out[:0]
+    if len(text) < k:
+        h = hashlib.md5(text.encode()).digest()
+        return np.array([int.from_bytes(h[:8], "little")], dtype=np.uint64)
+    for i in range(len(text) - k + 1):
+        h = hashlib.md5(text[i:i + k].encode()).digest()
+        out[i] = int.from_bytes(h[:8], "little")
+    return out
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_signature(text, num_perm=64, k=8, seed=1234):
+    """num_perm-wide MinHash via universal hashing a*x+b mod p."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, num_perm]))
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    ids = _shingle_ids(text, k)
+    if not len(ids):
+        return np.zeros(num_perm, dtype=np.uint64)
+    x = ids[:, None]
+    hv = (x * a[None, :] + b[None, :]) % _MERSENNE
+    return hv.min(axis=0)
+
+
+def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
+                      seed=1234):
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    map_batches signature stage → explode (band, band_key, doc_id) →
+    groupby band bucket → candidate pairs (capped per bucket by pairing
+    against the bucket min) → exact char-k-gram Jaccard verify ≥ threshold.
+    Returns Dataset of (doc_a, doc_b, jaccard_u6).
+    """
+    rows_per_band = num_perm // bands
+
+    def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_key": [], "doc_id": [], "text": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = minhash_signature(text, num_perm, k, seed)
+            for b in range(bands):
+                seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                key = hashlib.md5(seg.tobytes()).hexdigest()
+                out["band"].append(b)
+                out["band_key"].append(key)
+                out["doc_id"].append(doc_id)
+                out["text"].append(text)
+        return pd.DataFrame(out)
+
+    exploded = docs.map_batches(sig_stage, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [],
+                                 "jaccard_u6": []})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        texts = g["text"].tolist()
+        rows = {"doc_a": [], "doc_b": [], "jaccard_u6": []}
+        for i in range(1, len(ids)):
+            j = ngram_jaccard(texts[0], texts[i], k)
+            if j >= threshold and ids[0] != ids[i]:
+                rows["doc_a"].append(ids[0])
+                rows["doc_b"].append(ids[i])
+                rows["jaccard_u6"].append(int(np.floor(j * 1_000_000)))
+        return pd.DataFrame(rows)
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # distinct pairs across bands
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard_u6", alias_name="jaccard_u6"))
+
+
+def simhash64(text, k=2):
+    """64-bit SimHash over character k-gram features (md5-derived bits)."""
+    ids = _shingle_ids(text, k)
+    if not len(ids):
+        return np.uint64(0)
+    bits = ((ids[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def simhash_pairs(docs, max_hamming=3, k=2):
+    """SimHash near-dup candidates via 4-segment blocking (any pair within
+    Hamming distance 3 shares at least one exact 16-bit segment), verified
+    by exact Hamming distance."""
+
+    def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"segment": [], "seg_key": [], "doc_id": [], "sim": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh = int(simhash64(text, k))
+            for s in range(4):
+                out["segment"].append(s)
+                out["seg_key"].append((sh >> (16 * s)) & 0xFFFF)
+                out["doc_id"].append(doc_id)
+                out["sim"].append(sh)
+        return pd.DataFrame(out)
+
+    exploded = docs.map_batches(sig_stage, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_a": [], "doc_b": [], "hamming": []}
+        if len(g) >= 2:
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].tolist()
+            sims = g["sim"].tolist()
+            for i in range(1, len(ids)):
+                d = bin(sims[0] ^ sims[i]).count("1")
+                if d <= max_hamming and ids[0] != ids[i]:
+                    rows["doc_a"].append(ids[0])
+                    rows["doc_b"].append(ids[i])
+                    rows["hamming"].append(d)
+        return pd.DataFrame(rows)
+
+    pairs = exploded.groupby(["segment", "seg_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

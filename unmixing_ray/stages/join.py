@@ -63,42 +63,85 @@ def _polygons_to_arrays(polygons):
     return ids, rings, bboxes, cx.astype(np.float64), cy.astype(np.float64)
 
 
-def _probe(ids, rings, tree, cx, cy, tile_ids, cells, txs, tys, k):
-    """Shared probe body: PIP via STRtree candidates + kNN by centroid."""
+def _probe(ids, rings, tree, cx, cy, tile_ids, cells, txs, tys, k,
+           bboxes=None):
+    """Shared probe body: PIP (vectorized bbox prefilter + per-polygon
+    vectorized ray casting over its candidate probes) + kNN by centroid.
+    ``tree`` (STRtree) is used when no bbox matrix is supplied."""
     out = {k_: [] for k_ in ("tile_id", "cell", "poly_id", "kind",
                              "rank", "dist")}
     n = len(tile_ids)
+    tile_ids = np.asarray(tile_ids)
+    cells = np.asarray(cells)
     if n and len(ids):
-        # PIP
-        for i in range(n):
-            cands = tree.query_point(float(txs[i]), float(tys[i]))
-            for c in cands:
-                if points_in_ring(np.array([txs[i]]), np.array([tys[i]]),
-                                  rings[c])[0]:
-                    out["tile_id"].append(tile_ids[i])
-                    out["cell"].append(cells[i])
-                    out["poly_id"].append(ids[c])
-                    out["kind"].append("pip")
-                    out["rank"].append(-1)
-                    out["dist"].append(0.0)
+        txs = np.asarray(txs, dtype=np.float64)
+        tys = np.asarray(tys, dtype=np.float64)
+        if bboxes is not None:
+            # vectorized candidate matrix: (n_probes, n_polys) bbox test —
+            # faster than per-point tree descent for typical vector-layer
+            # sizes; STRtree remains the path for very large polygon sets
+            hit = ((txs[:, None] >= bboxes[None, :, 0])
+                   & (txs[:, None] <= bboxes[None, :, 2])
+                   & (tys[:, None] >= bboxes[None, :, 1])
+                   & (tys[:, None] <= bboxes[None, :, 3]))
+            probe_idx, poly_idx = np.nonzero(hit)
+        else:
+            pi, pj = [], []
+            for i in range(n):
+                for c in tree.query_point(float(txs[i]), float(tys[i])):
+                    pi.append(i)
+                    pj.append(c)
+            probe_idx = np.asarray(pi, dtype=np.int64)
+            poly_idx = np.asarray(pj, dtype=np.int64)
+        # group candidate pairs by polygon; one vectorized PIP per polygon
+        order = np.argsort(poly_idx, kind="stable")
+        probe_idx, poly_idx = probe_idx[order], poly_idx[order]
+        hit_probe = []
+        hit_poly = []
+        bounds = np.searchsorted(poly_idx,
+                                 np.arange(len(ids) + 1), side="left")
+        for c in range(len(ids)):
+            sel = probe_idx[bounds[c]:bounds[c + 1]]
+            if not len(sel):
+                continue
+            inside = points_in_ring(txs[sel], tys[sel], rings[c])
+            hits = sel[inside]
+            hit_probe.append(hits)
+            hit_poly.append(np.full(len(hits), c, dtype=np.int64))
+        ph = np.concatenate(hit_probe) if hit_probe else \
+            np.empty(0, np.int64)
+        pl = np.concatenate(hit_poly) if hit_poly else \
+            np.empty(0, np.int64)
+        ids_arr = np.asarray(ids)
+        out["tile_id"].append(tile_ids[ph])
+        out["cell"].append(cells[ph])
+        out["poly_id"].append(ids_arr[pl])
+        out["kind"].append(np.full(len(ph), "pip", dtype=object))
+        out["rank"].append(np.full(len(ph), -1, dtype=np.int32))
+        out["dist"].append(np.zeros(len(ph)))
         # kNN by centroid distance, poly_id tiebreak
         if k > 0:
             idx, dist = knn_centroids(txs, tys, cx, cy, k, tie_ids=ids)
-            for i in range(n):
-                for r in range(idx.shape[1]):
-                    out["tile_id"].append(tile_ids[i])
-                    out["cell"].append(cells[i])
-                    out["poly_id"].append(ids[idx[i, r]])
-                    out["kind"].append("knn")
-                    out["rank"].append(r)
-                    out["dist"].append(float(dist[i, r]))
+            kk = idx.shape[1]
+            out["tile_id"].append(np.repeat(tile_ids, kk))
+            out["cell"].append(np.repeat(cells, kk))
+            out["poly_id"].append(ids_arr[idx].ravel())
+            out["kind"].append(np.full(n * kk, "knn", dtype=object))
+            out["rank"].append(np.tile(np.arange(kk, dtype=np.int32), n))
+            out["dist"].append(dist.ravel())
+
+    def cat(parts, dtype=None):
+        if not parts:
+            return np.empty(0, dtype or object)
+        return np.concatenate(parts)
+
     return pa.table({
-        "tile_id": pa.array(out["tile_id"], pa.string()),
-        "cell": pa.array(out["cell"], pa.uint64()),
-        "poly_id": pa.array(out["poly_id"], pa.string()),
-        "kind": pa.array(out["kind"], pa.string()),
-        "rank": pa.array(out["rank"], pa.int32()),
-        "dist": pa.array(out["dist"], pa.float64()),
+        "tile_id": pa.array(cat(out["tile_id"]), pa.string()),
+        "cell": pa.array(cat(out["cell"], np.uint64), pa.uint64()),
+        "poly_id": pa.array(cat(out["poly_id"]), pa.string()),
+        "kind": pa.array(cat(out["kind"]), pa.string()),
+        "rank": pa.array(cat(out["rank"], np.int32), pa.int32()),
+        "dist": pa.array(cat(out["dist"], np.float64), pa.float64()),
     }, schema=JOIN_SCHEMA)
 
 
@@ -109,9 +152,9 @@ class SpatialJoinActor:
     def __init__(self, polygons_ref, k=3):
         polygons = ray.get(polygons_ref) if not isinstance(
             polygons_ref, pa.Table) else polygons_ref
-        (self.ids, self.rings, bboxes,
+        (self.ids, self.rings, self.bboxes,
          self.cx, self.cy) = _polygons_to_arrays(polygons)
-        self.tree = STRtree(bboxes)
+        self.tree = STRtree(self.bboxes)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -119,11 +162,12 @@ class SpatialJoinActor:
             self.ids, self.rings, self.tree, self.cx, self.cy,
             batch["tile_id"].to_pylist(),
             batch["cell"].to_numpy(zero_copy_only=False),
-            batch["cx"].to_numpy(), batch["cy"].to_numpy(), self.k)
+            batch["cx"].to_numpy(), batch["cy"].to_numpy(), self.k,
+            bboxes=self.bboxes)
 
 
 def broadcast_spatial_join(tiles, polygons, k=3, concurrency=None,
-                           batch_size=256):
+                           batch_size=2048):
     """tiles: Dataset with (tile_id, cell, cx, cy); polygons: pa.Table.
     Returns the join-row Dataset."""
     if concurrency is None:

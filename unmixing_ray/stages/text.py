@@ -1,0 +1,167 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline ops; engine-new, graded alongside SURVEY.md §2).
+
+All operators are vectorized ``map_batches`` stages; aggregates return
+integer-valued columns wherever possible so the DuckDB oracle comparison
+is hash-exact (floats only where the semantics require them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+PUNCT = ".,!?;:"
+
+
+def token_count(docs):
+    """doc_id, n_tokens (space-delimited, empties dropped)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": toks.map(
+                lambda ts: sum(1 for t in ts if t)).astype("int64"),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def token_count_sql():
+    return ("SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents")
+
+
+def lang_stats(docs):
+    """Per-language doc count and exact n_chars sum/min/max (ints)."""
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def lang_stats_sql():
+    return ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY lang")
+
+
+def quality_score(docs):
+    """Per-doc quality features: token count, punctuation count, stopword
+    count, micro-scaled mean token length (integer for hash-exactness)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").map(
+            lambda ts: [t for t in ts if t])
+        n_tokens = toks.map(len).astype("int64")
+        n_punct = df["text"].map(
+            lambda s: sum(s.count(c) for c in PUNCT)).astype("int64")
+        n_stop = toks.map(
+            lambda ts: sum(1 for t in ts if t.lower() in EN_STOPWORDS))\
+            .astype("int64")
+        tok_chars = toks.map(lambda ts: sum(len(t) for t in ts))\
+            .astype("int64")
+        mean_tok_len_u6 = np.where(
+            n_tokens > 0,
+            np.floor(tok_chars.to_numpy() * 1_000_000
+                     / np.maximum(n_tokens.to_numpy(), 1)),
+            0).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "n_tokens": n_tokens,
+            "n_punct": n_punct, "n_stopwords": n_stop,
+            "mean_tok_len_u6": mean_tok_len_u6,
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def quality_score_sql():
+    stop = ", ".join("'%s'" % s for s in EN_STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(translate(text, '.,!?;:', ''))
+                    AS BIGINT) AS n_punct,
+               CAST(len(list_filter(toks, x -> lower(x) IN ({stop})))
+                    AS BIGINT) AS n_stopwords,
+               CAST(CASE WHEN len(toks) > 0 THEN floor(
+                    list_sum(list_transform(toks, x -> length(x)))
+                    * 1000000.0 / len(toks)) ELSE 0 END AS BIGINT)
+                 AS mean_tok_len_u6
+        FROM t"""
+
+
+def lang_id(docs, min_stopwords=2):
+    """Heuristic language ID: 'en' iff >= min_stopwords English stopword
+    tokens, else 'other'. Returns doc_id, lang_pred."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        n_stop = toks.map(
+            lambda ts: sum(1 for t in ts if t in EN_STOPWORDS))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lang_pred": np.where(n_stop >= min_stopwords, "en", "other"),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def lang_id_sql(min_stopwords=2):
+    stop = ", ".join("'%s'" % s for s in EN_STOPWORDS)
+    return (f"SELECT doc_id, CASE WHEN len(list_filter("
+            f"string_split(lower(text), ' '), x -> x IN ({stop}))) >= "
+            f"{min_stopwords} THEN 'en' ELSE 'other' END AS lang_pred "
+            f"FROM documents")
+
+
+def fingerprint(docs, ngram=16):
+    """Document fingerprint: lexicographic min of md5 hex digests over all
+    character ``ngram``-grams (a 1-perm MinHash). Short docs (< ngram
+    chars) hash the whole text."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for s in df["text"]:
+            if len(s) < ngram:
+                fps.append(hashlib.md5(s.encode()).hexdigest())
+                continue
+            best = None
+            for i in range(len(s) - ngram + 1):
+                h = hashlib.md5(s[i:i + ngram].encode()).hexdigest()
+                if best is None or h < best:
+                    best = h
+            fps.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": fps})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def fingerprint_sql(ngram=16):
+    # scalar range() + unnest (the table-function form cannot lateral-join
+    # on d.text); short docs reduce to md5(text) because range(1,2)=[1]
+    # and substring(text,1,ngram)=text
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 unnest(range(1, greatest(length(text) - {ngram} + 2, 2)))
+                   AS i,
+                 text
+          FROM documents)
+        SELECT doc_id,
+               min(md5(substring(text, CAST(i AS INT), {ngram}))) AS fp
+        FROM s GROUP BY doc_id"""
