@@ -171,7 +171,8 @@ def q_mask_counts(sf_dir):
         out = {"image_id": [], "n_water": [], "n_saturated": [],
                "n_nodata": [], "n_qa_masked": []}
         for i in range(dec.num_rows):
-            arr = np.asarray(dec["pixels"][i].as_py(), dtype=np.int16)\
+            arr = np.frombuffer(dec["pixels"][i].as_py(),
+                                dtype=np.int16)\
                 .reshape((dec["bands"][i].as_py(),
                           dec["h"][i].as_py(), dec["w"][i].as_py()))
             qa = np.frombuffer(dec["qa"][i].as_py(), dtype=np.uint8)\
@@ -187,6 +188,43 @@ def q_mask_counts(sf_dir):
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
     return ds.map_batches(counts, batch_format="pyarrow", batch_size=32)
+
+
+def q_band_stats(sf_dir):
+    """Per-image per-band min/max/sum/count of valid pixels through the
+    decode path (report_raster_dynamic_range / fill-bandwise statistics,
+    reference lsma.py:799-839 / utils.py:629-654)."""
+    import pyarrow as pa
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.decode import decode_batch
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dec = decode_batch(batch)
+        nb = 6
+        out = {"image_id": []}
+        for b in range(nb):
+            for stat in ("min", "max", "sum", "count"):
+                out["b%d_%s" % (b, stat)] = []
+        for i in range(dec.num_rows):
+            arr = np.frombuffer(dec["pixels"][i].as_py(),
+                                dtype=np.int16)\
+                .astype(np.int64).reshape((dec["bands"][i].as_py(), -1))
+            out["image_id"].append(dec["image_id"][i].as_py())
+            for b in range(nb):
+                v = arr[b][arr[b] != -9999]
+                if v.size:
+                    vals = (int(v.min()), int(v.max()), int(v.sum()),
+                            int(v.size))
+                else:
+                    vals = (0, 0, 0, 0)
+                for stat, val in zip(("min", "max", "sum", "count"),
+                                     vals):
+                    out["b%d_%s" % (b, stat)].append(val)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=32)
 
 
 def q_image_dedup_phash(sf_dir):
@@ -252,8 +290,9 @@ def q_unmix_abundance(sf_dir):
                 "mean_ab0_u6": [], "mean_ab1_u6": [], "mean_ab2_u6": []}
         for i in range(batch.num_rows):
             q = batch["q"][i].as_py()
-            a = np.asarray(batch["abundance"][i].as_py(),
-                           dtype=np.float64).reshape((q, -1))
+            a = np.frombuffer(batch["abundance"][i].as_py(),
+                              dtype=np.float32)\
+                .astype(np.float64).reshape((q, -1))
             rows["tile_id"].append(batch["tile_id"][i].as_py())
             rows["caption"].append(batch["caption"][i].as_py())
             rows["q"].append(q)
@@ -491,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
         "mask_counts": q_mask_counts,
+        "band_stats": q_band_stats,
         "image_dedup_phash": q_image_dedup_phash,
         "decode_invariants": q_decode_invariants,
         "unmix_abundance": q_unmix_abundance,
@@ -556,6 +596,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_saturated AS BIGINT) AS n_saturated,
                    CAST(n_nodata AS BIGINT) AS n_nodata,
                    CAST(n_qa_masked AS BIGINT) AS n_qa_masked
+            FROM read_parquet('{C}/images_expected.parquet')""",
+        "band_stats": f"""
+            SELECT image_id, {", ".join(
+                "CAST(b%d_%s AS BIGINT) AS b%d_%s" % (b, s, b, s)
+                for b in range(6)
+                for s in ("min", "max", "sum", "count"))}
             FROM read_parquet('{C}/images_expected.parquet')""",
         "image_dedup_phash": f"""
             SELECT phash, min(image_id) AS keep_image_id,

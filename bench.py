@@ -23,7 +23,8 @@ import time
 
 def run_scaling():
     def run(ncpu):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_REPEAT="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True).stdout
@@ -34,11 +35,20 @@ def run_scaling():
                     RAY_GRAFT_WARMUP_ONLY="1")
     subprocess.run([sys.executable, os.path.abspath(__file__)],
                    env=warm_env, capture_output=True, text=True)
-    lo = run(8)
-    hi = run(32)
+    # interleave legs (8,32,8,32) and take per-level minima: the sandbox
+    # host throttles under sustained load, so alternating spreads the
+    # slowdown across both levels instead of biasing the second leg
+    runs = {8: [], 32: []}
+    for _ in range(int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2"))):
+        for ncpu in (8, 32):
+            runs[ncpu].append(run(ncpu))
+    lo = min(runs[8], key=lambda r: r["value"])
+    hi = min(runs[32], key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     print(json.dumps({
         "sec_8": lo["value"], "sec_32": hi["value"],
+        "sec_8_runs": [r["value"] for r in runs[8]],
+        "sec_32_runs": [r["value"] for r in runs[32]],
         "tiles_per_sec_8": lo.get("tiles_per_sec"),
         "tiles_per_sec_32": hi.get("tiles_per_sec"),
         "scaling_efficiency": round(eff, 3),
@@ -69,17 +79,23 @@ def main():
     from unmixing_ray.pipelines import flagship
     from unmixing_ray.state import manifest as ckpt
 
-    out_dir = "/tmp/ray_unmix_bench/run_%d_%d" % (os.getpid(), ncpu)
-    shutil.rmtree(out_dir, ignore_errors=True)
-
     queries = {}
 
-    t0 = time.monotonic()
-    res = flagship.run_flagship(
-        corpus, out_dir, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
-        q=3, k_knn=2)
-    total = time.monotonic() - t0
+    # repeat and take the min: the sandbox host has ~2x co-tenant noise
+    repeats = int(os.environ.get("RAY_GRAFT_REPEAT", "2"))
+    times = []
+    for rep in range(repeats):
+        out_dir = "/tmp/ray_unmix_bench/run_%d_%d_%d" % (os.getpid(),
+                                                         ncpu, rep)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        res = flagship.run_flagship(
+            corpus, out_dir, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+            q=3, k_knn=2)
+        times.append(time.monotonic() - t0)
+    total = min(times)
     queries["flagship"] = round(total, 3)
+    queries["flagship_runs"] = [round(t, 3) for t in times]
     n_tiles = sum(r["rows"] for r in ckpt.read_manifest(
         res["abundances_dir"]))
 
@@ -104,7 +120,7 @@ def main():
         "n_tiles": n_tiles,
         "tiles_per_sec": tiles_per_sec,
     }))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree("/tmp/ray_unmix_bench", ignore_errors=True)
     ray.shutdown()
 
 

@@ -32,7 +32,8 @@ def test_flagship_outputs(flagship_result):
     assert q == 3
     # abundances: non-negative, sum-to-one per pixel
     for i in range(0, ab.num_rows, 37):
-        a = np.asarray(ab["abundance"][i].as_py(), dtype=np.float64)
+        a = np.frombuffer(ab["abundance"][i].as_py(),
+                          dtype=np.float32).astype(np.float64)
         h, w = ab["h"][i].as_py(), ab["w"][i].as_py()
         cube = a.reshape(q, h * w)
         assert (cube >= -1e-9).all()
@@ -77,19 +78,16 @@ def test_resume_skips_completed(small_corpus, tmp_path):
     done_before = ckpt.completed_partitions(os.path.join(out, "tiles"))
     assert len(done_before) > 0
     # second run: everything already complete -> no rewrites
-    import time
+    import glob
     mtimes = {}
     tdir = os.path.join(out, "tiles")
-    for name in os.listdir(tdir):
-        p = os.path.join(tdir, name, "data.parquet")
-        if os.path.exists(p):
-            mtimes[name] = os.path.getmtime(p)
+    for p in glob.glob(os.path.join(tdir, "part-*", "*.parquet")):
+        mtimes[p] = os.path.getmtime(p)
     tiles2 = flagship.build_tiles(small_corpus, out, tile=synth.TILE,
                                   cell_level=synth.CELL_LEVEL)
     assert tiles2.count() == n1
-    for name, m in mtimes.items():
-        assert os.path.getmtime(
-            os.path.join(tdir, name, "data.parquet")) == m
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m
 
 
 def test_parallelism_invariance(small_corpus, tmp_path):
@@ -104,7 +102,8 @@ def test_parallelism_invariance(small_corpus, tmp_path):
             unmix_concurrency=conc, unmix_batch_size=bs)
         ab = ckpt.read_output(res["abundances_dir"])
         order = np.argsort(np.asarray(ab["tile_id"].to_pylist()))
-        vals = [np.asarray(ab["abundance"][int(i)].as_py()) for i in order]
+        vals = [np.frombuffer(ab["abundance"][int(i)].as_py(),
+                              dtype=np.float32) for i in order]
         outs.append((res["endmembers"], np.concatenate(vals)))
     assert np.array_equal(outs[0][0], outs[1][0])
     assert np.array_equal(outs[0][1], outs[1][1])

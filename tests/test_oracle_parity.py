@@ -52,7 +52,8 @@ def registry(ray_session):
 
 @pytest.mark.parametrize("name", [
     "tile_assignment", "pixel_to_xy", "spatial_join_pip",
-    "spatial_join_knn", "mask_counts", "image_dedup_phash", "tpch_q1",
+    "spatial_join_knn", "mask_counts", "band_stats",
+    "image_dedup_phash", "tpch_q1",
     "revenue_by_nation", "events_window", "orders_topk", "token_count",
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",

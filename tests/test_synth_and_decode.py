@@ -44,7 +44,7 @@ def test_decode_invariants(small_corpus):
     assert out["caption"].to_pylist() == t["caption"].to_pylist()
     fmts = t["fmt"].to_pylist()
     for i in range(t.num_rows):
-        px = np.array(out["pixels"][i].as_py(), dtype=np.int16)
+        px = np.frombuffer(out["pixels"][i].as_py(), dtype=np.int16)
         arr = px.reshape((int(out["bands"][i].as_py()), 64, 64))
         # re-encode losslessly and compare against the original payload's
         # decode: lossless formats must be exact; q8 within PSNR>=40

@@ -34,18 +34,26 @@ from ..state import manifest as ckpt
 
 def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
                 cell_level=DEFAULT_CELL_LEVEL, clean=True,
-                checkpoint=True, partition_shift=8):
+                checkpoint=True, partition_shift=8, with_mnf_stats=False):
     """Images → (masked) tiles. With ``checkpoint`` the tiles table is
     written partitioned-by-coarse-cell and re-read (the resume point);
-    otherwise the lazy Dataset is returned directly."""
-    ds = read_images(corpus_dir)
+    otherwise the lazy Dataset is returned directly.
+
+    ``with_mnf_stats``: piggyback MNF partial statistics on the write
+    pass (side channel) so the fit doesn't need its own full read; only
+    valid when nothing was resumed — returns (tiles, stats_or_None).
+    """
+    import ray
+    n_blocks = max(16, 4 * int(ray.cluster_resources().get("CPU", 8))) \
+        if ray.is_initialized() else 32
+    ds = read_images(corpus_dir, override_num_blocks=n_blocks)
     fn = decode_stage.make_decode_and_tile(tile=tile, cell_level=cell_level)
     tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
     if clean:
         tiles = tiles.map_batches(mask_stage.make_clean_stage(),
                                   batch_format="pyarrow", batch_size=64)
     if not checkpoint:
-        return tiles
+        return (tiles, None) if with_mnf_stats else tiles
     tiles_dir = os.path.join(out_dir, "tiles")
 
     def add_part(batch):
@@ -55,9 +63,18 @@ def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
         return batch.append_column("part", pa.array(part, pa.uint64()))
 
     parted = tiles.map_batches(add_part, batch_format="pyarrow")
-    remaining, _skipped = ckpt.resume_filter(parted, tiles_dir, "part")
-    ckpt.checkpointed_write(remaining, tiles_dir, "part", stage="tiles")
-    return ray.data.read_parquet(tiles_dir, file_extensions=["parquet"])
+    remaining, skipped = ckpt.resume_filter(parted, tiles_dir, "part")
+    side_fn = mnf_stage.batch_partial_stats if with_mnf_stats else None
+    _agg, sides = ckpt.checkpointed_write_streaming(
+        remaining, tiles_dir, "part", stage="tiles", side_fn=side_fn)
+    out = ray.data.read_parquet(tiles_dir, file_extensions=["parquet"])
+    if with_mnf_stats:
+        # side stats only cover freshly-written batches; a resumed run
+        # must refit from the full checkpoint
+        stats = mnf_stage.merge_partial_stats(sides) \
+            if (sides and skipped == 0) else None
+        return out, stats
+    return out
 
 
 def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
@@ -69,13 +86,23 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     timings = {}
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.monotonic()
-    tiles = build_tiles(corpus_dir, out_dir, tile, cell_level, clean,
-                        checkpoint)
+    if checkpoint:
+        tiles, fused = build_tiles(corpus_dir, out_dir, tile, cell_level,
+                                   clean, checkpoint,
+                                   with_mnf_stats=True)
+    else:
+        tiles = build_tiles(corpus_dir, out_dir, tile, cell_level, clean,
+                            checkpoint)
+        fused = None
     timings["tiles_checkpoint"] = round(time.monotonic() - t0, 3)
 
-    # MNF fit: one streaming pass reduced to tiny partials
+    # MNF fit: fused into the checkpoint pass when possible, else one
+    # streaming pass reduced to tiny partials
     t0 = time.monotonic()
-    W, snr = mnf_stage.fit_mnf(tiles)
+    if fused is not None:
+        W, snr = fused
+    else:
+        W, snr = mnf_stage.fit_mnf(tiles)
     timings["mnf_fit"] = round(time.monotonic() - t0, 3)
     apply_fn = mnf_stage.make_apply_mnf(W)
     tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
@@ -104,8 +131,9 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     t0 = time.monotonic()
     ab_parted = abundances.map_batches(add_part, batch_format="pyarrow")
     remaining, _ = ckpt.resume_filter(ab_parted, ab_dir, "part")
-    lineage = ckpt.checkpointed_write(remaining, ab_dir, "part",
-                                     stage="abundances")
+    ckpt.checkpointed_write_streaming(remaining, ab_dir, "part",
+                                      stage="abundances")
+    lineage = ckpt.read_manifest(ab_dir)
     timings["unmix_write"] = round(time.monotonic() - t0, 3)
 
     # spatial join on tile metadata only (column-pruned read)

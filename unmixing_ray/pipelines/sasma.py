@@ -38,8 +38,13 @@ def _assemble_image(g: pd.DataFrame, col="pixels"):
     p = int(g["bands"].iloc[0])
     arr = np.full((p, h, w), NODATA, dtype=np.float64)
     for _, row in g.iterrows():
-        a = np.asarray(row[col], dtype=np.float64).reshape(
-            (p, int(row["h"]), int(row["w"])))
+        v = row[col]
+        if isinstance(v, (bytes, bytearray)):
+            a = np.frombuffer(v, dtype=np.float32).astype(
+                np.float64).reshape((p, int(row["h"]), int(row["w"])))
+        else:
+            a = np.asarray(v, dtype=np.float64).reshape(
+                (p, int(row["h"]), int(row["w"])))
         arr[:, row["row_off"]:row["row_off"] + int(row["h"]),
             row["col_off"]:row["col_off"] + int(row["w"])] = a
     return arr
@@ -64,15 +69,19 @@ def label_pixels(arr, em_spectra, max_dist=None):
 
 
 def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
-                         params=None, max_samples=50000):
+                         params=None, max_samples=50000,
+                         input_col="pixels"):
     """Streaming training-pixel collection → driver CART fit.
     Features = the first MNF/feature bands; labels from label_pixels."""
     em_spectra = np.asarray(em_spectra, dtype=np.float64)
 
     def collect(batch: pa.Table) -> pa.Table:
-        from .flagship import decode_stage  # noqa: F401 (namespace only)
         from ..stages.decode import tiles_to_ndarray
-        arrays, uniform = tiles_to_ndarray(batch)
+        from ..stages.mnf import mnf_pixels_view
+        if input_col == "mnf":
+            arrays, uniform = mnf_pixels_view(batch)
+        else:
+            arrays, uniform = tiles_to_ndarray(batch)
         feats = []
         labs = []
         for i in range(batch.num_rows):
@@ -106,7 +115,8 @@ def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
 
 def sasma_unmix_by_image(tiles, tree_arrays, em_spectra,
                          feature_bands=(0, 1), window_size=11, q=3,
-                         n_dims=2, instability_band=1):
+                         n_dims=2, instability_band=1,
+                         input_col="pixels"):
     """groupby(image_id) → per-image SASMA: predict labels, IDW-interpolate
     per-class endmember maps, MESMA-unmix, mask unstable abundances."""
     em_spectra = np.asarray(em_spectra, dtype=np.float64)
@@ -114,7 +124,7 @@ def sasma_unmix_by_image(tiles, tree_arrays, em_spectra,
 
     def per_image(g: pd.DataFrame) -> pd.DataFrame:
         tree = DecisionTree.from_arrays(tree_arrays)
-        arr = _assemble_image(g)
+        arr = _assemble_image(g, col=input_col)
         p, h, w = arr.shape
         X = arr.reshape(p, -1).T
         labels = tree.predict(X[:, list(feature_bands)])\
@@ -153,17 +163,9 @@ def sasma_unmix_by_image(tiles, tree_arrays, em_spectra,
 
 
 def run_sasma(tiles_mnf, em_spectra, q=3, n_dims=2, window_size=11):
-    """End-to-end SASMA over MNF tiles (mnf column as pixels)."""
-    import pyarrow as pa
-
-    def mnf_as_pixels(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("pixels")
-        return batch.set_column(i, "pixels", batch["mnf"])
-
-    feat_tiles = tiles_mnf.map_batches(mnf_as_pixels,
-                                       batch_format="pyarrow")
-    tree = fit_cart_distributed(feat_tiles, em_spectra)
+    """End-to-end SASMA over MNF tiles (features = the mnf column)."""
+    tree = fit_cart_distributed(tiles_mnf, em_spectra, input_col="mnf")
     return sasma_unmix_by_image(
-        feat_tiles.drop_columns(["mnf", "qa", "gt", "crs", "caption"]),
+        tiles_mnf.drop_columns(["pixels", "qa", "gt", "crs", "caption"]),
         tree.to_arrays(), em_spectra, window_size=window_size, q=q,
-        n_dims=n_dims)
+        n_dims=n_dims, input_col="mnf")

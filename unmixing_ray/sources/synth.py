@@ -42,7 +42,7 @@ from .. import cellindex, geo
 from ..codecs import decode_image, encode_image
 
 # bump when generator semantics change: forces cached corpora to rebuild
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 # Corpus geometry: images on a lattice in a UTM-like meters CRS.
 IMG_W = 64
@@ -141,6 +141,21 @@ def _expected_counts(pixels, qa):
     return water, saturated, nodat, qa_masked
 
 
+def _expected_band_stats(pixels):
+    """Per-band (min, max, sum, count) over valid pixels, inline numpy."""
+    flat = pixels.reshape(pixels.shape[0], -1).astype(np.int64)
+    valid = flat != NODATA
+    out = []
+    for b in range(flat.shape[0]):
+        v = flat[b][valid[b]]
+        if v.size:
+            out.append((int(v.min()), int(v.max()), int(v.sum()),
+                        int(v.size)))
+        else:
+            out.append((0, 0, 0, 0))
+    return out
+
+
 def generate_corpus(out_dir, n_images, seed=7, force=False):
     """Write the corpus into ``out_dir``; idempotent via a DONE marker."""
     out = pathlib.Path(out_dir)
@@ -154,6 +169,9 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
     writer = None
     exp_rows = {"image_id": [], "n_water": [], "n_saturated": [],
                 "n_nodata": [], "n_qa_masked": []}
+    for b in range(BANDS):
+        for stat in ("min", "max", "sum", "count"):
+            exp_rows["b%d_%s" % (b, stat)] = []
     prev_pixels = None
     chunk = 512
     schema = pa.schema([
@@ -203,6 +221,12 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                 exp_rows["n_saturated"].append(s_)
                 exp_rows["n_nodata"].append(n_)
                 exp_rows["n_qa_masked"].append(q_)
+                for b, (mn, mx, sm, ct) in enumerate(
+                        _expected_band_stats(stored)):
+                    exp_rows["b%d_min" % b].append(mn)
+                    exp_rows["b%d_max" % b].append(mx)
+                    exp_rows["b%d_sum" % b].append(sm)
+                    exp_rows["b%d_count" % b].append(ct)
             tbl = pa.table(
                 {"image_id": pa.array(cols["image_id"], pa.string()),
                  "bytes": pa.array(cols["bytes"], pa.binary()),

@@ -29,12 +29,15 @@ def composite_by_cell(tiles, reducers, normalize="sum", nodata=NODATA,
 
     def comp(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("date")
-        arrays = [
-            np.asarray(px, dtype=np.float64).reshape(
-                (int(b), int(h), int(w)))
-            for px, b, h, w in zip(g["pixels"], g["bands"], g["h"],
-                                   g["w"])
-        ]
+        from .decode import as_pixels
+        arrays = []
+        for px, b, h, w in zip(g["pixels"], g["bands"], g["h"], g["w"]):
+            if isinstance(px, (bytes, bytearray)):
+                arrays.append(as_pixels(px, b, h, w,
+                                        np.int16).astype(np.float64))
+            else:
+                arrays.append(np.asarray(px, dtype=np.float64).reshape(
+                    (int(b), int(h), int(w))))
         out = ck.composite3(reducers, *arrays, normalize=normalize,
                             nodata=nodata, dtype=dtype)
         return pd.DataFrame({

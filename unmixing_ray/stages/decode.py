@@ -28,8 +28,12 @@ TILES_SCHEMA = pa.schema([
     ("h", pa.int32()),
     ("w", pa.int32()),
     ("bands", pa.int32()),
-    ("pixels", pa.list_(pa.int16())),
-    ("qa", pa.list_(pa.uint8())),
+    # pixel payloads are BINARY blobs (little-endian int16 / uint8,
+    # band-major): parquet binary decode is a memcpy, whereas list<int16>
+    # pages cost ~9 s CPU per read pass at sf0.1 — serialization discipline
+    # matters as much as kernel speed at scale
+    ("pixels", pa.binary()),
+    ("qa", pa.binary()),
     ("gt", pa.list_(pa.float64(), 6)),
     ("crs", pa.string()),
     ("caption", pa.string()),
@@ -38,8 +42,35 @@ TILES_SCHEMA = pa.schema([
 ])
 
 
+def binary_column(chunks):
+    """Build a pa.binary() column from a list of numpy arrays (bytes are
+    the raw little-endian buffer of each array)."""
+    return pa.array([c.tobytes() for c in chunks], pa.binary())
+
+
+def binary_views(col, dtype):
+    """(values, offsets) numpy views over a pa.binary()/list column's
+    buffers, with values cast to ``dtype`` and offsets in elements."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        off_buf, data_buf = col.buffers()[1], col.buffers()[2]
+        off_dtype = np.int64 if pa.types.is_large_binary(col.type) \
+            else np.int32
+        offsets = np.frombuffer(off_buf, dtype=off_dtype)[
+            col.offset:col.offset + len(col) + 1]
+        itemsize = np.dtype(dtype).itemsize
+        values = np.frombuffer(data_buf, dtype=dtype)
+        return values, (offsets // itemsize).astype(np.int64)
+    # list<...> fallback (stages/tests that build rows with python
+    # lists) — keeps the list's native dtype
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
 def decode_batch(batch: pa.Table) -> pa.Table:
-    """Decode the ``bytes`` column to a ``pixels`` list<int16> column.
+    """Decode the ``bytes`` column to a ``pixels`` binary column.
 
     Kept separate from tiling for the per-row decode invariant tests
     (PSNR >= 40 dB / exact for lossless + caption equality).
@@ -50,14 +81,7 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     bufs = batch["bytes"].to_pylist()
     arrays = [decode_image(bufs[i], fmts[i], ws[i], hs[i])
               for i in range(batch.num_rows)]
-    values = np.concatenate([a.ravel() for a in arrays]) if arrays else \
-        np.empty(0, np.int16)
-    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
-    if arrays:
-        offsets[1:] = np.cumsum([a.size for a in arrays])
-    pixels = pa.ListArray.from_arrays(
-        pa.array(offsets, pa.int64()).cast(pa.int32()),
-        pa.array(values, pa.int16()))
+    pixels = binary_column(arrays)
     bands = pa.array([a.shape[0] for a in arrays], pa.int32())
     out = batch.drop_columns(["bytes"])
     out = out.append_column("pixels", pixels)
@@ -130,15 +154,6 @@ def make_decode_and_tile(tile=DEFAULT_TILE, cell_level=DEFAULT_CELL_LEVEL,
         cells = cellindex.cell_of_xy(
             np.array(cols["cx"]), np.array(cols["cy"]), cell_level)
 
-        def list_arr(chunks, dtype, patype):
-            values = np.concatenate(chunks) if chunks else np.empty(0, dtype)
-            offsets = np.zeros(len(chunks) + 1, dtype=np.int64)
-            if chunks:
-                offsets[1:] = np.cumsum([c.size for c in chunks])
-            return pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int64()).cast(pa.int32()),
-                pa.array(values, patype))
-
         data = {
             "tile_id": pa.array(cols["tile_id"], pa.string()),
             "image_id": pa.array(cols["image_id"], pa.string()),
@@ -148,10 +163,10 @@ def make_decode_and_tile(tile=DEFAULT_TILE, cell_level=DEFAULT_CELL_LEVEL,
             "h": pa.array(cols["h"], pa.int32()),
             "w": pa.array(cols["w"], pa.int32()),
             "bands": pa.array(cols["bands"], pa.int32()),
-            "pixels": list_arr(px_chunks, np.int16, pa.int16()),
-            "qa": list_arr(qa_chunks, np.uint8, pa.uint8())
+            "pixels": binary_column(px_chunks),
+            "qa": binary_column(qa_chunks)
                   if qa_chunks else pa.nulls(len(cols["tile_id"]),
-                                             pa.list_(pa.uint8())),
+                                             pa.binary()),
             "gt": pa.array(gt_rows, pa.list_(pa.float64(), 6)),
             "crs": pa.array(cols["crs"], pa.string()),
             "caption": pa.array(cols["caption"], pa.string()),
@@ -170,11 +185,7 @@ def tiles_to_ndarray(batch: pa.Table):
     (n, bands, h, w) ndarray when every tile has the same shape (the fast
     path), else None and per-tile arrays must be used.
     """
-    pixels = batch["pixels"]
-    if isinstance(pixels, pa.ChunkedArray):
-        pixels = pixels.combine_chunks()
-    values = pixels.values.to_numpy(zero_copy_only=False)
-    offsets = pixels.offsets.to_numpy(zero_copy_only=False)
+    values, offsets = binary_views(batch["pixels"], np.int16)
     bands = batch["bands"].to_numpy()
     hs = batch["h"].to_numpy()
     ws = batch["w"].to_numpy()
@@ -190,3 +201,11 @@ def tiles_to_ndarray(batch: pa.Table):
         for i in range(n)
     ]
     return arrays, None
+
+
+def as_pixels(value, bands, h, w, dtype=np.int16):
+    """One row's pixel payload (bytes | list) → (bands, h, w) ndarray."""
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return np.frombuffer(value, dtype=dtype).reshape(
+            (int(bands), int(h), int(w)))
+    return np.asarray(value).reshape((int(bands), int(h), int(w)))

@@ -167,21 +167,39 @@ class SpatialJoinActor:
 
 
 def broadcast_spatial_join(tiles, polygons, k=3, concurrency=None,
-                           batch_size=2048):
+                           batch_size=2048, use_actors=False):
     """tiles: Dataset with (tile_id, cell, cx, cy); polygons: pa.Table.
-    Returns the join-row Dataset."""
-    if concurrency is None:
-        from .unmix import default_pool_size
-        concurrency = default_pool_size()
+    Returns the join-row Dataset.
+
+    Default plan: stateless tasks sharing the broadcast polygon table via
+    one ``ray.put`` ref (first use per worker process builds the probe
+    arrays, ~ms). Actor-pool variant (``use_actors=True``) amortizes the
+    STRtree across batches — worth it only when the polygon side is big
+    enough that per-task setup dominates; for typical vector layers the
+    task plan avoids multi-second pool startup entirely.
+    """
     ref = ray.put(polygons)
     probe_cols = tiles.select_columns(["tile_id", "cell", "cx", "cy"])
-    return probe_cols.map_batches(
-        SpatialJoinActor,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        if concurrency is None:
+            from .unmix import default_pool_size
+            concurrency = default_pool_size()
+        return probe_cols.map_batches(
+            SpatialJoinActor,
+            fn_constructor_args=(ref, k),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    cache = {}
+
+    def probe_task(batch: pa.Table) -> pa.Table:
+        if "actor" not in cache:
+            cache["actor"] = SpatialJoinActor(ray.get(ref), k)
+        return cache["actor"](batch)
+
+    return probe_cols.map_batches(probe_task, batch_format="pyarrow",
+                                  batch_size=batch_size)
 
 
 def replicate_polygons_to_cells(polygons, cell_level, knn_ring=1):

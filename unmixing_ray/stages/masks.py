@@ -33,8 +33,8 @@ def make_clean_stage(qa_values=(1, 2, 3, 4, 255), saturation=10000,
             a = np.array(a, copy=True)
             h, w = a.shape[1], a.shape[2]
             if qa_col is not None and qa_col[i].is_valid:
-                qa = np.asarray(qa_col[i].as_py(),
-                                dtype=np.uint8).reshape(h, w)
+                qa = np.frombuffer(qa_col[i].as_py(),
+                                   dtype=np.uint8).reshape(h, w)
                 a = mk.binary_mask(a, mk.cfmask(qa, qa_values), nodata)
             a = mk.binary_mask(a, mk.saturation_mask(a, saturation), nodata)
             if apply_water:
@@ -42,14 +42,9 @@ def make_clean_stage(qa_values=(1, 2, 3, 4, 255), saturation=10000,
                     a[water_band:water_band + 1],
                     threshold=water_threshold, nodata=nodata)
                 a = mk.binary_mask(a, water, nodata)
-            outs.append(a.astype(np.int16).ravel())
-        values = np.concatenate(outs) if outs else np.empty(0, np.int16)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        if outs:
-            offsets[1:] = np.cumsum([o.size for o in outs])
-        col = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int64()).cast(pa.int32()),
-            pa.array(values, pa.int16()))
+            outs.append(a.astype(np.int16))
+        from .decode import binary_column
+        col = binary_column(outs)
         i = batch.column_names.index("pixels")
         return batch.set_column(i, "pixels", col)
 

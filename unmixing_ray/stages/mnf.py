@@ -52,6 +52,29 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def batch_partial_stats(batch: pa.Table):
+    """Side-channel form of the MNF partial statistics (picklable dict)
+    for piggybacking on the tile-checkpoint write pass."""
+    tbl = _stats_batch(batch)
+    row = tbl.to_pylist()[0]
+    return row
+
+
+def merge_partial_stats(rows):
+    """Merged side-channel stats → (rotation W, snr)."""
+    parts = []
+    for row in rows:
+        p = len(row["s"])
+        parts.append({
+            "n": row["n"], "s": np.asarray(row["s"]),
+            "ss": np.asarray(row["ss"]).reshape(p, p),
+            "dn": row["dn"], "ds": np.asarray(row["ds"]),
+            "dss": np.asarray(row["dss"]).reshape(p, p),
+        })
+    merged = mnf_k.merge_stats(parts)
+    return mnf_k.rotation_from_stats(merged)
+
+
 def fit_mnf(tiles):
     """One streaming pass → (rotation W, snr eigenvalues). The collected
     result is O(num_batches × p²) — tiny."""
@@ -91,12 +114,12 @@ def make_apply_mnf(W):
             values = np.concatenate(outs) if outs else np.empty(
                 0, np.float32)
             sizes = np.array([o.size for o in outs], dtype=np.int64)
-        offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=offsets[1:])
-        col = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int64()).cast(pa.int32()),
-            pa.array(values, pa.float32()))
-        return batch.append_column("mnf", col)
+        from .decode import binary_column
+        bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=bounds[1:])
+        chunks = [values[bounds[i]:bounds[i + 1]]
+                  for i in range(len(sizes))]
+        return batch.append_column("mnf", binary_column(chunks))
 
     return apply_batch
 
@@ -104,11 +127,8 @@ def make_apply_mnf(W):
 def mnf_pixels_view(batch: pa.Table):
     """(n, p, h, w) float32 view of the mnf column for uniform batches,
     else per-tile list."""
-    col = batch["mnf"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    values = col.values.to_numpy(zero_copy_only=False)
-    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    from .decode import binary_views
+    values, offsets = binary_views(batch["mnf"], np.float32)
     bands = batch["bands"].to_numpy()
     hs = batch["h"].to_numpy()
     ws = batch["w"].to_numpy()

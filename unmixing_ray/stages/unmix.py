@@ -82,10 +82,10 @@ def induce_endmembers_nfindr(tiles_mnf, q=3):
     Returns (q, p) endmember spectra in MNF space, deterministically
     ordered by (tile_id, pixel) of the winning candidates."""
     cand = tiles_mnf.map_batches(
-        _candidates_batch(q), batch_format="pyarrow").take_all()
+        _candidates_batch(q), batch_format="pyarrow").to_pandas()
     # deterministic pool order independent of batch arrival
-    cand.sort(key=lambda r: (r["tile_id"], r["pixel"]))
-    X = np.array([r["spectrum"] for r in cand])
+    cand = cand.sort_values(["tile_id", "pixel"], kind="stable")
+    X = np.stack(cand["spectrum"].to_numpy())
     idx, _vol = em_k.nfindr(X, q=q)
     idx = np.sort(idx)
     return X[idx]
@@ -171,7 +171,7 @@ def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
 ABUNDANCE_FIELDS = [
     ("tile_id", pa.string()), ("image_id", pa.string()),
     ("cell", pa.uint64()), ("h", pa.int32()), ("w", pa.int32()),
-    ("q", pa.int32()), ("abundance", pa.list_(pa.float32())),
+    ("q", pa.int32()), ("abundance", pa.binary()),
     ("gt", pa.list_(pa.float64(), 6)), ("crs", pa.string()),
     ("caption", pa.string()),
 ]
@@ -192,11 +192,8 @@ class FCLSUnmixActor:
         self.input_col = input_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.input_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values = col.values.to_numpy(zero_copy_only=False)
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        from .decode import binary_views
+        values, offsets = binary_views(batch[self.input_col], np.float32)
         bands = batch["bands"].to_numpy()
         hs = batch["h"].to_numpy()
         ws = batch["w"].to_numpy()
@@ -224,11 +221,11 @@ class FCLSUnmixActor:
                 sizes[i] = ab.size
             all_values = np.concatenate(per_tile) if per_tile else \
                 np.empty(0, np.float32)
+        from .decode import binary_column
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
-        ab_col = pa.ListArray.from_arrays(
-            pa.array(offs, pa.int64()).cast(pa.int32()),
-            pa.array(all_values, pa.float32()))
+        ab_col = binary_column(
+            [all_values[offs[i]:offs[i + 1]] for i in range(n)])
         return pa.table({
             "tile_id": batch["tile_id"],
             "image_id": batch["image_id"],
@@ -241,11 +238,16 @@ class FCLSUnmixActor:
         }, schema=pa.schema(ABUNDANCE_FIELDS))
 
 
-def default_pool_size(reserve=2, cap=None):
-    """Actor-pool size that leaves ``reserve`` CPUs for the read/write
-    stages — an all-CPU pool starves upstream operators and deadlocks the
-    streaming executor (observed: 4 idle actors on a 4-CPU session hold
-    every CPU while ReadParquet is backpressured)."""
+def default_pool_size(reserve=2, cap=8):
+    """Actor-pool size that (a) leaves ``reserve`` CPUs for the read /
+    write stages — an all-CPU pool starves upstream operators and
+    deadlocks the streaming executor (observed: 4 idle actors on a 4-CPU
+    session hold every CPU while ReadParquet is backpressured) — and (b)
+    caps the pool: Ray actor startup is ~0.5 s each per Dataset execution,
+    so oversizing the pool costs more than it buys until per-actor work
+    exceeds several seconds (measured on the sf0.1 FCLS stage: 8 actors
+    5.4 s wall vs 30 actors 16.1 s). Pass ``cap=None`` for long-running
+    jobs where startup amortizes."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4)) if \
         ray.is_initialized() else 4
