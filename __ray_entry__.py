@@ -437,6 +437,192 @@ def q_orders_topk(sf_dir):
     return top.to_pandas()
 
 
+def q_events_sessions(sf_dir):
+    """Gap-based sessionization (stream-shaped op over the events log)."""
+    from unmixing_ray.stages import events as ev
+    return ev.sessionize(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "ts"]))
+
+
+def q_customer_orders(sf_dir):
+    """orders ⨝ customer (broadcast small side) → per-market-segment
+    exact cent totals."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        total_c = np.rint(df["o_totalprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "c_mktsegment": df["o_custkey"].map(seg),
+            "total_c": total_c,
+            "one": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(agg, batch_format="pandas").to_pandas()
+    out = out.groupby("c_mktsegment", as_index=False).sum()
+    return out.rename(columns={"one": "n_orders"})
+
+
+def q_part_filter_topk(sf_dir):
+    """Predicate + sort + limit over part (filter pushdown pattern)."""
+    import pyarrow.compute as pc_
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_size", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc_.greater(t["p_size"], 25)),
+        batch_format="pyarrow")
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"],
+            "price_c": np.rint(df["p_retailprice"].to_numpy() * 100)
+                .astype(np.int64)})
+
+    return ds.map_batches(to_cents, batch_format="pandas")\
+        .sort(["price_c", "p_partkey"], descending=[True, False])\
+        .limit(15).to_pandas()
+
+
+def _planted_neardup_docs(sf_dir, n_dups=20, seed=99):
+    """documents ∪ token-perturbed copies of the first n_dups docs
+    (deterministic) — makes the near-dup operators non-vacuous since the
+    provided corpus has no near-duplicates."""
+    import ray.data
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    head = base.to_pandas().sort_values("doc_id").head(n_dups)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _, r in head.iterrows():
+        toks = r["text"].split(" ")
+        idx = rng.integers(0, max(1, len(toks)), size=max(1,
+                                                          len(toks) // 10))
+        for i in idx:
+            toks[int(i)] = "PERTURBED"
+        rows.append({"doc_id": int(r["doc_id"]) + 1_000_000,
+                     "text": " ".join(toks)})
+    return base.union(ray.data.from_items(rows))
+
+
+def q_minhash_pairs_planted(sf_dir):
+    from unmixing_ray.stages import dedup
+    return dedup.minhash_lsh_pairs(_planted_neardup_docs(sf_dir),
+                                   threshold=0.5)
+
+
+def q_simhash_pairs_planted(sf_dir):
+    from unmixing_ray.stages import dedup
+    return dedup.simhash_pairs(_planted_neardup_docs(sf_dir),
+                               max_hamming=8)
+
+
+def q_spectra_at_points(sf_dir):
+    """Broadcast point→pixel spectra lookup (spectra_at_xy as a
+    distributed join: points broadcast, each tile gathers hits inside
+    its extent — SURVEY.md §2.4 row 1)."""
+    import pyarrow as pa
+    from unmixing_ray import geo
+    from unmixing_ray.stages.decode import tiles_to_ndarray
+    corpus, tiles = _tiles_ds(sf_dir)
+    # deterministic probe points: centers of the first 20 images
+    import json as _json
+    man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
+    from unmixing_ray.sources.synth import image_geotransform
+    pts = []
+    for seq in range(20):
+        gt = image_geotransform(seq, man["n_images"])
+        pts.append((seq, gt[0] + 32 * gt[1] + 1.0,
+                    gt[3] + 32 * gt[5] - 1.0))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        arrays, uniform = tiles_to_ndarray(batch)
+        out = {"point_id": [], "tile_id": [], "b0": [], "b5": []}
+        gts = batch["gt"].to_pylist()
+        for i in range(batch.num_rows):
+            a = uniform[i] if uniform is not None else arrays[i]
+            gt = tuple(gts[i])
+            h, w = a.shape[1], a.shape[2]
+            for pid, x, y in pts:
+                (px, py), = geo.xy_to_pixel([(x, y)], gt)
+                if 0 <= px < w and 0 <= py < h:
+                    out["point_id"].append(pid)
+                    out["tile_id"].append(batch["tile_id"][i].as_py())
+                    out["b0"].append(int(a[0, py, px]))
+                    out["b5"].append(int(a[5, py, px]))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return tiles.map_batches(gather, batch_format="pyarrow")
+
+
+def q_hall_rectification(sf_dir):
+    """Radiometric rectification of each image to the corpus-global
+    bright/dark control means (Hall 1991; reference lsma.py:523-584):
+    returns per-image rectified band-0 sums (rows-only)."""
+    import pyarrow as pa
+    from unmixing_ray.kernels import rectify
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.decode import decode_batch
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+    # deterministic control sets in pixel space of every image
+    bright_px = [(10, 20), (30, 40), (50, 50)]
+    dark_px = [(5, 60), (45, 8), (60, 33)]
+
+    def rect(batch: pa.Table) -> pa.Table:
+        dec = decode_batch(batch)
+        out = {"image_id": [], "b0_sum_rect": []}
+        for i in range(dec.num_rows):
+            arr = np.frombuffer(dec["pixels"][i].as_py(), dtype=np.int16)\
+                .reshape((dec["bands"][i].as_py(),
+                          dec["h"][i].as_py(), dec["w"][i].as_py()))
+            ref_bright = np.array([arr[:, y, x] for x, y in bright_px])\
+                .mean(axis=0)
+            ref_dark = np.array([arr[:, y, x] for x, y in dark_px])\
+                .mean(axis=0)
+            m, b = rectify.rectification_coefficients(
+                ref_bright, ref_dark, ref_bright, ref_dark)
+            rectified = rectify.apply_rectification(arr, m, b)
+            out["image_id"].append(dec["image_id"][i].as_py())
+            out["b0_sum_rect"].append(
+                int(rectified[0][rectified[0] != -9999].sum()))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(rect, batch_format="pyarrow", batch_size=32)
+
+
+def q_sasma_abundance(sf_dir):
+    """SASMA pipeline over a deterministic subset (CART + IDW + MESMA);
+    rows-only. Subset keeps the sf0.01 driver run fast."""
+    from unmixing_ray.pipelines import flagship, sasma
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import mnf as mnf_stage
+    from unmixing_ray.stages import unmix as unmix_stage
+    import pyarrow as pa
+    corpus = _corpus(sf_dir)
+    tiles = flagship.build_tiles(corpus, None, tile=synth.TILE,
+                                 cell_level=synth.CELL_LEVEL,
+                                 checkpoint=False)
+
+    def first_images(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        keep = pc_.less(batch["image_id"], pa.scalar("img00000050"))
+        return batch.filter(keep)
+
+    subset = tiles.map_batches(first_images, batch_format="pyarrow")
+    W, _ = mnf_stage.fit_mnf(subset)
+    tiles_mnf = subset.map_batches(mnf_stage.make_apply_mnf(W),
+                                   batch_format="pyarrow", batch_size=64)
+    ems = unmix_stage.induce_endmembers_nfindr(tiles_mnf, q=3)
+    out = sasma.run_sasma(tiles_mnf, ems, q=3, n_dims=2,
+                          window_size=7).to_pandas()
+    out["checksum"] = out["abundance"].map(
+        lambda a: int(np.floor(np.nansum(np.where(
+            np.asarray(a) == -9999, 0, np.asarray(a))) * 1000)))
+    return out[["tile_id", "image_id", "q", "checksum"]]
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ANN queries
 
@@ -538,7 +724,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
         "orders_topk": q_orders_topk,
+        "customer_orders": q_customer_orders,
+        "part_filter_topk": q_part_filter_topk,
+        "spectra_at_points": q_spectra_at_points,
+        "hall_rectification": q_hall_rectification,
+        "sasma_abundance": q_sasma_abundance,
+        "minhash_pairs_planted": q_minhash_pairs_planted,
+        "simhash_pairs_planted": q_simhash_pairs_planted,
         "token_count": q_token_count,
         "lang_stats": q_lang_stats,
         "quality_score": q_quality_score,
@@ -552,6 +746,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     }
+
+
+def _events_sessions_sql():
+    from unmixing_ray.stages.events import sessionize_sql
+    return sessionize_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -643,6 +842,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(o_totalprice*100) AS BIGINT) AS total_c
             FROM orders
             ORDER BY total_c DESC, o_orderkey LIMIT 10""",
+        "events_sessions": _events_sessions_sql(),
+        "customer_orders": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT))
+                     AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
+        "part_filter_topk": """
+            SELECT p_partkey,
+                   CAST(round(p_retailprice*100) AS BIGINT) AS price_c
+            FROM part WHERE p_size > 25
+            ORDER BY price_c DESC, p_partkey LIMIT 15""",
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

@@ -54,7 +54,8 @@ def registry(ray_session):
     "tile_assignment", "pixel_to_xy", "spatial_join_pip",
     "spatial_join_knn", "mask_counts", "band_stats",
     "image_dedup_phash", "tpch_q1",
-    "revenue_by_nation", "events_window", "orders_topk", "token_count",
+    "revenue_by_nation", "events_window", "events_sessions",
+    "orders_topk", "customer_orders", "part_filter_topk", "token_count",
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",
 ])
@@ -77,6 +78,8 @@ def test_query_matches_oracle(registry, con, name):
 @pytest.mark.parametrize("name", [
     "decode_invariants", "composite_cells", "minhash_pairs",
     "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
+    "spectra_at_points", "hall_rectification",
+    "minhash_pairs_planted", "simhash_pairs_planted",
 ])
 def test_rows_only_queries_run(registry, name):
     queries, _ = registry
@@ -84,6 +87,13 @@ def test_rows_only_queries_run(registry, name):
     assert len(got) >= 0
     if name == "decode_invariants":
         assert got["psnr_ok"].all()
+    if name == "minhash_pairs_planted":
+        # every planted perturbed copy must pair with its source
+        assert (got["doc_b"] >= 1_000_000).sum() >= 15
+    if name == "simhash_pairs_planted":
+        assert len(got) >= 5
+    if name == "spectra_at_points":
+        assert len(got) == 20   # one hit per probed image center
 
 
 def test_oracle_keys_subset_of_queries(registry):

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the bit-exact contracts."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unmixing_ray import cellindex as ci
+from unmixing_ray import codecs, geo
+from unmixing_ray.kernels import nnls
+
+GT = st.tuples(
+    st.floats(-1e6, 1e6), st.floats(0.1, 1000.0), st.just(0.0),
+    st.floats(-1e6, 1e7), st.just(0.0), st.floats(-1000.0, -0.1))
+
+
+@given(GT, st.lists(st.tuples(st.integers(0, 5000),
+                              st.integers(0, 5000)), min_size=1,
+                    max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_pixel_xy_roundtrip_within_one(gt, pairs):
+    xy = geo.pixel_to_xy(pairs, gt)
+    back = geo.xy_to_pixel(xy, gt)
+    for (x0, y0), (x1, y1) in zip(pairs, back):
+        assert abs(x0 - x1) <= 1 and abs(y0 - y1) <= 1
+
+
+@given(st.integers(0, 28), st.data())
+@settings(max_examples=50, deadline=None)
+def test_cell_roundtrip(level, data):
+    n = 2 ** level
+    ix = data.draw(st.integers(0, n - 1))
+    iy = data.draw(st.integers(0, n - 1))
+    c = ci.cell_from_ixiy(np.uint64(ix), np.uint64(iy), level)
+    jx, jy, lv = ci.cell_to_ixiy(c)
+    assert (int(jx), int(jy), int(lv)) == (ix, iy, level)
+    # bounds contain the center
+    cx, cy = ci.cell_center(c)
+    c2 = ci.cell_of_xy(np.float64(cx), np.float64(cy), level)
+    assert int(np.asarray(c2)) == int(np.asarray(c))
+
+
+@given(st.integers(1, 4), st.integers(2, 16), st.integers(2, 16),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_lossless_codec_roundtrip(bands, h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-9999, 10000, size=(bands, h, w)).astype(np.int16)
+    for fmt in ("raw", "zraw", "tiff"):
+        buf = codecs.encode_image(arr, fmt)
+        assert np.array_equal(codecs.decode_image(buf, fmt, w, h), arr)
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.integers(1, 200))
+@settings(max_examples=30, deadline=None)
+def test_fcls_invariants(seed, c):
+    rng = np.random.default_rng(seed)
+    U = rng.normal(0, 5, size=(3, 2))
+    if abs(np.linalg.det(np.hstack([np.ones((3, 1)), U]))) < 1e-6:
+        return  # degenerate simplex
+    X = rng.normal(0, 5, size=(c, 2))
+    out = nnls.fcls_pixels(X, U)
+    assert (out >= -1e-9).all()
+    assert np.allclose(out.sum(axis=1), 1.0, atol=1e-6)
+    # batching invariance
+    if c > 3:
+        split = np.vstack([nnls.fcls_pixels(X[: c // 2], U),
+                           nnls.fcls_pixels(X[c // 2:], U)])
+        assert np.array_equal(out, split)

@@ -182,6 +182,9 @@ def simhash_pairs(docs, max_hamming=3, k=2):
     by exact Hamming distance."""
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        # the 64-bit signature travels as a hex STRING: uint64 columns
+        # can get coerced to float64 through groupby shuffles, silently
+        # corrupting the low bits
         out = {"segment": [], "seg_key": [], "doc_id": [], "sim": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sh = int(simhash64(text, k))
@@ -189,7 +192,7 @@ def simhash_pairs(docs, max_hamming=3, k=2):
                 out["segment"].append(s)
                 out["seg_key"].append((sh >> (16 * s)) & 0xFFFF)
                 out["doc_id"].append(doc_id)
-                out["sim"].append(sh)
+                out["sim"].append("%016x" % sh)
         return pd.DataFrame(out)
 
     exploded = docs.map_batches(sig_stage, batch_format="pandas")
@@ -199,7 +202,7 @@ def simhash_pairs(docs, max_hamming=3, k=2):
         if len(g) >= 2:
             g = g.sort_values("doc_id")
             ids = g["doc_id"].tolist()
-            sims = g["sim"].tolist()
+            sims = [int(s, 16) for s in g["sim"].tolist()]
             for i in range(1, len(ids)):
                 d = bin(sims[0] ^ sims[i]).count("1")
                 if d <= max_hamming and ids[0] != ids[i]:
