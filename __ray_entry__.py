@@ -623,6 +623,45 @@ def q_sasma_abundance(sf_dir):
     return out[["tile_id", "image_id", "q", "checksum"]]
 
 
+def q_forward_model_rmse(sf_dir):
+    """Distributed forward-model validation (reference lsma.py:232-297):
+    unmix reflectance tiles against the corpus's true endmember spectra,
+    forward-model, sample RMSE. Near-exact recovery ⇒ small normalized
+    RMSE; returns one row (rows-only check)."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import align, unmix as unmix_stage
+    from unmixing_ray.stages.decode import binary_views
+    import pyarrow as pa
+    import json as _json
+    corpus, tiles = _tiles_ds(sf_dir)
+    man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
+    U = np.asarray(man["endmembers"], dtype=np.float64)
+
+    # FCLS on raw reflectance against the true spectra (no MNF), then
+    # validate: gather per-tile abundances via one streaming pass
+    def unmix_batch(batch: pa.Table) -> pa.Table:
+        from unmixing_ray.kernels import nnls
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        out = {"tile_id": [], "ab": []}
+        for i in range(batch.num_rows):
+            p = batch["bands"][i].as_py()
+            a = values[offsets[i]:offsets[i + 1]].reshape((p, -1))\
+                .astype(np.float64)
+            ab = nnls.fcls_pixels(a.T, U)     # full p dims: exact model
+            out["tile_id"].append(batch["tile_id"][i].as_py())
+            out["ab"].append(ab.T.astype(np.float32).tobytes())
+        return pa.table({"tile_id": pa.array(out["tile_id"]),
+                         "ab": pa.array(out["ab"], pa.binary())})
+
+    ab_rows = tiles.map_batches(unmix_batch, batch_format="pyarrow",
+                                batch_size=64).take_all()
+    ab_map = {r["tile_id"]: np.frombuffer(r["ab"], dtype=np.float32)
+              .astype(np.float64).reshape(3, -1) for r in ab_rows}
+    rmse_pct = align.validate_forward_model(tiles, ab_map, U, r=20000)
+    return pd.DataFrame({"rmse_pct": [float(rmse_pct)],
+                         "n_tiles": [len(ab_map)]})
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ANN queries
 
@@ -731,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectra_at_points": q_spectra_at_points,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
+        "forward_model_rmse": q_forward_model_rmse,
         "minhash_pairs_planted": q_minhash_pairs_planted,
         "simhash_pairs_planted": q_simhash_pairs_planted,
         "token_count": q_token_count,

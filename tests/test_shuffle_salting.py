@@ -1,0 +1,69 @@
+"""Skew salting: count pre-pass, salt plan, salted groupby equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from unmixing_ray.stages import shuffle as sh
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _rows(counts):
+    rows = []
+    i = 0
+    for cell, n in counts.items():
+        for _ in range(n):
+            rows.append({"cell": cell, "tile_id": "t%06d" % i,
+                         "value": i})
+            i += 1
+    return rows
+
+
+def test_cell_counts_and_plan():
+    ds = ray.data.from_items(_rows({1: 5, 2: 100, 3: 7}))
+    counts = sh.cell_counts(ds)
+    assert counts == {1: 5, 2: 100, 3: 7}
+    plan = sh.plan_salts(counts, hot_threshold=10)
+    assert set(plan) == {2}
+    assert plan[2] == 10
+
+
+def test_salted_groupby_same_results_per_key():
+    """Per-row-independent fn: salted union of sub-groups must equal the
+    unsalted group results per key."""
+    counts = {1: 4, 2: 60, 3: 8}
+    ds = ray.data.from_items(_rows(counts))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cell": g["cell"].iloc[:1],
+            "n": [len(g)],
+            "value_sum": [int(g["value"].sum())],
+        })
+
+    unsalted = sh.salted_groupby(ds, "cell", fn, hot_threshold=10**9, batch_format="pandas")\
+        .to_pandas().groupby("cell", as_index=False).sum()
+    salted = sh.salted_groupby(ds, "cell", fn, hot_threshold=16, batch_format="pandas")\
+        .to_pandas().groupby("cell", as_index=False).sum()
+    u = unsalted.sort_values("cell").reset_index(drop=True)
+    s = salted.sort_values("cell").reset_index(drop=True)
+    assert u["n"].tolist() == s["n"].tolist()
+    assert u["value_sum"].tolist() == s["value_sum"].tolist()
+    # hot key was actually split into multiple sub-groups
+    raw = sh.salted_groupby(ds, "cell", fn, hot_threshold=16, batch_format="pandas").to_pandas()
+    assert (raw["cell"] == 2).sum() > 1
+
+
+def test_add_salt_deterministic():
+    plan = {2: 4}
+    fn = sh.make_add_salt(plan)
+    import pyarrow as pa
+    batch = pa.table({"cell": pa.array([1, 2, 2]),
+                      "tile_id": pa.array(["a", "b", "c"])})
+    out1 = fn(batch)
+    out2 = fn(batch)
+    assert out1["salt"].to_pylist() == out2["salt"].to_pylist()
+    assert out1["salt"][0].as_py() == 0   # cold key unsalted
