@@ -845,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_phash": f"""
             SELECT phash, min(image_id) AS keep_image_id,
                    CAST(count(*) AS BIGINT) AS n_dups
-            FROM read_parquet('{C}/images.parquet') GROUP BY phash""",
+            FROM read_parquet('{C}/images/*.parquet') GROUP BY phash""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)

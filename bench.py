@@ -99,10 +99,14 @@ def main():
     n_tiles = sum(r["rows"] for r in ckpt.read_manifest(
         res["abundances_dir"]))
 
-    # secondary pipelines over the provided tables
+    # secondary pipelines over the provided tables (skipped for synthetic
+    # scale factors that have no TPC-H-ish testdata dir)
     import __ray_entry__ as em
-    for name in ("tpch_q1", "dedup_exact_docs", "token_count", "ann_topk",
-                 "spatial_join_pip"):
+    secondary = ("tpch_q1", "dedup_exact_docs", "token_count", "ann_topk",
+                 "spatial_join_pip") if os.path.exists(
+        os.path.join(str(sf_dir), "lineitem.parquet")) else (
+        "spatial_join_pip",)
+    for name in secondary:
         t0 = time.monotonic()
         r = em.queries()[name](sf_dir)
         if hasattr(r, "to_pandas"):

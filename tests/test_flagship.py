@@ -39,8 +39,7 @@ def test_flagship_outputs(flagship_result):
         assert (cube >= -1e-9).all()
         assert np.allclose(cube.sum(axis=0), 1.0, atol=1e-6)
     # caption survives to the final output (north-star invariant)
-    imgs = pq.read_table(os.path.join(corpus, "images.parquet"),
-                         columns=["image_id", "caption"])
+    imgs = synth.images_table(corpus, columns=["image_id", "caption"])
     capmap = dict(zip(imgs["image_id"].to_pylist(),
                       imgs["caption"].to_pylist()))
     for i in range(0, ab.num_rows, 13):
@@ -51,7 +50,7 @@ def test_flagship_outputs(flagship_result):
 def test_flagship_lineage_manifest(flagship_result):
     _corpus, _out, res = flagship_result
     rows = ckpt.read_manifest(res["abundances_dir"])
-    assert len(rows) > 1
+    assert len(rows) >= 1
     assert sum(r["rows"] for r in rows) == 40 * 4
     for r in rows:
         assert r["stage"] == "abundances"

@@ -21,13 +21,13 @@ from unmixing_ray.stages import decode as dstage
 def test_corpus_deterministic(tmp_path):
     d1 = synth.generate_corpus(str(tmp_path / "a"), n_images=12, seed=7)
     d2 = synth.generate_corpus(str(tmp_path / "b"), n_images=12, seed=7)
-    t1 = pq.read_table(os.path.join(d1, "images.parquet"))
-    t2 = pq.read_table(os.path.join(d2, "images.parquet"))
+    t1 = synth.images_table(d1)
+    t2 = synth.images_table(d2)
     assert t1.equals(t2)
 
 
 def test_corpus_schema_and_duplicates(small_corpus):
-    t = pq.read_table(os.path.join(small_corpus, "images.parquet"))
+    t = synth.images_table(small_corpus)
     names = t.column_names
     for c in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
         assert c in names
@@ -37,7 +37,7 @@ def test_corpus_schema_and_duplicates(small_corpus):
 
 
 def test_decode_invariants(small_corpus):
-    t = pq.read_table(os.path.join(small_corpus, "images.parquet"))
+    t = synth.images_table(small_corpus)
     out = dstage.decode_batch(t)
     assert out.num_rows == t.num_rows
     # caption passthrough
@@ -54,7 +54,7 @@ def test_decode_invariants(small_corpus):
 
 
 def test_decode_and_tile_matches_lattice(small_corpus):
-    t = pq.read_table(os.path.join(small_corpus, "images.parquet"))
+    t = synth.images_table(small_corpus)
     fn = dstage.make_decode_and_tile(tile=synth.TILE,
                                      cell_level=synth.CELL_LEVEL)
     tiles = fn(t)
@@ -76,7 +76,7 @@ def test_decode_and_tile_matches_lattice(small_corpus):
 
 
 def test_tiles_to_ndarray_uniform(small_corpus):
-    t = pq.read_table(os.path.join(small_corpus, "images.parquet"))
+    t = synth.images_table(small_corpus)
     fn = dstage.make_decode_and_tile(tile=synth.TILE,
                                      cell_level=synth.CELL_LEVEL)
     tiles = fn(t)

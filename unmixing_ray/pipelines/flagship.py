@@ -34,7 +34,7 @@ from ..state import manifest as ckpt
 
 def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
                 cell_level=DEFAULT_CELL_LEVEL, clean=True,
-                checkpoint=True, partition_shift=8, with_mnf_stats=False):
+                checkpoint=True, partition_shift=12, with_mnf_stats=False):
     """Images → (masked) tiles. With ``checkpoint`` the tiles table is
     written partitioned-by-coarse-cell and re-read (the resume point);
     otherwise the lazy Dataset is returned directly.
@@ -125,25 +125,54 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     def add_part(batch):
         import pyarrow as pa
         part = (batch["cell"].to_numpy(zero_copy_only=False)
-                >> np.uint64(8)).astype(np.uint64)
+                >> np.uint64(12)).astype(np.uint64)
         return batch.append_column("part", pa.array(part, pa.uint64()))
 
     t0 = time.monotonic()
     ab_parted = abundances.map_batches(add_part, batch_format="pyarrow")
-    remaining, _ = ckpt.resume_filter(ab_parted, ab_dir, "part")
-    ckpt.checkpointed_write_streaming(remaining, ab_dir, "part",
-                                      stage="abundances")
+    remaining, skipped_ab = ckpt.resume_filter(ab_parted, ab_dir, "part")
+    # the spatial join probes ride the unmix write pass as a side channel
+    # (tile centroids vs the broadcast polygon table) — no separate read
+    polygons = pq.read_table(os.path.join(corpus_dir, "polygons.parquet"))
+    import ray as _ray
+    poly_ref = _ray.put(polygons)
+    probe_cache = {}
+
+    def join_side(batch):
+        if "actor" not in probe_cache:
+            probe_cache["actor"] = join_stage.SpatialJoinActor(
+                _ray.get(poly_ref), k_knn)
+        return probe_cache["actor"](batch).to_pydict()
+
+    _agg2, join_sides = ckpt.checkpointed_write_streaming(
+        remaining, ab_dir, "part", stage="abundances", side_fn=join_side)
     lineage = ckpt.read_manifest(ab_dir)
     timings["unmix_write"] = round(time.monotonic() - t0, 3)
 
-    # spatial join on tile metadata only (column-pruned read)
+    # assemble + write join rows (small; driver-side)
     t0 = time.monotonic()
-    polygons = pq.read_table(os.path.join(corpus_dir, "polygons.parquet"))
-    join_rows = join_stage.broadcast_spatial_join(
-        tiles.select_columns(["tile_id", "cell", "cx", "cy"]),
-        polygons, k=k_knn)
     join_dir = os.path.join(out_dir, "join_rows")
-    join_rows.write_parquet(join_dir)
+    os.makedirs(join_dir, exist_ok=True)
+    import pyarrow as pa
+    if join_sides and skipped_ab == 0:
+        # explicit schema: from_pydict on an empty probe result would
+        # infer null-typed columns and poison concat_tables
+        parts = [pa.table(d, schema=join_stage.JOIN_SCHEMA)
+                 for d in join_sides if d and len(d.get("tile_id", []))]
+        join_tbl = pa.concat_tables(parts) if parts else \
+            join_stage.JOIN_SCHEMA.empty_table()
+    else:
+        join_tbl = None
+    if join_tbl is None:
+        # resumed run: the side channel only covered fresh partitions —
+        # recompute the join from the checkpoint (metadata columns only)
+        join_rows = join_stage.broadcast_spatial_join(
+            tiles.select_columns(["tile_id", "cell", "cx", "cy"]),
+            polygons, k=k_knn)
+        join_rows.write_parquet(join_dir)
+    else:
+        pq.write_table(join_tbl, os.path.join(join_dir,
+                                              "join_rows.parquet"))
     timings["spatial_join"] = round(time.monotonic() - t0, 3)
 
     return {

@@ -31,7 +31,9 @@ def read_images(corpus_dir, columns=None, **kwargs):
             return ray.data.read_lance(lance_path, columns=columns, **kwargs)
         except Exception:
             pass  # fall back to parquet
-    path = os.path.join(corpus_dir, "images.parquet")
+    sharded = os.path.join(corpus_dir, "images")
+    path = sharded if os.path.isdir(sharded) else \
+        os.path.join(corpus_dir, "images.parquet")
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

@@ -42,7 +42,12 @@ from .. import cellindex, geo
 from ..codecs import decode_image, encode_image
 
 # bump when generator semantics change: forces cached corpora to rebuild
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 5
+
+# parquet row-group size for the images table: Ray splits reads at
+# row-group granularity, so 512-row groups capped decode parallelism at
+# 24 tasks for the sf0.1 corpus
+ROW_GROUP = 64
 
 # Corpus geometry: images on a lattice in a UTM-like meters CRS.
 IMG_W = 64
@@ -166,7 +171,9 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
     out.mkdir(parents=True, exist_ok=True)
 
     fmts = ("raw", "zraw", "q8", "tiff")
-    writer = None
+    img_dir = out / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    shard = 0
     exp_rows = {"image_id": [], "n_water": [], "n_saturated": [],
                 "n_nodata": [], "n_qa_masked": []}
     for b in range(BANDS):
@@ -239,13 +246,15 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                  "gt": pa.array(cols["gt"], pa.list_(pa.float64(), 6)),
                  "crs": pa.array(cols["crs"], pa.string())},
                 schema=schema)
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    str(out / "images.parquet"), schema)
-            writer.write_table(tbl)
+            # one file per chunk: Ray parallelizes parquet reads over
+            # FILES (a single 468 MB file read serially cost ~5 s at
+            # sf0.1); small row groups keep intra-file splits possible
+            pq.write_table(tbl,
+                           str(img_dir / ("part-%05d.parquet" % shard)),
+                           row_group_size=ROW_GROUP)
+            shard += 1
     finally:
-        if writer is not None:
-            writer.close()
+        pass
 
     pq.write_table(pa.table({k: pa.array(v) for k, v in exp_rows.items()}),
                    str(out / "images_expected.parquet"))
@@ -351,3 +360,12 @@ def ensure_corpus(sf_dir, seed=7):
     sf = sf_of_dir(sf_dir)
     out_dir = corpus_dir_for(sf_dir)
     return generate_corpus(out_dir, n_images_for_sf(sf), seed=seed)
+
+
+def images_table(corpus_dir, columns=None):
+    """Driver-side read of the (sharded) images table as one pa.Table."""
+    import pyarrow.dataset as pads
+    d = pathlib.Path(corpus_dir)
+    src = d / "images" if (d / "images").is_dir() else d / "images.parquet"
+    return pads.dataset(str(src), format="parquet").to_table(
+        columns=columns)

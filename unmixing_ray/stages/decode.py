@@ -126,11 +126,22 @@ def make_decode_and_tile(tile=DEFAULT_TILE, cell_level=DEFAULT_CELL_LEVEL,
             gt = tuple(gts[i])
             n_ty = (ih + tile - 1) // tile
             n_tx = (iw + tile - 1) // tile
+            aligned = (ih % tile == 0) and (iw % tile == 0)
+            if aligned:
+                # vectorized split: (p, ty, T, tx, T) -> (ty*tx, p, T, T)
+                blocks = arr.reshape(p, n_ty, tile, n_tx, tile)\
+                    .transpose(1, 3, 0, 2, 4)\
+                    .reshape(n_ty * n_tx, p, tile, tile)
+                qa_blocks = None
+                if qa_arr is not None:
+                    qa_blocks = qa_arr.reshape(n_ty, tile, n_tx, tile)\
+                        .transpose(0, 2, 1, 3)\
+                        .reshape(n_ty * n_tx, tile, tile)
+            t_i = 0
             for ty in range(n_ty):
                 for tx in range(n_tx):
                     r0, c0 = ty * tile, tx * tile
                     r1, c1 = min(r0 + tile, ih), min(c0 + tile, iw)
-                    sub = arr[:, r0:r1, c0:c1]
                     tgt = geo.tile_geotransform(gt, c0, r0)
                     th, tw = r1 - r0, c1 - c0
                     cx = tgt[0] + (tw / 2.0) * tgt[1]
@@ -147,10 +158,17 @@ def make_decode_and_tile(tile=DEFAULT_TILE, cell_level=DEFAULT_CELL_LEVEL,
                     cols["cx"].append(cx)
                     cols["cy"].append(cy)
                     gt_rows.append(list(tgt))
-                    px_chunks.append(np.ascontiguousarray(sub).ravel())
-                    if qa_arr is not None:
-                        qa_chunks.append(
-                            np.ascontiguousarray(qa_arr[r0:r1, c0:c1]).ravel())
+                    if aligned:
+                        px_chunks.append(blocks[t_i].ravel())
+                        if qa_arr is not None:
+                            qa_chunks.append(qa_blocks[t_i].ravel())
+                    else:
+                        px_chunks.append(np.ascontiguousarray(
+                            arr[:, r0:r1, c0:c1]).ravel())
+                        if qa_arr is not None:
+                            qa_chunks.append(np.ascontiguousarray(
+                                qa_arr[r0:r1, c0:c1]).ravel())
+                    t_i += 1
         cells = cellindex.cell_of_xy(
             np.array(cols["cx"]), np.array(cols["cy"]), cell_level)
 

@@ -173,7 +173,7 @@ ABUNDANCE_FIELDS = [
     ("cell", pa.uint64()), ("h", pa.int32()), ("w", pa.int32()),
     ("q", pa.int32()), ("abundance", pa.binary()),
     ("gt", pa.list_(pa.float64(), 6)), ("crs", pa.string()),
-    ("caption", pa.string()),
+    ("caption", pa.string()), ("cx", pa.float64()), ("cy", pa.float64()),
 ]
 
 
@@ -235,6 +235,7 @@ class FCLSUnmixActor:
             "abundance": ab_col,
             "gt": batch["gt"], "crs": batch["crs"],
             "caption": batch["caption"],
+            "cx": batch["cx"], "cy": batch["cy"],
         }, schema=pa.schema(ABUNDANCE_FIELDS))
 
 
