@@ -227,6 +227,45 @@ def q_band_stats(sf_dir):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=32)
 
 
+def q_spectral_indices(sf_dir):
+    """Distributed NDVI + Tasseled Cap over the decode path: per-image
+    NDVI>0.3 pixel count and floor(TC1-brightness sum) over valid pixels
+    (reference transform.py:80-101, 146-182), verified against the
+    corpus's inline-numpy ground truth."""
+    import pyarrow as pa
+    from unmixing_ray.kernels import spectral as sp
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.decode import decode_batch
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus)
+
+    def indices(batch: pa.Table) -> pa.Table:
+        dec = decode_batch(batch)
+        out = {"image_id": [], "n_ndvi_pos": [], "tc1_sum_floor": []}
+        for i in range(dec.num_rows):
+            arr = np.frombuffer(dec["pixels"][i].as_py(),
+                                dtype=np.int16)\
+                .reshape((dec["bands"][i].as_py(),
+                          dec["h"][i].as_py(), dec["w"][i].as_py()))
+            nd = sp.ndvi(arr)[0]
+            valid = (arr[2] != -9999) & (arr[3] != -9999)
+            n_pos = int(((nd > 0.3) & valid).sum())
+            flat = arr.reshape(arr.shape[0], -1).astype(np.float64)
+            # float64 copy of the published Crist (1985) brightness row:
+            # the kernel table is float32 (reference parity) but the
+            # oracle computes in float64, and float32(0.2043) != 0.2043
+            tc1_row = np.array([0.2043, 0.4158, 0.5524, 0.5741, 0.3124,
+                                0.2303])
+            tc1 = tc1_row @ flat
+            v0 = flat[0] != -9999
+            out["image_id"].append(dec["image_id"][i].as_py())
+            out["n_ndvi_pos"].append(n_pos)
+            out["tc1_sum_floor"].append(int(np.floor(np.sum(tc1[v0]))))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(indices, batch_format="pyarrow", batch_size=32)
+
+
 def q_image_dedup_phash(sf_dir):
     from unmixing_ray.sources import images
     from unmixing_ray.stages.dedup import exact_dedup_images
@@ -756,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_knn": q_spatial_join_knn,
         "mask_counts": q_mask_counts,
         "band_stats": q_band_stats,
+        "spectral_indices": q_spectral_indices,
         "image_dedup_phash": q_image_dedup_phash,
         "decode_invariants": q_decode_invariants,
         "unmix_abundance": q_unmix_abundance,
@@ -841,6 +881,10 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(b%d_%s AS BIGINT) AS b%d_%s" % (b, s, b, s)
                 for b in range(6)
                 for s in ("min", "max", "sum", "count"))}
+            FROM read_parquet('{C}/images_expected.parquet')""",
+        "spectral_indices": f"""
+            SELECT image_id, CAST(n_ndvi_pos AS BIGINT) AS n_ndvi_pos,
+                   CAST(tc1_sum_floor AS BIGINT) AS tc1_sum_floor
             FROM read_parquet('{C}/images_expected.parquet')""",
         "image_dedup_phash": f"""
             SELECT phash, min(image_id) AS keep_image_id,

@@ -52,7 +52,7 @@ def registry(ray_session):
 
 @pytest.mark.parametrize("name", [
     "tile_assignment", "pixel_to_xy", "spatial_join_pip",
-    "spatial_join_knn", "mask_counts", "band_stats",
+    "spatial_join_knn", "mask_counts", "band_stats", "spectral_indices",
     "image_dedup_phash", "tpch_q1",
     "revenue_by_nation", "events_window", "events_sessions",
     "orders_topk", "customer_orders", "part_filter_topk", "token_count",

@@ -42,7 +42,7 @@ from .. import cellindex, geo
 from ..codecs import decode_image, encode_image
 
 # bump when generator semantics change: forces cached corpora to rebuild
-GENERATOR_VERSION = 5
+GENERATOR_VERSION = 6
 
 # parquet row-group size for the images table: Ray splits reads at
 # row-group granularity, so 512-row groups capped decode parallelism at
@@ -146,6 +146,25 @@ def _expected_counts(pixels, qa):
     return water, saturated, nodat, qa_masked
 
 
+# Crist (1985) TM brightness row, inline (independent of engine kernels)
+_TC1 = np.array([0.2043, 0.4158, 0.5524, 0.5741, 0.3124, 0.2303])
+
+
+def _expected_spectral(pixels):
+    """NDVI-positive count and floor(TC1 sum) over valid pixels, inline."""
+    red = pixels[2].astype(np.float64)
+    nir = pixels[3].astype(np.float64)
+    valid = (red != NODATA) & (nir != NODATA)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndvi = (nir - red) / (nir + red)
+    n_pos = int(((ndvi > 0.3) & valid).sum())
+    flat = pixels.reshape(pixels.shape[0], -1).astype(np.float64)
+    v0 = flat[0] != NODATA
+    tc1 = _TC1 @ flat
+    tc1_sum = int(np.floor(np.sum(tc1[v0])))
+    return n_pos, tc1_sum
+
+
 def _expected_band_stats(pixels):
     """Per-band (min, max, sum, count) over valid pixels, inline numpy."""
     flat = pixels.reshape(pixels.shape[0], -1).astype(np.int64)
@@ -179,6 +198,8 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
     for b in range(BANDS):
         for stat in ("min", "max", "sum", "count"):
             exp_rows["b%d_%s" % (b, stat)] = []
+    exp_rows["n_ndvi_pos"] = []
+    exp_rows["tc1_sum_floor"] = []
     prev_pixels = None
     chunk = 512
     schema = pa.schema([
@@ -234,6 +255,9 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                     exp_rows["b%d_max" % b].append(mx)
                     exp_rows["b%d_sum" % b].append(sm)
                     exp_rows["b%d_count" % b].append(ct)
+                nd_, tc_ = _expected_spectral(stored)
+                exp_rows["n_ndvi_pos"].append(nd_)
+                exp_rows["tc1_sum_floor"].append(tc_)
             tbl = pa.table(
                 {"image_id": pa.array(cols["image_id"], pa.string()),
                  "bytes": pa.array(cols["bytes"], pa.binary()),

@@ -37,20 +37,21 @@ def _candidates_batch(q):
         out_specs = []
         out_tiles = []
         out_px = []
+        k = max(1, q - 1)
         if uniform is not None:
+            # fully vectorized per-tile extremes: argmin/argmax of each of
+            # the first k MNF dims + the max-norm pixel, across ALL tiles
+            # at once (the per-tile Python loop cost ~2 s over 48k tiles)
             n, p, h, w = uniform.shape
             X = uniform.reshape(n, p, h * w)
-            k = max(1, q - 1)
-            # per-tile extremes in the first k MNF dims: argmin/argmax per
-            # dim + max-norm pixel -> ≤ 2k+1 candidates per tile
+            sub = X[:, :k]                              # (n, k, hw)
+            mins = sub.argmin(axis=2)                   # (n, k)
+            maxs = sub.argmax(axis=2)                   # (n, k)
+            norm = (sub.astype(np.float64) ** 2).sum(axis=1)  # (n, hw)
+            mnorm = norm.argmax(axis=1)                 # (n,)
+            cand = np.concatenate([mins, maxs, mnorm[:, None]], axis=1)
             for i in range(n):
-                Xi = X[i, :k].T                      # (hw, k)
-                cand = set()
-                for dsel in range(k):
-                    cand.add(int(np.argmin(Xi[:, dsel])))
-                    cand.add(int(np.argmax(Xi[:, dsel])))
-                cand.add(int(np.argmax((Xi * Xi).sum(axis=1))))
-                for c in sorted(cand):
+                for c in sorted(set(int(c) for c in cand[i])):
                     out_specs.append(X[i, :, c].astype(np.float64))
                     out_tiles.append(tile_ids[i])
                     out_px.append(c)
@@ -58,7 +59,6 @@ def _candidates_batch(q):
             for i, a in enumerate(arrays):
                 p = a.shape[0]
                 Xi = a.reshape(p, -1).T
-                k = max(1, q - 1)
                 cand = set()
                 for dsel in range(k):
                     cand.add(int(np.argmin(Xi[:, dsel])))
