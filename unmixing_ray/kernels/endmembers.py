@@ -22,7 +22,6 @@ from functools import reduce
 
 import numpy as np
 
-from ..constants import NODATA
 from .pixels import spectra_at_xy
 
 

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..constants import DEFAULT_CELL_LEVEL, DEFAULT_TILE
-from ..sources.images import read_images, read_polygons
+from ..sources.images import read_images
 from ..stages import decode as decode_stage
 from ..stages import join as join_stage
 from ..stages import masks as mask_stage

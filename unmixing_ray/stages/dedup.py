@@ -24,7 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min, Sum
 
 
 def _md5_hex(s):
@@ -42,9 +42,20 @@ def exact_dedup_docs(docs):
         })
 
     hashed = docs.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_dups"),
+
+    # pre-aggregate per batch (combiner) so the shuffle moves one row per
+    # distinct hash per batch, not one per document (ray_guide.md
+    # "Aggregation at scale")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return g
+
+    partials = hashed.map_batches(partial, batch_format="pandas")
+    return partials.groupby("text_hash").aggregate(
+        Min("keep_doc_id", alias_name="keep_doc_id"),
+        Sum("n_dups", alias_name="n_dups"),
     )
 
 
@@ -57,10 +68,21 @@ def exact_dedup_docs_sql():
 
 def exact_dedup_images(images):
     """Image dedup by the input table's phash column: keep the min
-    image_id per phash (north-star input schema op)."""
-    return images.groupby("phash").aggregate(
-        Min("image_id", alias_name="keep_image_id"),
-        Count(alias_name="n_dups"),
+    image_id per phash (north-star input schema op). Partial-aggregated
+    per batch before the hash shuffle."""
+    import pandas as pd_
+
+    def partial(df: pd_.DataFrame) -> pd_.DataFrame:
+        g = df.groupby("phash", as_index=False).agg(
+            keep_image_id=("image_id", "min"),
+            n_dups=("image_id", "size"))
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return g
+
+    partials = images.map_batches(partial, batch_format="pandas")
+    return partials.groupby("phash").aggregate(
+        Min("keep_image_id", alias_name="keep_image_id"),
+        Sum("n_dups", alias_name="n_dups"),
     )
 
 

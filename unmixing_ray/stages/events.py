@@ -13,12 +13,6 @@ import numpy as np
 import pandas as pd
 
 
-def tumbling_window(events, window_s=3600):
-    """Count/min/max per (event_type, hour bucket) — see
-    __ray_entry__.q_events_window."""
-    raise NotImplementedError("implemented inline in __ray_entry__")
-
-
 def sessionize(events, gap_s=1800):
     """Gap-based sessionization per user: a new session starts when the
     time since the previous event exceeds ``gap_s``. Returns one row per

@@ -13,7 +13,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 EN_STOPWORDS = ("the", "and", "of", "to", "a", "in")
 PUNCT = ".,!?;:"

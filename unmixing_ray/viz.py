@@ -19,7 +19,6 @@ import numpy as np
 import pyarrow as pa
 
 from .constants import NODATA
-from .geo import pixel_to_xy
 
 
 def histogram(tiles, band=0, bins=32, value_range=(0, 10000),
