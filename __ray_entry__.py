@@ -834,6 +834,15 @@ def _events_sessions_sql():
 
 
 def oracle_sql() -> dict[str, str]:
+    # the corpus-reading oracles need the synthetic tables on disk; make
+    # sure they exist even if the driver evaluates SQL before running the
+    # corresponding Ray query (generation is cached/idempotent)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if os.path.isdir(sf):
+            try:
+                _corpus(sf)
+            except Exception:
+                pass
     from unmixing_ray.stages import ann, text
     C = SF01_CORPUS
     return {
