@@ -108,12 +108,16 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
                                   batch_size=64)
 
-    # endmember induction in MNF space
+    # endmember induction in MNF space (column-pruned read: the induce
+    # pass needs only pixels + shape metadata, not captions/qa/gt)
     t0 = time.monotonic()
+    lean = tiles.select_columns(
+        ["tile_id", "bands", "h", "w", "pixels"]).map_batches(
+        apply_fn, batch_format="pyarrow", batch_size=64)
     if induce == "ppi":
-        endmembers = unmix_stage.ppi_global(tiles_mnf, q=q)
+        endmembers = unmix_stage.ppi_global(lean, q=q)
     else:
-        endmembers = unmix_stage.induce_endmembers_nfindr(tiles_mnf, q=q)
+        endmembers = unmix_stage.induce_endmembers_nfindr(lean, q=q)
     timings["induce"] = round(time.monotonic() - t0, 3)
 
     # FCLS actor pool → abundance tiles → checkpointed partitioned write
