@@ -309,10 +309,49 @@ def q_decode_invariants(sf_dir):
     return ds.map_batches(check, batch_format="pyarrow", batch_size=32)
 
 
-def q_unmix_abundance(sf_dir):
-    """Flagship FCLS output (rows-only): per-tile abundance band means in
-    micro-units, caption preserved."""
+def _summarize_abundance_u4(ab):
+    """Per-tile abundance band means in 1e-4 units (float32 storage
+    semantics), caption preserved."""
     import pyarrow as pa
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = {"tile_id": [], "caption": [], "q": [],
+                "mean_ab0_u4": [], "mean_ab1_u4": [], "mean_ab2_u4": []}
+        for i in range(batch.num_rows):
+            q = batch["q"][i].as_py()
+            a = np.frombuffer(batch["abundance"][i].as_py(),
+                              dtype=np.float32)\
+                .astype(np.float64).reshape((q, -1))
+            rows["tile_id"].append(batch["tile_id"][i].as_py())
+            rows["caption"].append(batch["caption"][i].as_py())
+            rows["q"].append(q)
+            for b in range(3):
+                rows["mean_ab%d_u4" % b].append(
+                    int(np.floor(a[b].mean() * 10_000)))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    return ab.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_unmix_abundance(sf_dir):
+    """FCLS abundance against the corpus's TRUE endmember spectra (the
+    reference's known-library use case, lsma.py FCLSAbundanceMapper) run
+    as the engine's actor-pool stage over raw reflectance tiles — hard
+    oracle: the corpus sidecar computes the same means with an
+    independent geometric FCLS solver at generation time."""
+    import json as _json
+    from unmixing_ray.stages import unmix as unmix_stage
+    corpus, tiles = _tiles_ds(sf_dir)
+    man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
+    U = np.asarray(man["endmembers"], dtype=np.float64)
+    ab = unmix_stage.unmix(tiles, U, input_col="pixels", n_dims=None,
+                           dtype=np.int16)
+    return _summarize_abundance_u4(ab)
+
+
+def q_flagship_abundance(sf_dir):
+    """Flagship MNF→NFINDR→FCLS output (rows-only: induced endmembers are
+    corpus-dependent, not expressible as a generation-time oracle)."""
     import ray.data
     from unmixing_ray.pipelines import flagship
     from unmixing_ray.sources import synth
@@ -323,24 +362,7 @@ def q_unmix_abundance(sf_dir):
         q=3, k_knn=0)
     ab = ray.data.read_parquet(res["abundances_dir"],
                                file_extensions=["parquet"])
-
-    def summarize(batch: pa.Table) -> pa.Table:
-        rows = {"tile_id": [], "caption": [], "q": [],
-                "mean_ab0_u6": [], "mean_ab1_u6": [], "mean_ab2_u6": []}
-        for i in range(batch.num_rows):
-            q = batch["q"][i].as_py()
-            a = np.frombuffer(batch["abundance"][i].as_py(),
-                              dtype=np.float32)\
-                .astype(np.float64).reshape((q, -1))
-            rows["tile_id"].append(batch["tile_id"][i].as_py())
-            rows["caption"].append(batch["caption"][i].as_py())
-            rows["q"].append(q)
-            for b in range(3):
-                rows["mean_ab%d_u6" % b].append(
-                    int(np.floor(a[b].mean() * 1_000_000)))
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
-
-    return ab.map_batches(summarize, batch_format="pyarrow")
+    return _summarize_abundance_u4(ab)
 
 
 def q_composite_cells(sf_dir):
@@ -354,7 +376,7 @@ def q_composite_cells(sf_dir):
 
     def comp(batch: pa.Table) -> pa.Table:
         arrays, uniform = tiles_to_ndarray(batch)
-        rows = {"tile_id": [], "checksum": []}
+        rows = {"tile_id": [], "comp_checksum_x6": []}
         n = batch.num_rows
         for i in range(n):
             a = uniform[i] if uniform is not None else arrays[i]
@@ -363,9 +385,11 @@ def q_composite_cells(sf_dir):
             out = ck.composite3(
                 ("max*", "median", "mean*", "min*", "median", "max*"),
                 *dates, normalize=None)
+            # every reduced value is a multiple of 1/6, so x6 rounds to
+            # an exact integer on both engine and oracle sides
             rows["tile_id"].append(batch["tile_id"][i].as_py())
-            rows["checksum"].append(
-                int(np.floor(np.where(out == -9999, 0, out).sum())))
+            rows["comp_checksum_x6"].append(
+                int(np.rint(np.where(out == -9999, 0, out).sum() * 6.0)))
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     return tiles.map_batches(comp, batch_format="pyarrow", batch_size=64)
@@ -590,24 +614,35 @@ def q_spectra_at_points(sf_dir):
                     out["tile_id"].append(batch["tile_id"][i].as_py())
                     out["b0"].append(int(a[0, py, px]))
                     out["b5"].append(int(a[5, py, px]))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+        return pa.table({
+            "point_id": pa.array(out["point_id"], pa.int64()),
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "b0": pa.array(out["b0"], pa.int64()),
+            "b5": pa.array(out["b5"], pa.int64()),
+        })
 
     return tiles.map_batches(gather, batch_format="pyarrow")
 
 
 def q_hall_rectification(sf_dir):
-    """Radiometric rectification of each image to the corpus-global
-    bright/dark control means (Hall 1991; reference lsma.py:523-584):
-    returns per-image rectified band-0 sums (rows-only)."""
+    """Radiometric rectification of every image to the corpus's canonical
+    bright/dark reference spectra (Hall 1991; reference lsma.py:523-584):
+    the reference spectra are broadcast, each image's control-set means
+    are gathered in-stage, and the rectified band-0 sum is emitted. Hard
+    oracle: the corpus sidecar computes the same sums inline at
+    generation time."""
+    import json as _json
     import pyarrow as pa
     from unmixing_ray.kernels import rectify
-    from unmixing_ray.sources import images
+    from unmixing_ray.sources import images, synth
     from unmixing_ray.stages.decode import decode_batch
     corpus = _corpus(sf_dir)
+    man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
+    U = np.asarray(man["endmembers"], dtype=np.float64)
+    ref_bright, ref_dark = U[1], U[2]
+    bright_px = list(synth.HALL_BRIGHT_PX)
+    dark_px = list(synth.HALL_DARK_PX)
     ds = images.read_images(corpus)
-    # deterministic control sets in pixel space of every image
-    bright_px = [(10, 20), (30, 40), (50, 50)]
-    dark_px = [(5, 60), (45, 8), (60, 33)]
 
     def rect(batch: pa.Table) -> pa.Table:
         dec = decode_batch(batch)
@@ -616,12 +651,12 @@ def q_hall_rectification(sf_dir):
             arr = np.frombuffer(dec["pixels"][i].as_py(), dtype=np.int16)\
                 .reshape((dec["bands"][i].as_py(),
                           dec["h"][i].as_py(), dec["w"][i].as_py()))
-            ref_bright = np.array([arr[:, y, x] for x, y in bright_px])\
+            img_bright = np.array([arr[:, y, x] for x, y in bright_px])\
                 .mean(axis=0)
-            ref_dark = np.array([arr[:, y, x] for x, y in dark_px])\
+            img_dark = np.array([arr[:, y, x] for x, y in dark_px])\
                 .mean(axis=0)
             m, b = rectify.rectification_coefficients(
-                ref_bright, ref_dark, ref_bright, ref_dark)
+                ref_bright, ref_dark, img_bright, img_dark)
             rectified = rectify.apply_rectification(arr, m, b)
             out["image_id"].append(dec["image_id"][i].as_py())
             out["b0_sum_rect"].append(
@@ -799,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_phash": q_image_dedup_phash,
         "decode_invariants": q_decode_invariants,
         "unmix_abundance": q_unmix_abundance,
+        "flagship_abundance": q_flagship_abundance,
         "composite_cells": q_composite_cells,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -895,6 +931,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, CAST(n_ndvi_pos AS BIGINT) AS n_ndvi_pos,
                    CAST(tc1_sum_floor AS BIGINT) AS tc1_sum_floor
             FROM read_parquet('{C}/images_expected.parquet')""",
+        "decode_invariants": f"""
+            SELECT image_id, fmt, CAST(TRUE AS BOOLEAN) AS psnr_ok,
+                   caption
+            FROM read_parquet('{C}/images/*.parquet')""",
+        "unmix_abundance": f"""
+            SELECT tile_id, caption, CAST(q AS BIGINT) AS q,
+                   CAST(mean_ab0_u4 AS BIGINT) AS mean_ab0_u4,
+                   CAST(mean_ab1_u4 AS BIGINT) AS mean_ab1_u4,
+                   CAST(mean_ab2_u4 AS BIGINT) AS mean_ab2_u4
+            FROM read_parquet('{C}/tiles_spectral_expected.parquet')""",
+        "composite_cells": f"""
+            SELECT tile_id,
+                   CAST(comp_checksum_x6 AS BIGINT) AS comp_checksum_x6
+            FROM read_parquet('{C}/tiles_spectral_expected.parquet')""",
+        "hall_rectification": f"""
+            SELECT image_id, CAST(b0_sum_rect AS BIGINT) AS b0_sum_rect
+            FROM read_parquet('{C}/images_expected.parquet')""",
+        "spectra_at_points": f"""
+            SELECT CAST(point_id AS BIGINT) AS point_id, tile_id,
+                   CAST(b0 AS BIGINT) AS b0, CAST(b5 AS BIGINT) AS b5
+            FROM read_parquet('{C}/points_expected.parquet')""",
         "image_dedup_phash": f"""
             SELECT phash, min(image_id) AS keep_image_id,
                    CAST(count(*) AS BIGINT) AS n_dups
@@ -965,7 +1022,8 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding)
                   >= 0.45""",
-        # decode_invariants / unmix_abundance / composite_cells /
-        # minhash_pairs / simhash_pairs / ann_lsh: non-SQL-expressible
-        # (decode, FCLS, approximate LSH) -> rows-only checks.
+        # flagship_abundance / sasma_abundance / forward_model_rmse /
+        # minhash_pairs / simhash_pairs / ann_lsh / cosine_near_dup_lsh:
+        # rows-only (corpus-dependent induced endmembers, statistical
+        # validation, approximate LSH candidate sets).
     }

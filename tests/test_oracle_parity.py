@@ -58,6 +58,8 @@ def registry(ray_session):
     "orders_topk", "customer_orders", "part_filter_topk", "token_count",
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",
+    "decode_invariants", "unmix_abundance", "composite_cells",
+    "hall_rectification", "spectra_at_points",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
@@ -76,24 +78,22 @@ def test_query_matches_oracle(registry, con, name):
 
 
 @pytest.mark.parametrize("name", [
-    "decode_invariants", "composite_cells", "minhash_pairs",
-    "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
-    "spectra_at_points", "hall_rectification",
+    "minhash_pairs", "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
     "minhash_pairs_planted", "simhash_pairs_planted",
+    "flagship_abundance",
 ])
 def test_rows_only_queries_run(registry, name):
     queries, _ = registry
     got = _to_pandas(queries[name](SF_DIR))
     assert len(got) >= 0
-    if name == "decode_invariants":
-        assert got["psnr_ok"].all()
     if name == "minhash_pairs_planted":
         # every planted perturbed copy must pair with its source
         assert (got["doc_b"] >= 1_000_000).sum() >= 15
     if name == "simhash_pairs_planted":
         assert len(got) >= 5
-    if name == "spectra_at_points":
-        assert len(got) == 20   # one hit per probed image center
+    if name == "flagship_abundance":
+        assert len(got) == 4800
+        assert set(got.columns) >= {"tile_id", "caption", "mean_ab0_u4"}
 
 
 def test_oracle_keys_subset_of_queries(registry):

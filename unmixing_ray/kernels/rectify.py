@@ -41,6 +41,11 @@ def apply_rectification(arr, m, b, nodata=NODATA, dtype=np.int32):
     flat = arr.reshape((shp[0], -1)).astype(np.float64)
     out = flat * m.reshape((-1, 1)) + b.reshape((-1, 1))
     out = out.reshape(shp)
+    # clip to the dtype range before casting: out-of-range float->int
+    # casts are undefined behavior (NoData x large gain overflows int32)
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        out = np.clip(out, float(info.min), float(info.max))
     out = out.astype(dtype)
     out[arr == nodata] = nodata
     return out

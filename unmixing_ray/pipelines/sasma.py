@@ -70,9 +70,16 @@ def label_pixels(arr, em_spectra, max_dist=None):
 
 def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
                          params=None, max_samples=50000,
-                         input_col="pixels"):
+                         input_col="pixels", per_tile_cap=64):
     """Streaming training-pixel collection → driver CART fit.
-    Features = the first MNF/feature bands; labels from label_pixels."""
+    Features = the first MNF/feature bands; labels from label_pixels.
+
+    Scale contract: each tile contributes AT MOST ``per_tile_cap``
+    labeled pixels (deterministic in-tile stride — a function of tile
+    content only, so batching-invariant), and the driver pool is sorted
+    by (tile_id, pixel) then stride-capped at ``max_samples``; driver
+    memory is O(min(n_tiles * per_tile_cap, collected)) small rows, never
+    O(all labeled pixels) (round-1 collected every labeled pixel)."""
     em_spectra = np.asarray(em_spectra, dtype=np.float64)
 
     def collect(batch: pa.Table) -> pa.Table:
@@ -82,31 +89,44 @@ def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
             arrays, uniform = mnf_pixels_view(batch)
         else:
             arrays, uniform = tiles_to_ndarray(batch)
+        tile_ids = batch["tile_id"].to_pylist()
         feats = []
         labs = []
+        tids = []
+        pxs = []
         for i in range(batch.num_rows):
             a = (uniform[i] if uniform is not None else arrays[i])\
                 .astype(np.float64)
             lab = label_pixels(a, em_spectra).ravel()
-            sel = lab != 0
-            if sel.any():
-                X = a.reshape(a.shape[0], -1).T[sel][:,
-                                                     list(feature_bands)]
-                feats.append(X)
-                labs.append(lab[sel])
+            idx = np.nonzero(lab != 0)[0]
+            if not len(idx):
+                continue
+            if len(idx) > per_tile_cap:
+                step = int(np.ceil(len(idx) / per_tile_cap))
+                idx = idx[::step]
+            X = a.reshape(a.shape[0], -1).T[idx][:, list(feature_bands)]
+            feats.append(X)
+            labs.append(lab[idx])
+            tids.extend([tile_ids[i]] * len(idx))
+            pxs.extend(idx.tolist())
         X = np.vstack(feats) if feats else np.empty((0,
                                                      len(feature_bands)))
         y = np.concatenate(labs) if labs else np.empty(0, np.int64)
         return pa.table({
+            "tile_id": pa.array(tids, pa.string()),
+            "pixel": pa.array(pxs, pa.int32()),
             "x": pa.array(X.tolist(), pa.list_(pa.float64())),
             "y": pa.array(y.astype(np.int64)),
         })
 
-    rows = tiles.map_batches(collect, batch_format="pyarrow").take_all()
-    X = np.array([r["x"] for r in rows])
-    y = np.array([r["y"] for r in rows])
+    rows = tiles.map_batches(collect, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values(["tile_id", "pixel"], kind="stable")\
+        .reset_index(drop=True)
+    X = np.array(rows["x"].tolist()) if len(rows) else \
+        np.empty((0, len(feature_bands)))
+    y = rows["y"].to_numpy()
     if len(X) > max_samples:
-        # deterministic stride subsample
+        # deterministic stride subsample over the sorted pool
         step = int(np.ceil(len(X) / max_samples))
         X, y = X[::step], y[::step]
     tree = DecisionTree(**(params or {"max_depth": 10})).fit(X, y)

@@ -38,11 +38,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..constants import NODATA
-from .. import cellindex, geo
-from ..codecs import decode_image, encode_image
+from .. import cellindex
+from ..codecs import encode_image
 
 # bump when generator semantics change: forces cached corpora to rebuild
-GENERATOR_VERSION = 6
+GENERATOR_VERSION = 7
 
 # parquet row-group size for the images table: Ray splits reads at
 # row-group granularity, so 512-row groups capped decode parallelism at
@@ -180,6 +180,189 @@ def _expected_band_stats(pixels):
     return out
 
 
+def _q8_roundtrip_inline(pixels):
+    """Inline replication of the documented q8 codec map (per-band linear
+    8-bit quantization with float32-stored lo/scale), so lossy ground truth
+    never round-trips through the engine's decoder (oracle independence).
+
+    Spec (codecs.py docstring): per band, lo = min, scale = (max-lo)/255
+    (1.0 when flat); code = rint((x - lo)/scale) as uint8; lo and scale are
+    stored as float32; reconstruction = rint(float32(code*scale32 + lo32))
+    as int16.
+    """
+    p = pixels.shape[0]
+    out = np.empty_like(pixels)
+    for b in range(p):
+        band = pixels[b].astype(np.float32)
+        lo = float(band.min())
+        hi = float(band.max())
+        scale = (hi - lo) / 255.0 if hi > lo else 1.0
+        code = np.rint((band - lo) / scale).astype(np.uint8)
+        lo32 = np.float32(lo)
+        scale32 = np.float32(scale)
+        out[b] = np.rint(code.astype(np.float32) * scale32 + lo32)\
+            .astype(np.int16)
+    return out
+
+
+def _fcls_oracle(X, U):
+    """Independent exact FCLS for q=3 (oracle-side solver).
+
+    Geometric formulation — deliberately NOT the engine's KKT support
+    enumeration (kernels/nnls.py): solve the equality-constrained interior
+    optimum via one bordered solve; for pixels where it is infeasible the
+    optimum of a q=3 simplex lies on one of the three edges, each a 1-D
+    least-squares segment with a closed-form clamped minimizer; pick the
+    edge by comparing objective values. X: (n, p) float64; U: (q, p).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    U = np.asarray(U, dtype=np.float64)
+    n = X.shape[0]
+    q = U.shape[0]
+    if q != 3:
+        raise ValueError("oracle solver is specialized to q=3")
+    G = U @ U.T
+    K = np.zeros((q + 1, q + 1))
+    K[:q, :q] = G
+    K[:q, q] = 1.0
+    K[q, :q] = 1.0
+    Kinv = np.linalg.inv(K)
+    B = X @ U.T
+    sol = B @ Kinv[:q, :q].T + Kinv[:q, q][None, :]
+    out = sol.copy()
+    bad = ~(sol >= 0.0).all(axis=1)
+    if bad.any():
+        Xb = X[bad]
+        m = Xb.shape[0]
+        best_obj = np.full(m, np.inf)
+        best_a = np.zeros((m, q))
+        for i in range(q):
+            for j in range(i + 1, q):
+                d = U[j] - U[i]
+                dd = float(d @ d)
+                t = ((Xb - U[i][None, :]) @ d) / dd if dd > 0 else \
+                    np.zeros(m)
+                t = np.clip(t, 0.0, 1.0)
+                resid = U[i][None, :] + t[:, None] * d[None, :] - Xb
+                obj = (resid ** 2).sum(axis=1)
+                better = obj < best_obj
+                best_obj = np.where(better, obj, best_obj)
+                best_a[better] = 0.0
+                best_a[better, i] = 1.0 - t[better]
+                best_a[better, j] = t[better]
+        out[bad] = best_a
+    return out
+
+
+def _expected_fcls_means(stored):
+    """Per-tile expected FCLS abundance means (micro-4 units) against the
+    TRUE endmember spectra, replicating the engine's float32 abundance
+    storage before the mean. Returns {(ty, tx): (u4_0, u4_1, u4_2)}."""
+    p = stored.shape[0]
+    X = stored.reshape(p, -1).T.astype(np.float64)
+    ab = _fcls_oracle(X, ENDMEMBERS)            # (h*w, 3)
+    ab32 = ab.astype(np.float32).astype(np.float64)
+    ab_img = ab32.T.reshape(3, IMG_H, IMG_W)
+    out = {}
+    for ty in range(IMG_H // TILE):
+        for tx in range(IMG_W // TILE):
+            sub = ab_img[:, ty * TILE:(ty + 1) * TILE,
+                         tx * TILE:(tx + 1) * TILE].reshape(3, -1)
+            means = sub.mean(axis=1)
+            out[(ty, tx)] = tuple(
+                int(np.floor(means[b] * 10_000)) for b in range(3))
+    return out
+
+
+# Inline three-date composite ground truth. The spec mirrors the
+# reference's composite3 semantics (utils.py:454-525): starred reducers
+# and median strip NoData (all-NoData -> NoData); dates are the stored
+# pixels and +-10 shifts with NoData preserved. Every reduced value is a
+# multiple of 1/6 (mean of <=3 ints, median of <=3 ints), so
+# round(sum * 6) is an exact integer on both sides regardless of float
+# summation order.
+_COMPOSITE_REDUCERS = ("max", "median", "mean", "min", "median", "max")
+
+
+def _expected_composite_checksums(stored):
+    """{(ty, tx): checksum_x6} per tile, inline numpy."""
+    out = {}
+    for ty in range(IMG_H // TILE):
+        for tx in range(IMG_W // TILE):
+            a = stored[:, ty * TILE:(ty + 1) * TILE,
+                       tx * TILE:(tx + 1) * TILE]
+            d2 = np.where(a == NODATA, NODATA, a + 10)
+            d3 = np.where(a == NODATA, NODATA, a - 10)
+            total = 0.0
+            for b, red in enumerate(_COMPOSITE_REDUCERS):
+                stack = np.stack([a[b], d2[b], d3[b]]).astype(np.float64)
+                work = np.where(stack == NODATA, np.nan, stack)
+                all_nd = np.isnan(work).all(axis=0)
+                with np.errstate(invalid="ignore"):
+                    import warnings as _w
+                    with _w.catch_warnings():
+                        _w.simplefilter("ignore", RuntimeWarning)
+                        red_v = getattr(np, "nan%s" % red)(work, axis=0)
+                red_v = np.where(all_nd, 0.0, red_v)
+                total += red_v.sum()
+            out[(ty, tx)] = int(np.rint(total * 6.0))
+    return out
+
+
+# Hall rectification control sets: fixed (x, y) pixel locations in every
+# image (never inside the planted NoData strip at rows 0-3).
+HALL_BRIGHT_PX = ((10, 20), (30, 40), (50, 50))
+HALL_DARK_PX = ((5, 60), (45, 8), (60, 33))
+
+
+def _expected_hall_b0(stored):
+    """Expected rectified band-0 sum (Hall 1991 semantics, inline):
+    rectify the image's control means to the corpus's canonical
+    bright/dark reference spectra (true endmembers row 1 = bright
+    impervious, row 2 = dark water), per-pixel int32 truncation, sum over
+    non-NoData band-0 pixels."""
+    ref_bright = ENDMEMBERS[1]
+    ref_dark = ENDMEMBERS[2]
+    img_bright = np.array([stored[:, y, x] for x, y in HALL_BRIGHT_PX])\
+        .mean(axis=0)
+    img_dark = np.array([stored[:, y, x] for x, y in HALL_DARK_PX])\
+        .mean(axis=0)
+    m = (ref_bright - ref_dark) / (img_bright - img_dark)
+    b = (ref_dark * img_bright - img_dark * ref_bright) \
+        / (img_bright - img_dark)
+    flat = stored.reshape(stored.shape[0], -1).astype(np.float64)
+    # clip before the int32 cast: NoData (-9999) times a large gain can
+    # exceed the int32 range, and out-of-range float->int casts are
+    # undefined; clipping pins the behavior (engine side clips too)
+    rect = np.clip(flat * m.reshape(-1, 1) + b.reshape(-1, 1),
+                   -2.0 ** 31, 2.0 ** 31 - 1).astype(np.int32)
+    rect[stored.reshape(stored.shape[0], -1) == NODATA] = NODATA
+    r0 = rect[0]
+    return int(r0[r0 != NODATA].sum())
+
+
+N_PROBE_POINTS = 20
+
+
+def _expected_point_spectra(seq, stored, n_images):
+    """Probe-point ground truth for image ``seq`` (< N_PROBE_POINTS): the
+    deterministic probe point derived from this image's center lands at
+    pixel (32, 32) = tile (1, 1) local (0, 0); record (point_id, tile_id,
+    b0, b5) with inline truncation arithmetic."""
+    gt = image_geotransform(seq, n_images)
+    x = gt[0] + 32 * gt[1] + 1.0
+    y = gt[3] + 32 * gt[5] - 1.0
+    px = int((x - gt[0]) / gt[1])
+    py = int((y - gt[3]) / gt[5])
+    ty, tx = py // TILE, px // TILE
+    return {
+        "point_id": seq,
+        "tile_id": "img%08d_t%d_%d" % (seq, ty, tx),
+        "b0": int(stored[0, py, px]),
+        "b5": int(stored[5, py, px]),
+    }
+
+
 def generate_corpus(out_dir, n_images, seed=7, force=False):
     """Write the corpus into ``out_dir``; idempotent via a DONE marker."""
     out = pathlib.Path(out_dir)
@@ -200,6 +383,11 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
             exp_rows["b%d_%s" % (b, stat)] = []
     exp_rows["n_ndvi_pos"] = []
     exp_rows["tc1_sum_floor"] = []
+    exp_rows["b0_sum_rect"] = []
+    spec_rows = {k: [] for k in (
+        "tile_id", "caption", "q", "mean_ab0_u4", "mean_ab1_u4",
+        "mean_ab2_u4", "comp_checksum_x6")}
+    point_rows = {k: [] for k in ("point_id", "tile_id", "b0", "b5")}
     prev_pixels = None
     chunk = 512
     schema = pa.schema([
@@ -240,9 +428,10 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                 cols["gt"].append(list(gt))
                 cols["crs"].append(CRS)
                 # ground truth is the DECODED payload (lossy fmts alter
-                # pixels near mask thresholds)
-                stored = pixels if fmt != "q8" else decode_image(
-                    cols["bytes"][-1], fmt, IMG_W, IMG_H)
+                # pixels near mask thresholds); the q8 reconstruction is
+                # replicated inline so no engine decoder is in the oracle
+                stored = pixels if fmt != "q8" else \
+                    _q8_roundtrip_inline(pixels)
                 w_, s_, n_, q_ = _expected_counts(stored, qa)
                 exp_rows["image_id"].append(image_id)
                 exp_rows["n_water"].append(w_)
@@ -258,6 +447,22 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                 nd_, tc_ = _expected_spectral(stored)
                 exp_rows["n_ndvi_pos"].append(nd_)
                 exp_rows["tc1_sum_floor"].append(tc_)
+                exp_rows["b0_sum_rect"].append(_expected_hall_b0(stored))
+                fcls = _expected_fcls_means(stored)
+                comp = _expected_composite_checksums(stored)
+                for (ty, tx), means in sorted(fcls.items()):
+                    spec_rows["tile_id"].append(
+                        "%s_t%d_%d" % (image_id, ty, tx))
+                    spec_rows["caption"].append(cols["caption"][-1])
+                    spec_rows["q"].append(3)
+                    spec_rows["mean_ab0_u4"].append(means[0])
+                    spec_rows["mean_ab1_u4"].append(means[1])
+                    spec_rows["mean_ab2_u4"].append(means[2])
+                    spec_rows["comp_checksum_x6"].append(comp[(ty, tx)])
+                if seq < N_PROBE_POINTS:
+                    pt = _expected_point_spectra(seq, stored, n_images)
+                    for k, v in pt.items():
+                        point_rows[k].append(v)
             tbl = pa.table(
                 {"image_id": pa.array(cols["image_id"], pa.string()),
                  "bytes": pa.array(cols["bytes"], pa.binary()),
@@ -282,6 +487,12 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
 
     pq.write_table(pa.table({k: pa.array(v) for k, v in exp_rows.items()}),
                    str(out / "images_expected.parquet"))
+    pq.write_table(
+        pa.table({k: pa.array(v) for k, v in spec_rows.items()}),
+        str(out / "tiles_spectral_expected.parquet"))
+    pq.write_table(
+        pa.table({k: pa.array(v) for k, v in point_rows.items()}),
+        str(out / "points_expected.parquet"))
     _write_tiles_expected(out, n_images)
     _write_polygons(out, n_images, seed)
     manifest = {
@@ -296,20 +507,28 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
 
 
 def _write_tiles_expected(out, n_images):
-    """Closed-form tile lattice: pure arithmetic, no pixel decode."""
+    """Closed-form tile lattice: pure arithmetic, no pixel decode.
+
+    Fully independent of the engine's geo/cellindex code: the tile
+    geotransform is derived inline from the documented affine (sub-window
+    origin = image origin + offset * pixel size; axis-aligned, north-up)
+    and the cell indices from the documented grid spec (origin (0, 0),
+    level-0 edge 2^22 m, halved per level, floor division).
+    """
     tiles_per_side = IMG_W // TILE
     rows = {k: [] for k in (
         "tile_id", "image_id", "row_off", "col_off", "cx", "cy",
         "cell_ix", "cell_iy", "cell_level",
         "gt0", "gt1", "gt2", "gt3", "gt4", "gt5")}
-    edge = cellindex.cell_edge(CELL_LEVEL)
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
     for seq in range(n_images):
         gt = image_geotransform(seq, n_images)
         image_id = "img%08d" % seq
         for ty in range(tiles_per_side):
             for tx in range(tiles_per_side):
                 row_off, col_off = ty * TILE, tx * TILE
-                tgt = geo.tile_geotransform(gt, col_off, row_off)
+                tgt = (gt[0] + col_off * PX, PX, 0.0,
+                       gt[3] - row_off * PX, 0.0, -PX)
                 cx = tgt[0] + (TILE / 2.0) * tgt[1]
                 cy = tgt[3] + (TILE / 2.0) * tgt[5]
                 rows["tile_id"].append("%s_t%d_%d" % (image_id, ty, tx))
@@ -318,8 +537,8 @@ def _write_tiles_expected(out, n_images):
                 rows["col_off"].append(col_off)
                 rows["cx"].append(cx)
                 rows["cy"].append(cy)
-                rows["cell_ix"].append(int((cx - cellindex.GRID_ORIGIN_X) // edge))
-                rows["cell_iy"].append(int((cy - cellindex.GRID_ORIGIN_Y) // edge))
+                rows["cell_ix"].append(int(cx // edge))
+                rows["cell_iy"].append(int(cy // edge))
                 rows["cell_level"].append(CELL_LEVEL)
                 for i in range(6):
                     rows["gt%d" % i].append(tgt[i])

@@ -33,13 +33,17 @@ def _normalize(M):
 
 
 def get_query_matrix(embeddings_ds, query_ids):
-    """Gather the query vectors (tiny) from the dataset."""
-    wanted = set(int(q) for q in query_ids)
+    """Gather the query vectors (tiny) from the dataset (pyarrow filter:
+    empty pandas object batches confuse Ray's block sizing)."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    want_arr = pa_.array(sorted(int(q) for q in query_ids), pa_.int64())
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["vec_id"].isin(wanted)]
+    def pick(t):
+        m = pc_.is_in(t["vec_id"].cast(pa_.int64()), value_set=want_arr)
+        return t.filter(m)
 
-    rows = embeddings_ds.map_batches(pick, batch_format="pandas")\
+    rows = embeddings_ds.map_batches(pick, batch_format="pyarrow")\
         .to_pandas()
     rows = rows.sort_values("vec_id")
     return (rows["vec_id"].to_numpy(),
@@ -115,32 +119,89 @@ def _codes(M, planes):
     return code
 
 
-def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=8,
-             seed=4321):
-    """Approximate top-k: probe the query's LSH bucket plus all buckets at
-    Hamming distance 1 (multi-probe). Scale path: bucket id is the shuffle
-    key; each bucket is searched independently."""
+def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=4,
+             num_tables=8, seed=4321, probe_hamming=1):
+    """Approximate top-k via a multi-table bucket-partitioned LSH index.
+
+    Scale path, for real this time (round 1 full-scanned every batch):
+    1. the code stage assigns each vector its sign-bit bucket in each of
+       ``num_tables`` independent hyperplane tables and FILTERS to the
+       probed buckets (query bucket + Hamming-``probe_hamming`` ring per
+       table) — non-probed vectors never leave their block, and only
+       (table, bucket, vec_id, embedding) rows travel;
+    2. ``groupby(table, bucket)`` makes the bucket the shuffle/partition
+       key; each bucket group computes its local per-query top-k
+       independently;
+    3. the driver dedups + merges the tiny per-bucket partials.
+
+    Multi-table OR-amplification is what buys recall on weakly-similar
+    corpora (single-table sign-LSH recall collapses when neighbor cosine
+    is ~0.3: per-bit collision ~0.6 → 0.6^nbits per bucket).
+    """
     qids, Q = get_query_matrix(embeddings_ds, query_ids)
     Qn = _normalize(Q)
-    sample = Q.shape[1]
-    planes = _hyperplanes(sample, nbits, seed)
-    qcodes = _codes(Qn, planes)
-    probe_sets = []
-    for c in qcodes:
-        probes = {int(c)}
-        for b in range(nbits):
-            probes.add(int(c) ^ (1 << b))
-        probe_sets.append(probes)
+    dim = Q.shape[1]
+    tables = [_hyperplanes(dim, nbits, seed + 1000 * t)
+              for t in range(num_tables)]
+    # per table: probe set per query + the union (the stage filter)
+    probe_sets = []     # [table][query] -> set of codes
+    all_probes = []     # [table] -> sorted union
+    for t in range(num_tables):
+        qcodes = _codes(Qn, tables[t])
+        per_q = []
+        for c in qcodes:
+            probes = {int(c)}
+            frontier = [int(c)]
+            for _ in range(probe_hamming):
+                nxt = []
+                for v in frontier:
+                    for b in range(nbits):
+                        w = v ^ (1 << b)
+                        if w not in probes:
+                            probes.add(w)
+                            nxt.append(w)
+                frontier = nxt
+            per_q.append(probes)
+        probe_sets.append(per_q)
+        all_probes.append(sorted(set().union(*per_q)))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def code_stage(df: pd.DataFrame) -> pd.DataFrame:
         M = _batch_embeddings(df)
         Mn = _normalize(M)
-        codes = _codes(Mn, planes)
         vec_ids = df["vec_id"].to_numpy()
+        parts = []
+        for t in range(num_tables):
+            codes = _codes(Mn, tables[t])
+            keep = np.isin(codes, all_probes[t])
+            if not keep.any():
+                continue
+            parts.append(pd.DataFrame({
+                "table": pd.Series(np.full(keep.sum(), t), dtype="int64"),
+                "bucket": pd.Series(codes[keep], dtype="int64"),
+                "vec_id": pd.Series(vec_ids[keep], dtype="int64"),
+                "embedding": df["embedding"]
+                .iloc[np.nonzero(keep)[0]].reset_index(drop=True),
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "table": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "embedding": pd.Series([], dtype=object)})
+        return pd.concat(parts, ignore_index=True)
+
+    coded = embeddings_ds.map_batches(code_stage, batch_format="pandas")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = int(g["table"].iloc[0])
+        bucket = int(g["bucket"].iloc[0])
+        Mn = _normalize(_batch_embeddings(g))
+        vec_ids = g["vec_id"].to_numpy()
         out = {"query_id": [], "vec_id": [], "sim_u4": []}
         for j in range(len(qids)):
-            mask = np.isin(codes, list(probe_sets[j])) \
-                & (vec_ids != qids[j])
+            if bucket not in probe_sets[t][j]:
+                continue
+            mask = vec_ids != qids[j]
             if not mask.any():
                 continue
             s = Mn[mask] @ Qn[j]
@@ -152,10 +213,12 @@ def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=8,
             out["sim_u4"].extend(su4[order].tolist())
         return pd.DataFrame(out)
 
-    partials = embeddings_ds.map_batches(
-        partial, batch_format="pandas").to_pandas()
+    partials = coded.groupby(["table", "bucket"]).map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
     if not len(partials):
         return pd.DataFrame({"query_id": [], "rnk": [], "vec_id": []})
+    # a vector can surface from several tables: dedup before ranking
+    partials = partials.drop_duplicates(["query_id", "vec_id"])
     partials = partials.sort_values(
         ["query_id", "sim_u4", "vec_id"], ascending=[True, False, True])
     out = partials.groupby("query_id", sort=True).head(k).copy()
@@ -163,13 +226,22 @@ def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=8,
     return out[["query_id", "rnk", "vec_id"]].reset_index(drop=True)
 
 
-def cosine_near_dup_exact(embeddings_ds, threshold=0.95):
+def cosine_near_dup_exact(embeddings_ds, threshold=0.95,
+                          max_rows=200_000):
     """Exact embedding-cosine near-dup pairs: the embedding table's
     vector side is broadcast once (ray.put) and every batch computes a
     vectorized batch×all similarity block, emitting (vec_a < vec_b)
-    pairs. Exact counterpart of the SQL self-join oracle; the LSH variant
-    below is the approximate scale path."""
+    pairs. Exact counterpart of the SQL self-join oracle and QUARANTINED
+    to oracle scale: O(N^2) compute with the whole table broadcast, so it
+    refuses tables above ``max_rows`` — use ``cosine_near_dup_pairs``
+    (LSH buckets) as the production scale path."""
     import ray
+    n = embeddings_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            "cosine_near_dup_exact is the O(N^2) oracle baseline and is "
+            "capped at %d rows (got %d); use cosine_near_dup_pairs for "
+            "large tables" % (max_rows, n))
     all_rows = embeddings_ds.to_pandas()
     all_ids = all_rows["vec_id"].to_numpy()
     all_M = _normalize(np.stack(all_rows["embedding"].to_numpy())

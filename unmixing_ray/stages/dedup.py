@@ -138,15 +138,19 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
                       seed=1234):
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
-    map_batches signature stage → explode (band, band_key, doc_id) →
+    map_batches signature stage → explode ONLY fixed-width columns
+    (band, band_key, doc_id) — the full text never enters the band
+    shuffle (x bands text replication was the round-1 scale bug) →
     groupby band bucket → candidate pairs (capped per bucket by pairing
-    against the bucket min) → exact char-k-gram Jaccard verify ≥ threshold.
-    Returns Dataset of (doc_a, doc_b, jaccard_u6).
+    against the bucket min) → texts of the (small by construction)
+    candidate set are gathered with one filtered pass and verified with
+    exact char-k-gram Jaccard ≥ threshold.
+    Returns pandas (doc_a, doc_b, jaccard_u6).
     """
     rows_per_band = num_perm // bands
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_key": [], "doc_id": [], "text": []}
+        out = {"band": [], "band_key": [], "doc_id": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sig = minhash_signature(text, num_perm, k, seed)
             for b in range(bands):
@@ -155,32 +159,57 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
                 out["band"].append(b)
                 out["band_key"].append(key)
                 out["doc_id"].append(doc_id)
-                out["text"].append(text)
         return pd.DataFrame(out)
 
     exploded = docs.map_batches(sig_stage, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "jaccard_u6": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        texts = g["text"].tolist()
-        rows = {"doc_a": [], "doc_b": [], "jaccard_u6": []}
-        for i in range(1, len(ids)):
-            j = ngram_jaccard(texts[0], texts[i], k)
-            if j >= threshold and ids[0] != ids[i]:
-                rows["doc_a"].append(ids[0])
-                rows["doc_b"].append(ids[i])
-                rows["jaccard_u6"].append(int(np.floor(j * 1_000_000)))
-        return pd.DataFrame(rows)
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64")})
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame({
+            "doc_a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
+            "doc_b": pd.Series(ids[1:], dtype="int64")})
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distinct pairs across bands
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard_u6", alias_name="jaccard_u6"))
+    cand = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard_u6": pd.Series([], dtype="int64")})
+    if not len(cand):
+        return empty
+    cand = cand.drop_duplicates().reset_index(drop=True)
+    cand = cand[cand["doc_a"] != cand["doc_b"]]
+    # gather candidate texts: one column-pruned filtered pass; the
+    # candidate set is bounded by bucket-min pairing, so this collect is
+    # O(candidates), not O(corpus)
+    wanted = set(int(i) for i in
+                 np.union1d(cand["doc_a"].to_numpy(),
+                            cand["doc_b"].to_numpy()))
+
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    want_arr = pa_.array(sorted(wanted), pa_.int64())
+
+    def pick(t):
+        m = pc_.is_in(t["doc_id"].cast(pa_.int64()), value_set=want_arr)
+        return t.select(["doc_id", "text"]).filter(m)
+
+    texts = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    rows = {"doc_a": [], "doc_b": [], "jaccard_u6": []}
+    for a, b in sorted(zip(cand["doc_a"], cand["doc_b"])):
+        j = ngram_jaccard(tmap[int(a)], tmap[int(b)], k)
+        if j >= threshold:
+            rows["doc_a"].append(int(a))
+            rows["doc_b"].append(int(b))
+            rows["jaccard_u6"].append(int(np.floor(j * 1_000_000)))
+    out = pd.DataFrame(rows)
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "jaccard_u6": "int64"}) if len(out) else empty
 
 
 def simhash64(text, k=2):

@@ -97,8 +97,11 @@ def induce_endmembers_nfindr(tiles_mnf, q=3):
 def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
     """Distributed Pixel Purity Index over all tiles' MNF pixels.
 
-    Per batch: extremes per skewer with (value, tile_id, pixel) keys;
-    driver merge breaks ties on (tile_id, pixel) so the answer is
+    Per batch: per-tile skewer extremes are merged WITHIN the batch first
+    (deterministic (value, tile_id, pixel) tiebreak), so every batch emits
+    exactly 2*num_skewers rows regardless of batch size — the driver
+    collect is O(n_batches * num_skewers), independent of tile count, and
+    the final merge applies the same tiebreak, making the answer
     batching-invariant. Returns (q, p) spectra of the top-q pixels by
     extremity count (count desc, then (tile_id, pixel) asc).
     """
@@ -111,22 +114,55 @@ def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
             mats = arrays
         else:
             mats = [uniform[i] for i in range(uniform.shape[0])]
-        rows = {"skewer": [], "kind": [], "value": [], "tile_id": [],
-                "pixel": [], "spectrum": []}
+        # running per-skewer extremes across the batch's tiles
+        best = {"min": None, "max": None}   # (value, tid_arr, px, spec)
         for tid, a in zip(tile_ids, mats):
             p = a.shape[0]
             if state["sk"] is None or state["sk"].shape[1] != p:
                 state["sk"] = em_k.ppi_skewers(p, num_skewers, seed)
             X = a.reshape(p, -1).T.astype(np.float64)
             imin, vmin, imax, vmax = em_k.ppi_block_extremes(X, state["sk"])
-            s = np.arange(num_skewers)
             for kind, ii, vv in (("min", imin, vmin), ("max", imax, vmax)):
-                rows["skewer"].extend(s.tolist())
-                rows["kind"].extend([kind] * num_skewers)
-                rows["value"].extend(vv.tolist())
-                rows["tile_id"].extend([tid] * num_skewers)
-                rows["pixel"].extend(ii.tolist())
-                rows["spectrum"].extend(X[ii].tolist())
+                spec = X[ii]                       # (s, p)
+                cur = best[kind]
+                if cur is None:
+                    best[kind] = [vv.copy(),
+                                  np.full(num_skewers, tid, dtype=object),
+                                  ii.astype(np.int64), spec.copy()]
+                    continue
+                cv, ct, cp, cs = cur
+                if kind == "min":
+                    better = (vv < cv)
+                else:
+                    better = (vv > cv)
+                # ties: lower (tile_id, pixel) wins; within one tile the
+                # block argmin/argmax already picked the lowest pixel, and
+                # tile_ids ascend in (tile_id) order per batch only if
+                # sorted — compare explicitly to stay order-independent
+                tie = vv == cv
+                if tie.any():
+                    lower = np.array(
+                        [(tid, int(ii[s])) < (ct[s], int(cp[s]))
+                         for s in np.nonzero(tie)[0]])
+                    better = better.copy()
+                    better[np.nonzero(tie)[0]] |= lower
+                cv[better] = vv[better]
+                ct[better] = tid
+                cp[better] = ii[better]
+                cs[better] = spec[better]
+        rows = {"skewer": [], "kind": [], "value": [], "tile_id": [],
+                "pixel": [], "spectrum": []}
+        s_idx = np.arange(num_skewers)
+        for kind in ("min", "max"):
+            if best[kind] is None:
+                continue
+            cv, ct, cp, cs = best[kind]
+            rows["skewer"].extend(s_idx.tolist())
+            rows["kind"].extend([kind] * num_skewers)
+            rows["value"].extend(cv.tolist())
+            rows["tile_id"].extend(ct.tolist())
+            rows["pixel"].extend(cp.tolist())
+            rows["spectrum"].extend(cs.tolist())
         return pa.table({
             "skewer": pa.array(rows["skewer"], pa.int32()),
             "kind": pa.array(rows["kind"], pa.string()),
@@ -184,16 +220,26 @@ class FCLSUnmixActor:
     so both the endmember matrix and the pixel matrix are truncated to the
     first k MNF components before the solve."""
 
-    def __init__(self, endmembers, input_col="mnf"):
+    def __init__(self, endmembers, input_col="mnf", n_dims="qminus1",
+                 dtype=np.float32):
         U = np.asarray(endmembers, dtype=np.float64)
         self.q = U.shape[0]
-        self.k = self.q - 1
+        # n_dims: "qminus1" = the reference's dimension-drop (MNF path);
+        # None = use every band (reflectance-space unmixing against known
+        # library spectra); int = explicit truncation.
+        if n_dims == "qminus1":
+            self.k = self.q - 1
+        elif n_dims is None:
+            self.k = U.shape[1]
+        else:
+            self.k = int(n_dims)
         self.U = U[:, : self.k]
         self.input_col = input_col
+        self.dtype = dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .decode import binary_views
-        values, offsets = binary_views(batch[self.input_col], np.float32)
+        values, offsets = binary_views(batch[self.input_col], self.dtype)
         bands = batch["bands"].to_numpy()
         hs = batch["h"].to_numpy()
         ws = batch["w"].to_numpy()
@@ -257,13 +303,16 @@ def default_pool_size(reserve=2, cap=8):
 
 
 def unmix(tiles_mnf, endmembers, concurrency=None, batch_size=64,
-          input_col="mnf"):
-    """Run the FCLS actor pool over MNF tiles → abundance-tile Dataset."""
+          input_col="mnf", n_dims="qminus1", dtype=np.float32):
+    """Run the FCLS actor pool over MNF tiles → abundance-tile Dataset.
+
+    ``input_col="pixels", n_dims=None, dtype=np.int16`` unmixes raw
+    reflectance tiles against known library spectra (no MNF)."""
     if concurrency is None:
         concurrency = default_pool_size()
     return tiles_mnf.map_batches(
         FCLSUnmixActor,
-        fn_constructor_args=(endmembers, input_col),
+        fn_constructor_args=(endmembers, input_col, n_dims, dtype),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
