@@ -736,6 +736,41 @@ def q_forward_model_rmse(sf_dir):
                          "n_tiles": [len(ab_map)]})
 
 
+def q_salted_cell_counts(sf_dir):
+    """Skew-handling parity: per-cell tile counts over the SKEWED corpus
+    (half the images stacked on one location → planted hot cells),
+    computed with the salted groupby plan (hot cells split across
+    reducers, per-(cell, salt) partials merged). The oracle is the
+    closed-form lattice sidecar — proving the salted plan's output equals
+    the unsalted truth."""
+    import pyarrow as pa
+    from unmixing_ray import cellindex
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import shuffle
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)\
+        .select_columns(["cell", "tile_id"])
+
+    def cnt(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": pa.array([g["cell"][0].as_py()], pa.uint64()),
+            "n": pa.array([g.num_rows], pa.int64())})
+
+    parts = shuffle.salted_groupby(tiles, "cell", cnt, hot_threshold=64)\
+        .to_pandas()
+    merged = parts.groupby("cell", as_index=False)["n"].sum()
+    ix, iy, _lv = cellindex.cell_to_ixiy(
+        merged["cell"].to_numpy().astype(np.uint64))
+    return pd.DataFrame({
+        "cell_ix": pd.Series(ix, dtype="int64"),
+        "cell_iy": pd.Series(iy, dtype="int64"),
+        "n_tiles": merged["n"].astype("int64")})
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ANN queries
 
@@ -817,10 +852,12 @@ def q_cosine_near_dup_lsh(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate the corpora the driver will exercise (cached, idempotent)
+    from unmixing_ray.sources import synth as _synth
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         if os.path.isdir(sf):
             try:
                 _corpus(sf)
+                _synth.ensure_skewed_corpus(sf)
             except Exception:
                 pass
     return {
@@ -844,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders": q_customer_orders,
         "part_filter_topk": q_part_filter_topk,
         "spectra_at_points": q_spectra_at_points,
+        "salted_cell_counts": q_salted_cell_counts,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
         "forward_model_rmse": q_forward_model_rmse,
@@ -873,10 +911,12 @@ def oracle_sql() -> dict[str, str]:
     # the corpus-reading oracles need the synthetic tables on disk; make
     # sure they exist even if the driver evaluates SQL before running the
     # corresponding Ray query (generation is cached/idempotent)
+    from unmixing_ray.sources import synth as _synth
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         if os.path.isdir(sf):
             try:
                 _corpus(sf)
+                _synth.ensure_skewed_corpus(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, text
@@ -952,6 +992,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(point_id AS BIGINT) AS point_id, tile_id,
                    CAST(b0 AS BIGINT) AS b0, CAST(b5 AS BIGINT) AS b5
             FROM read_parquet('{C}/points_expected.parquet')""",
+        "salted_cell_counts": f"""
+            SELECT CAST(cell_ix AS BIGINT) AS cell_ix,
+                   CAST(cell_iy AS BIGINT) AS cell_iy,
+                   CAST(count(*) AS BIGINT) AS n_tiles
+            FROM read_parquet('{C}-skew/skew_tiles_expected.parquet')
+            GROUP BY cell_ix, cell_iy""",
         "image_dedup_phash": f"""
             SELECT phash, min(image_id) AS keep_image_id,
                    CAST(count(*) AS BIGINT) AS n_dups

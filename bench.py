@@ -113,6 +113,51 @@ def main():
             r.to_pandas()
         queries[name] = round(time.monotonic() - t0, 3)
 
+    # skew-handling bench: per-cell pixel checksums over the SKEWED
+    # corpus (half the images stacked on one location), plain groupby vs
+    # salted plan. Decode is materialized once (untimed) so the numbers
+    # isolate the shuffle+reduce.
+    if os.environ.get("RAY_GRAFT_SKEW", "1") != "0":
+        import pyarrow as pa
+        import numpy as np
+        import ray.data
+        from unmixing_ray.sources import images as img_src
+        from unmixing_ray.stages import decode as dstage
+        from unmixing_ray.stages import shuffle as sh
+        skew_corpus = synth.ensure_skewed_corpus(sf_dir)
+        skew_tiles_dir = skew_corpus + "_tiles_v%d" % synth.GENERATOR_VERSION
+        if not os.path.isdir(skew_tiles_dir):
+            ds = img_src.read_images(skew_corpus)
+            fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                             cell_level=synth.CELL_LEVEL)
+            ds.map_batches(fn, batch_format="pyarrow", batch_size=32)\
+                .select_columns(["cell", "tile_id", "pixels"])\
+                .write_parquet(skew_tiles_dir)
+
+        def checksum(g: pa.Table) -> pa.Table:
+            from unmixing_ray.stages.decode import binary_views
+            values, _off = binary_views(g["pixels"], np.int16)
+            return pa.table({
+                "cell": pa.array([g["cell"][0].as_py()], pa.uint64()),
+                "n": pa.array([g.num_rows], pa.int64()),
+                "checksum": pa.array([int(values.astype(np.int64).sum())],
+                                     pa.int64())})
+
+        t0 = time.monotonic()
+        skew_ds = ray.data.read_parquet(skew_tiles_dir)
+        plain = skew_ds.groupby("cell").map_groups(
+            checksum, batch_format="pyarrow").to_pandas()
+        queries["skew_unsalted"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        skew_ds = ray.data.read_parquet(skew_tiles_dir)
+        salted = sh.salted_groupby(skew_ds, "cell", checksum,
+                                   hot_threshold=256).to_pandas()
+        salted = salted.groupby("cell", as_index=False).sum()
+        queries["skew_salted"] = round(time.monotonic() - t0, 3)
+        merged = salted.merge(plain, on="cell", suffixes=("_s", "_p"))
+        assert (merged["checksum_s"] == merged["checksum_p"]).all(), \
+            "salted checksum mismatch"
+
     tiles_per_sec = round(n_tiles / queries["flagship"], 2)
     print(json.dumps({
         "metric": "flagship_pipeline_seconds",

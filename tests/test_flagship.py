@@ -89,6 +89,20 @@ def test_resume_skips_completed(small_corpus, tmp_path):
         assert os.path.getmtime(p) == m
 
 
+def test_fused_induce_matches_recompute(flagship_result):
+    """The side-channel candidate pool (fused into the write pass) and
+    the standalone recompute pass (used on resumed runs) must induce
+    bit-identical endmembers."""
+    import ray.data
+    from unmixing_ray.stages import unmix as unmix_stage
+    _corpus, out, res = flagship_result
+    tiles = ray.data.read_parquet(os.path.join(out, "tiles"),
+                                  file_extensions=["parquet"])
+    W = res["rotation"]
+    ems = unmix_stage.induce_endmembers_fused(tiles, W, q=3)
+    assert np.array_equal(ems, res["endmembers"])
+
+
 def test_parallelism_invariance(small_corpus, tmp_path):
     """Same endmembers + identical abundance values at different batch
     sizes / concurrency (Ray analogue of test/tests.py:62-82)."""

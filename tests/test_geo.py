@@ -65,3 +65,51 @@ def test_pixel_to_geojson():
     doc = json.loads(geo.pixel_to_geojson([(0, 0)], GT))
     assert doc["type"] == "GeometryCollection"
     assert doc["geometries"][0]["coordinates"] == [321675.0, 4701465.0]
+
+
+# ---------------------------------------------------------------------------
+# dd (decimal-degree) reprojection: self-contained transverse Mercator
+# (reference analogue: utils.py:913-937 / 1129-1143, test/tests.py:483-509)
+
+def test_dd_projection_invariants():
+    import numpy as np
+    from unmixing_ray import proj
+    # quarter meridian matches the published WGS84 constant to < 1 mm
+    assert abs(proj._meridian_arc(np.pi / 2) - 10001965.7293) < 1e-3
+    # central meridian x equator maps to (FE, 0) exactly
+    x, y = proj.dd_to_projected(proj.DEFAULT_LON0, 0.0)
+    assert float(x) == 500000.0 and float(y) == 0.0
+    # east-west symmetry about the central meridian
+    e1, n1 = proj.dd_to_projected(proj.DEFAULT_LON0 + 1.0, 40.0)
+    e2, n2 = proj.dd_to_projected(proj.DEFAULT_LON0 - 1.0, 40.0)
+    assert abs((float(e1) - 500000.0) + (float(e2) - 500000.0)) < 1e-6
+    assert abs(float(n1) - float(n2)) < 1e-6
+
+
+def test_dd_roundtrip_property():
+    import numpy as np
+    from unmixing_ray import proj
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-84, -78, 500)
+    lat = rng.uniform(0.5, 84, 500)
+    x, y = proj.dd_to_projected(lon, lat)
+    lon2, lat2 = proj.projected_to_dd(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-7
+    assert np.abs(lat2 - lat).max() < 1e-7
+    x2, y2 = proj.dd_to_projected(lon2, lat2)
+    assert np.abs(x2 - x).max() < 1e-2
+    assert np.abs(y2 - y).max() < 1e-2
+
+
+def test_pixel_to_xy_dd_mode():
+    """pixel -> projected -> dd -> pixel closes (the reference's
+    test_pixel_to_geographic_coords / inverse pin, tests.py:483-509)."""
+    (lon, lat), = geo.pixel_to_xy([(10, 20)], GT, dd=True)
+    assert -85 < lon < -78 and 0 < lat < 84
+    (px, py), = geo.xy_to_pixel([(lon, lat)], GT, dd=True)
+    # truncation may land on the pixel edge: allow the int() boundary
+    assert px in (9, 10) and py in (19, 20)
+    # interior probe closes exactly
+    (lon_c, lat_c), = geo.pixel_to_xy([(10.5, 20.5)], GT, dd=True)
+    (px2, py2), = geo.xy_to_pixel([(lon_c, lat_c)], GT, dd=True)
+    assert (px2, py2) == (10, 20)

@@ -59,7 +59,7 @@ def registry(ray_session):
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",
     "decode_invariants", "unmix_abundance", "composite_cells",
-    "hall_rectification", "spectra_at_points",
+    "hall_rectification", "spectra_at_points", "salted_cell_counts",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -67,3 +67,36 @@ def test_add_salt_deterministic():
     out2 = fn(batch)
     assert out1["salt"].to_pylist() == out2["salt"].to_pylist()
     assert out1["salt"][0].as_py() == 0   # cold key unsalted
+
+
+def test_skewed_corpus_salted_equals_unsalted(tmp_path_factory):
+    """Planted hot cells (stacked images): the salted plan must actually
+    salt them AND produce the same per-cell result as the plain groupby."""
+    import pyarrow as pa
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    out = tmp_path_factory.mktemp("skew")
+    corpus = synth.generate_skewed_corpus(str(out), n_images=60, seed=7)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=16)\
+        .select_columns(["cell", "tile_id"])
+
+    counts = sh.cell_counts(tiles)
+    plan = sh.plan_salts(counts, hot_threshold=16)
+    assert plan, "skewed corpus must produce at least one hot cell"
+    assert max(counts.values()) >= 30  # the stacked location
+
+    def cnt(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": pa.array([g["cell"][0].as_py()], pa.uint64()),
+            "n": pa.array([g.num_rows], pa.int64())})
+
+    salted = sh.salted_groupby(tiles, "cell", cnt, hot_threshold=16)\
+        .to_pandas().groupby("cell", as_index=False)["n"].sum()
+    plain = tiles.groupby("cell").map_groups(
+        cnt, batch_format="pyarrow").to_pandas()
+    merged = salted.merge(plain, on="cell", suffixes=("_s", "_p"))
+    assert len(merged) == len(plain) == len(salted)
+    assert (merged["n_s"] == merged["n_p"]).all()

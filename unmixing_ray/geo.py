@@ -30,38 +30,45 @@ __all__ = [
 ]
 
 
-def pixel_to_xy(pixel_pairs, gt, dd=False):
+def pixel_to_xy(pixel_pairs, gt, dd=False, lon0=None):
     """Translate (px, py) pixel pairs to (x, y) map coordinates.
 
     Bit-for-bit with reference ``utils.py:930-931``:
     ``x = px * gt[1] + gt[0]; y = py * gt[5] + gt[3]``.
-    ``dd`` (reprojection to decimal degrees) is not supported without a CRS
-    database; the engine works in projected coordinates end to end.
+    ``dd=True`` reprojects the result to decimal degrees (lon, lat) like
+    reference ``utils.py:913-937``, via the engine's self-contained
+    transverse-Mercator inverse for the working UTM-like CRS (proj.py;
+    ``lon0`` overrides the zone's central meridian).
     """
-    if dd:
-        raise NotImplementedError(
-            "decimal-degree reprojection requires a CRS database (GDAL/OSR) "
-            "that is intentionally outside this engine; work in projected "
-            "coordinates"
-        )
     out = []
     for point in pixel_pairs:
         x = point[0] * gt[1] + gt[0]
         y = point[1] * gt[5] + gt[3]
         out.append((x, y))
+    if dd:
+        from . import proj
+        kw = {} if lon0 is None else {"lon0": lon0}
+        out = [tuple(np.asarray(v).item() for v in
+                     proj.projected_to_dd(x, y, **kw)) for x, y in out]
     return out
 
 
-def xy_to_pixel(xy_pairs, gt, dd=False):
+def xy_to_pixel(xy_pairs, gt, dd=False, lon0=None):
     """Translate (x, y) map coordinates to (px, py) pixel pairs.
 
     Bit-for-bit with reference ``utils.py:1153-1155``, including the
     ``int()`` truncation toward zero (NOT floor) of the fractional pixel.
+    ``dd=True`` takes (lon, lat) decimal-degree input and forward-projects
+    it into the working CRS first (reference ``utils.py:1129-1143``).
     """
     if dd:
-        raise NotImplementedError(
-            "decimal-degree reprojection is out of scope; see pixel_to_xy"
-        )
+        from . import proj
+        kw = {} if lon0 is None else {"lon0": lon0}
+        proj_pairs = []
+        for lon, lat in xy_pairs:
+            x, y = proj.dd_to_projected(lon, lat, **kw)
+            proj_pairs.append((float(x), float(y)))
+        xy_pairs = proj_pairs
     out = []
     for point in xy_pairs:
         x = (point[0] - gt[0]) / gt[1]

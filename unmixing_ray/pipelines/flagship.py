@@ -34,14 +34,17 @@ from ..state import manifest as ckpt
 
 def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
                 cell_level=DEFAULT_CELL_LEVEL, clean=True,
-                checkpoint=True, partition_shift=12, with_mnf_stats=False):
+                checkpoint=True, partition_shift=12, with_mnf_stats=False,
+                with_candidates=False):
     """Images → (masked) tiles. With ``checkpoint`` the tiles table is
     written partitioned-by-coarse-cell and re-read (the resume point);
     otherwise the lazy Dataset is returned directly.
 
-    ``with_mnf_stats``: piggyback MNF partial statistics on the write
-    pass (side channel) so the fit doesn't need its own full read; only
-    valid when nothing was resumed — returns (tiles, stats_or_None).
+    ``with_mnf_stats`` / ``with_candidates``: piggyback MNF partial
+    statistics and/or per-tile endmember candidates on the write pass
+    (side channel) so neither needs its own full read; only valid when
+    nothing was resumed — returns (tiles, (stats_or_None, pool_or_None))
+    with the tuple None on resumed runs.
     """
     import ray
     n_blocks = max(16, 4 * int(ray.cluster_resources().get("CPU", 8))) \
@@ -52,8 +55,9 @@ def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
     if clean:
         tiles = tiles.map_batches(mask_stage.make_clean_stage(),
                                   batch_format="pyarrow", batch_size=64)
+    want_side = with_mnf_stats or with_candidates
     if not checkpoint:
-        return (tiles, None) if with_mnf_stats else tiles
+        return (tiles, None) if want_side else tiles
     tiles_dir = os.path.join(out_dir, "tiles")
 
     def add_part(batch):
@@ -64,16 +68,30 @@ def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
 
     parted = tiles.map_batches(add_part, batch_format="pyarrow")
     remaining, skipped = ckpt.resume_filter(parted, tiles_dir, "part")
-    side_fn = mnf_stage.batch_partial_stats if with_mnf_stats else None
+    side_fn = None
+    if want_side:
+        def side_fn(batch):
+            side = {}
+            if with_mnf_stats:
+                side["stats"] = mnf_stage.batch_partial_stats(batch)
+            if with_candidates:
+                side["cand"] = unmix_stage.candidates_side_channel(batch)
+            return side
     _agg, sides = ckpt.checkpointed_write_streaming(
         remaining, tiles_dir, "part", stage="tiles", side_fn=side_fn)
     out = ray.data.read_parquet(tiles_dir, file_extensions=["parquet"])
-    if with_mnf_stats:
-        # side stats only cover freshly-written batches; a resumed run
-        # must refit from the full checkpoint
-        stats = mnf_stage.merge_partial_stats(sides) \
-            if (sides and skipped == 0) else None
-        return out, stats
+    if want_side:
+        # side results only cover freshly-written batches; a resumed run
+        # must recompute from the full checkpoint
+        if sides and skipped == 0:
+            stats = mnf_stage.merge_partial_stats(
+                [s["stats"] for s in sides]) if with_mnf_stats else None
+            pool = None
+            if with_candidates:
+                pool = unmix_stage.merge_side_pools(
+                    [s["cand"] for s in sides])
+            return out, (stats, pool)
+        return out, None
     return out
 
 
@@ -86,10 +104,12 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     timings = {}
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.monotonic()
+    want_cand = induce == "nfindr"
     if checkpoint:
         tiles, fused = build_tiles(corpus_dir, out_dir, tile, cell_level,
                                    clean, checkpoint,
-                                   with_mnf_stats=True)
+                                   with_mnf_stats=True,
+                                   with_candidates=want_cand)
     else:
         tiles = build_tiles(corpus_dir, out_dir, tile, cell_level, clean,
                             checkpoint)
@@ -100,24 +120,29 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     # streaming pass reduced to tiny partials
     t0 = time.monotonic()
     if fused is not None:
-        W, snr = fused
+        (W, snr), pool = fused[0], fused[1]
     else:
         W, snr = mnf_stage.fit_mnf(tiles)
+        pool = None
     timings["mnf_fit"] = round(time.monotonic() - t0, 3)
     apply_fn = mnf_stage.make_apply_mnf(W)
     tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
                                   batch_size=64)
 
-    # endmember induction in MNF space (column-pruned read: the induce
-    # pass needs only pixels + shape metadata, not captions/qa/gt)
+    # endmember induction: the NFINDR path refines the candidate pool
+    # piggybacked on the write pass (no extra Dataset execution); a
+    # resumed run recomputes the SAME pool from the checkpoint with one
+    # column-pruned pass (bit-identical merge), PPI keeps its own pass
     t0 = time.monotonic()
-    lean = tiles.select_columns(
-        ["tile_id", "bands", "h", "w", "pixels"]).map_batches(
-        apply_fn, batch_format="pyarrow", batch_size=64)
     if induce == "ppi":
+        lean = tiles.select_columns(
+            ["tile_id", "bands", "h", "w", "pixels"]).map_batches(
+            apply_fn, batch_format="pyarrow", batch_size=64)
         endmembers = unmix_stage.ppi_global(lean, q=q)
+    elif pool is not None:
+        endmembers = unmix_stage.nfindr_from_pool(pool, W, q=q)
     else:
-        endmembers = unmix_stage.induce_endmembers_nfindr(lean, q=q)
+        endmembers = unmix_stage.induce_endmembers_fused(tiles, W, q=q)
     timings["induce"] = round(time.monotonic() - t0, 3)
 
     # FCLS actor pool → abundance tiles → checkpointed partitioned write
@@ -179,6 +204,20 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
                                               "join_rows.parquet"))
     timings["spatial_join"] = round(time.monotonic() - t0, 3)
 
+    # integrity: every checkpointed tile must have an abundance row (the
+    # manifests cover completed partitions across ALL runs, so this holds
+    # for resumed runs too); a mismatch means lost write metrics (e.g.
+    # worker death under memory pressure) and must be loud, not silent
+    tiles_rows = sum(r["rows"] for r in
+                     ckpt.read_manifest(os.path.join(out_dir, "tiles"))) \
+        if checkpoint else None
+    ab_rows = sum(r["rows"] for r in lineage)
+    if checkpoint and tiles_rows != ab_rows:
+        import sys
+        print("WARNING: abundance manifest covers %d rows but the tiles "
+              "checkpoint has %d — rerun to resume the missing "
+              "partitions" % (ab_rows, tiles_rows), file=sys.stderr)
+
     return {
         "rotation": W,
         "snr": snr,
@@ -187,4 +226,6 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
         "join_dir": join_dir,
         "lineage": lineage,
         "timings": timings,
+        "integrity": {"tiles_rows": tiles_rows,
+                      "abundance_rows": ab_rows},
     }

@@ -597,6 +597,104 @@ def _write_polygons(out, n_images, seed):
     pq.write_table(tbl, str(out / "polygons.parquet"))
 
 
+def generate_skewed_corpus(out_dir, n_images, seed=7, hot_frac=0.5,
+                           force=False):
+    """Skewed corpus variant for the skew-handling benches.
+
+    ``hot_frac`` of the images STACK at one lattice location (identical
+    geotransform, so all their tiles land in the same cells — planted hot
+    cells for the salted-groupby / split-hot-tiles plans), and every
+    third hot image is an exact pixel copy of the first (planted phash
+    duplicate cluster). The rest follow the normal grid. Sidecar
+    ``skew_tiles_expected.parquet`` carries the closed-form (tile_id,
+    image_id, cell_ix, cell_iy) lattice, computed with the same inline
+    arithmetic as ``_write_tiles_expected``, for the salted==unsalted
+    parity oracle.
+    """
+    out = pathlib.Path(out_dir)
+    done = out / "_DONE"
+    stamp = "skew v%d n%d seed%d hot%.2f" % (GENERATOR_VERSION, n_images,
+                                             seed, hot_frac)
+    if done.exists() and not force and done.read_text() == stamp:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    img_dir = out / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    n_hot = int(round(n_images * hot_frac))
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    tiles_per_side = IMG_W // TILE
+    exp = {k: [] for k in ("tile_id", "image_id", "cell_ix", "cell_iy")}
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("qa", pa.binary()),
+        ("gt", pa.list_(pa.float64(), 6)), ("crs", pa.string()),
+    ])
+    hot_base = None
+    shard = 0
+    chunk = 512
+    for start in range(0, n_images, chunk):
+        stop = min(start + chunk, n_images)
+        cols = {k: [] for k in (
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "qa", "gt", "crs")}
+        for seq in range(start, stop):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([seed, 77, seq]))
+            is_hot = seq < n_hot
+            if is_hot:
+                gt = image_geotransform(0, n_images)
+                if hot_base is None:
+                    hot_base = _make_pixels(rng)
+                pixels = hot_base.copy() if seq % 3 == 0 \
+                    else _make_pixels(rng)
+            else:
+                gt = image_geotransform(seq, n_images)
+                pixels = _make_pixels(rng)
+            qa = np.zeros((IMG_H, IMG_W), dtype=np.uint8)
+            image_id = "img%08d" % seq
+            cols["image_id"].append(image_id)
+            cols["bytes"].append(encode_image(pixels, "zraw"))
+            cols["w"].append(IMG_W)
+            cols["h"].append(IMG_H)
+            cols["fmt"].append("zraw")
+            cols["caption"].append(_caption(rng, seq))
+            cols["phash"].append(_phash(pixels))
+            cols["qa"].append(qa.tobytes())
+            cols["gt"].append(list(gt))
+            cols["crs"].append(CRS)
+            for ty in range(tiles_per_side):
+                for tx in range(tiles_per_side):
+                    cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                    cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                    exp["tile_id"].append(
+                        "%s_t%d_%d" % (image_id, ty, tx))
+                    exp["image_id"].append(image_id)
+                    exp["cell_ix"].append(int(cx // edge))
+                    exp["cell_iy"].append(int(cy // edge))
+        tbl = pa.table({k: pa.array(cols[k], schema.field(k).type)
+                        for k in schema.names}, schema=schema)
+        pq.write_table(tbl, str(img_dir / ("part-%05d.parquet" % shard)),
+                       row_group_size=ROW_GROUP)
+        shard += 1
+    pq.write_table(pa.table({k: pa.array(v) for k, v in exp.items()}),
+                   str(out / "skew_tiles_expected.parquet"))
+    (out / "manifest.json").write_text(json.dumps(
+        {"n_images": n_images, "seed": seed, "n_hot": n_hot,
+         "skewed": True}, indent=2))
+    done.write_text(stamp)
+    return str(out)
+
+
+def ensure_skewed_corpus(sf_dir, seed=7, hot_frac=0.5):
+    """Skewed-variant corpus dir for a testdata sf dir (cached)."""
+    sf = sf_of_dir(sf_dir)
+    out_dir = corpus_dir_for(sf_dir) + "-skew"
+    return generate_skewed_corpus(out_dir, n_images_for_sf(sf),
+                                  seed=seed, hot_frac=hot_frac)
+
+
 def ensure_corpus(sf_dir, seed=7):
     """Map a testdata sf dir to its synthetic corpus dir, generating it on
     first use (cached under /tmp/ray_unmix_data/<sfname>)."""

@@ -176,6 +176,14 @@ def endmember_idx_to_kml(coords, wavelength_units="MNF Component"):
     return "\n".join(lines) + "\n"
 
 
+def endmember_idx_to_shp(path_base, coords):
+    """AbstractExtractor.get_idx_as_shp analogue (lsma.py:92-115):
+    endmember pixel locations → point shapefile (.shp/.shx/.dbf),
+    written with the engine's self-contained ESRI writer (no OGR)."""
+    from .shapefile import write_point_shp
+    return write_point_shp(path_base, coords)
+
+
 def report_raster_dynamic_range(tiles, nodata=NODATA):
     """Per-band min/max/mean/std over all tiles (reference
     lsma.py:799-839) via mergeable partials; returns dict with
