@@ -167,25 +167,32 @@ def q_mask_counts(sf_dir):
     ds = images.read_images(corpus)
 
     def counts(batch: pa.Table) -> pa.Table:
+        from unmixing_ray.stages.decode import binary_views, \
+            tiles_to_ndarray
         dec = decode_batch(batch)
-        out = {"image_id": [], "n_water": [], "n_saturated": [],
-               "n_nodata": [], "n_qa_masked": []}
+        arrays, uniform = tiles_to_ndarray(dec)
+        qa_vals, qa_off = binary_views(dec["qa"], np.uint8)
+        hs = dec["h"].to_numpy()
+        ws = dec["w"].to_numpy()
+        out = {"image_id": dec["image_id"],
+               "n_water": [], "n_saturated": [], "n_nodata": [],
+               "n_qa_masked": []}
         for i in range(dec.num_rows):
-            arr = np.frombuffer(dec["pixels"][i].as_py(),
-                                dtype=np.int16)\
-                .reshape((dec["bands"][i].as_py(),
-                          dec["h"][i].as_py(), dec["w"][i].as_py()))
-            qa = np.frombuffer(dec["qa"][i].as_py(), dtype=np.uint8)\
-                .reshape((dec["h"][i].as_py(), dec["w"][i].as_py()))
-            water = mk.density_slice(arr[4:5], threshold=1000)
-            sat = mk.saturation_mask(arr)
-            cf = mk.cfmask(qa)
-            out["image_id"].append(dec["image_id"][i].as_py())
-            out["n_water"].append(int(water.sum()))
-            out["n_saturated"].append(int(sat.sum()))
+            arr = uniform[i] if uniform is not None else arrays[i]
+            qa = qa_vals[qa_off[i]:qa_off[i + 1]]\
+                .reshape((int(hs[i]), int(ws[i])))
+            out["n_water"].append(
+                int(mk.density_slice(arr[4:5], threshold=1000).sum()))
+            out["n_saturated"].append(int(mk.saturation_mask(arr).sum()))
             out["n_nodata"].append(int((arr[0] == -9999).sum()))
-            out["n_qa_masked"].append(int(cf.sum()))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+            out["n_qa_masked"].append(int(mk.cfmask(qa).sum()))
+        return pa.table({
+            "image_id": out["image_id"],
+            "n_water": pa.array(out["n_water"], pa.int64()),
+            "n_saturated": pa.array(out["n_saturated"], pa.int64()),
+            "n_nodata": pa.array(out["n_nodata"], pa.int64()),
+            "n_qa_masked": pa.array(out["n_qa_masked"], pa.int64()),
+        })
 
     return ds.map_batches(counts, batch_format="pyarrow", batch_size=32)
 
@@ -201,28 +208,44 @@ def q_band_stats(sf_dir):
     ds = images.read_images(corpus)
 
     def stats(batch: pa.Table) -> pa.Table:
+        from unmixing_ray.stages.decode import tiles_to_ndarray
         dec = decode_batch(batch)
+        arrays, uniform = tiles_to_ndarray(dec)
         nb = 6
-        out = {"image_id": []}
-        for b in range(nb):
-            for stat in ("min", "max", "sum", "count"):
-                out["b%d_%s" % (b, stat)] = []
-        for i in range(dec.num_rows):
-            arr = np.frombuffer(dec["pixels"][i].as_py(),
-                                dtype=np.int16)\
-                .astype(np.int64).reshape((dec["bands"][i].as_py(), -1))
-            out["image_id"].append(dec["image_id"][i].as_py())
+        out = {}
+        if uniform is not None:
+            # fully vectorized across the batch's images
+            a = uniform.reshape(uniform.shape[0], nb, -1)\
+                .astype(np.int64)
+            valid = a != -9999
+            cnt = valid.sum(axis=2)
+            s = np.where(valid, a, 0).sum(axis=2)
+            mn = np.where(valid, a, np.iinfo(np.int64).max).min(axis=2)
+            mx = np.where(valid, a, np.iinfo(np.int64).min).max(axis=2)
+            mn = np.where(cnt > 0, mn, 0)
+            mx = np.where(cnt > 0, mx, 0)
             for b in range(nb):
-                v = arr[b][arr[b] != -9999]
-                if v.size:
+                out["b%d_min" % b] = mn[:, b]
+                out["b%d_max" % b] = mx[:, b]
+                out["b%d_sum" % b] = s[:, b]
+                out["b%d_count" % b] = cnt[:, b]
+        else:
+            for b in range(nb):
+                for stat in ("min", "max", "sum", "count"):
+                    out["b%d_%s" % (b, stat)] = []
+            for arr3 in arrays:
+                arr = arr3.astype(np.int64).reshape(nb, -1)
+                for b in range(nb):
+                    v = arr[b][arr[b] != -9999]
                     vals = (int(v.min()), int(v.max()), int(v.sum()),
-                            int(v.size))
-                else:
-                    vals = (0, 0, 0, 0)
-                for stat, val in zip(("min", "max", "sum", "count"),
-                                     vals):
-                    out["b%d_%s" % (b, stat)].append(val)
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+                            int(v.size)) if v.size else (0, 0, 0, 0)
+                    for stat, val in zip(("min", "max", "sum", "count"),
+                                         vals):
+                        out["b%d_%s" % (b, stat)].append(val)
+        cols = {"image_id": dec["image_id"]}
+        for k, v in out.items():
+            cols[k] = pa.array(np.asarray(v, dtype=np.int64))
+        return pa.table(cols)
 
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=32)
 
@@ -240,28 +263,30 @@ def q_spectral_indices(sf_dir):
     ds = images.read_images(corpus)
 
     def indices(batch: pa.Table) -> pa.Table:
+        from unmixing_ray.stages.decode import tiles_to_ndarray
         dec = decode_batch(batch)
-        out = {"image_id": [], "n_ndvi_pos": [], "tc1_sum_floor": []}
+        arrays, uniform = tiles_to_ndarray(dec)
+        out = {"n_ndvi_pos": [], "tc1_sum_floor": []}
+        # float64 copy of the published Crist (1985) brightness row:
+        # the kernel table is float32 (reference parity) but the
+        # oracle computes in float64, and float32(0.2043) != 0.2043
+        tc1_row = np.array([0.2043, 0.4158, 0.5524, 0.5741, 0.3124,
+                            0.2303])
         for i in range(dec.num_rows):
-            arr = np.frombuffer(dec["pixels"][i].as_py(),
-                                dtype=np.int16)\
-                .reshape((dec["bands"][i].as_py(),
-                          dec["h"][i].as_py(), dec["w"][i].as_py()))
+            arr = uniform[i] if uniform is not None else arrays[i]
             nd = sp.ndvi(arr)[0]
             valid = (arr[2] != -9999) & (arr[3] != -9999)
             n_pos = int(((nd > 0.3) & valid).sum())
             flat = arr.reshape(arr.shape[0], -1).astype(np.float64)
-            # float64 copy of the published Crist (1985) brightness row:
-            # the kernel table is float32 (reference parity) but the
-            # oracle computes in float64, and float32(0.2043) != 0.2043
-            tc1_row = np.array([0.2043, 0.4158, 0.5524, 0.5741, 0.3124,
-                                0.2303])
             tc1 = tc1_row @ flat
             v0 = flat[0] != -9999
-            out["image_id"].append(dec["image_id"][i].as_py())
             out["n_ndvi_pos"].append(n_pos)
             out["tc1_sum_floor"].append(int(np.floor(np.sum(tc1[v0]))))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+        return pa.table({
+            "image_id": dec["image_id"],
+            "n_ndvi_pos": pa.array(out["n_ndvi_pos"], pa.int64()),
+            "tc1_sum_floor": pa.array(out["tc1_sum_floor"], pa.int64()),
+        })
 
     return ds.map_batches(indices, batch_format="pyarrow", batch_size=32)
 
@@ -315,20 +340,24 @@ def _summarize_abundance_u4(ab):
     import pyarrow as pa
 
     def summarize(batch: pa.Table) -> pa.Table:
-        rows = {"tile_id": [], "caption": [], "q": [],
-                "mean_ab0_u4": [], "mean_ab1_u4": [], "mean_ab2_u4": []}
+        from unmixing_ray.stages.decode import binary_views
+        values, offsets = binary_views(batch["abundance"], np.float32)
+        qs = batch["q"].to_numpy()
+        rows = {"mean_ab0_u4": [], "mean_ab1_u4": [], "mean_ab2_u4": []}
         for i in range(batch.num_rows):
-            q = batch["q"][i].as_py()
-            a = np.frombuffer(batch["abundance"][i].as_py(),
-                              dtype=np.float32)\
-                .astype(np.float64).reshape((q, -1))
-            rows["tile_id"].append(batch["tile_id"][i].as_py())
-            rows["caption"].append(batch["caption"][i].as_py())
-            rows["q"].append(q)
+            a = values[offsets[i]:offsets[i + 1]].astype(np.float64)\
+                .reshape((int(qs[i]), -1))
             for b in range(3):
                 rows["mean_ab%d_u4" % b].append(
                     int(np.floor(a[b].mean() * 10_000)))
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "caption": batch["caption"],
+            "q": batch["q"].cast(pa.int64()),
+            "mean_ab0_u4": pa.array(rows["mean_ab0_u4"], pa.int64()),
+            "mean_ab1_u4": pa.array(rows["mean_ab1_u4"], pa.int64()),
+            "mean_ab2_u4": pa.array(rows["mean_ab2_u4"], pa.int64()),
+        })
 
     return ab.map_batches(summarize, batch_format="pyarrow")
 
@@ -645,12 +674,12 @@ def q_hall_rectification(sf_dir):
     ds = images.read_images(corpus)
 
     def rect(batch: pa.Table) -> pa.Table:
+        from unmixing_ray.stages.decode import tiles_to_ndarray
         dec = decode_batch(batch)
-        out = {"image_id": [], "b0_sum_rect": []}
+        arrays, uniform = tiles_to_ndarray(dec)
+        sums = []
         for i in range(dec.num_rows):
-            arr = np.frombuffer(dec["pixels"][i].as_py(), dtype=np.int16)\
-                .reshape((dec["bands"][i].as_py(),
-                          dec["h"][i].as_py(), dec["w"][i].as_py()))
+            arr = uniform[i] if uniform is not None else arrays[i]
             img_bright = np.array([arr[:, y, x] for x, y in bright_px])\
                 .mean(axis=0)
             img_dark = np.array([arr[:, y, x] for x, y in dark_px])\
@@ -658,10 +687,11 @@ def q_hall_rectification(sf_dir):
             m, b = rectify.rectification_coefficients(
                 ref_bright, ref_dark, img_bright, img_dark)
             rectified = rectify.apply_rectification(arr, m, b)
-            out["image_id"].append(dec["image_id"][i].as_py())
-            out["b0_sum_rect"].append(
-                int(rectified[0][rectified[0] != -9999].sum()))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+            sums.append(int(rectified[0][rectified[0] != -9999].sum()))
+        return pa.table({
+            "image_id": dec["image_id"],
+            "b0_sum_rect": pa.array(sums, pa.int64()),
+        })
 
     return ds.map_batches(rect, batch_format="pyarrow", batch_size=32)
 
@@ -699,41 +729,19 @@ def q_sasma_abundance(sf_dir):
 
 def q_forward_model_rmse(sf_dir):
     """Distributed forward-model validation (reference lsma.py:232-297):
-    unmix reflectance tiles against the corpus's true endmember spectra,
-    forward-model, sample RMSE. Near-exact recovery ⇒ small normalized
-    RMSE; returns one row (rows-only check)."""
-    from unmixing_ray.sources import synth
-    from unmixing_ray.stages import align, unmix as unmix_stage
-    from unmixing_ray.stages.decode import binary_views
-    import pyarrow as pa
+    ONE fused streaming pass unmixes each reflectance tile against the
+    corpus's true endmember spectra, forward-models, and emits residual
+    partials (abundances never leave the worker). Near-exact recovery ⇒
+    small normalized RMSE; returns one row (rows-only check)."""
+    from unmixing_ray.stages import align
     import json as _json
     corpus, tiles = _tiles_ds(sf_dir)
     man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
     U = np.asarray(man["endmembers"], dtype=np.float64)
-
-    # FCLS on raw reflectance against the true spectra (no MNF), then
-    # validate: gather per-tile abundances via one streaming pass
-    def unmix_batch(batch: pa.Table) -> pa.Table:
-        from unmixing_ray.kernels import nnls
-        values, offsets = binary_views(batch["pixels"], np.int16)
-        out = {"tile_id": [], "ab": []}
-        for i in range(batch.num_rows):
-            p = batch["bands"][i].as_py()
-            a = values[offsets[i]:offsets[i + 1]].reshape((p, -1))\
-                .astype(np.float64)
-            ab = nnls.fcls_pixels(a.T, U)     # full p dims: exact model
-            out["tile_id"].append(batch["tile_id"][i].as_py())
-            out["ab"].append(ab.T.astype(np.float32).tobytes())
-        return pa.table({"tile_id": pa.array(out["tile_id"]),
-                         "ab": pa.array(out["ab"], pa.binary())})
-
-    ab_rows = tiles.map_batches(unmix_batch, batch_format="pyarrow",
-                                batch_size=64).take_all()
-    ab_map = {r["tile_id"]: np.frombuffer(r["ab"], dtype=np.float32)
-              .astype(np.float64).reshape(3, -1) for r in ab_rows}
-    rmse_pct = align.validate_forward_model(tiles, ab_map, U, r=20000)
+    rmse_pct, n_tiles = align.forward_model_rmse_streaming(
+        tiles, U, r=20000)
     return pd.DataFrame({"rmse_pct": [float(rmse_pct)],
-                         "n_tiles": [len(ab_map)]})
+                         "n_tiles": [int(n_tiles)]})
 
 
 def q_salted_cell_counts(sf_dir):

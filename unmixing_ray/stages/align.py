@@ -158,3 +158,66 @@ def validate_forward_model(tiles, abundances_by_tile, ref_spectra,
     if as_pct:
         return round(rmse_value / mx * 100, 2)
     return round(rmse_value, 2)
+
+
+def forward_model_rmse_streaming(tiles, ref_spectra, r=10000, seed=42,
+                                 nodata=NODATA, as_pct=True):
+    """Fused unmix + forward-model validation in ONE streaming pass
+    (reference lsma.py:232-297 flow): each batch FCLS-unmixes its own
+    tiles against the known reference spectra, forward-models, and emits
+    tiny residual partials — abundances never leave the worker (the
+    round-1 version collected every tile's abundance into a driver dict
+    and broadcast it back). Returns (rmse_pct_or_value, n_tiles)."""
+    from ..kernels import nnls
+    ref_spectra = np.asarray(ref_spectra, dtype=np.float64)
+    n_em = ref_spectra.shape[0]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import hashlib
+        from .decode import tiles_to_ndarray
+        arrays, uniform = tiles_to_ndarray(batch)
+        sq_sum = 0.0
+        n_samp = 0
+        max_val = -np.inf
+        n_tiles = 0
+        for i in range(batch.num_rows):
+            tid = batch["tile_id"][i].as_py()
+            a = (uniform[i] if uniform is not None else arrays[i])\
+                .astype(np.float64)
+            p = a.shape[0]
+            flat = a.reshape(p, -1)
+            ab = nnls.fcls_pixels(flat.T, ref_spectra).T   # (q, npx)
+            preds = predict_spectra_from_abundance(ab.T, ref_spectra)
+            npx = flat.shape[1]
+            h = int.from_bytes(hashlib.blake2b(
+                tid.encode(), digest_size=8).digest(), "little")
+            rng = np.random.default_rng(np.random.SeedSequence(
+                [seed, h & 0x7FFFFFFF]))
+            take = rng.random(npx) < min(1.0, 4.0 * r / 1e6)
+            idx = np.nonzero(take & (flat[0] != nodata))[0]
+            n_tiles += 1
+            if not len(idx):
+                continue
+            resid = flat[:, idx] - preds[:, idx]
+            rmse_px = np.sqrt(np.square(resid).sum(axis=0) / n_em)
+            sq_sum += rmse_px.sum()
+            n_samp += len(idx)
+            max_val = max(max_val, float(flat.max()))
+        return pa.table({
+            "sq_sum": pa.array([sq_sum]),
+            "n": pa.array([n_samp]),
+            "max_val": pa.array([max_val]),
+            "n_tiles": pa.array([n_tiles]),
+        })
+
+    rows = tiles.map_batches(partials, batch_format="pyarrow").take_all()
+    total = sum(r_["sq_sum"] for r_ in rows)
+    n = sum(r_["n"] for r_ in rows)
+    n_tiles = sum(r_["n_tiles"] for r_ in rows)
+    mx = max((r_["max_val"] for r_ in rows), default=1.0)
+    if n == 0:
+        return None, n_tiles
+    rmse_value = total / n
+    if as_pct:
+        return round(rmse_value / mx * 100, 2), n_tiles
+    return round(rmse_value, 2), n_tiles
