@@ -23,8 +23,12 @@ import time
 
 def run_scaling():
     def run(ncpu):
+        # 2 in-process repeats per leg: the in-process min catches quiet
+        # host windows that a single cold run misses
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_REPEAT="1")
+                   RAY_GRAFT_REPEAT=os.environ.get(
+                       "RAY_GRAFT_LEG_REPEAT", "2"),
+                   RAY_GRAFT_SKEW="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True).stdout
