@@ -60,6 +60,42 @@ def run_scaling():
     }))
 
 
+def run_kernel_scaling():
+    """Host-capability control (no Ray): aggregate FCLS kernel
+    throughput with 8 vs 32 independent processes. Distinguishes 'the
+    host cannot scale 8→32 cores' from 'the engine cannot' — recorded
+    alongside the pipeline scaling numbers in BASELINE.md."""
+    import multiprocessing as mp
+
+    def worker(n_iter, out_q):
+        import numpy as np
+        from unmixing_ray.kernels import nnls
+        rng = np.random.default_rng(os.getpid())
+        U = rng.normal(size=(3, 5)) * 1000
+        X = rng.normal(size=(65536, 5)) * 1000
+        t0 = time.monotonic()
+        for _ in range(n_iter):
+            nnls.fcls_pixels(X, U)
+        out_q.put((n_iter * 65536, time.monotonic() - t0))
+
+    out = {}
+    for k in (8, 32, 8, 32):
+        q = mp.Queue()
+        procs = [mp.Process(target=worker, args=(6, q)) for _ in range(k)]
+        t0 = time.monotonic()
+        for p in procs:
+            p.start()
+        tot = sum(q.get()[0] for _ in procs)
+        for p in procs:
+            p.join()
+        out.setdefault(k, []).append(tot / (time.monotonic() - t0) / 1e6)
+    m8, m32 = max(out[8]), max(out[32])
+    print(json.dumps({
+        "kernel_mpx_s_8procs": round(m8, 2),
+        "kernel_mpx_s_32procs": round(m32, 2),
+        "kernel_scaling_efficiency": round(m32 / m8 / 4.0, 3)}))
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -180,5 +216,8 @@ def main():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--kernel-scaling" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        run_kernel_scaling()
     else:
         main()
