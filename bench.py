@@ -153,50 +153,102 @@ def main():
             r.to_pandas()
         queries[name] = round(time.monotonic() - t0, 3)
 
-    # skew-handling bench: per-cell pixel checksums over the SKEWED
-    # corpus (half the images stacked on one location), plain groupby vs
-    # salted plan. Decode is materialized once (untimed) so the numbers
-    # isolate the shuffle+reduce.
+    # Skew-handling bench over the SKEWED corpus (half the images
+    # stacked on one lattice location = one hot composite group holding
+    # half the corpus as "dates"): a median composite across dates per
+    # tile position, plain groupby vs the documented spatial-sub-block
+    # salting (stages/composite.py:split_hot_tiles). The per-group
+    # median across ~n/2 dates is the serial hot spot the salting
+    # divides; output equality is asserted via an exact x2-integer
+    # checksum (medians of ints are multiples of 1/2).
     if os.environ.get("RAY_GRAFT_SKEW", "1") != "0":
         import pyarrow as pa
         import numpy as np
         import ray.data
         from unmixing_ray.sources import images as img_src
+        from unmixing_ray.stages import composite as comp_stage
         from unmixing_ray.stages import decode as dstage
         from unmixing_ray.stages import shuffle as sh
         skew_corpus = synth.ensure_skewed_corpus(sf_dir)
-        skew_tiles_dir = skew_corpus + "_tiles_v%d" % synth.GENERATOR_VERSION
+        # "2" suffix = the materialized column set; bump when it changes
+        skew_tiles_dir = skew_corpus + "_tiles2_v%d" % \
+            synth.GENERATOR_VERSION
         if not os.path.isdir(skew_tiles_dir):
             ds = img_src.read_images(skew_corpus)
             fn = dstage.make_decode_and_tile(tile=synth.TILE,
                                              cell_level=synth.CELL_LEVEL)
             ds.map_batches(fn, batch_format="pyarrow", batch_size=32)\
-                .select_columns(["cell", "tile_id", "pixels"])\
+                .select_columns(["cell", "tile_id", "row_off", "col_off",
+                                 "bands", "h", "w", "pixels"])\
                 .write_parquet(skew_tiles_dir)
 
-        def checksum(g: pa.Table) -> pa.Table:
-            from unmixing_ray.stages.decode import binary_views
-            values, _off = binary_views(g["pixels"], np.int16)
-            return pa.table({
-                "cell": pa.array([g["cell"][0].as_py()], pa.uint64()),
-                "n": pa.array([g.num_rows], pa.int64()),
-                "checksum": pa.array([int(values.astype(np.int64).sum())],
-                                     pa.int64())})
+        def add_keys(batch: pa.Table) -> pa.Table:
+            # composite group key = (cell, tile position) packed into one
+            # uint64 (cell*4 + pos: positions are the 2x2 tile lattice);
+            # date = the image sequence parsed from tile_id
+            cells = batch["cell"].to_numpy(zero_copy_only=False)\
+                .astype(np.uint64)
+            pos = (batch["row_off"].to_numpy() // synth.TILE) \
+                * 2 + (batch["col_off"].to_numpy() // synth.TILE)
+            # strip the level bits (all tiles share one level) so the
+            # packed key stays < 2^60 — Ray group keys must fit int64
+            morton = cells & np.uint64((1 << 58) - 1)
+            key = morton * np.uint64(4) + pos.astype(np.uint64)
+            dates = np.array([int(t[3:11]) for t in
+                              batch["tile_id"].to_pylist()],
+                             dtype=np.int64)
+            out = batch.select(["bands", "h", "w", "pixels"])
+            out = out.append_column("cell", pa.array(key, pa.uint64()))
+            return out.append_column("date", pa.array(dates, pa.int64()))
 
+        def comp_group(g: pa.Table) -> pa.Table:
+            from unmixing_ray.stages.decode import binary_views
+            values, off = binary_views(g["pixels"], np.int16)
+            n = g.num_rows
+            hw = int(g["h"][0].as_py()) * int(g["w"][0].as_py())
+            p = int(g["bands"][0].as_py())
+            stack = values[off[0]:off[-1]].reshape(n, p, hw)\
+                .astype(np.float64)
+            work = np.where(stack == -9999, np.nan, stack)
+            import warnings as _w
+            with np.errstate(invalid="ignore"), _w.catch_warnings():
+                _w.simplefilter("ignore", RuntimeWarning)
+                med = np.nanmedian(work, axis=0)
+            med = np.where(np.isnan(med), 0.0, med)
+            cols = {
+                "cell": pa.array([g["cell"][0].as_py()], pa.uint64()),
+                "checksum_x2": pa.array(
+                    [int(np.rint(med.sum() * 2.0))], pa.int64()),
+            }
+            if "sub_id" in g.column_names:
+                cols["sub_id"] = pa.array([g["sub_id"][0].as_py()],
+                                          pa.int64())
+            return pa.table(cols)
+
+        keyed_src = ray.data.read_parquet(skew_tiles_dir).map_batches(
+            add_keys, batch_format="pyarrow")
         t0 = time.monotonic()
-        skew_ds = ray.data.read_parquet(skew_tiles_dir)
-        plain = skew_ds.groupby("cell").map_groups(
-            checksum, batch_format="pyarrow").to_pandas()
-        queries["skew_unsalted"] = round(time.monotonic() - t0, 3)
+        plain = keyed_src.groupby("cell").map_groups(
+            comp_group, batch_format="pyarrow").to_pandas()
+        queries["skew_composite_unsalted"] = round(
+            time.monotonic() - t0, 3)
         t0 = time.monotonic()
-        skew_ds = ray.data.read_parquet(skew_tiles_dir)
-        salted = sh.salted_groupby(skew_ds, "cell", checksum,
-                                   hot_threshold=256).to_pandas()
-        salted = salted.groupby("cell", as_index=False).sum()
-        queries["skew_salted"] = round(time.monotonic() - t0, 3)
-        merged = salted.merge(plain, on="cell", suffixes=("_s", "_p"))
-        assert (merged["checksum_s"] == merged["checksum_p"]).all(), \
-            "salted checksum mismatch"
+        keyed = ray.data.read_parquet(skew_tiles_dir).map_batches(
+            add_keys, batch_format="pyarrow")
+        counts = sh.cell_counts(keyed)
+        hot = [k for k, n in counts.items() if n > 256]
+        split = comp_stage.split_hot_tiles(keyed, hot, sub=4)
+        salted = split.groupby(["cell", "sub_id"]).map_groups(
+            comp_group, batch_format="pyarrow").to_pandas()
+        queries["skew_composite_salted"] = round(
+            time.monotonic() - t0, 3)
+        # exact equality: sub-block medians tile the full median, so the
+        # per-key checksum sums match between plans
+        s_tot = salted.groupby("cell")["checksum_x2"].sum()
+        p_tot = plain.set_index("cell")["checksum_x2"]
+        assert len(s_tot) == len(p_tot) and \
+            (s_tot.sort_index() == p_tot.sort_index()).all(), \
+            "salted composite mismatch"
 
     tiles_per_sec = round(n_tiles / queries["flagship"], 2)
     print(json.dumps({

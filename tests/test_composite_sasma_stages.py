@@ -75,7 +75,10 @@ def test_split_hot_tiles_preserves_pixels():
     assert len(cold) == 1 and cold.iloc[0]["sub_id"] == 0
     hot = out[out["cell"] == 9].sort_values("sub_id")
     assert hot["h"].tolist() == [2, 2, 2, 2]
-    top_left = np.asarray(hot.iloc[0]["pixels"]).reshape(2, 2, 2)
+    # payloads travel as binary in the input view's dtype (float64 here:
+    # the test rows were built from python-list tiles)
+    top_left = np.frombuffer(hot.iloc[0]["pixels"],
+                             dtype=np.float64).reshape(2, 2, 2)
     assert np.array_equal(top_left, a[:, :2, :2])
 
 

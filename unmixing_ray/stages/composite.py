@@ -110,13 +110,16 @@ def make_ledaps_apply(mode, nodata=NODATA):
 def split_hot_tiles(tiles, hot_cells, sub=2):
     """Skew handling for composites: split tiles of hot cells into
     ``sub``×``sub`` spatial sub-tiles (key becomes (cell, sub_id)), which
-    preserves all-dates-per-pixel grouping while dividing group size."""
+    preserves all-dates-per-pixel grouping while dividing group size.
+    Payloads stay BINARY through the shuffle (list<int16> pages cost ~9 s
+    CPU per pass at sf0.1 — the round-1 serialization lesson)."""
     hot = set(int(c) for c in hot_cells)
 
     def split(batch: pa.Table) -> pa.Table:
         arrays, uniform = tiles_to_ndarray(batch)
         out = {k: [] for k in ("cell", "sub_id", "date", "bands", "h",
-                               "w", "pixels")}
+                               "w")}
+        chunks = []
         for i in range(batch.num_rows):
             a = uniform[i] if uniform is not None else arrays[i]
             cell = batch["cell"][i].as_py()
@@ -129,7 +132,7 @@ def split_hot_tiles(tiles, hot_cells, sub=2):
                 out["bands"].append(a.shape[0])
                 out["h"].append(a.shape[1])
                 out["w"].append(a.shape[2])
-                out["pixels"].append(a.ravel().tolist())
+                chunks.append(np.ascontiguousarray(a).ravel())
                 continue
             hh = a.shape[1] // sub
             ww = a.shape[2] // sub
@@ -143,8 +146,10 @@ def split_hot_tiles(tiles, hot_cells, sub=2):
                     out["bands"].append(part.shape[0])
                     out["h"].append(part.shape[1])
                     out["w"].append(part.shape[2])
-                    out["pixels"].append(
-                        np.ascontiguousarray(part).ravel().tolist())
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+                    chunks.append(np.ascontiguousarray(part).ravel())
+        from .decode import binary_column
+        tbl = {k: pa.array(v) for k, v in out.items()}
+        tbl["pixels"] = binary_column(chunks)
+        return pa.table(tbl)
 
     return tiles.map_batches(split, batch_format="pyarrow")

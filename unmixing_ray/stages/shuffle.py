@@ -17,12 +17,25 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Count
-
 
 def cell_counts(ds, col="cell"):
-    """Pre-pass: per-key row counts (small result, collected)."""
-    out = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+    """Pre-pass: per-key row counts (small result, collected).
+
+    Pre-aggregates per batch on the KEY COLUMN ONLY before the shuffle —
+    a bare groupby-count would shuffle every column (the pre-pass over a
+    590 MB pixel table cost more than the salting saved)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.select([col])[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(keys, return_counts=True)
+        return pa.table({col: pa.array(vals),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow")
+    out = partials.groupby(col).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
     return dict(zip(out[col].tolist(), out["n"].tolist()))
 
 
