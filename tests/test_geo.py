@@ -113,3 +113,20 @@ def test_pixel_to_xy_dd_mode():
     (lon_c, lat_c), = geo.pixel_to_xy([(10.5, 20.5)], GT, dd=True)
     (px2, py2), = geo.xy_to_pixel([(lon_c, lat_c)], GT, dd=True)
     assert (px2, py2) == (10, 20)
+
+
+def test_get_coord_transform_factory():
+    """Reference utils.py:657-673 analogue: factory returns callables
+    both ways; round-trip closes; unknown pairs raise."""
+    import numpy as np
+    import pytest as _pytest
+    from unmixing_ray import proj
+    fwd = proj.get_coord_transform(proj.WGS84, proj.ENGINE_CRS)
+    inv = proj.get_coord_transform(proj.ENGINE_CRS, proj.WGS84)
+    x, y = fwd(-80.5, 42.0)
+    lon, lat = inv(x, y)
+    assert abs(float(lon) + 80.5) < 1e-7 and abs(float(lat) - 42.0) < 1e-7
+    ident = proj.get_coord_transform(proj.ENGINE_CRS, proj.ENGINE_CRS)
+    assert ident(3.0, 4.0) == (3.0, 4.0)
+    with _pytest.raises(ValueError, match="no transform"):
+        proj.get_coord_transform("EPSG:3857", proj.ENGINE_CRS)

@@ -80,7 +80,7 @@ def test_query_matches_oracle(registry, con, name):
 @pytest.mark.parametrize("name", [
     "minhash_pairs", "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
     "minhash_pairs_planted", "simhash_pairs_planted",
-    "flagship_abundance",
+    "flagship_abundance", "forward_model_rmse", "sasma_abundance",
 ])
 def test_rows_only_queries_run(registry, name):
     queries, _ = registry
@@ -94,6 +94,13 @@ def test_rows_only_queries_run(registry, name):
     if name == "flagship_abundance":
         assert len(got) == 4800
         assert set(got.columns) >= {"tile_id", "caption", "mean_ab0_u4"}
+    if name == "forward_model_rmse":
+        # FCLS against the true spectra recovers the mixture: tiny RMSE
+        assert len(got) == 1 and float(got["rmse_pct"][0]) < 2.0
+        assert int(got["n_tiles"][0]) == 4800
+    if name == "sasma_abundance":
+        assert len(got) == 200
+        assert (got["q"] == 3).all()
 
 
 def test_oracle_keys_subset_of_queries(registry):

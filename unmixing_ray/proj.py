@@ -70,6 +70,28 @@ def dd_to_projected(lon, lat, lon0=DEFAULT_LON0):
     return x, y
 
 
+ENGINE_CRS = "ENGINE:UTM-LIKE"
+WGS84 = "EPSG:4326"
+
+
+def get_coord_transform(source, target, lon0=DEFAULT_LON0):
+    """Transform-factory analogue of reference ``utils.py:657-673``
+    (``get_coord_transform(source_epsg, target_epsg)`` via OSR): returns
+    a callable ``(x, y) -> (x', y')`` between the engine's projected CRS
+    and EPSG:4326, backed by the self-contained transverse Mercator.
+    Identity when source == target; unknown CRS pairs raise."""
+    key = (str(source), str(target))
+    if key[0] == key[1]:
+        return lambda x, y: (x, y)
+    if key == (ENGINE_CRS, WGS84):
+        return lambda x, y: projected_to_dd(x, y, lon0=lon0)
+    if key == (WGS84, ENGINE_CRS):
+        return lambda lon, lat: dd_to_projected(lon, lat, lon0=lon0)
+    raise ValueError(
+        "no transform for %r -> %r (engine CRS database holds only the "
+        "working UTM-like CRS and EPSG:4326)" % key)
+
+
 def projected_to_dd(x, y, lon0=DEFAULT_LON0):
     """(easting, northing) meters → (lon, lat) decimal degrees.
     Snyder eqs. 8-17..8-25 (footpoint latitude series); vectorized."""
