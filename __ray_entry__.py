@@ -779,6 +779,54 @@ def q_salted_cell_counts(sf_dir):
         "n_tiles": merged["n"].astype("int64")})
 
 
+def _media_rows(kind, n=50, seed=31):
+    """Deterministic synthetic media table (opaque binary + metadata):
+    the audio/video analogue of the images input table."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, n]))
+    rows = []
+    for i in range(n):
+        payload = rng.bytes(256)
+        if kind == "audio":
+            rows.append({"media_id": "aud%05d" % i, "bytes": payload,
+                         "kind": "audio", "sr": 16000,
+                         "n_samples": 8192 + 512 * int(rng.integers(8)),
+                         "caption": "audio clip %05d" % i})
+        else:
+            rows.append({"media_id": "vid%05d" % i, "bytes": payload,
+                         "kind": "video", "fps": 24.0,
+                         "n_frames": 24 + int(rng.integers(48)),
+                         "h": 48, "w": 64,
+                         "caption": "video clip %05d" % i})
+    return rows
+
+
+def q_audio_features(sf_dir):
+    """Actor-pool audio feature extraction over an opaque-binary media
+    table (deterministic synthetic decode; rows-only check)."""
+    import ray.data
+    from unmixing_ray.stages import media
+    ds = ray.data.from_items(_media_rows("audio"))
+    out = media.audio_features(ds).to_pandas()
+    out["rms_head_u6"] = out["rms_u6"].map(
+        lambda v: int(v[0]) if len(v) else -1)
+    return out[["media_id", "n_windows", "rms_head_u6", "caption"]]\
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def q_video_frame_sample(sf_dir):
+    """Actor-pool video frame sampling + resize over an opaque-binary
+    media table (deterministic synthetic decode; rows-only check)."""
+    import ray.data
+    from unmixing_ray.stages import media
+    ds = ray.data.from_items(_media_rows("video"))
+    out = media.sample_video_frames(ds, every=12).to_pandas()
+    out["px_sum"] = out["pixels"].map(
+        lambda b: int(np.frombuffer(b, dtype=np.uint8)
+                      .astype(np.int64).sum()))
+    return out[["media_id", "frame_idx", "h", "w", "px_sum", "caption"]]\
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ANN queries
 
@@ -905,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     }
@@ -1077,7 +1127,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding)
                   >= 0.45""",
         # flagship_abundance / sasma_abundance / forward_model_rmse /
-        # minhash_pairs / simhash_pairs / ann_lsh / cosine_near_dup_lsh:
-        # rows-only (corpus-dependent induced endmembers, statistical
-        # validation, approximate LSH candidate sets).
+        # minhash_pairs / simhash_pairs / ann_lsh / cosine_near_dup_lsh /
+        # audio_features / video_frame_sample: rows-only
+        # (corpus-dependent induced endmembers, statistical validation,
+        # approximate LSH candidate sets, synthetic media decode).
     }

@@ -1,0 +1,83 @@
+"""Audio/video multimodal plumbing: real actor-pool stages over opaque
+binary media columns with a pluggable decode (deterministic synthetic
+fake here; NotImplementedError stub when decoder=None)."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from unmixing_ray.stages import media
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _audio_rows(n):
+    return [{"media_id": "aud%03d" % i,
+             "bytes": ("payload-%d" % i).encode() * 50,
+             "kind": "audio", "sr": 16000,
+             "n_samples": 16000 + 512 * i,
+             "caption": "audio caption %d" % i} for i in range(n)]
+
+
+def _video_rows(n):
+    return [{"media_id": "vid%03d" % i,
+             "bytes": ("frames-%d" % i).encode() * 20,
+             "kind": "video", "fps": np.float32(24.0),
+             "n_frames": 25 + i, "h": 48, "w": 64,
+             "caption": "video caption %d" % i} for i in range(n)]
+
+
+def test_audio_features_deterministic_and_batching_invariant():
+    rows = _audio_rows(12)
+    a = media.audio_features(ray.data.from_items(rows),
+                             batch_size=3).to_pandas()
+    b = media.audio_features(ray.data.from_items(rows),
+                             batch_size=12, concurrency=1).to_pandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    assert len(a) == 12
+    assert (a["n_windows"] > 0).all()
+    assert a["caption"].tolist() == b["caption"].tolist()
+    for x, y in zip(a["rms_u6"], b["rms_u6"]):
+        assert list(x) == list(y)
+    # window count matches the documented framing
+    r0 = a.iloc[0]
+    n = rows[0]["n_samples"]
+    assert r0["n_windows"] == 1 + (n - 1024) // 512
+
+
+def test_video_frame_sampling_layout():
+    rows = _video_rows(5)
+    out = media.sample_video_frames(
+        ray.data.from_items(rows), every=10, out_h=16,
+        out_w=16).to_pandas()
+    assert set(out["media_id"]) == {r["media_id"] for r in rows}
+    first = out[out["media_id"] == "vid000"].sort_values("frame_idx")
+    assert first["frame_idx"].tolist() == [0, 10, 20]
+    px = np.frombuffer(first.iloc[0]["pixels"], dtype=np.uint8)
+    assert px.shape == (16 * 16,)
+    assert first.iloc[0]["caption"] == "video caption 0"
+    # deterministic: same payload -> same sampled frame bytes
+    again = media.sample_video_frames(
+        ray.data.from_items(rows), every=10, out_h=16,
+        out_w=16).to_pandas()
+    a0 = again[(again["media_id"] == "vid000")
+               & (again["frame_idx"] == 0)].iloc[0]["pixels"]
+    assert a0 == first.iloc[0]["pixels"]
+
+
+def test_decoder_stub_raises():
+    actor = media.AudioFeatureActor(decoder=None)
+    import pyarrow as pa
+    batch = pa.table({
+        "media_id": ["a"], "bytes": [b"x"], "sr": [16000],
+        "n_samples": [2048], "caption": ["c"]})
+    with pytest.raises(NotImplementedError, match="audio decoder"):
+        actor(batch)
+    vactor = media.VideoFrameSampleActor(decoder=None)
+    vbatch = pa.table({
+        "media_id": ["v"], "bytes": [b"x"], "n_frames": [5],
+        "h": [8], "w": [8], "caption": ["c"]})
+    with pytest.raises(NotImplementedError, match="video decoder"):
+        vactor(vbatch)

@@ -1,0 +1,201 @@
+"""Multimodal media columns: audio / video as opaque binary + metadata.
+
+The engine's image path has REAL self-contained codecs (codecs.py); for
+audio and video no decoder libraries exist in this environment, so this
+module makes the Ray-side plumbing first-class — schema, actor-pool
+stage shape, batch sizing, deterministic output layout — with the decode
+step pluggable:
+
+- ``decoder=None`` raises ``NotImplementedError`` at the decode site
+  (the documented stub: plug ffmpeg/soundfile/PyAV in a real cluster
+  image);
+- ``decoder="synthetic"`` uses a deterministic seeded fake (a pure
+  function of the payload bytes) so every downstream stage — framing,
+  resampling, feature extraction, fingerprinting — is real, vectorized
+  and testable end to end.
+
+Media table schema (the audio/video analogue of the images input_hint):
+
+    media_id: string, bytes: binary, kind: string ('audio'|'video'),
+    sr: int32 (audio sample rate) | fps: float32 (video),
+    n_samples/n_frames: int32, h/w: int32 (video), caption: string
+
+Stages are callable CLASSES for ``map_batches(Cls, concurrency=N)`` —
+decoder state initializes once per actor, not once per batch. Payloads
+are large, so callers should pass small ``batch_size`` (8–32); outputs
+are fixed-width feature rows, orders of magnitude smaller than inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+AUDIO_FEATURE_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_windows", pa.int32()),
+    ("rms_u6", pa.list_(pa.int64())),      # per-window RMS, 1e-6 units
+    ("zcr_u6", pa.list_(pa.int64())),      # per-window zero-cross rate
+    ("caption", pa.string()),
+])
+
+VIDEO_FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("h", pa.int32()),
+    ("w", pa.int32()),
+    ("pixels", pa.binary()),               # uint8 grayscale, row-major
+    ("caption", pa.string()),
+])
+
+
+def _synthetic_samples(buf, n, seed_tag):
+    """Deterministic fake decode: samples are a pure function of the
+    payload bytes (blake2-seeded), so pipelines are testable without a
+    real codec and identical at any parallelism."""
+    h = hashlib.blake2b(buf, digest_size=8, person=seed_tag).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "little"))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+class AudioFeatureActor:
+    """Actor-pool stage: audio bytes → per-window RMS + zero-crossing
+    features (the classic cheap audio-quality signals). Window/hop are
+    fixed at construction; the decoder is resolved ONCE per actor."""
+
+    def __init__(self, window=1024, hop=512, decoder="synthetic"):
+        self.window = int(window)
+        self.hop = int(hop)
+        if decoder == "synthetic":
+            self.decode = lambda buf, n, sr: _synthetic_samples(
+                buf, n, b"audio")
+        elif decoder is None:
+            def _missing(buf, n, sr):
+                raise NotImplementedError(
+                    "no audio decoder in this environment; install "
+                    "soundfile/ffmpeg and pass decoder=<callable>")
+            self.decode = _missing
+        else:
+            self.decode = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "n_windows": [], "rms_u6": [],
+               "zcr_u6": [], "caption": []}
+        bufs = batch["bytes"].to_pylist()
+        ns = batch["n_samples"].to_numpy()
+        srs = batch["sr"].to_numpy()
+        ids = batch["media_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        for i in range(batch.num_rows):
+            x = self.decode(bufs[i], int(ns[i]), int(srs[i]))
+            n_win = max(0, 1 + (len(x) - self.window) // self.hop)
+            if n_win:
+                idx = (np.arange(n_win)[:, None] * self.hop
+                       + np.arange(self.window)[None, :])
+                frames = x[idx]                      # (n_win, window)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                zcr = (np.diff(np.signbit(frames), axis=1) != 0)\
+                    .mean(axis=1)
+            else:
+                rms = np.empty(0)
+                zcr = np.empty(0)
+            out["media_id"].append(ids[i])
+            out["n_windows"].append(n_win)
+            out["rms_u6"].append(
+                np.floor(rms * 1e6).astype(np.int64).tolist())
+            out["zcr_u6"].append(
+                np.floor(zcr * 1e6).astype(np.int64).tolist())
+            out["caption"].append(caps[i])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_windows": pa.array(out["n_windows"], pa.int32()),
+            "rms_u6": pa.array(out["rms_u6"], pa.list_(pa.int64())),
+            "zcr_u6": pa.array(out["zcr_u6"], pa.list_(pa.int64())),
+            "caption": pa.array(out["caption"], pa.string()),
+        }, schema=AUDIO_FEATURE_SCHEMA)
+
+
+class VideoFrameSampleActor:
+    """Actor-pool stage: video bytes → every k-th frame as a resized
+    grayscale raster row (the standard frame-sampling front of a
+    video-understanding pipeline). Frame synthesis is the pluggable
+    decode; sampling, nearest-neighbor resize and output layout are
+    real."""
+
+    def __init__(self, every=10, out_h=32, out_w=32, decoder="synthetic"):
+        self.every = int(every)
+        self.out_h = int(out_h)
+        self.out_w = int(out_w)
+        if decoder == "synthetic":
+            def _synth(buf, idx, h, w):
+                s = _synthetic_samples(buf + idx.to_bytes(4, "little"),
+                                       h * w, b"video")
+                return np.clip((s * 40 + 128), 0, 255)\
+                    .astype(np.uint8).reshape(h, w)
+            self.decode_frame = _synth
+        elif decoder is None:
+            def _missing(buf, idx, h, w):
+                raise NotImplementedError(
+                    "no video decoder in this environment; install "
+                    "PyAV/ffmpeg and pass decoder=<callable>")
+            self.decode_frame = _missing
+        else:
+            self.decode_frame = decoder
+
+    def _resize(self, frame):
+        h, w = frame.shape
+        ys = (np.arange(self.out_h) * h // self.out_h)
+        xs = (np.arange(self.out_w) * w // self.out_w)
+        return frame[ys[:, None], xs[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "pixels": [],
+               "caption": []}
+        bufs = batch["bytes"].to_pylist()
+        nf = batch["n_frames"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        ids = batch["media_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        for i in range(batch.num_rows):
+            for f in range(0, int(nf[i]), self.every):
+                frame = self.decode_frame(bufs[i], f, int(hs[i]),
+                                          int(ws[i]))
+                out["media_id"].append(ids[i])
+                out["frame_idx"].append(f)
+                out["pixels"].append(self._resize(frame).tobytes())
+                out["caption"].append(caps[i])
+        n = len(out["media_id"])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "h": pa.array([self.out_h] * n, pa.int32()),
+            "w": pa.array([self.out_w] * n, pa.int32()),
+            "pixels": pa.array(out["pixels"], pa.binary()),
+            "caption": pa.array(out["caption"], pa.string()),
+        }, schema=VIDEO_FRAME_SCHEMA)
+
+
+def audio_features(media_ds, window=1024, hop=512, decoder="synthetic",
+                   concurrency=4, batch_size=16):
+    """Audio rows → per-window feature rows (actor pool)."""
+    return media_ds.map_batches(
+        AudioFeatureActor,
+        fn_constructor_kwargs={"window": window, "hop": hop,
+                               "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def sample_video_frames(media_ds, every=10, out_h=32, out_w=32,
+                        decoder="synthetic", concurrency=4,
+                        batch_size=8):
+    """Video rows → sampled, resized frame rows (actor pool)."""
+    return media_ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs={"every": every, "out_h": out_h,
+                               "out_w": out_w, "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
