@@ -81,6 +81,7 @@ def test_query_matches_oracle(registry, con, name):
     "minhash_pairs", "simhash_pairs", "ann_lsh", "cosine_near_dup_lsh",
     "minhash_pairs_planted", "simhash_pairs_planted",
     "flagship_abundance", "forward_model_rmse", "sasma_abundance",
+    "audio_features", "video_frame_sample",
 ])
 def test_rows_only_queries_run(registry, name):
     queries, _ = registry
