@@ -101,3 +101,31 @@ def test_sasma_pipeline(small_corpus):
     valid = a[0] != NODATA
     sums = a[:, valid].sum(axis=0)
     assert np.allclose(sums, 1.0, atol=1e-5)
+
+
+def test_fit_cart_bounded_and_batching_invariant(small_corpus):
+    """VERDICT item 4 'Done' pin: the distributed CART fit collects a
+    BOUNDED pool (per-tile cap) and produces the identical tree at
+    different batch sizes (per-tile candidate selection + sorted-stride
+    subsample are functions of tile content only)."""
+    import numpy as np
+    from unmixing_ray.pipelines import flagship, sasma
+    from unmixing_ray.sources import synth
+    tiles = flagship.build_tiles(small_corpus, None, tile=synth.TILE,
+                                 cell_level=synth.CELL_LEVEL,
+                                 checkpoint=False)
+    U = np.asarray([[300, 550, 450, 4200, 2400, 1100],
+                    [2600, 2900, 3200, 3600, 4100, 3900],
+                    [700, 900, 800, 500, 300, 200]], dtype=np.float64)
+    t1 = sasma.fit_cart_distributed(
+        tiles.map_batches(lambda b: b, batch_format="pyarrow",
+                          batch_size=8), U, per_tile_cap=16,
+        max_samples=500)
+    t2 = sasma.fit_cart_distributed(
+        tiles.map_batches(lambda b: b, batch_format="pyarrow",
+                          batch_size=64), U, per_tile_cap=16,
+        max_samples=500)
+    a1, a2 = t1.to_arrays(), t2.to_arrays()
+    assert set(a1) == set(a2)
+    for k in a1:
+        assert np.array_equal(np.asarray(a1[k]), np.asarray(a2[k])), k
