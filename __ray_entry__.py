@@ -739,7 +739,7 @@ def q_forward_model_rmse(sf_dir):
     man = _json.loads(open(os.path.join(corpus, "manifest.json")).read())
     U = np.asarray(man["endmembers"], dtype=np.float64)
     rmse_pct, n_tiles = align.forward_model_rmse_streaming(
-        tiles, U, r=20000)
+        tiles, U, sample_rate=0.08)
     return pd.DataFrame({"rmse_pct": [float(rmse_pct)],
                          "n_tiles": [int(n_tiles)]})
 

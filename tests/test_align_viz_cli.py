@@ -62,7 +62,7 @@ def test_forward_model_validation_perfect_recovery():
     arr = (ab @ U).T.reshape(3, 8, 8)
     ds = ray.data.from_items([_tile_row(1, "t0", arr, gt)])
     res = align.validate_forward_model(
-        ds, {"t0": ab.T}, U, r=100000, as_pct=True)
+        ds, {"t0": ab.T}, U, sample_rate=0.5, as_pct=True)
     assert res is not None and res < 0.1   # exact forward model -> ~0
 
 

@@ -1,0 +1,106 @@
+"""Round-3 regression pins for the round-2 advisory findings:
+
+- candidate pool keys must not wrap the cell level bits (levels >= 16
+  collided coarse cells under the old (cell >> 4) * 64 + role packing);
+- roles >= 64 must raise loudly instead of colliding into the next cell;
+- split_hot_tiles must not drop remainder rows/cols when the tile edge
+  is not divisible by the sub-block count;
+- ppi_global must handle batches mixing tiles of different band counts
+  (skewers and running extremes are bucketed per band count).
+"""
+
+import numpy as np
+import pytest
+
+from unmixing_ray import cellindex
+from unmixing_ray.stages import unmix as u
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _part(cells, roles, values, tiles, pixels, spectra, p):
+    return {
+        "cell": np.asarray(cells, dtype=np.uint64),
+        "role": np.asarray(roles, dtype=np.int16),
+        "value": np.asarray(values, dtype=np.float64),
+        "tile_id": np.asarray(tiles),
+        "pixel": np.asarray(pixels, dtype=np.int32),
+        "spectra": np.asarray(spectra, dtype=np.float64),
+        "p": p,
+    }
+
+
+def test_pool_key_keeps_level_bits_distinct():
+    """Same morton bits at level 20 vs level 4 previously collided: the
+    level field's bit 4 shifted past bit 63 under the old packing."""
+    c20 = cellindex.cell_from_ixiy(np.uint64(5), np.uint64(9), 20)
+    c4 = cellindex.cell_from_ixiy(np.uint64(5), np.uint64(9), 4)
+    assert int(c20) != int(c4)
+    red = u.reduce_candidates([_part(
+        [c20, c4], [0, 0], [1.0, 2.0], ["a", "b"], [0, 1],
+        [[1.0, 2.0], [3.0, 4.0]], 2)])
+    assert len(red["key"]) == 2
+    # round-trip: pool_to_part must restore level 20 and level 4 cells
+    part = u.pool_to_part(red)
+    levels = sorted(int(lv) for lv in
+                    cellindex.cell_to_ixiy(part["cell"])[2])
+    assert levels == [4, 20]
+
+
+def test_pool_key_role_guard():
+    with pytest.raises(ValueError, match="role"):
+        u.reduce_candidates([_part(
+            [1], [64], [1.0], ["a"], [0], [[1.0, 2.0]], 2)])
+
+
+def test_pool_key_reduce_still_associative_at_level20():
+    rng = np.random.default_rng(11)
+    n = 40
+    cells = cellindex.cell_from_ixiy(
+        rng.integers(0, 1000, n).astype(np.uint64),
+        rng.integers(0, 1000, n).astype(np.uint64), 20)
+    parts = []
+    for lo in range(0, n, 10):
+        sel = slice(lo, lo + 10)
+        parts.append(_part(
+            cells[sel], np.zeros(10), rng.normal(size=10),
+            ["t%03d" % i for i in range(lo, lo + 10)],
+            rng.integers(0, 99, 10), rng.normal(size=(10, 3)), 3))
+    whole = u.reduce_candidates(parts)
+    merged = u.merge_side_pools([u.reduce_candidates([p]) for p in parts])
+    for k in ("key", "value", "pixel", "tile_id"):
+        assert np.array_equal(whole[k], merged[k]), k
+
+
+def test_split_hot_tiles_remainder_rows_preserved():
+    import ray.data
+    from unmixing_ray.stages import composite as cstage
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 100, (2, 5, 5)).astype(np.float64)
+    ds = ray.data.from_items([{
+        "cell": 9, "date": 0, "bands": 2, "h": 5, "w": 5,
+        "pixels": a.ravel().tolist()}])
+    out = cstage.split_hot_tiles(ds, hot_cells=[9], sub=2).to_pandas()
+    # 5 = 2 + 3: the last sub-block absorbs the remainder
+    assert sorted(out["h"].tolist()) == [2, 2, 3, 3]
+    assert sorted(out["w"].tolist()) == [2, 2, 3, 3]
+    total = sum(
+        np.frombuffer(row["pixels"], dtype=np.float64).sum()
+        for _, row in out.iterrows())
+    assert np.isclose(total, a.sum())
+
+
+def test_ppi_global_mixed_band_counts():
+    import ray.data
+    rng = np.random.default_rng(8)
+    rows = []
+    for i, p in enumerate((4, 4, 6, 6)):
+        arr = rng.normal(size=(p, 1 if p == 4 else 4,
+                               1 if p == 4 else 4)).astype(np.float32)
+        rows.append({"tile_id": "t%02d" % i, "bands": p,
+                     "h": arr.shape[1], "w": arr.shape[2],
+                     "mnf": arr.tobytes()})
+    ems = u.ppi_global(ray.data.from_items(rows), q=2, num_skewers=64)
+    assert len(ems) == 2
+    for s in ems:
+        assert len(s) in (4, 6)

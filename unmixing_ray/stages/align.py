@@ -94,15 +94,19 @@ def intersect_tiles(ref_tiles, src_tiles, nodata=NODATA):
 
 
 def validate_forward_model(tiles, abundances_by_tile, ref_spectra,
-                           r=10000, seed=42, nodata=NODATA, as_pct=True):
+                           sample_rate=0.04, seed=42, nodata=NODATA,
+                           as_pct=True):
     """Distributed forward-model RMSE (reference lsma.py:232-297).
 
     tiles: Dataset with reflectance pixels; abundances_by_tile: dict
     tile_id -> (q, h*w) abundances (or a Dataset joined upstream);
-    ref_spectra: (q, p) reflectance-space endmember spectra. A seeded
-    global sample of r pixels is drawn deterministically by hashing
-    (tile_id, pixel) — batching-invariant, mirroring the reference's
-    np.random.choice sample (lsma.py:283).
+    ref_spectra: (q, p) reflectance-space endmember spectra.
+    ``sample_rate`` is an explicit per-pixel sampling PROBABILITY (the
+    reference samples a fixed count r from an in-RAM raster,
+    lsma.py:283; a distributed pass can't know the corpus pixel count
+    up front without an extra pass, so the knob is the rate — expected
+    sample size = rate * corpus pixels, predictable at every scale).
+    The draw is seeded per tile_id — batching-invariant.
     """
     import ray
     ref_spectra = np.asarray(ref_spectra, dtype=np.float64)
@@ -133,7 +137,7 @@ def validate_forward_model(tiles, abundances_by_tile, ref_spectra,
                 tid.encode(), digest_size=8).digest(), "little")
             rng = np.random.default_rng(np.random.SeedSequence(
                 [seed, h & 0x7FFFFFFF]))
-            take = rng.random(npx) < min(1.0, 4.0 * r / 1e6)
+            take = rng.random(npx) < min(1.0, float(sample_rate))
             idx = np.nonzero(take & (flat[0] != nodata))[0]
             if not len(idx):
                 continue
@@ -160,14 +164,16 @@ def validate_forward_model(tiles, abundances_by_tile, ref_spectra,
     return round(rmse_value, 2)
 
 
-def forward_model_rmse_streaming(tiles, ref_spectra, r=10000, seed=42,
-                                 nodata=NODATA, as_pct=True):
+def forward_model_rmse_streaming(tiles, ref_spectra, sample_rate=0.04,
+                                 seed=42, nodata=NODATA, as_pct=True):
     """Fused unmix + forward-model validation in ONE streaming pass
     (reference lsma.py:232-297 flow): each batch FCLS-unmixes its own
     tiles against the known reference spectra, forward-models, and emits
     tiny residual partials — abundances never leave the worker (the
     round-1 version collected every tile's abundance into a driver dict
-    and broadcast it back). Returns (rmse_pct_or_value, n_tiles)."""
+    and broadcast it back). ``sample_rate`` is the per-pixel sampling
+    probability (see validate_forward_model). Returns
+    (rmse_pct_or_value, n_tiles)."""
     from ..kernels import nnls
     ref_spectra = np.asarray(ref_spectra, dtype=np.float64)
     n_em = ref_spectra.shape[0]
@@ -193,7 +199,7 @@ def forward_model_rmse_streaming(tiles, ref_spectra, r=10000, seed=42,
                 tid.encode(), digest_size=8).digest(), "little")
             rng = np.random.default_rng(np.random.SeedSequence(
                 [seed, h & 0x7FFFFFFF]))
-            take = rng.random(npx) < min(1.0, 4.0 * r / 1e6)
+            take = rng.random(npx) < min(1.0, float(sample_rate))
             idx = np.nonzero(take & (flat[0] != nodata))[0]
             n_tiles += 1
             if not len(idx):

@@ -138,8 +138,14 @@ def split_hot_tiles(tiles, hot_cells, sub=2):
             ww = a.shape[2] // sub
             for sy in range(sub):
                 for sx in range(sub):
-                    part = a[:, sy * hh:(sy + 1) * hh,
-                             sx * ww:(sx + 1) * ww]
+                    # the last sub-block absorbs the remainder rows/cols
+                    # so no pixel is dropped when h or w is not divisible
+                    # by sub (salted output must equal the unsalted plan)
+                    y1 = a.shape[1] if sy == sub - 1 else (sy + 1) * hh
+                    x1 = a.shape[2] if sx == sub - 1 else (sx + 1) * ww
+                    part = a[:, sy * hh:y1, sx * ww:x1]
+                    if part.size == 0:
+                        continue
                     out["cell"].append(cell)
                     out["sub_id"].append(sy * sub + sx + 1)
                     out["date"].append(date)

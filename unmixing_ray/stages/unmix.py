@@ -182,6 +182,31 @@ def _concat_candidates(parts):
     }
 
 
+def _pack_pool_key(cells, roles, pool_shift):
+    """Key = (morton >> pool_shift, level, role) packed into uint64.
+
+    The cell id stores its level at bits 58-63 (cellindex layout); the
+    level bits MUST be separated from the morton bits before coarsening,
+    else level bit 4 (levels >= 16 shifted by pool_shift=4) silently
+    wraps past bit 63 and distinct coarse cells collide. Roles get 6
+    bits; coarse morton gets the remaining 52 (enough for any level <=
+    28 at pool_shift >= 4 — guarded loudly, not silently)."""
+    from ..cellindex import _LEVEL_SHIFT, _MORTON_MASK
+    cells = np.asarray(cells, dtype=np.uint64)
+    roles = np.asarray(roles).astype(np.uint64)
+    if roles.size and int(roles.max()) >= 64:
+        raise ValueError("candidate role %d exceeds the 6-bit key field"
+                         % int(roles.max()))
+    level = cells >> np.uint64(_LEVEL_SHIFT)
+    morton = cells & np.uint64(_MORTON_MASK)
+    coarse = morton >> np.uint64(pool_shift)
+    if coarse.size and int(coarse.max()) >= (1 << 52):
+        raise ValueError(
+            "coarse morton overflows the 52-bit key field "
+            "(cell level too deep for pool_shift=%d)" % pool_shift)
+    return (coarse << np.uint64(12)) | (level << np.uint64(6)) | roles
+
+
 def reduce_candidates(parts, pool_shift=POOL_SHIFT):
     """Vectorized associative reduce of candidate parts: per
     (cell >> pool_shift, role) keep the extreme value (min for even
@@ -193,8 +218,7 @@ def reduce_candidates(parts, pool_shift=POOL_SHIFT):
     if c is None:
         raise ValueError("no endmember candidates collected")
     p = c["p"]
-    key = (c["cell"] >> np.uint64(pool_shift)).astype(np.uint64) \
-        * np.uint64(64) + c["role"].astype(np.uint64)
+    key = _pack_pool_key(c["cell"], c["role"], pool_shift)
     is_min = (c["role"] < 2 * p) & (c["role"] % 2 == 0)
     picked = []
     for sense in (True, False):
@@ -222,11 +246,15 @@ def reduce_candidates(parts, pool_shift=POOL_SHIFT):
 def pool_to_part(red, pool_shift=POOL_SHIFT):
     """Convert a reduced pool back into a candidate part so reduced
     pools can be re-reduced (associativity: the representative cell
-    reconstructed from the key lands in the same coarse bucket)."""
+    reconstructed from the key lands in the same coarse bucket, with the
+    level field restored to its bits 58-63 home)."""
+    from ..cellindex import _LEVEL_SHIFT
+    key = np.asarray(red["key"], dtype=np.uint64)
+    morton = (key >> np.uint64(12)) << np.uint64(pool_shift)
+    level = (key >> np.uint64(6)) & np.uint64(63)
     return {
-        "cell": (red["key"] >> np.uint64(6) << np.uint64(pool_shift))
-        .astype(np.uint64),
-        "role": (red["key"] % np.uint64(64)).astype(np.int16),
+        "cell": morton | (level << np.uint64(_LEVEL_SHIFT)),
+        "role": (key & np.uint64(63)).astype(np.int16),
         "value": red["value"],
         "tile_id": red["tile_id"],
         "pixel": red["pixel"],
@@ -287,15 +315,19 @@ def induce_endmembers_fused(tiles, W, q=3, pool_shift=POOL_SHIFT):
 def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
     """Distributed Pixel Purity Index over all tiles' MNF pixels.
 
-    Per batch: per-tile skewer extremes are merged WITHIN the batch first
-    (deterministic (value, tile_id, pixel) tiebreak), so every batch emits
-    exactly 2*num_skewers rows regardless of batch size — the driver
-    collect is O(n_batches * num_skewers), independent of tile count, and
-    the final merge applies the same tiebreak, making the answer
-    batching-invariant. Returns (q, p) spectra of the top-q pixels by
-    extremity count (count desc, then (tile_id, pixel) asc).
+    Per batch: per-tile skewer extremes are merged WITHIN the batch
+    first, bucketed by band count p (tiles with different p use different
+    skewer matrices and never compete — a mixed batch previously raised
+    on the shape mismatch), so every batch emits 2*num_skewers rows per
+    distinct p. The global merge is a ``groupby(p, skewer, kind)``
+    tree-reduce (not a driver loop over O(n_batches) rows): the driver
+    collects exactly one row per (p, skewer, kind) — O(num_skewers)
+    regardless of tile or batch count. Deterministic (value, tile_id,
+    pixel) tiebreaks at both levels make the answer batching-invariant.
+    Returns (q, p) spectra of the top-q pixels by extremity count
+    (count desc, then (tile_id, pixel) asc).
     """
-    state = {"sk": None}
+    import pandas as pd
 
     def fn(batch: pa.Table) -> pa.Table:
         arrays, uniform = mnf_pixels_view(batch)
@@ -304,31 +336,31 @@ def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
             mats = arrays
         else:
             mats = [uniform[i] for i in range(uniform.shape[0])]
-        # running per-skewer extremes across the batch's tiles
-        best = {"min": None, "max": None}   # (value, tid_arr, px, spec)
+        skewers = {}                        # p -> skewer matrix
+        best = {}                           # p -> {kind: [v, tid, px, s]}
         for tid, a in zip(tile_ids, mats):
             p = a.shape[0]
-            if state["sk"] is None or state["sk"].shape[1] != p:
-                state["sk"] = em_k.ppi_skewers(p, num_skewers, seed)
+            if p not in skewers:
+                skewers[p] = em_k.ppi_skewers(p, num_skewers, seed)
+                best[p] = {"min": None, "max": None}
             X = a.reshape(p, -1).T.astype(np.float64)
-            imin, vmin, imax, vmax = em_k.ppi_block_extremes(X, state["sk"])
+            imin, vmin, imax, vmax = em_k.ppi_block_extremes(X, skewers[p])
             for kind, ii, vv in (("min", imin, vmin), ("max", imax, vmax)):
                 spec = X[ii]                       # (s, p)
-                cur = best[kind]
+                cur = best[p][kind]
                 if cur is None:
-                    best[kind] = [vv.copy(),
-                                  np.full(num_skewers, tid, dtype=object),
-                                  ii.astype(np.int64), spec.copy()]
+                    best[p][kind] = [
+                        vv.copy(),
+                        np.full(num_skewers, tid, dtype=object),
+                        ii.astype(np.int64), spec.copy()]
                     continue
                 cv, ct, cp, cs = cur
                 if kind == "min":
                     better = (vv < cv)
                 else:
                     better = (vv > cv)
-                # ties: lower (tile_id, pixel) wins; within one tile the
-                # block argmin/argmax already picked the lowest pixel, and
-                # tile_ids ascend in (tile_id) order per batch only if
-                # sorted — compare explicitly to stay order-independent
+                # ties: lower (tile_id, pixel) wins — compare explicitly
+                # to stay order-independent
                 tie = vv == cv
                 if tie.any():
                     lower = np.array(
@@ -340,20 +372,23 @@ def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
                 ct[better] = tid
                 cp[better] = ii[better]
                 cs[better] = spec[better]
-        rows = {"skewer": [], "kind": [], "value": [], "tile_id": [],
-                "pixel": [], "spectrum": []}
+        rows = {"p": [], "skewer": [], "kind": [], "value": [],
+                "tile_id": [], "pixel": [], "spectrum": []}
         s_idx = np.arange(num_skewers)
-        for kind in ("min", "max"):
-            if best[kind] is None:
-                continue
-            cv, ct, cp, cs = best[kind]
-            rows["skewer"].extend(s_idx.tolist())
-            rows["kind"].extend([kind] * num_skewers)
-            rows["value"].extend(cv.tolist())
-            rows["tile_id"].extend(ct.tolist())
-            rows["pixel"].extend(cp.tolist())
-            rows["spectrum"].extend(cs.tolist())
+        for p in sorted(best):
+            for kind in ("min", "max"):
+                if best[p][kind] is None:
+                    continue
+                cv, ct, cp, cs = best[p][kind]
+                rows["p"].extend([p] * num_skewers)
+                rows["skewer"].extend(s_idx.tolist())
+                rows["kind"].extend([kind] * num_skewers)
+                rows["value"].extend(cv.tolist())
+                rows["tile_id"].extend(ct.tolist())
+                rows["pixel"].extend(cp.tolist())
+                rows["spectrum"].extend(cs.tolist())
         return pa.table({
+            "p": pa.array(rows["p"], pa.int32()),
             "skewer": pa.array(rows["skewer"], pa.int32()),
             "kind": pa.array(rows["kind"], pa.string()),
             "value": pa.array(rows["value"], pa.float64()),
@@ -363,32 +398,27 @@ def ppi_global(tiles_mnf, q=3, num_skewers=2000, seed=99):
                                  pa.list_(pa.float64())),
         })
 
-    parts = tiles_mnf.map_batches(fn, batch_format="pyarrow").take_all()
-    # driver merge: per (skewer, kind) pick extreme value with
-    # deterministic (tile_id, pixel) tiebreak
-    best = {}
-    for r in parts:
-        key = (r["skewer"], r["kind"])
-        cur = best.get(key)
-        cand = (r["value"], r["tile_id"], r["pixel"], r["spectrum"])
-        if cur is None:
-            best[key] = cand
-            continue
-        if r["kind"] == "min":
-            better = (cand[0], cand[1], cand[2]) < (cur[0], cur[1], cur[2])
-        else:
-            better = (-cand[0], cand[1], cand[2]) < (-cur[0], cur[1],
-                                                     cur[2])
-        if better:
-            best[key] = cand
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        asc = g["kind"].iloc[0] == "min"
+        g = g.sort_values(["value", "tile_id", "pixel"],
+                          ascending=[asc, True, True], kind="stable")
+        return g.head(1)
+
+    winners = tiles_mnf.map_batches(fn, batch_format="pyarrow")\
+        .groupby(["p", "skewer", "kind"])\
+        .map_groups(merge_group, batch_format="pandas").to_pandas()
     counts = {}
-    for (sk, kind), (v, tid, px, spec) in best.items():
-        key = (tid, px)
+    for _, r in winners.iterrows():
+        key = (r["tile_id"], int(r["pixel"]))
         if key not in counts:
-            counts[key] = [0, spec]
+            counts[key] = [0, r["spectrum"]]
         counts[key][0] += 1
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))
-    return np.array([spec for (_k, (_c, spec)) in ranked[:q]])
+    specs = [np.asarray(spec, dtype=np.float64)
+             for (_k, (_c, spec)) in ranked[:q]]
+    if specs and any(len(s) != len(specs[0]) for s in specs):
+        return specs        # mixed band counts: ragged list of spectra
+    return np.array(specs)
 
 
 # ---------------------------------------------------------------------------
