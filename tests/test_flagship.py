@@ -62,11 +62,20 @@ def test_flagship_join_rows(flagship_result):
     import duckdb
     got = duckdb.sql(
         f"SELECT kind, count(*) AS n FROM "
-        f"read_parquet('{res['join_dir']}/*.parquet') GROUP BY kind "
-        f"ORDER BY kind").df()
+        f"read_parquet('{res['join_dir']}/part-*/*.parquet') "
+        f"GROUP BY kind ORDER BY kind").df()
     kinds = dict(zip(got["kind"], got["n"]))
     assert kinds.get("knn") == 40 * 4 * 2
     assert kinds.get("pip", 0) > 0
+    # round-3 pin: join rows are written partitioned from inside the
+    # write pass with their own manifest — nothing is concatenated on
+    # the driver, and the join output is checkpoint-resumable
+    jrows = ckpt.read_manifest(res["join_dir"])
+    assert len(jrows) >= 1
+    assert all(r["stage"] == "join_rows" for r in jrows)
+    ab_parts = ckpt.completed_partitions(res["abundances_dir"])
+    join_parts = ckpt.completed_partitions(res["join_dir"])
+    assert ab_parts <= join_parts
 
 
 def test_resume_skips_completed(small_corpus, tmp_path):
@@ -101,6 +110,25 @@ def test_fused_induce_matches_recompute(flagship_result):
     W = res["rotation"]
     ems = unmix_stage.induce_endmembers_fused(tiles, W, q=3)
     assert np.array_equal(ems, res["endmembers"])
+
+
+def test_induce_guard_volume_holds(flagship_result):
+    """Round-3 pin (r02 advisory, medium): the fused reflectance-space
+    candidate pool must induce a simplex whose MNF-space volume is not
+    materially below the per-tile MNF-space candidate path's (sampled).
+    Also exercises the runtime guard machinery end to end."""
+    import ray.data
+    from unmixing_ray.stages import unmix as unmix_stage
+    _corpus, out, res = flagship_result
+    tiles = ray.data.read_parquet(os.path.join(out, "tiles"),
+                                  file_extensions=["parquet"])
+    g = unmix_stage.induce_guard(tiles, res["rotation"], 3,
+                                 res["endmembers"], sample_mod=4,
+                                 ratio=0.9)
+    assert g["vol_sample"] > 0
+    assert g["vol_fused"] >= 0.9 * g["vol_sample"], \
+        (g["vol_fused"], g["vol_sample"])
+    assert not g["fell_back"]
 
 
 def test_parallelism_invariance(small_corpus, tmp_path):

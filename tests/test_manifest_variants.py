@@ -62,3 +62,34 @@ def test_actor_join_equals_task_join(small_corpus):
     b2 = b.sort_values(key).reset_index(drop=True)
     assert a2[key].equals(b2[key])
     assert np.allclose(a2["dist"], b2["dist"])
+
+
+def test_compact_partitions(tmp_path):
+    """VERDICT r02 item 10: per-partition compaction bounds the file
+    count left by the streaming writer without changing rows, and keeps
+    the partition 'complete' (manifest row republished)."""
+    import glob
+    out = str(tmp_path / "cp")
+    # many tiny write batches -> several files per partition, ONE
+    # finalize after the pass (the real writer protocol)
+    import pyarrow as pa
+    writer = ckpt.make_streaming_partition_writer(out, "part")
+    metrics = []
+    for lo in range(0, 40, 5):
+        rows = [{"part": i % 2, "tile_id": "t%04d" % i, "v": i}
+                for i in range(lo, lo + 5)]
+        metrics.extend(writer(pa.Table.from_pylist(rows)).to_pylist())
+    ckpt.finalize_streaming_write(metrics, out)
+    n_files_before = len(glob.glob(os.path.join(out, "part-*",
+                                                "*.parquet")))
+    assert n_files_before > 4
+    n = ckpt.compact_partitions(out, max_files=1)
+    assert n == 2
+    n_files_after = len(glob.glob(os.path.join(out, "part-*",
+                                               "*.parquet")))
+    assert n_files_after == 2
+    assert ckpt.completed_partitions(out) == {"0", "1"}
+    back = ckpt.read_output(out)
+    assert sorted(back["v"].to_pylist()) == list(range(40))
+    for r in ckpt.read_manifest(out):
+        assert r["files"] == 1

@@ -90,6 +90,39 @@ def test_split_hot_tiles_remainder_rows_preserved():
     assert np.isclose(total, a.sum())
 
 
+def test_composite_auto_salt_parity():
+    """VERDICT r02 item 9: composite_by_cell(hot_threshold=...) salts hot
+    cells internally (count pre-pass + spatial sub-split + reassembly)
+    and produces exactly the unsalted plan's rows."""
+    import ray.data
+    from unmixing_ray.stages import composite as cstage
+    rng = np.random.default_rng(17)
+    rows = []
+    for cell, n_dates in ((100, 30), (101, 3), (102, 5)):
+        for d in range(n_dates):
+            a = rng.integers(0, 2000, (2, 8, 8)).astype(np.int16)
+            a[0, 0, d % 8] = -9999
+            rows.append({"cell": cell, "date": d, "tile_id":
+                         "c%d_d%d" % (cell, d), "bands": 2, "h": 8,
+                         "w": 8, "pixels": a.tobytes()})
+    reducers = ("median", "max")
+    plain = cstage.composite_by_cell(
+        ray.data.from_items(rows), reducers, normalize=None)\
+        .to_pandas().sort_values("cell").reset_index(drop=True)
+    salted = cstage.composite_by_cell(
+        ray.data.from_items(rows), reducers, normalize=None,
+        hot_threshold=10, sub=3)\
+        .to_pandas().sort_values("cell").reset_index(drop=True)
+    assert plain["cell"].tolist() == salted["cell"].tolist()
+    assert plain["n_dates"].tolist() == salted["n_dates"].tolist()
+    for i in range(len(plain)):
+        assert plain.iloc[i]["h"] == salted.iloc[i]["h"]
+        assert plain.iloc[i]["w"] == salted.iloc[i]["w"]
+        assert np.array_equal(
+            np.asarray(plain.iloc[i]["pixels"], dtype=np.float32),
+            np.asarray(salted.iloc[i]["pixels"], dtype=np.float32)), i
+
+
 def test_ppi_global_mixed_band_counts():
     import ray.data
     rng = np.random.default_rng(8)

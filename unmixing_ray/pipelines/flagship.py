@@ -95,11 +95,57 @@ def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
     return out
 
 
+def _repair_join_partitions(tiles, polygons, k_knn, missing, join_dir,
+                            partition_shift=12):
+    """Re-probe ONLY the partitions whose abundance manifest is complete
+    but whose join manifest is not (crash window between the two
+    finalizes, or a pre-round-3 layout). Bounded by the missing set —
+    never a full re-join."""
+    import pyarrow as pa
+    from ..state import manifest as _ckpt
+    missing_set = set(str(m) for m in missing)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        part = (batch["cell"].to_numpy(zero_copy_only=False)
+                >> np.uint64(partition_shift)).astype(np.uint64)
+        mask = pa.array([str(v) in missing_set for v in part], pa.bool_())
+        return batch.filter(mask)
+
+    probe = tiles.select_columns(["tile_id", "cell", "cx", "cy"])\
+        .map_batches(keep, batch_format="pyarrow")
+    rows = join_stage.broadcast_spatial_join(probe, polygons, k=k_knn)
+
+    def add_p(batch: pa.Table) -> pa.Table:
+        part = (batch["cell"].to_numpy(zero_copy_only=False)
+                >> np.uint64(partition_shift)).astype(np.uint64)
+        return batch.append_column("part", pa.array(part, pa.uint64()))
+
+    parted = rows.map_batches(add_p, batch_format="pyarrow")
+    _ckpt.checkpointed_write_streaming(parted, join_dir, "part",
+                                       stage="join_rows")
+    still = missing_set - _ckpt.completed_partitions(join_dir)
+    if still:   # legitimately zero join rows in these partitions
+        _ckpt.finalize_streaming_write(
+            [{"partition": t, "rows": 0, "bytes": 0, "wall_ms": 0.0}
+             for t in sorted(still)], join_dir, stage="join_rows")
+
+
 def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
                  cell_level=DEFAULT_CELL_LEVEL, q=3, k_knn=2,
                  induce="nfindr", clean=True, checkpoint=True,
-                 unmix_concurrency=None, unmix_batch_size=64):
-    """Run the full pipeline; returns dict of result handles."""
+                 unmix_concurrency=None, unmix_batch_size=64,
+                 induce_guard_mod=None, induce_guard_ratio=0.9,
+                 compact_max_files=None):
+    """Run the full pipeline; returns dict of result handles.
+
+    ``induce_guard_mod``: when set (e.g. 50), run the fused-induce
+    volume guard — one extra column-pruned pass over a ~1/mod tile
+    sample comparing the fused pool's NFINDR simplex volume against
+    per-tile MNF-space candidates, re-refining over the union if the
+    fused volume dropped below ``induce_guard_ratio`` of the sample's
+    (see stages/unmix.py:induce_guard). Off by default: the quality
+    bound is pinned by tests/test_flagship.py on the synthetic corpus;
+    enable on unfamiliar corpora."""
     import time
     timings = {}
     os.makedirs(out_dir, exist_ok=True)
@@ -144,6 +190,16 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     else:
         endmembers = unmix_stage.induce_endmembers_fused(tiles, W, q=q)
     timings["induce"] = round(time.monotonic() - t0, 3)
+    guard_info = None
+    if induce == "nfindr" and induce_guard_mod:
+        t0 = time.monotonic()
+        g = unmix_stage.induce_guard(
+            tiles, W, q, endmembers, sample_mod=induce_guard_mod,
+            ratio=induce_guard_ratio)
+        endmembers = g["endmembers"]
+        guard_info = {k: g[k] for k in ("vol_fused", "vol_sample",
+                                        "fell_back")}
+        timings["induce_guard"] = round(time.monotonic() - t0, 3)
 
     # FCLS actor pool → abundance tiles → checkpointed partitioned write
     abundances = unmix_stage.unmix(
@@ -161,47 +217,56 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     ab_parted = abundances.map_batches(add_part, batch_format="pyarrow")
     remaining, skipped_ab = ckpt.resume_filter(ab_parted, ab_dir, "part")
     # the spatial join probes ride the unmix write pass as a side channel
-    # (tile centroids vs the broadcast polygon table) — no separate read
+    # (tile centroids vs the broadcast polygon table) and are written to
+    # their OWN checkpointed partition layout from inside the stage —
+    # only tiny per-partition metric rows reach the driver (round 2
+    # ferried every join row through driver-collected pickle blobs)
     polygons = pq.read_table(os.path.join(corpus_dir, "polygons.parquet"))
     import ray as _ray
     poly_ref = _ray.put(polygons)
-    probe_cache = {}
+    join_dir = os.path.join(out_dir, "join_rows")
+    ckpt.clear_incomplete_partitions(join_dir)
+    join_writer = ckpt.make_streaming_partition_writer(
+        join_dir, "part", stage="join_rows")
 
     def join_side(batch):
-        if "actor" not in probe_cache:
-            probe_cache["actor"] = join_stage.SpatialJoinActor(
-                _ray.get(poly_ref), k_knn)
-        return probe_cache["actor"](batch).to_pydict()
+        import pyarrow as pa
+        actor = join_stage.cached_probe_actor(poly_ref, k_knn)
+        jt = actor(batch)
+        part = (jt["cell"].to_numpy(zero_copy_only=False)
+                >> np.uint64(12)).astype(np.uint64)
+        jt = jt.append_column("part", pa.array(part, pa.uint64()))
+        metrics = join_writer(jt).to_pylist() if jt.num_rows else []
+        # partitions whose tiles produced no join rows still need a
+        # manifest row (else the repair pass re-probes them every run)
+        covered = {m["partition"] for m in metrics}
+        ab_parts = np.unique(batch["part"].to_numpy(zero_copy_only=False))
+        for v in ab_parts:
+            tok = str(v)
+            if tok not in covered:
+                metrics.append({"partition": tok, "rows": 0, "bytes": 0,
+                                "wall_ms": 0.0})
+        return {"join_metrics": metrics}
 
     _agg2, join_sides = ckpt.checkpointed_write_streaming(
         remaining, ab_dir, "part", stage="abundances", side_fn=join_side)
     lineage = ckpt.read_manifest(ab_dir)
     timings["unmix_write"] = round(time.monotonic() - t0, 3)
 
-    # assemble + write join rows (small; driver-side)
+    # publish the join manifest; repair partitions whose abundance rows
+    # are complete but whose join rows are not (resumed run whose prior
+    # crash hit the window between the two finalizes)
     t0 = time.monotonic()
-    join_dir = os.path.join(out_dir, "join_rows")
-    os.makedirs(join_dir, exist_ok=True)
-    import pyarrow as pa
-    if join_sides and skipped_ab == 0:
-        # explicit schema: from_pydict on an empty probe result would
-        # infer null-typed columns and poison concat_tables
-        parts = [pa.table(d, schema=join_stage.JOIN_SCHEMA)
-                 for d in join_sides if d and len(d.get("tile_id", []))]
-        join_tbl = pa.concat_tables(parts) if parts else \
-            join_stage.JOIN_SCHEMA.empty_table()
-    else:
-        join_tbl = None
-    if join_tbl is None:
-        # resumed run: the side channel only covered fresh partitions —
-        # recompute the join from the checkpoint (metadata columns only)
-        join_rows = join_stage.broadcast_spatial_join(
-            tiles.select_columns(["tile_id", "cell", "cx", "cy"]),
-            polygons, k=k_knn)
-        join_rows.write_parquet(join_dir)
-    else:
-        pq.write_table(join_tbl, os.path.join(join_dir,
-                                              "join_rows.parquet"))
+    join_metrics = [m for s in join_sides
+                    for m in (s or {}).get("join_metrics", [])]
+    ckpt.finalize_streaming_write(join_metrics, join_dir,
+                                  stage="join_rows")
+    if checkpoint:
+        missing = sorted(ckpt.completed_partitions(ab_dir)
+                         - ckpt.completed_partitions(join_dir))
+        if missing:
+            _repair_join_partitions(tiles, polygons, k_knn, missing,
+                                    join_dir)
     timings["spatial_join"] = round(time.monotonic() - t0, 3)
 
     # integrity: every checkpointed tile must have an abundance row (the
@@ -218,10 +283,18 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
               "checkpoint has %d — rerun to resume the missing "
               "partitions" % (ab_rows, tiles_rows), file=sys.stderr)
 
+    # optional post-pass compaction: bound the per-partition file count
+    # the streaming writer leaves (one file per (partition, batch))
+    if compact_max_files:
+        for d in ((os.path.join(out_dir, "tiles"),) if checkpoint
+                  else ()) + (ab_dir, join_dir):
+            ckpt.compact_partitions(d, max_files=compact_max_files)
+
     return {
         "rotation": W,
         "snr": snr,
         "endmembers": endmembers,
+        "induce_guard": guard_info,
         "abundances_dir": ab_dir,
         "join_dir": join_dir,
         "lineage": lineage,

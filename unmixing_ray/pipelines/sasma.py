@@ -68,19 +68,39 @@ def label_pixels(arr, em_spectra, max_dist=None):
     return labels.reshape(1, h, w).astype(np.int32)
 
 
+def _sample_hash(tile_ids, pixels):
+    """Deterministic 63-bit hash per (tile_id, pixel) candidate — the
+    global sampling order. A pure function of row content, so the
+    selected pool is batching- and parallelism-invariant."""
+    import hashlib
+    out = np.empty(len(tile_ids), dtype=np.int64)
+    for i, (t, p) in enumerate(zip(tile_ids, pixels)):
+        d = hashlib.blake2b(("%s:%d" % (t, int(p))).encode(),
+                            digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
 def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
                          params=None, max_samples=50000,
-                         input_col="pixels", per_tile_cap=64):
+                         input_col="pixels", per_tile_cap=64,
+                         return_stats=False):
     """Streaming training-pixel collection → driver CART fit.
     Features = the first MNF/feature bands; labels from label_pixels.
 
-    Scale contract: each tile contributes AT MOST ``per_tile_cap``
-    labeled pixels (deterministic in-tile stride — a function of tile
-    content only, so batching-invariant), and the driver pool is sorted
-    by (tile_id, pixel) then stride-capped at ``max_samples``; driver
-    memory is O(min(n_tiles * per_tile_cap, collected)) small rows, never
-    O(all labeled pixels) (round-1 collected every labeled pixel)."""
+    Scale contract (driver memory O(max_samples), INDEPENDENT of tile
+    count — round 2 still concatenated O(n_tiles * per_tile_cap) rows
+    before capping): each tile contributes at most ``per_tile_cap``
+    labeled pixels (deterministic in-tile stride), every candidate gets
+    a content hash, each batch emits only its ``pool_cap`` smallest-hash
+    rows, and the driver STREAMS the batch partials keeping a running
+    smallest-``pool_cap`` pool (the global smallest-K of a union is the
+    smallest-K of the per-batch smallest-Ks, so the result equals the
+    unbounded collect's hash-smallest subset at any batching). The final
+    pool is sorted by (tile_id, pixel) and stride-capped at
+    ``max_samples`` as before, preserving the determinism pin."""
     em_spectra = np.asarray(em_spectra, dtype=np.float64)
+    pool_cap = 4 * int(max_samples)
 
     def collect(batch: pa.Table) -> pa.Table:
         from ..stages.decode import tiles_to_ndarray
@@ -112,24 +132,48 @@ def fit_cart_distributed(tiles, em_spectra, feature_bands=(0, 1),
         X = np.vstack(feats) if feats else np.empty((0,
                                                      len(feature_bands)))
         y = np.concatenate(labs) if labs else np.empty(0, np.int64)
-        return pa.table({
-            "tile_id": pa.array(tids, pa.string()),
-            "pixel": pa.array(pxs, pa.int32()),
-            "x": pa.array(X.tolist(), pa.list_(pa.float64())),
-            "y": pa.array(y.astype(np.int64)),
+        sh = _sample_hash(tids, pxs)
+        tbl = pd.DataFrame({
+            "tile_id": np.asarray(tids, dtype=object),
+            "pixel": np.asarray(pxs, dtype=np.int32),
+            "sample_hash": sh,
+            "x": [r.tolist() for r in X],
+            "y": y.astype(np.int64),
         })
+        if len(tbl) > pool_cap:
+            tbl = tbl.sort_values(["sample_hash", "tile_id", "pixel"],
+                                  kind="stable").head(pool_cap)
+        return tbl
 
-    rows = tiles.map_batches(collect, batch_format="pyarrow").to_pandas()
-    rows = rows.sort_values(["tile_id", "pixel"], kind="stable")\
+    # driver streaming merge: hold at most ~2*pool_cap rows at any time
+    pool = None
+    held_max = 0
+    for part in tiles.map_batches(collect, batch_format="pyarrow")\
+            .iter_batches(batch_format="pandas"):
+        if not len(part):
+            continue
+        pool = part if pool is None else pd.concat([pool, part],
+                                                   ignore_index=True)
+        held_max = max(held_max, len(pool))
+        if len(pool) > pool_cap:
+            pool = pool.sort_values(["sample_hash", "tile_id", "pixel"],
+                                    kind="stable").head(pool_cap)
+    if pool is None:
+        pool = pd.DataFrame({"tile_id": [], "pixel": [],
+                             "sample_hash": [], "x": [], "y": []})
+    rows = pool.sort_values(["tile_id", "pixel"], kind="stable")\
         .reset_index(drop=True)
     X = np.array(rows["x"].tolist()) if len(rows) else \
         np.empty((0, len(feature_bands)))
-    y = rows["y"].to_numpy()
+    y = rows["y"].to_numpy(dtype=np.int64)
     if len(X) > max_samples:
         # deterministic stride subsample over the sorted pool
         step = int(np.ceil(len(X) / max_samples))
         X, y = X[::step], y[::step]
     tree = DecisionTree(**(params or {"max_depth": 10})).fit(X, y)
+    if return_stats:
+        return tree, {"pool_cap": pool_cap, "held_max": held_max,
+                      "fit_rows": len(X)}
     return tree
 
 

@@ -166,6 +166,25 @@ class SpatialJoinActor:
             bboxes=self.bboxes)
 
 
+# Per-worker-process probe-state cache. A closure-held dict is
+# re-deserialized with every TASK (the STRtree rebuilt per task — the
+# round-2 advisory finding); a module-level cache keyed by the broadcast
+# ref survives for the life of the worker process, so the tree builds
+# once per worker like true actor state.
+_PROBE_ACTOR_CACHE = {}
+
+
+def cached_probe_actor(polygons_ref, k):
+    """SpatialJoinActor built once per worker process per (ref, k)."""
+    key = (polygons_ref.hex() if hasattr(polygons_ref, "hex")
+           else id(polygons_ref), int(k))
+    actor = _PROBE_ACTOR_CACHE.get(key)
+    if actor is None:
+        actor = SpatialJoinActor(polygons_ref, k)
+        _PROBE_ACTOR_CACHE[key] = actor
+    return actor
+
+
 def broadcast_spatial_join(tiles, polygons, k=3, concurrency=None,
                            batch_size=2048, use_actors=False):
     """tiles: Dataset with (tile_id, cell, cx, cy); polygons: pa.Table.
@@ -191,12 +210,8 @@ def broadcast_spatial_join(tiles, polygons, k=3, concurrency=None,
             batch_size=batch_size,
             concurrency=concurrency,
         )
-    cache = {}
-
     def probe_task(batch: pa.Table) -> pa.Table:
-        if "actor" not in cache:
-            cache["actor"] = SpatialJoinActor(ray.get(ref), k)
-        return cache["actor"](batch)
+        return cached_probe_actor(ref, k)(batch)
 
     return probe_cols.map_batches(probe_task, batch_format="pyarrow",
                                   batch_size=batch_size)

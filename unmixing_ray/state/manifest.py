@@ -242,6 +242,67 @@ def checkpointed_write_streaming(ds, out_dir, partition_col,
     return agg, collect_side_results(rows)
 
 
+def compact_partitions(out_dir, max_files=8):
+    """Merge each completed partition's data files into one when the
+    streaming writer left more than ``max_files`` (one file per
+    (partition, batch) grows with batch count — VERDICT r02 item 10).
+
+    Crash-safe under the existing recovery contract: the partition's
+    manifest row is removed FIRST (making it "incomplete"), then the old
+    files are swapped for the combined file, then the manifest row is
+    republished. A crash anywhere in between leaves an incomplete
+    partition that ``clear_incomplete_partitions`` + resume rewrites
+    from the (immutable) source — never silent duplication or loss.
+    Returns the number of partitions compacted."""
+    import hashlib
+    done = completed_partitions(out_dir)
+    mdir = _manifest_dir(out_dir)
+    compacted = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if not (name.startswith("part-") and os.path.isdir(pdir)):
+            continue
+        token = name.split("=", 1)[-1]
+        if token not in done:
+            continue
+        files = sorted(f for f in os.listdir(pdir)
+                       if f.endswith(".parquet"))
+        if len(files) <= max_files:
+            continue
+        with open(os.path.join(mdir, "part-%s.json" % token)) as f:
+            row = json.load(f)
+        combined = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in files])
+        assert combined.num_rows == row["rows"], \
+            "partition %s: %d rows on disk vs %d in manifest" % (
+                token, combined.num_rows, row["rows"])
+        digest = hashlib.blake2b(
+            ("compact:" + ":".join(files)).encode(),
+            digest_size=10).hexdigest()
+        tmp = os.path.join(pdir, ".data-%s.tmp.%d" % (digest,
+                                                      os.getpid()))
+        pq.write_table(combined, tmp)
+        # 1) retract the manifest row -> partition is now "incomplete"
+        os.remove(os.path.join(mdir, "part-%s.json" % token))
+        # 2) swap the files
+        for f in files:
+            os.remove(os.path.join(pdir, f))
+        final = os.path.join(pdir, "data-%s.parquet" % digest)
+        os.replace(tmp, final)
+        # 3) republish the manifest row
+        row["bytes"] = os.path.getsize(final)
+        row["files"] = 1
+        mtmp = os.path.join(mdir, ".part-%s.json.tmp.%d" % (token,
+                                                            os.getpid()))
+        with open(mtmp, "w") as f:
+            json.dump(row, f)
+        os.replace(mtmp, os.path.join(mdir, "part-%s.json" % token))
+        compacted += 1
+    return compacted
+
+
 def resume_filter(ds, out_dir, partition_col):
     """Drop rows of already-completed partitions (broadcast anti-join on
     the manifest key set inside map_batches)."""
