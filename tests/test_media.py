@@ -81,3 +81,44 @@ def test_decoder_stub_raises():
         "h": [8], "w": [8], "caption": ["c"]})
     with pytest.raises(NotImplementedError, match="video decoder"):
         vactor(vbatch)
+
+
+def test_wav_pcm16_roundtrip():
+    """Real stdlib WAV codec: encode→decode round trip within the
+    int16 quantization step (the audio analogue of the image PSNR
+    invariant)."""
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal(4000) * 0.4, -1.0, 1.0)
+    buf = media.encode_wav_pcm16(x, 22050)
+    y, sr = media.decode_wav_pcm16(buf)
+    assert sr == 22050 and len(y) == 4000
+    assert np.abs(y - x).max() <= 1.0 / 32767 + 1e-12
+    with pytest.raises(ValueError):
+        media.decode_wav_pcm16(b"not a riff payload....")
+
+
+def test_audio_features_wav_matches_generation_sidecar():
+    """Round-3 oracle pin: audio features over REAL WAV payloads equal
+    the generation-time inline-replicated expected table."""
+    import duckdb
+    from unmixing_ray.sources import synth
+    corpus = synth.generate_media("/tmp/media_test_corpus", n_images=60,
+                                  seed=7)
+    ds = ray.data.read_parquet(corpus + "/media_audio.parquet")
+    out = media.audio_features(ds, decoder="wav").to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT media_id, n_windows, rms_head_u6, zcr_head_u6, "
+        "rms_sum_u6 FROM "
+        f"read_parquet('{corpus}/media_audio_expected.parquet') "
+        "ORDER BY media_id").df()
+    assert out["media_id"].tolist() == exp["media_id"].tolist()
+    assert out["n_windows"].astype("int64").tolist() == \
+        exp["n_windows"].astype("int64").tolist()
+    got_head = [int(v[0]) for v in out["rms_u6"]]
+    assert got_head == exp["rms_head_u6"].astype("int64").tolist()
+    got_z = [int(v[0]) for v in out["zcr_u6"]]
+    assert got_z == exp["zcr_head_u6"].astype("int64").tolist()
+    got_sum = [int(np.sum(np.asarray(v, dtype=np.int64)))
+               for v in out["rms_u6"]]
+    assert got_sum == exp["rms_sum_u6"].astype("int64").tolist()

@@ -687,6 +687,366 @@ def generate_skewed_corpus(out_dir, n_images, seed=7, hot_frac=0.5,
     return str(out)
 
 
+# ---------------------------------------------------------------------------
+# near-duplicate ground truth over the provided documents table:
+# generation-time O(n^2) exact Jaccard / Hamming sidecars (inline
+# replications of the PUBLISHED shingle/minhash-verify/simhash specs,
+# not imports of the engine's operators) so the LSH near-dup queries get
+# hash-checkable oracles (VERDICT r02 item 1).
+
+NEARDUP_VERSION = 2
+NEARDUP_MAX_DOCS = 1500    # O(n^2) sidecar only at oracle scales
+PLANTED_OFFSET = 1_000_000
+
+
+def perturb_docs(texts_by_id, n_dups=20, seed=99):
+    """The planted near-dup CONSTRUCTION (shared input builder, not an
+    oracle): token-perturbed copies of the first ``n_dups`` docs sorted
+    by doc_id, ids offset by PLANTED_OFFSET. One shared rng in doc_id
+    order keeps query and oracle inputs bit-identical."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for doc_id in sorted(texts_by_id)[:n_dups]:
+        toks = texts_by_id[doc_id].split(" ")
+        idx = rng.integers(0, max(1, len(toks)),
+                           size=max(1, len(toks) // 10))
+        for i in idx:
+            toks[int(i)] = "PERTURBED"
+        out.append((int(doc_id) + PLANTED_OFFSET, " ".join(toks)))
+    return out
+
+
+def _shingles_inline(text, k=8):
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def _simhash_inline(text, k=2):
+    """Inline SimHash (Charikar 2002 over char k-gram features with
+    md5-derived 64-bit feature ids — the documented spec)."""
+    if not text:
+        return 0
+    if len(text) < k:
+        grams = [text]
+    else:
+        grams = [text[i:i + k] for i in range(len(text) - k + 1)]
+    ids = np.array([int.from_bytes(
+        hashlib.md5(g.encode()).digest()[:8], "little") for g in grams],
+        dtype=np.uint64)
+    bits = ((ids[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def generate_neardup_expected(sf_dir, n_dups=20, seed=99, jac_floor=0.3,
+                              max_hamming=8, shingle_k=8, sim_k=2):
+    """Write minhash_expected / simhash_expected sidecars into the corpus
+    dir: ALL pairs (base ∪ planted) with char-k-gram Jaccard >= jac_floor
+    resp. SimHash Hamming <= max_hamming, with a ``planted`` flag for
+    pairs touching a planted doc. Returns the corpus dir, or None when
+    the documents table exceeds the O(n^2) guard."""
+    import pyarrow.dataset as pads
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_NEARDUP_DONE"
+    stamp = "neardup v%d n%d seed%d" % (NEARDUP_VERSION, n_dups, seed)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    docs_path = os.path.join(str(sf_dir), "documents.parquet")
+    tbl = pads.dataset(docs_path, format="parquet").to_table(
+        columns=["doc_id", "text"])
+    if tbl.num_rows > NEARDUP_MAX_DOCS:
+        return None
+    out.mkdir(parents=True, exist_ok=True)
+    base = dict(zip((int(i) for i in tbl["doc_id"].to_pylist()),
+                    tbl["text"].to_pylist()))
+    all_docs = dict(base)
+    all_docs.update(perturb_docs(base, n_dups, seed))
+    ids = sorted(all_docs)
+
+    # exact Jaccard sidecar
+    sets = {i: _shingles_inline(all_docs[i], shingle_k) for i in ids}
+    mh = {k: [] for k in ("doc_a", "doc_b", "jaccard_u6", "planted")}
+    for ai in range(len(ids)):
+        a = ids[ai]
+        sa = sets[a]
+        la = len(sa)
+        for bi in range(ai + 1, len(ids)):
+            b = ids[bi]
+            sb = sets[b]
+            lb = len(sb)
+            mn, mx = (la, lb) if la <= lb else (lb, la)
+            if mx and mn / mx < jac_floor:
+                continue            # |A∩B| <= min ⇒ j <= min/max
+            inter = len(sa & sb)
+            union = la + lb - inter
+            j = (inter / union) if union else 1.0
+            if j >= jac_floor:
+                mh["doc_a"].append(a)
+                mh["doc_b"].append(b)
+                mh["jaccard_u6"].append(int(np.floor(j * 1_000_000)))
+                mh["planted"].append(a >= PLANTED_OFFSET
+                                     or b >= PLANTED_OFFSET)
+    pq.write_table(pa.table({
+        "doc_a": pa.array(mh["doc_a"], pa.int64()),
+        "doc_b": pa.array(mh["doc_b"], pa.int64()),
+        "jaccard_u6": pa.array(mh["jaccard_u6"], pa.int64()),
+        "planted": pa.array(mh["planted"], pa.bool_())}),
+        str(out / "minhash_expected.parquet"))
+
+    # exact Hamming sidecar
+    sigs = np.array([_simhash_inline(all_docs[i], sim_k) for i in ids],
+                    dtype=np.uint64)
+    xor = np.bitwise_xor.outer(sigs, sigs)
+    ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8),
+                        axis=2).sum(axis=2)
+    sh = {k: [] for k in ("doc_a", "doc_b", "hamming", "planted")}
+    ia, ib = np.nonzero(np.triu(ham <= max_hamming, 1))
+    for a_i, b_i in zip(ia, ib):
+        a, b = ids[int(a_i)], ids[int(b_i)]
+        sh["doc_a"].append(a)
+        sh["doc_b"].append(b)
+        sh["hamming"].append(int(ham[a_i, b_i]))
+        sh["planted"].append(a >= PLANTED_OFFSET or b >= PLANTED_OFFSET)
+    pq.write_table(pa.table({
+        "doc_a": pa.array(sh["doc_a"], pa.int64()),
+        "doc_b": pa.array(sh["doc_b"], pa.int64()),
+        "hamming": pa.array(sh["hamming"], pa.int64()),
+        "planted": pa.array(sh["planted"], pa.bool_())}),
+        str(out / "simhash_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicate embeddings: the provided embeddings table has
+# no high-cosine pairs (max ~0.51), so the cosine-LSH near-dup query was
+# vacuous. Perturbed copies of the first vectors (cosine ~0.999) plus an
+# exact inline all-pairs cosine sidecar give it a hash-checkable oracle.
+
+EMB_PLANT_VERSION = 1
+EMB_PLANT_MAX_ROWS = 50_000
+
+
+def generate_embeddings_planted(sf_dir, n_plant=10, noise=0.03, seed=55,
+                                threshold=0.95):
+    """Write embeddings_planted.parquet (perturbed near-dup rows, ids
+    offset by PLANTED_OFFSET) and cosine_neardup_expected.parquet (ALL
+    pairs of base ∪ planted with cosine >= threshold, exact inline
+    numpy) into the corpus dir. Returns the corpus dir or None above the
+    O(n^2) guard."""
+    import pyarrow.dataset as pads
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_EMBPLANT_DONE"
+    stamp = "embplant v%d n%d seed%d" % (EMB_PLANT_VERSION, n_plant, seed)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    tbl = pads.dataset(os.path.join(str(sf_dir), "embeddings.parquet"),
+                       format="parquet").to_table(
+        columns=["vec_id", "embedding"])
+    if tbl.num_rows > EMB_PLANT_MAX_ROWS:
+        return None
+    out.mkdir(parents=True, exist_ok=True)
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    rng = np.random.default_rng(seed)
+    p_ids = []
+    p_vecs = []
+    for j in range(min(n_plant, len(ids))):
+        v = M[j]
+        g = rng.standard_normal(v.shape)
+        g = g / np.linalg.norm(g)
+        p_ids.append(int(ids[j]) + PLANTED_OFFSET)
+        p_vecs.append(v + noise * np.linalg.norm(v) * g)
+    p_vecs = np.asarray(p_vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(p_ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in p_vecs],
+                              pa.list_(pa.float64()))}),
+        str(out / "embeddings_planted.parquet"))
+    # exact all-pairs cosine over base ∪ planted (inline, no engine code)
+    all_ids = np.concatenate([ids, np.asarray(p_ids, dtype=np.int64)])
+    A = np.vstack([M, p_vecs])
+    norms = np.linalg.norm(A, axis=1)
+    norms[norms == 0] = 1.0
+    An = A / norms[:, None]
+    sims = An @ An.T
+    iu = np.triu_indices(len(all_ids), 1)
+    keep = sims[iu] >= threshold
+    a_raw = all_ids[iu[0][keep]]
+    b_raw = all_ids[iu[1][keep]]
+    vec_a = np.minimum(a_raw, b_raw)
+    vec_b = np.maximum(a_raw, b_raw)
+    o = np.lexsort((vec_b, vec_a))
+    pq.write_table(pa.table({
+        "vec_a": pa.array(vec_a[o], pa.int64()),
+        "vec_b": pa.array(vec_b[o], pa.int64())}),
+        str(out / "cosine_neardup_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal media tables (audio as REAL RIFF/PCM16 WAV payloads decoded
+# by the engine's stdlib codec; video as opaque synthetic payloads whose
+# decode spec is documented in stages/media.py) + generation-time
+# expected-feature sidecars so the driver's DuckDB oracle can hash-check
+# the actor-pool media stages (VERDICT r02 items 1 and 6).
+
+MEDIA_VERSION = 2
+AUDIO_WINDOW = 1024
+AUDIO_HOP = 512
+VIDEO_EVERY = 12
+VIDEO_OUT = 32
+
+
+def _media_counts(n_images):
+    return max(50, n_images // 24), max(50, n_images // 24)
+
+
+def _audio_expected_inline(x_dec, window=AUDIO_WINDOW, hop=AUDIO_HOP):
+    """Inline replication of the documented window/RMS/ZCR spec
+    (stages/media.py AudioFeatureActor, float64) over the DECODED
+    samples. Returns (n_windows, rms_head_u6, zcr_head_u6, rms_sum_u6)."""
+    x = np.asarray(x_dec, dtype=np.float64)
+    n_win = max(0, 1 + (len(x) - window) // hop)
+    if not n_win:
+        return 0, -1, -1, 0
+    idx = np.arange(n_win)[:, None] * hop + np.arange(window)[None, :]
+    frames = x[idx]
+    rms = np.sqrt((frames ** 2).mean(axis=1))
+    zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+    rms_u6 = np.floor(rms * 1e6).astype(np.int64)
+    zcr_u6 = np.floor(zcr * 1e6).astype(np.int64)
+    return (n_win, int(rms_u6[0]), int(zcr_u6[0]), int(rms_u6.sum()))
+
+
+def _video_frame_inline(buf, idx, h, w, out_h=VIDEO_OUT, out_w=VIDEO_OUT):
+    """Inline replication of the documented synthetic video decode +
+    nearest-neighbor resize spec (stages/media.py); returns px_sum."""
+    hh = hashlib.blake2b(buf + idx.to_bytes(4, "little"), digest_size=8,
+                         person=b"video").digest()
+    rng = np.random.default_rng(int.from_bytes(hh, "little"))
+    s = rng.standard_normal(h * w).astype(np.float32)
+    frame = np.clip((s * 40 + 128), 0, 255).astype(np.uint8)\
+        .reshape(h, w)
+    ys = (np.arange(out_h) * h // out_h)
+    xs = (np.arange(out_w) * w // out_w)
+    small = frame[ys[:, None], xs[None, :]]
+    return int(small.astype(np.int64).sum())
+
+
+def generate_media(out_dir, n_images, seed=7, force=False):
+    """Write media_audio/media_video tables + expected sidecars into the
+    corpus dir (own DONE stamp so existing corpora don't regenerate)."""
+    from ..stages.media import encode_wav_pcm16
+    out = pathlib.Path(out_dir)
+    done = out / "_MEDIA_DONE"
+    stamp = "media v%d n%d seed%d" % (MEDIA_VERSION, n_images, seed)
+    if done.exists() and not force and done.read_text() == stamp:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    n_audio, n_video = _media_counts(n_images)
+
+    a_rows = {k: [] for k in ("media_id", "bytes", "kind", "sr",
+                              "n_samples", "caption")}
+    a_exp = {k: [] for k in ("media_id", "n_windows", "rms_head_u6",
+                             "zcr_head_u6", "rms_sum_u6", "caption")}
+    for i in range(n_audio):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 41, i]))
+        n_samples = 8192 + 512 * int(rng.integers(8))
+        x = np.clip(rng.standard_normal(n_samples) * 0.3, -1.0, 1.0)
+        sr = 16000
+        buf = encode_wav_pcm16(x, sr)
+        cap = "audio clip %05d" % i
+        a_rows["media_id"].append("aud%05d" % i)
+        a_rows["bytes"].append(buf)
+        a_rows["kind"].append("audio")
+        a_rows["sr"].append(sr)
+        a_rows["n_samples"].append(n_samples)
+        a_rows["caption"].append(cap)
+        # expected features over the DECODED (PCM-quantized) samples —
+        # quantization replicated inline, not via the engine codec
+        # int16 cast matters: np.rint keeps -0.0 whose signbit flips
+        # the ZCR vs the engine's int16-decoded +0.0
+        pcm = np.rint(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+        x_dec = pcm.astype(np.float64) / 32767.0
+        nw, rh, zh, rs = _audio_expected_inline(x_dec)
+        a_exp["media_id"].append("aud%05d" % i)
+        a_exp["n_windows"].append(nw)
+        a_exp["rms_head_u6"].append(rh)
+        a_exp["zcr_head_u6"].append(zh)
+        a_exp["rms_sum_u6"].append(rs)
+        a_exp["caption"].append(cap)
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array(a_rows["media_id"], pa.string()),
+            "bytes": pa.array(a_rows["bytes"], pa.binary()),
+            "kind": pa.array(a_rows["kind"], pa.string()),
+            "sr": pa.array(a_rows["sr"], pa.int32()),
+            "n_samples": pa.array(a_rows["n_samples"], pa.int32()),
+            "caption": pa.array(a_rows["caption"], pa.string())}),
+        str(out / "media_audio.parquet"))
+    pq.write_table(pa.table({k: pa.array(v) for k, v in a_exp.items()}),
+                   str(out / "media_audio_expected.parquet"))
+
+    v_rows = {k: [] for k in ("media_id", "bytes", "kind", "fps",
+                              "n_frames", "h", "w", "caption")}
+    v_exp = {k: [] for k in ("media_id", "frame_idx", "h", "w", "px_sum",
+                             "caption")}
+    for i in range(n_video):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 43, i]))
+        buf = rng.bytes(256)
+        n_frames = 24 + int(rng.integers(48))
+        h, w = 48, 64
+        cap = "video clip %05d" % i
+        v_rows["media_id"].append("vid%05d" % i)
+        v_rows["bytes"].append(buf)
+        v_rows["kind"].append("video")
+        v_rows["fps"].append(24.0)
+        v_rows["n_frames"].append(n_frames)
+        v_rows["h"].append(h)
+        v_rows["w"].append(w)
+        v_rows["caption"].append(cap)
+        for f in range(0, n_frames, VIDEO_EVERY):
+            v_exp["media_id"].append("vid%05d" % i)
+            v_exp["frame_idx"].append(f)
+            v_exp["h"].append(VIDEO_OUT)
+            v_exp["w"].append(VIDEO_OUT)
+            v_exp["px_sum"].append(_video_frame_inline(buf, f, h, w))
+            v_exp["caption"].append(cap)
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array(v_rows["media_id"], pa.string()),
+            "bytes": pa.array(v_rows["bytes"], pa.binary()),
+            "kind": pa.array(v_rows["kind"], pa.string()),
+            "fps": pa.array(v_rows["fps"], pa.float32()),
+            "n_frames": pa.array(v_rows["n_frames"], pa.int32()),
+            "h": pa.array(v_rows["h"], pa.int32()),
+            "w": pa.array(v_rows["w"], pa.int32()),
+            "caption": pa.array(v_rows["caption"], pa.string())}),
+        str(out / "media_video.parquet"))
+    pq.write_table(pa.table({k: pa.array(v) for k, v in v_exp.items()}),
+                   str(out / "media_video_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+def ensure_media(sf_dir, seed=7):
+    """Media tables + expected sidecars for a testdata sf dir (cached in
+    the same corpus dir as the images)."""
+    sf = sf_of_dir(sf_dir)
+    out_dir = corpus_dir_for(sf_dir)
+    return generate_media(out_dir, n_images_for_sf(sf), seed=seed)
+
+
 def ensure_skewed_corpus(sf_dir, seed=7, hot_frac=0.5):
     """Skewed-variant corpus dir for a testdata sf dir (cached)."""
     sf = sf_of_dir(sf_dir)

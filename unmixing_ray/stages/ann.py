@@ -120,7 +120,7 @@ def _codes(M, planes):
 
 
 def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=4,
-             num_tables=8, seed=4321, probe_hamming=1):
+             num_tables=12, seed=4321, probe_hamming=1):
     """Approximate top-k via a multi-table bucket-partitioned LSH index.
 
     Scale path, for real this time (round 1 full-scanned every batch):
@@ -274,23 +274,37 @@ def cosine_near_dup_exact(embeddings_ds, threshold=0.95,
 
 
 def cosine_near_dup_pairs(embeddings_ds, threshold=0.95, nbits=6,
-                          seed=4321):
-    """Embedding-cosine near-duplicate pairs: LSH-bucket groupby, exact
-    all-pairs verify within buckets (buckets are small by construction).
-    Returns (vec_a, vec_b, sim_u6) with vec_a < vec_b."""
+                          seed=4321, num_tables=8):
+    """Embedding-cosine near-duplicate pairs: multi-table LSH-bucket
+    groupby, exact all-pairs verify within buckets (buckets are small by
+    construction), cross-table dedup via a (vec_a, vec_b) groupby.
+    Returns (vec_a, vec_b, sim_u6) with vec_a < vec_b.
+
+    ``num_tables`` OR-amplification is what buys recall: a single
+    sign-LSH table misses a cosine-0.99 pair with probability
+    1-(1-θ/π)^nbits ≈ 0.24 at nbits=6; eight independent tables push
+    the miss rate below 1e-4 (round 2 ran one table — vacuous recall)."""
+    from ray.data.aggregate import Min
     planes_holder = {}
 
     def code_stage(df: pd.DataFrame) -> pd.DataFrame:
         M = _batch_embeddings(df)
         dim = M.shape[1]
         if "p" not in planes_holder:
-            planes_holder["p"] = _hyperplanes(dim, nbits, seed)
+            planes_holder["p"] = [
+                _hyperplanes(dim, nbits, seed + 1000 * t)
+                for t in range(num_tables)]
         Mn = _normalize(M)
-        codes = _codes(Mn, planes_holder["p"])
-        return pd.DataFrame({
-            "bucket": codes, "vec_id": df["vec_id"],
-            "embedding": df["embedding"],
-        })
+        parts = []
+        for t in range(num_tables):
+            codes = _codes(Mn, planes_holder["p"][t])
+            parts.append(pd.DataFrame({
+                "table": pd.Series(np.full(len(codes), t), dtype="int64"),
+                "bucket": pd.Series(codes, dtype="int64"),
+                "vec_id": df["vec_id"],
+                "embedding": df["embedding"],
+            }))
+        return pd.concat(parts, ignore_index=True)
 
     coded = embeddings_ds.map_batches(code_stage, batch_format="pandas")
 
@@ -308,7 +322,13 @@ def cosine_near_dup_pairs(embeddings_ds, threshold=0.95, nbits=6,
             rows["vec_b"] = ids[iu[1][keep]].tolist()
             rows["sim_u6"] = np.floor(
                 s[keep] * 1_000_000).astype(np.int64).tolist()
-        return pd.DataFrame(rows)
+        return pd.DataFrame({
+            "vec_a": pd.Series(rows["vec_a"], dtype="int64"),
+            "vec_b": pd.Series(rows["vec_b"], dtype="int64"),
+            "sim_u6": pd.Series(rows["sim_u6"], dtype="int64")})
 
-    return coded.groupby("bucket").map_groups(
+    pairs = coded.groupby(["table", "bucket"]).map_groups(
         bucket_verify, batch_format="pandas")
+    # the same pair can surface from several tables: distributed dedup
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("sim_u6", alias_name="sim_u6"))

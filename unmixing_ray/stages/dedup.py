@@ -135,7 +135,7 @@ def minhash_signature(text, num_perm=64, k=8, seed=1234):
 
 
 def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
-                      seed=1234):
+                      seed=1234, bucket_cap=256):
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
     map_batches signature stage → explode ONLY fixed-width columns
@@ -168,10 +168,23 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
             return pd.DataFrame({
                 "doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64")})
-        ids = sorted(g["doc_id"].tolist())
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) > bucket_cap:
+            # hot-bucket bound (boilerplate dup clusters): pair against
+            # the bucket min only — documented output approximation
+            a = [ids[0]] * (len(ids) - 1)
+            b = ids[1:]
+        else:
+            # all pairs within the bucket: candidate recall equals the
+            # banding probability (min-pairing silently dropped pairs
+            # whose only shared bucket contained a smaller third doc)
+            a = [ids[i] for i in range(len(ids))
+                 for _j in range(i + 1, len(ids))]
+            b = [ids[j] for i in range(len(ids))
+                 for j in range(i + 1, len(ids))]
         return pd.DataFrame({
-            "doc_a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
-            "doc_b": pd.Series(ids[1:], dtype="int64")})
+            "doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64")})
 
     cand = exploded.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pandas").to_pandas()
@@ -227,10 +240,21 @@ def simhash64(text, k=2):
     return out
 
 
-def simhash_pairs(docs, max_hamming=3, k=2):
-    """SimHash near-dup candidates via 4-segment blocking (any pair within
-    Hamming distance 3 shares at least one exact 16-bit segment), verified
-    by exact Hamming distance."""
+def simhash_pairs(docs, max_hamming=3, k=2, bucket_cap=8192):
+    """SimHash near-dup pairs via pigeonhole segment blocking, verified
+    by exact Hamming distance.
+
+    The signature is split into ``max_hamming + 1`` segments, so any
+    pair within the Hamming budget agrees EXACTLY on at least one
+    segment — the blocking is exhaustive at every ``max_hamming`` and
+    the output is exactly {pairs: hamming(a, b) <= max_hamming}, an
+    oracle-checkable contract (the round-2 fixed 4-segment scheme was
+    exhaustive only for max_hamming <= 3; larger budgets silently
+    dropped pairs with no matching segment)."""
+    n_seg = int(max_hamming) + 1
+    base = 64 // n_seg
+    seg_offsets = [s * base for s in range(n_seg)]
+    seg_widths = [base] * (n_seg - 1) + [64 - base * (n_seg - 1)]
 
     def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
         # the 64-bit signature travels as a hex STRING: uint64 columns
@@ -239,9 +263,10 @@ def simhash_pairs(docs, max_hamming=3, k=2):
         out = {"segment": [], "seg_key": [], "doc_id": [], "sim": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sh = int(simhash64(text, k))
-            for s in range(4):
+            for s in range(n_seg):
                 out["segment"].append(s)
-                out["seg_key"].append((sh >> (16 * s)) & 0xFFFF)
+                out["seg_key"].append(
+                    (sh >> seg_offsets[s]) & ((1 << seg_widths[s]) - 1))
                 out["doc_id"].append(doc_id)
                 out["sim"].append("%016x" % sh)
         return pd.DataFrame(out)
@@ -249,18 +274,34 @@ def simhash_pairs(docs, max_hamming=3, k=2):
     exploded = docs.map_batches(sig_stage, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_a": [], "doc_b": [], "hamming": []}
-        if len(g) >= 2:
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].tolist()
-            sims = [int(s, 16) for s in g["sim"].tolist()]
-            for i in range(1, len(ids)):
-                d = bin(sims[0] ^ sims[i]).count("1")
-                if d <= max_hamming and ids[0] != ids[i]:
-                    rows["doc_a"].append(ids[0])
-                    rows["doc_b"].append(ids[i])
-                    rows["hamming"].append(d)
-        return pd.DataFrame(rows)
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sims = np.array([int(s, 16) for s in g["sim"].tolist()],
+                        dtype=np.uint64)
+        m = len(ids)
+        if m > bucket_cap:
+            # hot-bucket bound (adversarial dup clusters): pair against
+            # the bucket min only — documented output approximation;
+            # buckets below the cap get the exact all-pairs contract
+            ia = np.zeros(m - 1, dtype=np.int64)
+            ib = np.arange(1, m, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(m, 1)
+        xor = sims[ia] ^ sims[ib]
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "doc_a": pd.Series(ids[ia[keep]], dtype="int64"),
+            "doc_b": pd.Series(ids[ib[keep]], dtype="int64"),
+            "hamming": pd.Series(ham[keep].astype(np.int64),
+                                 dtype="int64")})
 
     pairs = exploded.groupby(["segment", "seg_key"]).map_groups(
         bucket_pairs, batch_format="pandas")

@@ -60,6 +60,59 @@ def _synthetic_samples(buf, n, seed_tag):
     return rng.standard_normal(n).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# real WAV/PCM codec (stdlib-only RIFF parse — the audio analogue of the
+# image path's self-contained codecs.py; VERDICT r02 item 6)
+
+def encode_wav_pcm16(samples, sr=16000):
+    """float samples in [-1, 1] → mono 16-bit PCM RIFF/WAVE bytes."""
+    import struct
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.rint(x * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16,
+        1,                      # PCM
+        1,                      # mono
+        int(sr),
+        int(sr) * 2,            # byte rate
+        2,                      # block align
+        16,                     # bits per sample
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav_pcm16(buf):
+    """Mono 16-bit PCM RIFF/WAVE bytes → (float64 samples in [-1, 1],
+    sample_rate). Walks the chunk list (fmt may not directly precede
+    data); raises on non-PCM16-mono payloads."""
+    import struct
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sr, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            "only mono 16-bit PCM supported (fmt=%d ch=%d bits=%d)"
+            % (audio_fmt, channels, bits))
+    pcm = np.frombuffer(data, dtype="<i2")
+    return pcm.astype(np.float64) / 32767.0, int(sr)
+
+
 class AudioFeatureActor:
     """Actor-pool stage: audio bytes → per-window RMS + zero-crossing
     features (the classic cheap audio-quality signals). Window/hop are
@@ -71,6 +124,10 @@ class AudioFeatureActor:
         if decoder == "synthetic":
             self.decode = lambda buf, n, sr: _synthetic_samples(
                 buf, n, b"audio")
+        elif decoder == "wav":
+            # real stdlib RIFF/PCM16 decode (metadata columns ignored —
+            # the payload is self-describing)
+            self.decode = lambda buf, n, sr: decode_wav_pcm16(buf)[0]
         elif decoder is None:
             def _missing(buf, n, sr):
                 raise NotImplementedError(
@@ -89,7 +146,11 @@ class AudioFeatureActor:
         ids = batch["media_id"].to_pylist()
         caps = batch["caption"].to_pylist()
         for i in range(batch.num_rows):
-            x = self.decode(bufs[i], int(ns[i]), int(srs[i]))
+            # float64 throughout: the generation-time oracle replicates
+            # this exact arithmetic, and float32 accumulation can flip
+            # floor(rms * 1e6) at the unit boundary
+            x = np.asarray(self.decode(bufs[i], int(ns[i]), int(srs[i])),
+                           dtype=np.float64)
             n_win = max(0, 1 + (len(x) - self.window) // self.hop)
             if n_win:
                 idx = (np.arange(n_win)[:, None] * self.hop
@@ -178,9 +239,20 @@ class VideoFrameSampleActor:
         }, schema=VIDEO_FRAME_SCHEMA)
 
 
+def _media_pool_size(concurrency):
+    """Cap the media actor pool below the CPU count: an all-CPU pool
+    starves the upstream read and deadlocks the streaming executor
+    (observed with concurrency=4 on a 4-CPU session)."""
+    if concurrency is not None:
+        return concurrency
+    from .unmix import default_pool_size
+    return default_pool_size(reserve=2, cap=4)
+
+
 def audio_features(media_ds, window=1024, hop=512, decoder="synthetic",
-                   concurrency=4, batch_size=16):
+                   concurrency=None, batch_size=16):
     """Audio rows → per-window feature rows (actor pool)."""
+    concurrency = _media_pool_size(concurrency)
     return media_ds.map_batches(
         AudioFeatureActor,
         fn_constructor_kwargs={"window": window, "hop": hop,
@@ -190,9 +262,10 @@ def audio_features(media_ds, window=1024, hop=512, decoder="synthetic",
 
 
 def sample_video_frames(media_ds, every=10, out_h=32, out_w=32,
-                        decoder="synthetic", concurrency=4,
+                        decoder="synthetic", concurrency=None,
                         batch_size=8):
     """Video rows → sampled, resized frame rows (actor pool)."""
+    concurrency = _media_pool_size(concurrency)
     return media_ds.map_batches(
         VideoFrameSampleActor,
         fn_constructor_kwargs={"every": every, "out_h": out_h,
