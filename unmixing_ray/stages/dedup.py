@@ -6,15 +6,17 @@
 - MinHash+LSH near-dup: shingle → minhash signature (deterministic
   universal hashing over md5-derived 64-bit shingle ids) → band buckets →
   ``groupby(band, key)`` candidate pairs → exact Jaccard verify.
-- SimHash near-dup: 64-bit simhash over token features, 4-segment
-  blocking for Hamming distance <= 3.
+- SimHash near-dup: 64-bit simhash over char-k-gram features,
+  (max_hamming + 1)-segment pigeonhole blocking — exhaustive at every
+  Hamming budget, so the output is exactly the <=max_hamming pair set.
 - n-gram Jaccard: exact pairwise verification kernel (used by the LSH
   candidates and standalone for small sets).
 - embedding-cosine near-dup: see stages/ann.py.
 
-At 100 TB the shuffle key is the content hash / band bucket; hot buckets
-(boilerplate dup clusters) are bounded by emitting only (min_id, other)
-pairs per bucket group instead of all-pairs.
+At 100 TB the shuffle key is the content hash / band bucket. Buckets
+verify all-pairs (the exact contract); buckets above ``bucket_cap``
+(adversarial boilerplate dup clusters) fall back to (min_id, other)
+pairing — a documented output approximation.
 """
 
 from __future__ import annotations
@@ -141,8 +143,9 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
     map_batches signature stage → explode ONLY fixed-width columns
     (band, band_key, doc_id) — the full text never enters the band
     shuffle (x bands text replication was the round-1 scale bug) →
-    groupby band bucket → candidate pairs (capped per bucket by pairing
-    against the bucket min) → texts of the (small by construction)
+    groupby band bucket → candidate pairs (all pairs within a bucket;
+    hot buckets above ``bucket_cap`` pair against the bucket min) →
+    texts of the (small by construction)
     candidate set are gathered with one filtered pass and verified with
     exact char-k-gram Jaccard ≥ threshold.
     Returns pandas (doc_a, doc_b, jaccard_u6).
