@@ -1185,7 +1185,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"),
         "ann_topk": ann.brute_force_topk_sql(),
         # ann_lsh's oracle IS the exact brute-force ranking: recall 1.0
-        # at oracle scales (pinned in tests/test_ann_recall.py)
+        # at oracle scales (pinned in tests/test_ann_recall.py); the IVF
+        # variant (ann.ivf_topk) is pytest-pinned at recall >= 0.9 (IVF
+        # recall depends on cluster structure the synthetic corpus lacks)
         "ann_lsh": ann.brute_force_topk_sql(),
         "cosine_near_dup": """
             SELECT CAST(a.vec_id AS BIGINT) AS vec_a,

@@ -31,3 +31,17 @@ def test_cosine_exact_is_quarantined(embeddings):
     from unmixing_ray.stages import ann
     with pytest.raises(ValueError, match="oracle baseline"):
         ann.cosine_near_dup_exact(embeddings, threshold=0.9, max_rows=10)
+
+
+def test_ivf_topk_recall_vs_exact(embeddings):
+    """Round 3: the IVF (k-means inverted-file) scale path. The
+    synthetic embeddings have no cluster structure (neighbor cosine
+    ~0.3), the worst case for IVF — recall >= 0.9 with the default
+    12-of-16 probe is the pinned floor."""
+    from unmixing_ray.stages import ann
+    exact = ann.brute_force_topk(embeddings, k=10)
+    approx = ann.ivf_topk(embeddings, k=10)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

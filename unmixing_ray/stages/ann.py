@@ -226,6 +226,106 @@ def lsh_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10, nbits=4,
     return out[["query_id", "rnk", "vec_id"]].reset_index(drop=True)
 
 
+def ivf_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10,
+             n_centroids=16, n_probe=12, train_sample=512, iters=10,
+             seed=777):
+    """Approximate top-k via an IVF (inverted-file) index — the
+    k-means-bucketed scale path complementing the LSH one.
+
+    1. a deterministic strided sample trains a seeded numpy Lloyd
+       k-means on normalized vectors (the coarse quantizer — tiny,
+       broadcast by value);
+    2. the map stage assigns each vector its nearest-centroid bucket
+       and FILTERS to the union of the queries' ``n_probe`` closest
+       buckets — non-probed vectors never leave their block;
+    3. ``groupby(bucket)`` partitions by inverted list; each list
+       computes its local per-query top-k; the driver merges the tiny
+       partials.
+
+    Same output schema as brute_force_topk. Recall note: IVF recall is
+    a function of the corpus's cluster structure — on the synthetic
+    unclustered embeddings (neighbor cosine ~0.3, near-uniform centroid
+    membership) the default 12-of-16 probe reaches ~0.94; recall >= 0.9
+    is pinned in tests. On genuinely clustered corpora (the case IVF is
+    built for) far fewer probes suffice. The LSH path is the
+    oracle-checked variant.
+    """
+    qids, Q = get_query_matrix(embeddings_ds, query_ids)
+    Qn = _normalize(Q)
+    n = embeddings_ds.count()
+    stride = max(1, n // train_sample)
+
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def pick_train(t):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        m = pa_.array(ids % stride == 0, pa_.bool_())
+        return t.select(["vec_id", "embedding"]).filter(m)
+
+    train = embeddings_ds.map_batches(pick_train,
+                                      batch_format="pyarrow").to_pandas()
+    train = train.sort_values("vec_id")
+    T = _normalize(np.stack(train["embedding"].to_numpy())
+                   .astype(np.float64))
+    rng = np.random.default_rng(np.random.SeedSequence([seed,
+                                                        n_centroids]))
+    C = T[rng.choice(len(T), size=min(n_centroids, len(T)),
+                     replace=False)]
+    for _ in range(iters):
+        assign = (T @ C.T).argmax(axis=1)
+        newC = np.vstack([
+            T[assign == c].mean(axis=0) if (assign == c).any() else C[c]
+            for c in range(len(C))])
+        C = _normalize(newC)
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]   # (q, probe)
+    probed = np.unique(q_probe)
+
+    def assign_stage(df: pd.DataFrame) -> pd.DataFrame:
+        M = _normalize(_batch_embeddings(df))
+        bucket = (M @ C.T).argmax(axis=1)
+        keep = np.isin(bucket, probed)
+        return pd.DataFrame({
+            "bucket": pd.Series(bucket[keep], dtype="int64"),
+            "vec_id": pd.Series(df["vec_id"].to_numpy()[keep],
+                                dtype="int64"),
+            "embedding": df["embedding"]
+            .iloc[np.nonzero(keep)[0]].reset_index(drop=True)})
+
+    coded = embeddings_ds.map_batches(assign_stage, batch_format="pandas")
+
+    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        Mn = _normalize(_batch_embeddings(g))
+        vec_ids = g["vec_id"].to_numpy()
+        out = {"query_id": [], "vec_id": [], "sim_u4": []}
+        for j in range(len(qids)):
+            if bucket not in q_probe[j]:
+                continue
+            mask = vec_ids != qids[j]
+            if not mask.any():
+                continue
+            s = Mn[mask] @ Qn[j]
+            su4 = np.floor(s * 10_000).astype(np.int64)
+            ids = vec_ids[mask]
+            order = np.lexsort((ids, -su4))[:k]
+            out["query_id"].extend([int(qids[j])] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["sim_u4"].extend(su4[order].tolist())
+        return pd.DataFrame(out)
+
+    partials = coded.groupby("bucket").map_groups(
+        list_topk, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame({"query_id": [], "rnk": [], "vec_id": []})
+    partials = partials.sort_values(
+        ["query_id", "sim_u4", "vec_id"], ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount()
+    return out[["query_id", "rnk", "vec_id"]].reset_index(drop=True)
+
+
 def cosine_near_dup_exact(embeddings_ds, threshold=0.95,
                           max_rows=200_000):
     """Exact embedding-cosine near-dup pairs: the embedding table's
