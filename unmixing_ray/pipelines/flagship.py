@@ -171,8 +171,11 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
         W, snr = mnf_stage.fit_mnf(tiles)
         pool = None
     timings["mnf_fit"] = round(time.monotonic() - t0, 3)
-    apply_fn = mnf_stage.make_apply_mnf(W)
-    tiles_mnf = tiles.map_batches(apply_fn, batch_format="pyarrow",
+    # the FCLS stage reads only the mnf view + metadata: dropping the
+    # raw pixel/qa payloads here halves the bytes exchanged into the
+    # actor pool (bandwidth is the measured single-node scaling ceiling)
+    unmix_apply = mnf_stage.make_apply_mnf(W, drop=("pixels", "qa"))
+    tiles_mnf = tiles.map_batches(unmix_apply, batch_format="pyarrow",
                                   batch_size=64)
 
     # endmember induction: the NFINDR path refines the candidate pool
@@ -183,7 +186,7 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     if induce == "ppi":
         lean = tiles.select_columns(
             ["tile_id", "bands", "h", "w", "pixels"]).map_batches(
-            apply_fn, batch_format="pyarrow", batch_size=64)
+            unmix_apply, batch_format="pyarrow", batch_size=64)
         endmembers = unmix_stage.ppi_global(lean, q=q)
     elif pool is not None:
         endmembers = unmix_stage.nfindr_from_pool(pool, W, q=q)

@@ -93,9 +93,14 @@ def fit_mnf(tiles):
     return mnf_k.rotation_from_stats(merged)
 
 
-def make_apply_mnf(W):
+def make_apply_mnf(W, drop=()):
     """Stateless projection stage: adds an ``mnf`` list<float32> column
-    (band-major (p, h, w) per tile, components along the band axis)."""
+    (band-major (p, h, w) per tile, components along the band axis).
+
+    ``drop``: columns to project away from the output (e.g.
+    ("pixels", "qa") when only the MNF view flows downstream) — the raw
+    payloads are ~14 KB/tile of dead weight through the object store
+    exchange to the unmix actor pool otherwise."""
     W = np.asarray(W, dtype=np.float64)
 
     def apply_batch(batch: pa.Table) -> pa.Table:
@@ -119,7 +124,9 @@ def make_apply_mnf(W):
         np.cumsum(sizes, out=bounds[1:])
         chunks = [values[bounds[i]:bounds[i + 1]]
                   for i in range(len(sizes))]
-        return batch.append_column("mnf", binary_column(chunks))
+        out = batch.append_column("mnf", binary_column(chunks))
+        keep = [c for c in out.column_names if c not in drop]
+        return out.select(keep) if len(keep) < out.num_columns else out
 
     return apply_batch
 
