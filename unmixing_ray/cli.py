@@ -29,6 +29,12 @@ def main(argv=None):
     fp.add_argument("--induce", choices=("nfindr", "ppi"),
                     default="nfindr")
     fp.add_argument("--num-cpus", type=int, default=None)
+    fp.add_argument("--induce-guard-mod", type=int, default=None,
+                    help="enable the fused-induce volume guard on a "
+                         "~1/MOD tile sample (off by default)")
+    fp.add_argument("--compact-max-files", type=int, default=None,
+                    help="compact checkpoint partitions down to at "
+                         "most this many files after the run")
 
     gen = sub.add_parser("generate", help="generate a synthetic corpus")
     gen.add_argument("--out", required=True)
@@ -58,11 +64,14 @@ def main(argv=None):
             res = flagship.run_flagship(
                 args.corpus, args.out, tile=args.tile,
                 cell_level=args.cell_level, q=args.q, k_knn=args.knn,
-                induce=args.induce)
+                induce=args.induce,
+                induce_guard_mod=args.induce_guard_mod,
+                compact_max_files=args.compact_max_files)
             print(json.dumps({
                 "abundances_dir": res["abundances_dir"],
                 "join_dir": res["join_dir"],
                 "timings": res["timings"],
+                "induce_guard": res["induce_guard"],
                 "n_partitions": len(res["lineage"]),
             }))
         finally:

@@ -171,10 +171,13 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
         W, snr = mnf_stage.fit_mnf(tiles)
         pool = None
     timings["mnf_fit"] = round(time.monotonic() - t0, 3)
-    # the FCLS stage reads only the mnf view + metadata: dropping the
-    # raw pixel/qa payloads here halves the bytes exchanged into the
-    # actor pool (bandwidth is the measured single-node scaling ceiling)
-    unmix_apply = mnf_stage.make_apply_mnf(W, drop=("pixels", "qa"))
+    # the FCLS stage reads only the first q-1 MNF components + metadata:
+    # dropping the raw pixel/qa payloads and truncating the projection
+    # cuts the bytes exchanged into the actor pool ~5x (bandwidth is the
+    # measured single-node scaling ceiling); FCLS output is identical —
+    # the actor used only those components anyway (k = q-1 dim drop)
+    unmix_apply = mnf_stage.make_apply_mnf(
+        W, drop=("pixels", "qa"), n_components=max(1, q - 1))
     tiles_mnf = tiles.map_batches(unmix_apply, batch_format="pyarrow",
                                   batch_size=64)
 
@@ -184,9 +187,11 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     # column-pruned pass (bit-identical merge), PPI keeps its own pass
     t0 = time.monotonic()
     if induce == "ppi":
+        # PPI skewers span the FULL MNF space — no component truncation
+        ppi_apply = mnf_stage.make_apply_mnf(W, drop=("pixels",))
         lean = tiles.select_columns(
             ["tile_id", "bands", "h", "w", "pixels"]).map_batches(
-            unmix_apply, batch_format="pyarrow", batch_size=64)
+            ppi_apply, batch_format="pyarrow", batch_size=64)
         endmembers = unmix_stage.ppi_global(lean, q=q)
     elif pool is not None:
         endmembers = unmix_stage.nfindr_from_pool(pool, W, q=q)

@@ -93,29 +93,47 @@ def fit_mnf(tiles):
     return mnf_k.rotation_from_stats(merged)
 
 
-def make_apply_mnf(W, drop=()):
+def make_apply_mnf(W, drop=(), n_components=None):
     """Stateless projection stage: adds an ``mnf`` list<float32> column
     (band-major (p, h, w) per tile, components along the band axis).
 
     ``drop``: columns to project away from the output (e.g.
     ("pixels", "qa") when only the MNF view flows downstream) — the raw
     payloads are ~14 KB/tile of dead weight through the object store
-    exchange to the unmix actor pool otherwise."""
+    exchange to the unmix actor pool otherwise.
+
+    ``n_components``: keep only the first k MNF components and rewrite
+    the ``bands`` column to k (FCLS uses k = q-1 dims, so shipping all
+    p components triples the exchanged bytes for nothing). Requires
+    ``pixels`` in ``drop`` — with a truncated bands column the raw
+    payload could no longer be reinterpreted."""
     W = np.asarray(W, dtype=np.float64)
+    if n_components is not None and "pixels" not in drop:
+        raise ValueError("n_components truncation requires dropping "
+                         "the pixels column")
 
     def apply_batch(batch: pa.Table) -> pa.Table:
         arrays, uniform = tiles_to_ndarray(batch)
         if uniform is not None:
             n, p, h, w = uniform.shape
+            k = p if n_components is None else min(n_components, p)
             a = uniform.astype(np.float64).copy()
             a[a == NODATA] = 0.0
             X = a.transpose(1, 0, 2, 3).reshape(p, -1)
-            proj = (W.T @ X).reshape(p, n, h, w).transpose(1, 0, 2, 3)
+            proj = (W.T[:k] @ X).reshape(k, n, h, w)\
+                .transpose(1, 0, 2, 3)
             values = proj.astype(np.float32).reshape(-1)
-            sizes = np.full(n, p * h * w, dtype=np.int64)
+            sizes = np.full(n, k * h * w, dtype=np.int64)
+            ks = np.full(n, k, dtype=np.int32)
         else:
-            outs = [mnf_k.apply_rotation(a, W).astype(np.float32).ravel()
-                    for a in arrays]
+            outs = []
+            ks = np.empty(len(arrays), dtype=np.int32)
+            for i, a in enumerate(arrays):
+                full = mnf_k.apply_rotation(a, W)
+                k = full.shape[0] if n_components is None else \
+                    min(n_components, full.shape[0])
+                ks[i] = k
+                outs.append(full[:k].astype(np.float32).ravel())
             values = np.concatenate(outs) if outs else np.empty(
                 0, np.float32)
             sizes = np.array([o.size for o in outs], dtype=np.int64)
@@ -125,6 +143,9 @@ def make_apply_mnf(W, drop=()):
         chunks = [values[bounds[i]:bounds[i + 1]]
                   for i in range(len(sizes))]
         out = batch.append_column("mnf", binary_column(chunks))
+        if n_components is not None:
+            i = out.column_names.index("bands")
+            out = out.set_column(i, "bands", pa.array(ks, pa.int32()))
         keep = [c for c in out.column_names if c not in drop]
         return out.select(keep) if len(keep) < out.num_columns else out
 
