@@ -137,3 +137,30 @@ def test_ppi_global_mixed_band_counts():
     assert len(ems) == 2
     for s in ems:
         assert len(s) in (4, 6)
+
+
+def test_apply_mnf_truncation():
+    """n_components ships only the first k MNF components (bands column
+    rewritten), values bit-matching the full projection's first k rows'
+    float32 view; pixels must be dropped alongside."""
+    import ray.data
+    from unmixing_ray.stages import mnf as mnf_stage
+    from unmixing_ray.stages.decode import binary_views
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 3000, (6, 4, 4)).astype(np.int16)
+    W = np.linalg.qr(rng.normal(size=(6, 6)))[0]
+    ds = ray.data.from_items([{
+        "tile_id": "t0", "bands": 6, "h": 4, "w": 4,
+        "pixels": a.tobytes()}])
+    full = ds.map_batches(mnf_stage.make_apply_mnf(W),
+                          batch_format="pyarrow").take_all()[0]
+    trunc = ds.map_batches(
+        mnf_stage.make_apply_mnf(W, drop=("pixels",), n_components=2),
+        batch_format="pyarrow").take_all()[0]
+    assert trunc["bands"] == 2
+    assert "pixels" not in trunc
+    f = np.frombuffer(full["mnf"], dtype=np.float32).reshape(6, 16)
+    t = np.frombuffer(trunc["mnf"], dtype=np.float32).reshape(2, 16)
+    assert np.allclose(f[:2], t, rtol=0, atol=1e-4)
+    with pytest.raises(ValueError, match="pixels"):
+        mnf_stage.make_apply_mnf(W, n_components=2)
