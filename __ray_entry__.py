@@ -565,6 +565,15 @@ def q_events_sessions(sf_dir):
         _read(sf_dir, "events", columns=["user_id", "event_id", "ts"]))
 
 
+def q_events_asof(sf_dir):
+    """Distributed as-of join (key-partitioned sorted merge): each
+    purchase matched to the user's most recent prior click. One of the
+    'custom operators Ray Data lacks' (as-of/range join); hard DuckDB
+    lateral-join oracle."""
+    from unmixing_ray.stages import events as ev
+    return ev.asof_join(_read(sf_dir, "events"))
+
+
 def q_customer_orders(sf_dir):
     """orders ⨝ customer (broadcast small side) → per-market-segment
     exact cent totals."""
@@ -994,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "orders_topk": q_orders_topk,
         "customer_orders": q_customer_orders,
         "part_filter_topk": q_part_filter_topk,
@@ -1024,6 +1034,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _events_sessions_sql():
     from unmixing_ray.stages.events import sessionize_sql
     return sessionize_sql()
+
+
+def _events_asof_sql():
+    from unmixing_ray.stages.events import asof_join_sql
+    return asof_join_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1161,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY total_c DESC, o_orderkey LIMIT 10""",
         "events_sessions": _events_sessions_sql(),
+        "events_asof": _events_asof_sql(),
         "customer_orders": """
             SELECT c.c_mktsegment,
                    CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT))

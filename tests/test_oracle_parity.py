@@ -54,7 +54,7 @@ def registry(ray_session):
     "tile_assignment", "pixel_to_xy", "spatial_join_pip",
     "spatial_join_knn", "mask_counts", "band_stats", "spectral_indices",
     "image_dedup_phash", "tpch_q1",
-    "revenue_by_nation", "events_window", "events_sessions",
+    "revenue_by_nation", "events_window", "events_sessions", "events_asof",
     "orders_topk", "customer_orders", "part_filter_topk", "token_count",
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",

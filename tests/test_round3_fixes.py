@@ -164,3 +164,26 @@ def test_apply_mnf_truncation():
     assert np.allclose(f[:2], t, rtol=0, atol=1e-4)
     with pytest.raises(ValueError, match="pixels"):
         mnf_stage.make_apply_mnf(W, n_components=2)
+
+
+def test_asof_join_semantics():
+    """Hand-built fixture: ties take the max right ts <= left ts; lefts
+    with no prior right are dropped; users are independent."""
+    import pandas as pd
+    import ray.data
+    from unmixing_ray.stages import events as ev
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, (u, typ, sec) in enumerate([
+            (1, "click", 0), (1, "click", 10), (1, "purchase", 10),
+            (1, "purchase", 5), (2, "purchase", 3), (2, "click", 4),
+            (3, "click", 1), (3, "purchase", 2)]):
+        rows.append({"user_id": u, "event_id": i, "event_type": typ,
+                     "ts": base + pd.Timedelta(seconds=sec)})
+    out = ev.asof_join(ray.data.from_items(rows)).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    # user 1: purchase@10 matches click@10 (<=, tie at same instant);
+    # purchase@5 matches click@0; user 2: purchase@3 has no prior click
+    # (dropped); user 3: purchase@2 matches click@1
+    assert out["event_id"].tolist() == [2, 3, 7]
+    assert out["lag_us"].tolist() == [0, 5_000_000, 1_000_000]

@@ -68,3 +68,80 @@ def sessionize_sql(gap_s=1800):
                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
                CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
         FROM s GROUP BY user_id, session_id"""
+
+
+def asof_join(events, left_type="purchase", right_type="click"):
+    """Distributed as-of join over the partitioned event log: for each
+    ``left_type`` event, the most recent ``right_type`` event by the
+    same user at or before its timestamp (inner semantics: lefts with no
+    prior right are dropped).
+
+    Plan: column-pruned filter to the two event types inside
+    ``map_batches`` (nothing else enters the shuffle), one
+    ``groupby(user_id)`` co-partitioning both sides, then a vectorized
+    per-user sorted merge (np.searchsorted). This is the standard
+    key-partitioned merge-join shape Ray Data lacks natively
+    (SURVEY.md "custom operators"); at scale the shuffle key is the
+    join key and skewed users would salt by time range.
+
+    Returns (user_id, event_id, ts_us, matched_ts_us, lag_us) — the
+    match is identified by its timestamp (deterministic under ts ties,
+    unlike an arbitrary event_id pick).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array([left_type, right_type]))
+        return t.select(["user_id", "event_id", "ts",
+                         "event_type"]).filter(m)
+
+    pruned = events.map_batches(prune, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        is_left = (g["event_type"] == left_type).to_numpy()
+        is_right = (g["event_type"] == right_type).to_numpy()
+        lt = ts_us[is_left]
+        rt = np.sort(ts_us[is_right])
+        if not len(lt) or not len(rt):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "matched_ts_us": pd.Series([], dtype="int64"),
+                "lag_us": pd.Series([], dtype="int64")})
+        # index of the last right ts <= each left ts
+        pos = np.searchsorted(rt, lt, side="right") - 1
+        ok = pos >= 0
+        lids = g["event_id"].to_numpy()[is_left][ok]
+        matched = rt[pos[ok]]
+        return pd.DataFrame({
+            "user_id": pd.Series(
+                g["user_id"].to_numpy()[is_left][ok], dtype="int64"),
+            "event_id": pd.Series(lids, dtype="int64"),
+            "ts_us": pd.Series(lt[ok], dtype="int64"),
+            "matched_ts_us": pd.Series(matched, dtype="int64"),
+            "lag_us": pd.Series(lt[ok] - matched, dtype="int64")})
+
+    return pruned.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")
+
+
+def asof_join_sql(left_type="purchase", right_type="click"):
+    return f"""
+        SELECT CAST(l.user_id AS BIGINT) AS user_id,
+               CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+               m.matched_ts_us,
+               CAST(epoch_us(l.ts) AS BIGINT) - m.matched_ts_us
+                 AS lag_us
+        FROM events l
+        JOIN LATERAL (
+          SELECT CAST(max(epoch_us(r.ts)) AS BIGINT) AS matched_ts_us
+          FROM events r
+          WHERE r.user_id = l.user_id AND r.event_type = '{right_type}'
+            AND r.ts <= l.ts) m ON m.matched_ts_us IS NOT NULL
+        WHERE l.event_type = '{left_type}'"""
