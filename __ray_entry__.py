@@ -574,6 +574,15 @@ def q_events_asof(sf_dir):
     return ev.asof_join(_read(sf_dir, "events"))
 
 
+def q_events_sliding(sf_dir):
+    """Trailing sliding-window aggregate (RANGE-frame semantics) per
+    event_type: count + exact cent sum over [ts - 1h, ts] for every
+    event. Prefix-sum + searchsorted per co-partitioned series; hard
+    DuckDB window-frame oracle."""
+    from unmixing_ray.stages import events as ev
+    return ev.sliding_window(_read(sf_dir, "events"))
+
+
 def q_customer_orders(sf_dir):
     """orders ⨝ customer (broadcast small side) → per-market-segment
     exact cent totals."""
@@ -1004,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
         "orders_topk": q_orders_topk,
         "customer_orders": q_customer_orders,
         "part_filter_topk": q_part_filter_topk,
@@ -1039,6 +1049,11 @@ def _events_sessions_sql():
 def _events_asof_sql():
     from unmixing_ray.stages.events import asof_join_sql
     return asof_join_sql()
+
+
+def _events_sliding_sql():
+    from unmixing_ray.stages.events import sliding_window_sql
+    return sliding_window_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1177,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_c DESC, o_orderkey LIMIT 10""",
         "events_sessions": _events_sessions_sql(),
         "events_asof": _events_asof_sql(),
+        "events_sliding": _events_sliding_sql(),
         "customer_orders": """
             SELECT c.c_mktsegment,
                    CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT))

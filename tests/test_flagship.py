@@ -112,6 +112,38 @@ def test_fused_induce_matches_recompute(flagship_result):
     assert np.array_equal(ems, res["endmembers"])
 
 
+def test_join_repair_recovers_missing_partition(small_corpus, tmp_path):
+    """Crash-window pin: abundance manifest complete but a join-rows
+    manifest row missing (crash between the two finalizes) — the next
+    run re-probes ONLY that partition and republishes its manifest,
+    with join rows identical to the untouched run's."""
+    import duckdb
+    out = str(tmp_path / "repair")
+    res = flagship.run_flagship(
+        small_corpus, out, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=2)
+    jdir = res["join_dir"]
+    before = duckdb.sql(
+        f"SELECT tile_id, poly_id, kind, rank FROM "
+        f"read_parquet('{jdir}/part-*/*.parquet') "
+        f"ORDER BY tile_id, kind, rank, poly_id").df()
+    # simulate the crash: drop one join manifest row (+ its data files)
+    victims = sorted(ckpt.completed_partitions(jdir))
+    victim = victims[0]
+    os.remove(os.path.join(jdir, "_manifest", "part-%s.json" % victim))
+    ckpt.clear_incomplete_partitions(jdir)
+    assert ckpt.completed_partitions(jdir) == set(victims[1:])
+    res2 = flagship.run_flagship(
+        small_corpus, out, tile=synth.TILE, cell_level=synth.CELL_LEVEL,
+        q=3, k_knn=2)
+    assert ckpt.completed_partitions(res2["join_dir"]) == set(victims)
+    after = duckdb.sql(
+        f"SELECT tile_id, poly_id, kind, rank FROM "
+        f"read_parquet('{jdir}/part-*/*.parquet') "
+        f"ORDER BY tile_id, kind, rank, poly_id").df()
+    assert before.equals(after)
+
+
 def test_induce_guard_volume_holds(flagship_result):
     """Round-3 pin (r02 advisory, medium): the fused reflectance-space
     candidate pool must induce a simplex whose MNF-space volume is not

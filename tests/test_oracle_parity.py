@@ -55,6 +55,7 @@ def registry(ray_session):
     "spatial_join_knn", "mask_counts", "band_stats", "spectral_indices",
     "image_dedup_phash", "tpch_q1",
     "revenue_by_nation", "events_window", "events_sessions", "events_asof",
+    "events_sliding",
     "orders_topk", "customer_orders", "part_filter_topk", "token_count",
     "lang_stats", "quality_score", "lang_id", "fingerprint",
     "dedup_exact_docs", "ann_topk", "cosine_near_dup",

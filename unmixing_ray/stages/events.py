@@ -145,3 +145,55 @@ def asof_join_sql(left_type="purchase", right_type="click"):
           WHERE r.user_id = l.user_id AND r.event_type = '{right_type}'
             AND r.ts <= l.ts) m ON m.matched_ts_us IS NOT NULL
         WHERE l.event_type = '{left_type}'"""
+
+
+def sliding_window(events, window_s=3600):
+    """Trailing sliding-window aggregate per event_type: for every
+    event, the count and exact cent-scaled value sum over
+    [ts - window_s, ts] — SQL RANGE-frame semantics (timestamp peers
+    included on both edges, so ties need no event_id ordering).
+
+    Plan: groupby(event_type) co-partitions each series; within a group
+    one sort + prefix sums + two vectorized searchsorted calls give
+    every event's window in O(n log n) — no per-event rescan. At scale
+    the shuffle key is the series key; a single huge series would be
+    range-partitioned by time with a window_s overlap (halo) per chunk.
+
+    Returns (event_type, event_id, ts_us, n_in_window, sum_value_c).
+    """
+    window_us = int(window_s) * 1_000_000
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        value_c = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        pref = np.zeros(len(g) + 1, dtype=np.int64)
+        np.cumsum(value_c, out=pref[1:])
+        start = np.searchsorted(ts_us, ts_us - window_us, side="left")
+        end = np.searchsorted(ts_us, ts_us, side="right")
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "event_id": pd.Series(g["event_id"].to_numpy(),
+                                  dtype="int64"),
+            "ts_us": pd.Series(ts_us, dtype="int64"),
+            "n_in_window": pd.Series(end - start, dtype="int64"),
+            "sum_value_c": pd.Series(pref[end] - pref[start],
+                                     dtype="int64")})
+
+    return events.select_columns(
+        ["event_type", "event_id", "ts", "value"]).groupby(
+        "event_type").map_groups(per_type, batch_format="pandas")
+
+
+def sliding_window_sql(window_s=3600):
+    return f"""
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS sum_value_c
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL {int(window_s)} SECONDS
+                     PRECEDING AND CURRENT ROW)"""
