@@ -71,11 +71,20 @@ def build_tiles(corpus_dir, out_dir=None, tile=DEFAULT_TILE,
     side_fn = None
     if want_side:
         def side_fn(batch):
+            # both side channels consume the same float64 NoData-zeroed
+            # view of the batch's pixels; converting once and sharing it
+            # halves the dominant memory-streaming cost of the write pass
             side = {}
+            a = None
+            if with_mnf_stats and with_candidates:
+                _arrays, a = mnf_stage.zeroed_float64(batch)
             if with_mnf_stats:
-                side["stats"] = mnf_stage.batch_partial_stats(batch)
+                side["stats"] = (mnf_stage.partial_stats_side(a)
+                                 if a is not None
+                                 else mnf_stage.batch_partial_stats(batch))
             if with_candidates:
-                side["cand"] = unmix_stage.candidates_side_channel(batch)
+                side["cand"] = unmix_stage.candidates_side_channel(
+                    batch, pre_zeroed=a)
             return side
     _agg, sides = ckpt.checkpointed_write_streaming(
         remaining, tiles_dir, "part", stage="tiles", side_fn=side_fn)

@@ -22,24 +22,43 @@ from ..kernels import mnf as mnf_k
 from .decode import tiles_to_ndarray
 
 
-def _stats_batch(batch: pa.Table) -> pa.Table:
+def zeroed_float64(batch: pa.Table):
+    """(n, p, h, w) float64 view of a uniform batch's pixels with NoData
+    zeroed (the shared precomputation for every side-channel consumer —
+    stats and candidates each making their own conversion cost ~18 s of
+    pure memory streaming on a 192k-tile write pass), or None for
+    mixed-shape batches."""
     arrays, uniform = tiles_to_ndarray(batch)
-    if uniform is not None:
-        # one partial for the whole batch, computed vectorized:
-        # reshape (n, p, h, w) -> treat as p x (n*h*w) for sums/crossprods;
-        # horizontal diffs stay within tiles (rows are per-tile)
-        n, p, h, w = uniform.shape
-        a = uniform.astype(np.float64).copy()
-        a[a == NODATA] = 0.0
-        X = a.transpose(1, 0, 2, 3).reshape(p, -1)
-        d = (a[:, :, :, :-1] - a[:, :, :, 1:])\
-            .transpose(1, 0, 2, 3).reshape(p, -1)
-        part = {
-            "n": X.shape[1], "s": X.sum(axis=1), "ss": X @ X.T,
-            "dn": d.shape[1], "ds": d.sum(axis=1), "dss": d @ d.T,
-        }
+    if uniform is None:
+        return arrays, None
+    a = uniform.astype(np.float64)          # astype already copies
+    a[a == NODATA] = 0.0
+    return None, a
+
+
+def partial_stats_from_zeroed(a):
+    """MNF partial statistics from a pre-zeroed (n, p, h, w) float64
+    batch array. Batched strided gemms (matmul on views) instead of the
+    old transpose+reshape copies — per-tile products summed, exact for
+    integer-valued reflectance (every intermediate < 2^53)."""
+    n, p, h, w = a.shape
+    A = a.reshape(n, p, h * w)
+    s = A.sum(axis=(0, 2))
+    ss = np.matmul(A, A.transpose(0, 2, 1)).sum(axis=0)
+    d = a[:, :, :, :-1] - a[:, :, :, 1:]
+    D = d.reshape(n, p, h * (w - 1))
+    ds = D.sum(axis=(0, 2))
+    dss = np.matmul(D, D.transpose(0, 2, 1)).sum(axis=0)
+    return {"n": n * h * w, "s": s, "ss": ss,
+            "dn": n * h * (w - 1), "ds": ds, "dss": dss}
+
+
+def _stats_batch(batch: pa.Table) -> pa.Table:
+    arrays, a = zeroed_float64(batch)
+    if a is not None:
+        part = partial_stats_from_zeroed(a)
     else:
-        part = mnf_k.merge_stats([mnf_k.partial_stats(a) for a in arrays])
+        part = mnf_k.merge_stats([mnf_k.partial_stats(x) for x in arrays])
     return pa.table({
         "n": pa.array([part["n"]], pa.int64()),
         "s": pa.array([part["s"].tolist()], pa.list_(pa.float64())),
@@ -52,12 +71,27 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _part_to_row(part):
+    return {"n": int(part["n"]), "s": np.asarray(part["s"]).tolist(),
+            "ss": np.asarray(part["ss"]).ravel().tolist(),
+            "dn": int(part["dn"]),
+            "ds": np.asarray(part["ds"]).tolist(),
+            "dss": np.asarray(part["dss"]).ravel().tolist()}
+
+
 def batch_partial_stats(batch: pa.Table):
     """Side-channel form of the MNF partial statistics (picklable dict)
     for piggybacking on the tile-checkpoint write pass."""
     tbl = _stats_batch(batch)
     row = tbl.to_pylist()[0]
     return row
+
+
+def partial_stats_side(a):
+    """Side-channel stats row from a pre-zeroed float64 batch array
+    (shared with the candidate side channel — one conversion per
+    batch)."""
+    return _part_to_row(partial_stats_from_zeroed(a))
 
 
 def merge_partial_stats(rows):

@@ -90,7 +90,7 @@ def induce_endmembers_nfindr(tiles_mnf, q=3, pool_shift=POOL_SHIFT):
 # the (value, tile_id, pixel) merge is associative + commutative.
 
 def reflectance_candidates_batch(batch: pa.Table, input_col="pixels",
-                                 n_dirs=N_DIRS):
+                                 n_dirs=N_DIRS, pre_zeroed=None):
     """Per-tile candidates (dict of numpy arrays) from the ``pixels``
     (raw reflectance, int16) or ``mnf`` (projected, float32) column.
     Roles: 2b = argmin of band b, 2b+1 = argmax of band b, 2p = max
@@ -101,7 +101,12 @@ def reflectance_candidates_batch(batch: pa.Table, input_col="pixels",
     per tile, no per-tile Python loop."""
     from ..constants import NODATA
     from .decode import tiles_to_ndarray
-    if input_col == "mnf":
+    if pre_zeroed is not None:
+        # shared side-channel fast path: the caller already holds the
+        # zeroed float64 batch array (one conversion serves both the
+        # MNF-stats and candidate side channels)
+        arrays, uniform = None, pre_zeroed
+    elif input_col == "mnf":
         arrays, uniform = mnf_pixels_view(batch)
     else:
         arrays, uniform = tiles_to_ndarray(batch)
@@ -126,10 +131,12 @@ def reflectance_candidates_batch(batch: pa.Table, input_col="pixels",
                                                       n_dirs))
         return _concat_candidates(parts)
     n, p, h, w = uniform.shape
-    a = uniform.astype(np.float64)
-    if input_col != "mnf":
-        a = a.copy()
-        a[a == NODATA] = 0.0     # the MNF projection zeroes NoData too
+    if pre_zeroed is not None:
+        a = uniform                      # already float64 with NoData=0
+    else:
+        a = uniform.astype(np.float64)   # astype copies
+        if input_col != "mnf":
+            a[a == NODATA] = 0.0  # the MNF projection zeroes NoData too
     # roles must fit the 6-bit pool-key field
     n_dirs = min(n_dirs, max(0, 63 - (2 * p + 1)))
     X = a.reshape(n, p, h * w)
@@ -267,12 +274,16 @@ def pool_to_part(red, pool_shift=POOL_SHIFT):
     }
 
 
-def candidates_side_channel(batch: pa.Table, pool_shift=POOL_SHIFT):
+def candidates_side_channel(batch: pa.Table, pool_shift=POOL_SHIFT,
+                            pre_zeroed=None):
     """Side-channel form for the checkpoint-write pass: per-batch
     candidates already reduced, so each pickled blob is O(keys-in-batch),
-    not O(tiles-in-batch)."""
-    return reduce_candidates([reflectance_candidates_batch(batch)],
-                             pool_shift)
+    not O(tiles-in-batch). ``pre_zeroed``: the caller's already-zeroed
+    float64 batch array (shared with the MNF-stats side channel — one
+    conversion per batch instead of two)."""
+    return reduce_candidates(
+        [reflectance_candidates_batch(batch, pre_zeroed=pre_zeroed)],
+        pool_shift)
 
 
 def merge_side_pools(pools, pool_shift=POOL_SHIFT):
