@@ -625,6 +625,92 @@ def q_part_filter_topk(sf_dir):
         .limit(15).to_pandas()
 
 
+def q_top_orders_per_segment(sf_dir):
+    """Grouped top-k: top-3 orders by value per market segment —
+    per-batch partial top-k (combiner) before the groupby merge
+    (stages/relational.py:grouped_topk)."""
+    from unmixing_ray.stages import relational
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["o_custkey"].map(seg),
+            "o_orderkey": df["o_orderkey"],
+            "total_c": np.rint(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])\
+        .map_batches(prep, batch_format="pandas")
+    return relational.grouped_topk(
+        ds, "c_mktsegment", "total_c", k=3, descending=True,
+        tiebreak=("o_orderkey",))
+
+
+def q_supplier_distinct_parts(sf_dir):
+    """Exact distributed COUNT(DISTINCT): distinct parts shipped per
+    supplier — per-batch pair dedup bounds the shuffle
+    (stages/relational.py:count_distinct)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    return relational.count_distinct(ds, "l_suppkey", "l_partkey",
+                                     alias="n_parts")
+
+
+def q_customers_without_orders(sf_dir):
+    """Distributed anti-join (tag-union, no broadcast): customers that
+    never placed a large (> $400k) order — the threshold keeps the
+    result non-vacuous on this corpus, where every customer has SOME
+    order (stages/relational.py:anti_join)."""
+    import pyarrow.compute as pc_
+    from unmixing_ray.stages import relational
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"], "c_name": df["c_name"],
+            "acctbal_c": np.rint(df["c_acctbal"].to_numpy() * 100)
+                .astype(np.int64)})
+
+    left = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])\
+        .map_batches(prep, batch_format="pandas")
+    right = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"])\
+        .map_batches(lambda t: t.filter(
+            pc_.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow")
+    return relational.anti_join(left, right, "c_custkey",
+                                right_key="o_custkey")
+
+
+def q_events_quantiles(sf_dir):
+    """EXACT per-type p50/p90/p99 of event value via distributed
+    selection — sampling pass → cheap counting passes → one bounded
+    band collect; never a per-group sort of the full column
+    (stages/relational.py:grouped_quantile_disc). percentile_disc
+    semantics: results are actual data elements, so the micro-unit
+    floor matches DuckDB bit-for-bit."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = relational.grouped_quantile_disc(
+        ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
+    res = pd.DataFrame({"event_type": out["event_type"]})
+    for c in ("p50", "p90", "p99"):
+        res[c + "_u6"] = np.floor(
+            out[c].to_numpy() * 1e6).astype(np.int64)
+    return res
+
+
+def q_bigram_topk(sf_dir):
+    """Global top-20 word bigrams (n-gram statistics with
+    combiner-before-shuffle; stages/text.py:bigram_topk)."""
+    from unmixing_ray.stages import text
+    return text.bigram_topk(
+        _read(sf_dir, "documents", columns=["text"]), k=20)
+
+
 def _planted_neardup_docs(sf_dir, n_dups=20, seed=99):
     """documents ∪ token-perturbed copies of the first n_dups docs
     (deterministic, shared construction synth.perturb_docs) — makes the
@@ -1017,6 +1103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk": q_orders_topk,
         "customer_orders": q_customer_orders,
         "part_filter_topk": q_part_filter_topk,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "supplier_distinct_parts": q_supplier_distinct_parts,
+        "customers_without_orders": q_customers_without_orders,
+        "events_quantiles": q_events_quantiles,
+        "bigram_topk": q_bigram_topk,
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "hall_rectification": q_hall_rectification,
@@ -1205,6 +1296,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(p_retailprice*100) AS BIGINT) AS price_c
             FROM part WHERE p_size > 25
             ORDER BY price_c DESC, p_partkey LIMIT 15""",
+        "top_orders_per_segment": """
+            WITH j AS (
+              SELECT c.c_mktsegment, o.o_orderkey,
+                     CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY total_c DESC, o_orderkey) AS rank
+              FROM j)
+            SELECT c_mktsegment, o_orderkey, total_c,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3""",
+        "supplier_distinct_parts": """
+            SELECT l_suppkey,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY l_suppkey""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name,
+                   CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)""",
+        "events_quantiles": """
+            SELECT event_type,
+                   CAST(floor(quantile_disc(value, 0.5)*1e6) AS BIGINT)
+                     AS p50_u6,
+                   CAST(floor(quantile_disc(value, 0.9)*1e6) AS BIGINT)
+                     AS p90_u6,
+                   CAST(floor(quantile_disc(value, 0.99)*1e6) AS BIGINT)
+                     AS p99_u6
+            FROM events GROUP BY event_type""",
+        "bigram_topk": text.bigram_topk_sql(),
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

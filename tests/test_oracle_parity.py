@@ -66,6 +66,9 @@ def registry(ray_session):
     "minhash_pairs_planted", "simhash_pairs_planted",
     "audio_features", "video_frame_sample",
     "flagship_abundance", "forward_model_rmse", "sasma_abundance",
+    # round 3 (cont.): distributed relational operators
+    "top_orders_per_segment", "supplier_distinct_parts",
+    "customers_without_orders", "events_quantiles", "bigram_topk",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1,0 +1,143 @@
+"""Unit/property tests for the distributed relational operators
+(stages/relational.py): results must equal the single-machine pandas
+reference at every batch size (combiner correctness), and the quantile
+selection must stay exact when its sampling brackets miss."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from unmixing_ray.stages import relational
+
+
+def _orders(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "seg": rng.choice(["A", "B", "C"], n),
+        "key": np.arange(n, dtype=np.int64),
+        "val": rng.integers(0, 200, n).astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_grouped_topk_matches_pandas(ray_session, nblocks):
+    df = _orders()
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = relational.grouped_topk(
+        ds, "seg", "val", k=5, descending=True,
+        tiebreak=("key",)).to_pandas()
+    want = df.sort_values(["seg", "val", "key"],
+                          ascending=[True, False, True])\
+        .groupby("seg").head(5)
+    want = want.assign(rank=want.groupby("seg").cumcount() + 1)
+    g = got.sort_values(["seg", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["seg", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["seg", "key", "val", "rank"]],
+        w[["seg", "key", "val", "rank"]])
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_count_distinct_matches_pandas(ray_session, nblocks):
+    df = _orders()
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = relational.count_distinct(ds, "seg", "val").to_pandas()\
+        .sort_values("seg").reset_index(drop=True)
+    want = df.groupby("seg")["val"].nunique().reset_index()\
+        .rename(columns={"val": "n_distinct"})
+    assert got["seg"].tolist() == want["seg"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
+
+
+def test_anti_join_matches_pandas(ray_session):
+    df = _orders()
+    right = pd.DataFrame(
+        {"rkey": np.arange(0, 500, 3, dtype=np.int64)})
+    left = ray.data.from_pandas(df).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    got = relational.anti_join(left, rds, "key", right_key="rkey")\
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    want = df[~df["key"].isin(right["rkey"])]\
+        .sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["seg", "key", "val"]],
+                                  want[["seg", "key", "val"]])
+
+
+def test_anti_join_empty_right(ray_session):
+    df = _orders(50)
+    left = ray.data.from_pandas(df)
+    rds = ray.data.from_pandas(
+        pd.DataFrame({"rkey": np.array([], dtype=np.int64)}))
+    got = relational.anti_join(left, rds, "key", right_key="rkey")\
+        .to_pandas()
+    assert len(got) == 50
+
+
+def _disc_expected(vals, q):
+    v = np.sort(vals)
+    return v[min(max(int(math.ceil(len(v) * q)) - 1, 0), len(v) - 1)]
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_grouped_quantile_disc_exact(ray_session, nblocks):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 4000),
+        "v": rng.normal(size=4000) * 100})
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = relational.grouped_quantile_disc(
+        ds, "k", "v", qs=(0.5, 0.9, 0.99))
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]]["v"].to_numpy()
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert row[col] == _disc_expected(sub, q), (row["k"], q)
+
+
+def test_grouped_quantile_disc_refinement_path(ray_session):
+    # adversarial batching: each block holds a disjoint value range, so
+    # per-batch grid pivots misplace the global quantile and the
+    # geometric pad-doubling refinement must fire — the result must
+    # still be exact
+    blocks = [pd.DataFrame({"k": "z", "v": np.arange(i * 1000,
+                                                     (i + 1) * 1000,
+                                                     dtype=np.float64)})
+              for i in range(8)]
+    ds = ray.data.from_pandas(blocks)
+    got = relational.grouped_quantile_disc(
+        ds, "k", "v", qs=(0.5, 0.99), grid=5, band_pad=1)
+    all_v = np.arange(8000, dtype=np.float64)
+    assert got.loc[0, "p50"] == _disc_expected(all_v, 0.5)
+    assert got.loc[0, "p99"] == _disc_expected(all_v, 0.99)
+
+
+def test_grouped_quantile_band_cap_is_loud(ray_session):
+    df = pd.DataFrame({"k": "z",
+                       "v": np.arange(1000, dtype=np.float64)})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(RuntimeError, match="band_cap"):
+        relational.grouped_quantile_disc(ds, "k", "v", qs=(0.5,),
+                                         band_cap=3)
+
+
+def test_bigram_topk_matches_counter(ray_session):
+    from collections import Counter
+    import re
+    from unmixing_ray.stages import text as text_stage
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta"]
+    docs = [" ".join(rng.choice(words, rng.integers(2, 30)))
+            for _ in range(200)]
+    df = pd.DataFrame({"text": docs})
+    tok = re.compile(r"[a-z0-9]+")
+    c = Counter()
+    for s in docs:
+        ts = tok.findall(s.lower())
+        c.update(ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = text_stage.bigram_topk(
+        ray.data.from_pandas(df).repartition(6), k=5).to_pandas()
+    assert list(zip(got["bigram"], got["n_total"])) == want

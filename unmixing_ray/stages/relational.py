@@ -1,0 +1,278 @@
+"""Distributed relational operators the Ray Data Dataset API lacks,
+each expressed as a combiner-before-shuffle composition (SURVEY.md §2.5
+/ §2.6 extension surface; engine-new, no reference analogue — the
+reference's tabular work is all whole-frame pandas):
+
+- ``grouped_topk``: top-k rows per key. Per-batch partial top-k bounds
+  the shuffle to k rows per (key, batch) before the ``groupby`` merge —
+  the exchange never carries more than k·n_batches rows per key no
+  matter how large the input.
+- ``count_distinct``: exact per-key COUNT(DISTINCT val). Per-batch pair
+  dedup is the combiner; the single shuffle carries only the deduped
+  (key, val) pairs.
+- ``anti_join``: rows of ``left`` with no match in ``right`` — the
+  tag-union pattern (no broadcast: both sides may be large). The right
+  side is deduped per batch to bare keys, so the shuffle carries left
+  rows + right keys, never right payloads.
+- ``grouped_quantile_disc``: EXACT per-key discrete quantiles
+  (DuckDB/ANSI ``percentile_disc`` semantics: 0-indexed rank
+  ceil(n·q)−1) via distributed selection: one sampling pass builds an
+  approximate per-key CDF, cheap counting passes narrow a value band
+  around each target rank, and only the final O(band) values are ever
+  collected — never a per-group sort of the full data. Each refinement
+  is a full re-read of the (column-pruned) input, the classic
+  distributed-selection tradeoff; typical case is one count + one
+  collect pass after sampling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k
+
+def grouped_topk(ds, keys, order_col, k, descending=True, tiebreak=()):
+    """Top-``k`` rows per ``keys`` ordered by ``order_col`` (then
+    ``tiebreak`` columns ascending — supply enough columns to make the
+    order total, else ties at the k boundary are nondeterministic).
+    Adds a 1-based ``rank`` column. Combiner: each batch keeps at most k
+    rows per key before the shuffle."""
+    if isinstance(keys, str):
+        keys = [keys]
+    by = list(keys) + [order_col] + list(tiebreak)
+    asc = [True] * len(keys) + [not descending] + [True] * len(tiebreak)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc).groupby(
+            list(keys), sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(by, ascending=asc).head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby(keys if len(keys) > 1 else keys[0])\
+        .map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact COUNT(DISTINCT) per key
+
+def count_distinct(ds, key, val, alias="n_distinct"):
+    """Exact per-``key`` count of distinct ``val``. The per-batch pair
+    dedup is the combiner; one shuffle of deduped pairs, then a
+    vectorized per-group nunique."""
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, val]].drop_duplicates()
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            alias: np.array([g[val].nunique()], dtype=np.int64)})
+
+    return ds.map_batches(dedup, batch_format="pandas")\
+        .groupby(key).map_groups(cnt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join (tag-union)
+
+def anti_join(left, right, key, right_key=None):
+    """Rows of ``left`` whose ``key`` never appears in ``right``
+    (``right_key`` defaults to ``key``). Neither side is broadcast or
+    materialized: right batches are deduped to bare keys (combiner),
+    tagged, unioned with the tagged left rows, and one ``groupby(key)``
+    keeps the groups with no right-tag row. Scale shape: the shuffle
+    carries every left row once plus O(distinct right keys)."""
+    right_key = right_key or key
+    schema = left.schema()
+    names = list(schema.names)
+
+    def _pa_type(t):
+        # Ray schemas are pyarrow-typed for Arrow blocks but carry numpy
+        # dtypes for pandas blocks; normalize (object dtype → string)
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        return pa.string() if dt == np.dtype(object) \
+            else pa.from_numpy_dtype(dt)
+
+    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__src", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ks = pc.unique(t[right_key]).cast(types[key])
+        cols = {n: (ks if n == key else pa.nulls(len(ks), types[n]))
+                for n in names}
+        out = pa.table(cols)
+        return out.append_column(
+            "__src", pa.array(np.ones(len(ks), np.int8)))
+
+    u = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def keep(g: pa.Table) -> pa.Table:
+        src = g["__src"].to_numpy()
+        body = g.drop_columns(["__src"])
+        return body.slice(0, 0) if (src == 1).any() else body
+
+    return u.groupby(key).map_groups(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact grouped discrete quantiles via distributed selection
+
+def _disc_rank(n, q):
+    """0-indexed percentile_disc rank: ceil(n*q) - 1, clamped."""
+    import math
+    return min(max(int(math.ceil(n * q)) - 1, 0), n - 1)
+
+
+def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
+                          band_pad=2, max_refine=40, band_cap=2_000_000):
+    """Exact per-key discrete quantiles of ``col`` (the returned values
+    are actual data elements, bit-identical to ``quantile_disc``).
+
+    Passes over the (pruned to key+col) input:
+    1. sampling: per batch per key → count + ``grid`` equi-spaced order
+       statistics (tiny rows); driver pools them into an approximate
+       per-key CDF and brackets every target rank with a [lo, hi] value
+       band padded by ``band_pad`` grid steps.
+    2. count: per batch per (key, band) → exact n_below(lo) and n_in
+       [lo, hi] (tiny rows). If a target rank fell outside its band
+       (sampling error) the band is widened from the pooled sample and
+       the count pass repeats — at most ``max_refine`` times, in
+       practice zero.
+    3. collect: band values only (≤ ``band_cap`` rows per key·rank by
+       construction of the padded bracket; loud error rather than a
+       silent giant collect); driver sorts each band and indexes the
+       exact order statistic.
+    Returns a pandas DataFrame: key, one ``p<percent>`` column per q.
+    """
+    lean = ds.map_batches(
+        lambda t: t.select([key, col]), batch_format="pyarrow")
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "n": [], "pivots": []}
+        for kv, g in df.groupby(key, sort=False):
+            v = g[col].to_numpy(dtype=np.float64)
+            piv = np.quantile(v, np.linspace(0.0, 1.0, grid),
+                              method="lower")
+            rows["k"].append(kv)
+            rows["n"].append(len(v))
+            rows["pivots"].append(piv.tolist())
+        return pd.DataFrame(rows)
+
+    parts = lean.map_batches(sample_batch,
+                             batch_format="pandas").to_pandas()
+    # pooled per-key approximate CDF: every batch pivot weighted by
+    # batch_n/grid — O(n_batches * grid) driver rows, key-count bounded
+    info = {}
+    for kv, g in parts.groupby("k", sort=False):
+        n = int(g["n"].sum())
+        vals = np.concatenate([np.asarray(p) for p in g["pivots"]])
+        wts = np.concatenate([np.full(grid, bn / grid)
+                              for bn in g["n"]])
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], np.cumsum(wts[order])
+        info[kv] = {"n": n, "vals": vals, "cum": wts,
+                    "ranks": [_disc_rank(n, q) for q in qs]}
+
+    def bracket(kv, rank, pad):
+        st = info[kv]
+        j = int(np.searchsorted(st["cum"], rank + 1, side="left"))
+        lo = st["vals"][max(0, j - pad)]
+        hi = st["vals"][min(len(st["vals"]) - 1, j + pad)]
+        return float(lo), float(hi)
+
+    bands = {kv: [bracket(kv, r, band_pad) for r in st["ranks"]]
+             for kv, st in info.items()}
+
+    def count_pass(bands_now):
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            rows = {"k": [], "ri": [], "below": [], "n_in": []}
+            for kv, g in df.groupby(key, sort=False):
+                if kv not in bands_now:
+                    continue
+                v = g[col].to_numpy(dtype=np.float64)
+                for ri, (lo, hi) in enumerate(bands_now[kv]):
+                    rows["k"].append(kv)
+                    rows["ri"].append(ri)
+                    rows["below"].append(int((v < lo).sum()))
+                    rows["n_in"].append(
+                        int(((v >= lo) & (v <= hi)).sum()))
+            return pd.DataFrame(rows)
+
+        got = lean.map_batches(cnt, batch_format="pandas").to_pandas()
+        return got.groupby(["k", "ri"], as_index=False).sum()
+
+    # refinement loop: any band whose exact counts exclude its target
+    # rank gets re-bracketed from the pooled sample with a doubled pad —
+    # geometric widening converges to the full pooled range (guaranteed
+    # bracket) in O(log) cheap counting passes, zero in practice
+    pads = {(kv, ri): band_pad for kv in info
+            for ri in range(len(qs))}
+    for _ in range(max_refine):
+        counts = count_pass(bands)
+        bad = False
+        for _, r in counts.iterrows():
+            kv, ri = r["k"], int(r["ri"])
+            rank = info[kv]["ranks"][ri]
+            idx = rank - int(r["below"])
+            if idx < 0 or idx >= int(r["n_in"]):
+                bad = True
+                pads[(kv, ri)] *= 2
+                bands[kv][ri] = bracket(kv, rank, pads[(kv, ri)])
+        if not bad:
+            break
+    else:
+        raise RuntimeError("grouped_quantile_disc failed to bracket "
+                           "every target rank after %d refinements"
+                           % max_refine)
+    below = {(r["k"], int(r["ri"])): int(r["below"])
+             for _, r in counts.iterrows()}
+    n_in = {(r["k"], int(r["ri"])): int(r["n_in"])
+            for _, r in counts.iterrows()}
+    too_big = [kr for kr, c in n_in.items() if c > band_cap]
+    if too_big:
+        raise RuntimeError(
+            "quantile band exceeds band_cap=%d for %r — raise grid to "
+            "narrow the bracket before collecting" % (band_cap, too_big))
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "ri": [], "vals": []}
+        for kv, g in df.groupby(key, sort=False):
+            if kv not in bands:
+                continue
+            v = g[col].to_numpy(dtype=np.float64)
+            for ri, (lo, hi) in enumerate(bands[kv]):
+                sel = v[(v >= lo) & (v <= hi)]
+                if len(sel):
+                    rows["k"].append(kv)
+                    rows["ri"].append(ri)
+                    rows["vals"].append(sel.tolist())
+        return pd.DataFrame(rows)
+
+    got = lean.map_batches(collect, batch_format="pandas").to_pandas()
+    out = {key: sorted(info)}
+    for ri, q in enumerate(qs):
+        colname = "p%g" % (q * 100)
+        res = []
+        for kv in sorted(info):
+            sub = got[(got["k"] == kv) & (got["ri"] == ri)]
+            band = np.sort(np.concatenate(
+                [np.asarray(v) for v in sub["vals"]]))
+            idx = info[kv]["ranks"][ri] - below[(kv, ri)]
+            res.append(float(band[idx]))
+        out[colname] = res
+    return pd.DataFrame(out)

@@ -165,3 +165,44 @@ def fingerprint_sql(ngram=16):
         SELECT doc_id,
                min(md5(substring(text, CAST(i AS INT), {ngram}))) AS fp
         FROM s GROUP BY doc_id"""
+
+
+def bigram_topk(docs, k=20):
+    """Global top-k word bigrams over the corpus (tokens: maximal
+    [a-z0-9]+ runs of the lowercased text — the n-gram statistics
+    primitive of a training-data pipeline). Combiner-before-shuffle: each
+    batch pre-aggregates its bigram counts, so the single ``groupby``
+    shuffle carries one row per (batch, distinct bigram), never a row
+    per token; the global top-k is a sort+limit over the merged counts
+    with a deterministic (count desc, bigram asc) tiebreak."""
+    import re
+    tok = re.compile(r"[a-z0-9]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for s in df["text"]:
+            ts = tok.findall(s.lower())
+            c.update(ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1))
+        return pd.DataFrame({"bigram": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64,
+                                              len(c))})
+
+    return docs.map_batches(partial, batch_format="pandas")\
+        .groupby("bigram").aggregate(Sum("n", alias_name="n_total"))\
+        .sort(["n_total", "bigram"], descending=[True, False])\
+        .limit(k)
+
+
+def bigram_topk_sql(k=20):
+    return f"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        pairs AS (
+          SELECT t[i] || ' ' || t[i+1] AS bigram
+          FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                FROM toks))
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n_total
+        FROM pairs GROUP BY bigram
+        ORDER BY n_total DESC, bigram LIMIT {k}"""
