@@ -81,3 +81,38 @@ def test_partitioned_join_pip_equals_broadcast(tiles_and_polygons):
     pp = p[p["kind"] == "pip"].sort_values(["tile_id", "poly_id"])
     assert bp["tile_id"].tolist() == pp["tile_id"].tolist()
     assert bp["poly_id"].tolist() == pp["poly_id"].tolist()
+
+
+def test_partitioned_join_knn_exact_equals_broadcast(tiles_and_polygons):
+    """exact=True must reproduce the broadcast (ground-truth) kNN even
+    with knn_ring=0, where ring replication alone misses most neighbors
+    and nearly every tile takes the bounded re-probe path."""
+    corpus, tiles, polygons = tiles_and_polygons
+    b = jstage.broadcast_spatial_join(tiles, polygons, k=2).to_pandas()
+    p = jstage.partitioned_spatial_join(
+        tiles, polygons, synth.CELL_LEVEL, k=2, knn_ring=0,
+        exact=True).to_pandas()
+    bk = b[b["kind"] == "knn"].sort_values(["tile_id", "rank"])\
+        .reset_index(drop=True)
+    pk = p[p["kind"] == "knn"].sort_values(["tile_id", "rank"])\
+        .reset_index(drop=True)
+    assert (p["kind"] == "knn_miss").sum() == 0
+    assert len(bk) == len(pk)
+    assert bk["tile_id"].tolist() == pk["tile_id"].tolist()
+    assert bk["poly_id"].tolist() == pk["poly_id"].tolist()
+    assert np.allclose(bk["dist"].to_numpy(), pk["dist"].to_numpy())
+
+
+def test_partitioned_join_knn_exact_ring1(tiles_and_polygons):
+    """With the default ring the guard should mostly pass in-partition,
+    and the result must still equal broadcast exactly."""
+    corpus, tiles, polygons = tiles_and_polygons
+    b = jstage.broadcast_spatial_join(tiles, polygons, k=2).to_pandas()
+    p = jstage.partitioned_spatial_join(
+        tiles, polygons, synth.CELL_LEVEL, k=2, knn_ring=1,
+        exact=True).to_pandas()
+    bk = b[b["kind"] == "knn"].sort_values(["tile_id", "rank"])\
+        .reset_index(drop=True)
+    pk = p[p["kind"] == "knn"].sort_values(["tile_id", "rank"])\
+        .reset_index(drop=True)
+    assert bk["poly_id"].tolist() == pk["poly_id"].tolist()

@@ -243,10 +243,23 @@ def replicate_polygons_to_cells(polygons, cell_level, knn_ring=1):
     return rows
 
 
-def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1):
+def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1,
+                             exact=False):
     """Explicit co-partitioned join: groupby(cell) over the union of tile
     probes and replicated polygon rows. Demonstrates the shuffle plan used
-    when the polygon side is too large to broadcast."""
+    when the polygon side is too large to broadcast.
+
+    ``exact=True`` upgrades the ring-replication kNN from a documented
+    approximation to an exact answer: inside each partition every tile's
+    k-th neighbor distance is checked against its guaranteed-covered
+    radius (knn_ring cell-edges plus the tile point's distance to its own
+    cell border — any polygon centroid strictly inside that radius is
+    provably replicated into the partition, since Chebyshev ≤ Euclidean
+    distance and replication dilates covering cells by knn_ring rings).
+    Tiles that fail the check (or see fewer than k polygons) emit a
+    ``knn_miss`` marker instead of knn rows and are re-probed in one
+    bounded second pass (broadcast kNN over only the failing tiles) —
+    exactness without widening the ring for everyone."""
     poly_rows = replicate_polygons_to_cells(polygons, cell_level, knn_ring)
     poly_ds = ray.data.from_items([
         {"cell": r["cell"], "poly_id": r["poly_id"], "tile_id": "",
@@ -285,6 +298,14 @@ def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1):
         tiles_g = df[df["side"] == "tile"]
         polys_g = df[df["side"] == "poly"]
         if not len(tiles_g) or not len(polys_g):
+            if exact and len(tiles_g):
+                # no polygons reached this partition: every tile here
+                # needs the bounded re-probe
+                return pd.DataFrame({
+                    "tile_id": tiles_g["tile_id"].tolist(),
+                    "cell": tiles_g["cell"].to_numpy(),
+                    "poly_id": "", "kind": "knn_miss",
+                    "rank": np.int32(-2), "dist": 0.0})
             return pd.DataFrame({c: [] for c in (
                 "tile_id", "cell", "poly_id", "kind", "rank", "dist")})
         ids = polys_g["poly_id"].to_numpy()
@@ -304,14 +325,40 @@ def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1):
             tiles_g["cell"].to_numpy(), tiles_g["cx"].to_numpy(),
             tiles_g["cy"].to_numpy(), 0)
         pip_df = tbl.to_pandas()
-        idx, dist = knn_centroids(
-            tiles_g["cx"].to_numpy(), tiles_g["cy"].to_numpy(),
-            cx, cy, k, tie_ids=ids)
-        rows = {"tile_id": [], "cell": [], "poly_id": [], "kind": [],
-                "rank": [], "dist": []}
+        txs = tiles_g["cx"].to_numpy()
+        tys = tiles_g["cy"].to_numpy()
+        idx, dist = knn_centroids(txs, tys, cx, cy, k, tie_ids=ids)
         t_ids = tiles_g["tile_id"].tolist()
         t_cells = tiles_g["cell"].to_numpy()
-        for i in range(len(t_ids)):
+        n_t = len(t_ids)
+        if exact:
+            # guaranteed-covered radius per tile: knn_ring cell edges
+            # plus the point's distance to its own cell border
+            E = cellindex.cell_edge(cell_level)
+            xmn, ymn, xmx, ymx = np.empty(n_t), np.empty(n_t), \
+                np.empty(n_t), np.empty(n_t)
+            for i, c in enumerate(t_cells):
+                xmn[i], ymn[i], xmx[i], ymx[i] = \
+                    cellindex.cell_bounds(np.uint64(c))
+            edge_d = np.minimum(np.minimum(txs - xmn, xmx - txs),
+                                np.minimum(tys - ymn, ymx - tys))
+            r_safe = knn_ring * E + np.maximum(edge_d, 0.0)
+            short = idx.shape[1] < k
+            unsafe = short | (dist[:, -1] >= r_safe) if idx.shape[1] \
+                else np.ones(n_t, dtype=bool)
+        else:
+            unsafe = np.zeros(n_t, dtype=bool)
+        rows = {"tile_id": [], "cell": [], "poly_id": [], "kind": [],
+                "rank": [], "dist": []}
+        for i in range(n_t):
+            if unsafe[i]:
+                rows["tile_id"].append(t_ids[i])
+                rows["cell"].append(t_cells[i])
+                rows["poly_id"].append("")
+                rows["kind"].append("knn_miss")
+                rows["rank"].append(-2)
+                rows["dist"].append(0.0)
+                continue
             for r in range(idx.shape[1]):
                 rows["tile_id"].append(t_ids[i])
                 rows["cell"].append(t_cells[i])
@@ -321,5 +368,36 @@ def partitioned_spatial_join(tiles, polygons, cell_level, k=3, knn_ring=1):
                 rows["dist"].append(float(dist[i, r]))
         return pd.concat([pip_df, pd.DataFrame(rows)], ignore_index=True)
 
-    return unioned.groupby("cell").map_groups(
+    joined = unioned.groupby("cell").map_groups(
         join_group, batch_format="pandas")
+    if not exact:
+        return joined
+    # bounded repair: re-probe ONLY the knn_miss tiles against the full
+    # (broadcast) polygon table. The join output is materialized once —
+    # it is O(tiles x k), the size the caller consumes anyway — so the
+    # marker collect and the clean filter don't re-run the shuffle.
+    joined = joined.materialize()
+    import pyarrow.compute as pc
+
+    miss = joined.filter(
+        lambda r: r["kind"] == "knn_miss").take_all()
+    clean = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "knn_miss")),
+        batch_format="pyarrow")
+    if not miss:
+        return clean
+    miss_ids = {m["tile_id"] for m in miss}
+
+    def keep_miss(batch: pa.Table) -> pa.Table:
+        mask = pa.array([t in miss_ids
+                         for t in batch["tile_id"].to_pylist()],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    probe_miss = tiles.select_columns(["tile_id", "cell", "cx", "cy"])\
+        .map_batches(keep_miss, batch_format="pyarrow")
+    repaired = broadcast_spatial_join(probe_miss, polygons, k=k)\
+        .map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "knn")),
+        batch_format="pyarrow")
+    return clean.union(repaired)
