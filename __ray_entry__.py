@@ -711,6 +711,21 @@ def q_bigram_topk(sf_dir):
         _read(sf_dir, "documents", columns=["text"]), k=20)
 
 
+def q_kmeans_assign(sf_dir):
+    """Nearest-centroid assignment over the embeddings table with fixed
+    centroids (the vec_id < 8 vectors — data-defined so the SQL oracle
+    reconstructs them exactly with a self-join). The full distributed
+    Lloyd training loop is stages/cluster.py:kmeans_fit (pytest-pinned:
+    monotone inertia, batching invariance, blob recovery)."""
+    from unmixing_ray.stages import cluster
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.filter(lambda r: r["vec_id"] < 8).to_pandas()\
+        .sort_values("vec_id")
+    C = np.array([np.asarray(v, dtype=np.float64)
+                  for v in head["embedding"]])
+    return cluster.assign(ds, C)
+
+
 def _planted_neardup_docs(sf_dir, n_dups=20, seed=99):
     """documents ∪ token-perturbed copies of the first n_dups docs
     (deterministic, shared construction synth.perturb_docs) — makes the
@@ -1108,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
         "bigram_topk": q_bigram_topk,
+        "kmeans_assign": q_kmeans_assign,
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "hall_rectification": q_hall_rectification,
@@ -1130,6 +1146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     }
+
+
+def _cluster_sql():
+    from unmixing_ray.stages.cluster import assign_first_k_sql
+    return assign_first_k_sql(k=8)
 
 
 def _events_sessions_sql():
@@ -1330,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
                      AS p99_u6
             FROM events GROUP BY event_type""",
         "bigram_topk": text.bigram_topk_sql(),
+        "kmeans_assign": _cluster_sql(),
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),
