@@ -711,6 +711,39 @@ def q_bigram_topk(sf_dir):
         _read(sf_dir, "documents", columns=["text"]), k=20)
 
 
+def q_lineitem_sample(sf_dir):
+    """Deterministic Bernoulli sample (md5-threshold, seed 7): keep all
+    lineitems of ~5% of orders — reproducible across runs, partitionings
+    and engines (stages/relational.py:bernoulli_sample)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = relational.bernoulli_sample(ds, "l_orderkey", 0.05, seed=7)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_linenumber": df["l_linenumber"].astype(np.int64),
+            "qty": np.rint(df["l_quantity"].to_numpy())
+                .astype(np.int64)})
+
+    return out.map_batches(clean, batch_format="pandas")
+
+
+def q_orders_sample_per_priority(sf_dir):
+    """Exactly-4-per-priority uniform sample without replacement
+    (md5-ranked; stages/relational.py:stratified_sample — reuses the
+    grouped_topk combiner)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderkey"])
+    out = relational.stratified_sample(ds, "o_orderpriority",
+                                       "o_orderkey", n=4, seed=0)
+    return out.map_batches(
+        lambda df: df[["o_orderpriority", "o_orderkey", "rank"]],
+        batch_format="pandas")
+
+
 def q_kmeans_assign(sf_dir):
     """Nearest-centroid assignment over the embeddings table with fixed
     centroids (the vec_id < 8 vectors — data-defined so the SQL oracle
@@ -1124,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "bigram_topk": q_bigram_topk,
         "kmeans_assign": q_kmeans_assign,
+        "lineitem_sample": q_lineitem_sample,
+        "orders_sample_per_priority": q_orders_sample_per_priority,
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "hall_rectification": q_hall_rectification,
@@ -1352,6 +1387,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "bigram_topk": text.bigram_topk_sql(),
         "kmeans_assign": _cluster_sql(),
+        "lineitem_sample": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                     AS l_linenumber,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':7'), 1, 8)
+                  < '%08x'""" % int(0.05 * (1 << 32)),
+        "orders_sample_per_priority": """
+            WITH r AS (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)
+                                    || ':0'), o_orderkey) AS rank
+              FROM orders)
+            SELECT o_orderpriority, o_orderkey, CAST(rank AS BIGINT)
+                     AS rank
+            FROM r WHERE rank <= 4""",
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

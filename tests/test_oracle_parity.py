@@ -69,7 +69,7 @@ def registry(ray_session):
     # round 3 (cont.): distributed relational operators
     "top_orders_per_segment", "supplier_distinct_parts",
     "customers_without_orders", "events_quantiles", "bigram_topk",
-    "kmeans_assign",
+    "kmeans_assign", "lineitem_sample", "orders_sample_per_priority",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -141,3 +141,46 @@ def test_bigram_topk_matches_counter(ray_session):
     got = text_stage.bigram_topk(
         ray.data.from_pandas(df).repartition(6), k=5).to_pandas()
     assert list(zip(got["bigram"], got["n_total"])) == want
+
+
+def test_bernoulli_sample_deterministic(ray_session):
+    df = _orders(2000)
+    ds = ray.data.from_pandas(df)
+    a = relational.bernoulli_sample(ds.repartition(1), "key", 0.1,
+                                    seed=3).to_pandas()
+    b = relational.bernoulli_sample(ds.repartition(8), "key", 0.1,
+                                    seed=3).to_pandas()
+    assert sorted(a["key"]) == sorted(b["key"])
+    # rate lands in a sane band and a different seed gives a
+    # different (but overlapping-at-random) subset
+    assert 0.05 < len(a) / len(df) < 0.16
+    c = relational.bernoulli_sample(ds, "key", 0.1, seed=4).to_pandas()
+    assert sorted(c["key"]) != sorted(a["key"])
+
+
+def test_stratified_sample_exact_n(ray_session):
+    df = _orders(900)
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = relational.stratified_sample(ds, "seg", "key", n=7)\
+        .to_pandas()
+    sizes = out.groupby("seg").size()
+    assert (sizes == 7).all()
+    # deterministic across batching
+    out1 = relational.stratified_sample(
+        ray.data.from_pandas(df), "seg", "key", n=7).to_pandas()
+    assert sorted(out["key"]) == sorted(out1["key"])
+
+
+def test_hll_error_bound(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 30000),
+        "v": np.concatenate([rng.integers(0, 20000, 30000),
+                             rng.integers(0, 400, 30000)])})
+    ds = ray.data.from_pandas(df).repartition(10)
+    got = relational.approx_count_distinct(ds, "k", "v").to_pandas()\
+        .set_index("k")["approx_distinct"]
+    want = df.groupby("k")["v"].nunique()
+    for k in ("a", "b"):
+        rel = abs(got[k] - want[k]) / want[k]
+        assert rel < 0.05, (k, got[k], want[k])

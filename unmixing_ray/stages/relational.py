@@ -276,3 +276,108 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
             res.append(float(band[idx]))
         out[colname] = res
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (hash-threshold Bernoulli / per-key top-n)
+
+def _md5_hex8(series, seed):
+    import hashlib
+    return np.array([hashlib.md5(("%s:%d" % (v, seed)).encode())
+                     .hexdigest()[:8] for v in series])
+
+
+def bernoulli_sample(ds, id_col, rate, seed=0):
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    chars of md5("<id>:<seed>") fall below rate·2³². Stateless one-pass
+    filter — reproducible across runs, partitionings and engines (the
+    same predicate is expressible in SQL, which is the oracle), and
+    composable: different seeds give independent samples."""
+    thresh = "%08x" % int(rate * (1 << 32))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_md5_hex8(df[id_col], seed) < thresh]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bernoulli_sample_sql_pred(id_expr, rate, seed=0):
+    """The matching DuckDB predicate (md5 hex compares lexicographically
+    because digests are fixed-width lowercase hex)."""
+    thresh = "%08x" % int(rate * (1 << 32))
+    return ("substr(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 8) < '%s'"
+            % (id_expr, seed, thresh))
+
+
+def stratified_sample(ds, key, id_col, n, seed=0):
+    """Exactly-n-per-key uniform sample without replacement: rank rows
+    within each key by md5("<id>:<seed>") and keep the n smallest —
+    deterministic, engine-independent, and it reuses grouped_topk's
+    combiner so each batch ships at most n rows per key."""
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["h"] = _md5_hex8(df[id_col], seed)
+        return out
+
+    return grouped_topk(ds.map_batches(add_h, batch_format="pandas"),
+                        key, "h", n, descending=False,
+                        tiebreak=(id_col,))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate COUNT(DISTINCT) — the scale path of
+# count_distinct: register sketches merge associatively, so the shuffle
+# carries one 2^b-byte sketch per (key, batch) instead of the deduped
+# pairs, and the answer costs O(keys · 2^b) memory at any cardinality.
+
+def _hll_registers(vals, b):
+    import hashlib
+    m = 1 << b
+    reg = np.zeros(m, dtype=np.uint8)
+    for v in vals:
+        h = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+            "big")
+        j = h >> (64 - b)
+        w = h & ((1 << (64 - b)) - 1)
+        rho = (64 - b) - w.bit_length() + 1
+        if rho > reg[j]:
+            reg[j] = rho
+    return reg
+
+
+def _hll_estimate(reg):
+    m = float(len(reg))
+    est = 0.7213 / (1 + 1.079 / m) * m * m / \
+        np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:          # small-range correction
+        est = m * np.log(m / zeros)
+    return est
+
+
+def approx_count_distinct(ds, key, val, b=12, alias="approx_distinct"):
+    """Per-key HyperLogLog distinct estimate (±~1.04/sqrt(2^b), ~1.6%
+    at the default b=12). Per-batch register sketches are the combiner;
+    the groupby merge is an elementwise max of registers."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "reg": []}
+        for kv, g in df.groupby(key, sort=False):
+            rows["k"].append(kv)
+            rows["reg"].append(
+                _hll_registers(g[val].to_numpy(), b).tobytes())
+        out = pd.DataFrame(rows)
+        return out.rename(columns={"k": key})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                         for r in g["reg"]])
+        est = _hll_estimate(regs.max(axis=0))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             alias: np.array([int(round(est))],
+                                             dtype=np.int64)})
+
+    return ds.map_batches(sketch, batch_format="pandas")\
+        .groupby(key).map_groups(merge, batch_format="pandas")
