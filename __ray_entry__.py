@@ -583,6 +583,49 @@ def q_events_sliding(sf_dir):
     return ev.sliding_window(_read(sf_dir, "events"))
 
 
+def q_events_lag(sf_dir):
+    """Per-key window functions (ROW_NUMBER / LAG family): per user in
+    (ts, event_id) order, the row number, the microsecond gap to the
+    previous event, and the previous event's type. Key-partitioned
+    vectorized shifts (stages/events.py:lag_delta); DuckDB window
+    oracle."""
+    from unmixing_ray.stages import events as ev
+    return ev.lag_delta(_read(sf_dir, "events"))
+
+
+def q_events_session_join(sf_dir):
+    """Interval (range) join without a broadcast: sessionize the log,
+    then tag-union + groupby(user) + searchsorted matches every purchase
+    event to its enclosing session interval
+    (stages/events.py:interval_join)."""
+    from unmixing_ray.stages import events as ev
+    return ev.session_lookup(_read(sf_dir, "events"))
+
+
+def q_lineitem_rollup(sf_dir):
+    """GROUP BY ROLLUP grouping sets in one shuffle: exact cent sums +
+    counts for (returnflag, linestatus), (returnflag,) and the grand
+    total, via a per-batch all-grouping-sets combiner
+    (stages/relational.py:rollup_sums)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return relational.rollup_sums(
+        ds, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+
+
+def q_cell_rollup(sf_dir):
+    """Hierarchical cell rollup (H3/S2 parent aggregation): tile counts
+    at cell levels L..L-3 in ONE shuffle — the per-batch combiner emits
+    parent-cell partials for every level (stages/rollup.py). Oracle is
+    closed-form bit arithmetic over the tile-lattice sidecar."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import rollup
+    _c, tiles = _tiles_ds(sf_dir)
+    return rollup.cell_rollup(tiles, base_level=synth.CELL_LEVEL,
+                              steps=(0, 1, 2, 3))
+
+
 def q_customer_orders(sf_dir):
     """orders ⨝ customer (broadcast small side) → per-market-segment
     exact cent totals."""
@@ -1148,6 +1191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
+        "events_lag": q_events_lag,
+        "events_session_join": q_events_session_join,
+        "lineitem_rollup": q_lineitem_rollup,
+        "cell_rollup": q_cell_rollup,
         "orders_topk": q_orders_topk,
         "customer_orders": q_customer_orders,
         "part_filter_topk": q_part_filter_topk,
@@ -1201,6 +1248,29 @@ def _events_asof_sql():
 def _events_sliding_sql():
     from unmixing_ray.stages.events import sliding_window_sql
     return sliding_window_sql()
+
+
+def _events_lag_sql():
+    from unmixing_ray.stages.events import lag_delta_sql
+    return lag_delta_sql()
+
+
+def _events_session_join_sql():
+    from unmixing_ray.stages.events import session_lookup_sql
+    return session_lookup_sql()
+
+
+def _lineitem_rollup_sql():
+    from unmixing_ray.stages.relational import rollup_sums_sql
+    return rollup_sums_sql("lineitem", ["l_returnflag", "l_linestatus"],
+                           "l_extendedprice")
+
+
+def _cell_rollup_sql():
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages.rollup import cell_rollup_sql
+    return cell_rollup_sql(SF01_CORPUS + "/tiles_expected.parquet",
+                           base_level=synth.CELL_LEVEL, steps=(0, 1, 2, 3))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1340,6 +1410,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _events_sessions_sql(),
         "events_asof": _events_asof_sql(),
         "events_sliding": _events_sliding_sql(),
+        "events_lag": _events_lag_sql(),
+        "events_session_join": _events_session_join_sql(),
+        "lineitem_rollup": _lineitem_rollup_sql(),
+        "cell_rollup": _cell_rollup_sql(),
         "customer_orders": """
             SELECT c.c_mktsegment,
                    CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT))

@@ -70,6 +70,9 @@ def registry(ray_session):
     "top_orders_per_segment", "supplier_distinct_parts",
     "customers_without_orders", "events_quantiles", "bigram_topk",
     "kmeans_assign", "lineitem_sample", "orders_sample_per_priority",
+    # round 3 (cont. 2): window functions, interval join, grouping sets,
+    # hierarchical cell rollup
+    "events_lag", "events_session_join", "lineitem_rollup", "cell_rollup",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

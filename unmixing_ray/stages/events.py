@@ -197,3 +197,179 @@ def sliding_window_sql(window_s=3600):
         WINDOW w AS (PARTITION BY event_type ORDER BY ts
                      RANGE BETWEEN INTERVAL {int(window_s)} SECONDS
                      PRECEDING AND CURRENT ROW)"""
+
+
+# ---------------------------------------------------------------------------
+# per-key window functions (row_number / lag)
+
+def lag_delta(events):
+    """Row-level window functions per user: 1-based row number in
+    (ts, event_id) order, microsecond gap to the previous event (0 for
+    the first), and the previous event's type ('' for the first) — the
+    LAG/ROW_NUMBER family, key-partitioned.
+
+    Plan: ``groupby(user_id)`` co-partitions each user's log; within a
+    group one stable sort + two shifts are fully vectorized. At scale
+    the shuffle key is user_id (naturally high-cardinality, no skew
+    pre-pass needed); a single pathological user would be range-split
+    by time with a 1-row halo.
+    """
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        gap = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            gap[1:] = np.diff(ts_us)
+        prev_type = np.empty(len(g), dtype=object)
+        prev_type[0] = ""
+        if len(g) > 1:
+            prev_type[1:] = g["event_type"].to_numpy()[:-1]
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": pd.Series(g["event_id"].to_numpy(),
+                                  dtype="int64"),
+            "rn": pd.Series(np.arange(1, len(g) + 1), dtype="int64"),
+            "gap_us": pd.Series(gap, dtype="int64"),
+            "prev_type": pd.Series(prev_type, dtype="string"),
+        })
+
+    return events.select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).groupby(
+        "user_id").map_groups(per_user, batch_format="pandas")
+
+
+def lag_delta_sql():
+    return """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), 0)
+                    AS BIGINT) AS gap_us,
+               coalesce(lag(event_type) OVER w, '') AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+
+def interval_join(points, intervals, key, ts_col="ts_us",
+                  start_col="start_us", end_col="end_us"):
+    """Point-in-interval join: each ``points`` row matched to the
+    ``intervals`` row of the same ``key`` whose [start, end] contains
+    its timestamp. Intervals per key must be non-overlapping (the match
+    is unique or absent; unmatched points are dropped).
+
+    The range join Ray Data lacks, expressed without a broadcast — both
+    sides may be huge: tag-union the two (column-padded) sides, one
+    ``groupby(key)`` co-partitions them, and within a group a sorted
+    ``searchsorted`` resolves every point in O(log n_intervals).
+    Partitioning assumption: one key's intervals + points fit in a
+    group (time-range sub-splitting with interval halos otherwise).
+    """
+    import pyarrow as pa
+
+    pts = points.select_columns([key, "event_id", ts_col]).map_batches(
+        lambda t: t.append_column(
+            "side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        .append_column("start_us_r", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+        .append_column("end_us_r", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+        .append_column("session_id_r", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+
+    def tag_iv(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            key: t[key],
+            "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            ts_col: pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "start_us_r": t[start_col].cast(pa.int64()),
+            "end_us_r": t[end_col].cast(pa.int64()),
+            "session_id_r": t["session_id"].cast(pa.int64())})
+
+    ivs = intervals.map_batches(tag_iv, batch_format="pyarrow")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["side"] == 1].sort_values("start_us_r")
+        p = g[g["side"] == 0]
+        if not len(iv) or not len(p):
+            return pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "session_id": pd.Series([], dtype="int64")})
+        starts = iv["start_us_r"].to_numpy()
+        ends = iv["end_us_r"].to_numpy()
+        sid = iv["session_id_r"].to_numpy()
+        ts = p[ts_col].to_numpy()
+        ix = np.searchsorted(starts, ts, side="right") - 1
+        ok = (ix >= 0) & (ts <= ends[np.clip(ix, 0, len(ends) - 1)])
+        return pd.DataFrame({
+            key: pd.Series(p[key].to_numpy()[ok], dtype="int64"),
+            "event_id": pd.Series(p["event_id"].to_numpy()[ok],
+                                  dtype="int64"),
+            "ts_us": pd.Series(ts[ok], dtype="int64"),
+            "session_id": pd.Series(sid[ix[ok]], dtype="int64")})
+
+    return pts.union(ivs).groupby(key).map_groups(
+        per_key, batch_format="pandas")
+
+
+def session_lookup(events, gap_s=1800, event_type="purchase"):
+    """Demo pipeline for :func:`interval_join`: sessionize the full log,
+    then range-join the ``event_type`` events back to their enclosing
+    session interval. Returns (user_id, event_id, ts_us, session_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sessions = sessionize(events, gap_s=gap_s)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], event_type))
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts_us": ts_us})
+
+    pts = events.select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    return interval_join(pts, sessions, key="user_id")
+
+
+def session_lookup_sql(gap_s=1800, event_type="purchase"):
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_id
+          FROM o),
+        iv AS (
+          SELECT user_id, session_id,
+                 min(epoch_us(ts)) AS start_us,
+                 max(epoch_us(ts)) AS end_us
+          FROM s GROUP BY user_id, session_id)
+        SELECT CAST(e.user_id AS BIGINT) AS user_id,
+               CAST(e.event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+               CAST(iv.session_id AS BIGINT) AS session_id
+        FROM events e
+        JOIN iv ON e.user_id = iv.user_id
+               AND epoch_us(e.ts) BETWEEN iv.start_us AND iv.end_us
+        WHERE e.event_type = '{event_type}'"""

@@ -381,3 +381,74 @@ def approx_count_distinct(ds, key, val, b=12, alias="approx_distinct"):
 
     return ds.map_batches(sketch, batch_format="pandas")\
         .groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouping sets (ROLLUP)
+
+ROLLUP_ALL = "__ALL__"
+
+
+def rollup_sums(ds, keys, val, scale=100, marker=ROLLUP_ALL):
+    """GROUP BY ROLLUP(*keys): exact scaled-integer sum + count of
+    ``val`` for every rollup prefix of ``keys`` (…, (k1, k2), (k1,),
+    ()), in ONE shuffle. Rolled-up key positions carry ``marker``
+    (the data must not contain it — asserted per batch).
+
+    Combiner: each batch pre-aggregates ALL grouping sets locally, so
+    the exchange carries at most sum_over_prefixes(|groups|) rows per
+    batch no matter the input size; the final per-key merge is a sum.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df[val].to_numpy() * scale).astype(np.int64)
+        work = df[keys].copy()
+        for k in keys:
+            if (work[k] == marker).any():
+                raise ValueError("rollup marker collides with data")
+        work["__v"] = v
+        outs = []
+        for plen in range(len(keys), -1, -1):
+            gcols = keys[:plen]
+            if gcols:
+                agg = work.groupby(gcols, as_index=False).agg(
+                    sum_c=("__v", "sum"), n=("__v", "size"))
+            else:
+                agg = pd.DataFrame({"sum_c": [int(v.sum())],
+                                    "n": [len(v)]})
+            for k in keys[plen:]:
+                agg[k] = marker
+            outs.append(agg[keys + ["sum_c", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_c"] = out["sum_c"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy().reset_index(drop=True)
+        out["sum_c"] = np.int64(g["sum_c"].sum())
+        out["n"] = np.int64(g["n"].sum())
+        return out
+
+    parts = ds.select_columns(keys + [val]).map_batches(
+        partial, batch_format="pandas")
+    return parts.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
+def rollup_sums_sql(table, keys, val, scale=100, marker=ROLLUP_ALL):
+    """DuckDB oracle for :func:`rollup_sums` (no NULLs in the key
+    columns assumed, so COALESCE marks exactly the rolled positions)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    sel = ",\n               ".join(
+        f"coalesce({k}, '{marker}') AS {k}" for k in keys)
+    return f"""
+        SELECT {sel},
+               CAST(sum(CAST(round({val} * {scale}) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table}
+        GROUP BY ROLLUP ({", ".join(keys)})"""
