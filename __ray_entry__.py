@@ -155,6 +155,18 @@ def q_spatial_join_knn(sf_dir):
         .reset_index(drop=True)
 
 
+def q_zonal_stats(sf_dir):
+    """Zonal statistics (raster×vector classic): per polygon, sum +
+    valid-pixel count of band 0 over tiles whose center is inside.
+    Combiner-before-shuffle (stages/join.py:zonal_stats); oracle joins
+    the per-tile zonal sidecar to the bbox polygons in SQL."""
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    return jstage.zonal_stats(tiles, polygons, band=0)
+
+
 def q_mask_counts(sf_dir):
     """Planted-feature mask counts per image through the decode path:
     density-slice water, saturation, NoData, cfmask-QA (reference ops
@@ -754,6 +766,16 @@ def q_bigram_topk(sf_dir):
         _read(sf_dir, "documents", columns=["text"]), k=20)
 
 
+def q_tfidf_topk(sf_dir):
+    """Top-3 TF-IDF terms per document with an integer-exact idf
+    (tf * ((N * 1e6) // df)) — no broadcast vocabulary: inverted-index
+    explode, groupby(token) for df, groupby(doc_id) for the top-k
+    (stages/text.py:tfidf_topk)."""
+    from unmixing_ray.stages import text
+    return text.tfidf_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+
+
 def q_lineitem_sample(sf_dir):
     """Deterministic Bernoulli sample (md5-threshold, seed 7): keep all
     lineitems of ~5% of orders — reproducible across runs, partitionings
@@ -1177,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
+        "zonal_stats": q_zonal_stats,
         "mask_counts": q_mask_counts,
         "band_stats": q_band_stats,
         "spectral_indices": q_spectral_indices,
@@ -1203,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
         "bigram_topk": q_bigram_topk,
+        "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
         "lineitem_sample": q_lineitem_sample,
         "orders_sample_per_priority": q_orders_sample_per_priority,
@@ -1309,6 +1333,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{C}/polygons.parquet') p
               ON t.cx BETWEEN p.xmin AND p.xmax
              AND t.cy BETWEEN p.ymin AND p.ymax""",
+        "zonal_stats": f"""
+            SELECT p.poly_id,
+                   CAST(count(*) AS BIGINT) AS n_tiles,
+                   CAST(sum(s.b0_sum) AS BIGINT) AS b_sum,
+                   CAST(sum(s.b0_n) AS BIGINT) AS b_n
+            FROM read_parquet('{C}/tiles_expected.parquet') t
+            JOIN read_parquet('{C}/tiles_spectral_expected.parquet') s
+              USING (tile_id)
+            JOIN read_parquet('{C}/polygons.parquet') p
+              ON t.cx BETWEEN p.xmin AND p.xmax
+             AND t.cy BETWEEN p.ymin AND p.ymax
+            GROUP BY p.poly_id""",
         "spatial_join_knn": f"""
             WITH d AS (
               SELECT t.tile_id, p.poly_id,
@@ -1460,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
                      AS p99_u6
             FROM events GROUP BY event_type""",
         "bigram_topk": text.bigram_topk_sql(),
+        "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),
         "lineitem_sample": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT)

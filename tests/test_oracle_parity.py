@@ -73,6 +73,7 @@ def registry(ray_session):
     # round 3 (cont. 2): window functions, interval join, grouping sets,
     # hierarchical cell rollup
     "events_lag", "events_session_join", "lineitem_rollup", "cell_rollup",
+    "zonal_stats", "tfidf_topk",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -42,7 +42,7 @@ from .. import cellindex
 from ..codecs import encode_image
 
 # bump when generator semantics change: forces cached corpora to rebuild
-GENERATOR_VERSION = 7
+GENERATOR_VERSION = 8
 
 # parquet row-group size for the images table: Ray splits reads at
 # row-group granularity, so 512-row groups capped decode parallelism at
@@ -284,6 +284,19 @@ def _expected_fcls_means(stored):
 _COMPOSITE_REDUCERS = ("max", "median", "mean", "min", "median", "max")
 
 
+def _expected_zonal(stored):
+    """Per-tile band-0 sum and count over non-NoData pixels — the
+    zonal-statistics ground truth: {(ty, tx): (b0_sum, b0_n)}."""
+    out = {}
+    b0 = stored[0].astype(np.int64)
+    for ty in range(IMG_H // TILE):
+        for tx in range(IMG_W // TILE):
+            sub = b0[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            valid = sub != NODATA
+            out[(ty, tx)] = (int(sub[valid].sum()), int(valid.sum()))
+    return out
+
+
 def _expected_composite_checksums(stored):
     """{(ty, tx): checksum_x6} per tile, inline numpy."""
     out = {}
@@ -327,15 +340,19 @@ def _expected_hall_b0(stored):
         .mean(axis=0)
     img_dark = np.array([stored[:, y, x] for x, y in HALL_DARK_PX])\
         .mean(axis=0)
-    m = (ref_bright - ref_dark) / (img_bright - img_dark)
-    b = (ref_dark * img_bright - img_dark * ref_bright) \
-        / (img_bright - img_dark)
-    flat = stored.reshape(stored.shape[0], -1).astype(np.float64)
-    # clip before the int32 cast: NoData (-9999) times a large gain can
-    # exceed the int32 range, and out-of-range float->int casts are
-    # undefined; clipping pins the behavior (engine side clips too)
-    rect = np.clip(flat * m.reshape(-1, 1) + b.reshape(-1, 1),
-                   -2.0 ** 31, 2.0 ** 31 - 1).astype(np.int32)
+    # a degenerate control set (bright mean == dark mean on a band)
+    # divides by zero; the engine kernel hits the identical inf/nan
+    # arithmetic, so only silence the warnings — don't change values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = (ref_bright - ref_dark) / (img_bright - img_dark)
+        b = (ref_dark * img_bright - img_dark * ref_bright) \
+            / (img_bright - img_dark)
+        flat = stored.reshape(stored.shape[0], -1).astype(np.float64)
+        # clip before the int32 cast: NoData (-9999) times a large gain
+        # can exceed the int32 range, and out-of-range float->int casts
+        # are undefined; clipping pins the behavior (engine clips too)
+        rect = np.clip(flat * m.reshape(-1, 1) + b.reshape(-1, 1),
+                       -2.0 ** 31, 2.0 ** 31 - 1).astype(np.int32)
     rect[stored.reshape(stored.shape[0], -1) == NODATA] = NODATA
     r0 = rect[0]
     return int(r0[r0 != NODATA].sum())
@@ -386,7 +403,7 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
     exp_rows["b0_sum_rect"] = []
     spec_rows = {k: [] for k in (
         "tile_id", "caption", "q", "mean_ab0_u4", "mean_ab1_u4",
-        "mean_ab2_u4", "comp_checksum_x6")}
+        "mean_ab2_u4", "comp_checksum_x6", "b0_sum", "b0_n")}
     point_rows = {k: [] for k in ("point_id", "tile_id", "b0", "b5")}
     prev_pixels = None
     chunk = 512
@@ -450,6 +467,7 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                 exp_rows["b0_sum_rect"].append(_expected_hall_b0(stored))
                 fcls = _expected_fcls_means(stored)
                 comp = _expected_composite_checksums(stored)
+                zonal = _expected_zonal(stored)
                 for (ty, tx), means in sorted(fcls.items()):
                     spec_rows["tile_id"].append(
                         "%s_t%d_%d" % (image_id, ty, tx))
@@ -459,6 +477,8 @@ def generate_corpus(out_dir, n_images, seed=7, force=False):
                     spec_rows["mean_ab1_u4"].append(means[1])
                     spec_rows["mean_ab2_u4"].append(means[2])
                     spec_rows["comp_checksum_x6"].append(comp[(ty, tx)])
+                    spec_rows["b0_sum"].append(zonal[(ty, tx)][0])
+                    spec_rows["b0_n"].append(zonal[(ty, tx)][1])
                 if seq < N_PROBE_POINTS:
                     pt = _expected_point_spectra(seq, stored, n_images)
                     for k, v in pt.items():

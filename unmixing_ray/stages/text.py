@@ -206,3 +206,80 @@ def bigram_topk_sql(k=20):
         SELECT bigram, CAST(count(*) AS BIGINT) AS n_total
         FROM pairs GROUP BY bigram
         ORDER BY n_total DESC, bigram LIMIT {k}"""
+
+
+def tfidf_topk(docs, k=3, idf_scale=1_000_000):
+    """Top-``k`` TF-IDF terms per document (tokens: maximal [a-z0-9]+
+    runs of the lowercased text, like :func:`bigram_topk`). The score is
+    the integer-exact variant ``tf * ((N * idf_scale) // df)`` — a
+    monotone transform of tf·(N/df) per fixed df that both the engine
+    and the SQL oracle compute in int64 with identical results (float
+    ln() differs in the last ulp between libm implementations).
+
+    Scale shape: NO broadcast vocabulary. Pass 1 explodes docs to
+    per-doc distinct (doc_id, token, tf) pairs (the inverted-index
+    explosion, unavoidable for document frequency); one groupby(token)
+    attaches df = group size and scores; one groupby(doc_id) keeps the
+    top k. Both shuffles carry only the pair rows, never the text.
+    """
+    import re
+    from collections import Counter
+    tok = re.compile(r"[a-z0-9]+")
+    n_docs = docs.count()
+    idf_num = int(n_docs) * int(idf_scale)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d_ids, toks, tfs = [], [], []
+        for doc_id, s in zip(df["doc_id"], df["text"]):
+            c = Counter(tok.findall(s.lower()))
+            d_ids.extend([doc_id] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({
+            "doc_id": pd.Series(d_ids, dtype="int64"),
+            "token": pd.Series(toks, dtype="string"),
+            "tf": pd.Series(tfs, dtype="int64")})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score_u"] = g["tf"].to_numpy() * np.int64(idf_num // len(g))
+        return g
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_u", "token"],
+                          ascending=[False, True]).head(k).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "token", "tf", "score_u", "rk"]]
+
+    p = docs.select_columns(["doc_id", "text"]).map_batches(
+        pairs, batch_format="pandas")
+    scored = p.groupby("token").map_groups(score, batch_format="pandas")
+    return scored.groupby("doc_id").map_groups(topk,
+                                               batch_format="pandas")
+
+
+def tfidf_topk_sql(k=3, idf_scale=1_000_000):
+    return f"""
+        WITH pairs AS (
+          SELECT doc_id, t AS token, count(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents)
+          GROUP BY doc_id, t),
+        dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),
+        nn AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT p.doc_id, p.token, p.tf,
+                 p.tf * ((nn.n * {int(idf_scale)}) // d.df) AS score_u
+          FROM pairs p JOIN dfreq d USING (token) CROSS JOIN nn),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_u DESC, token) AS rk
+          FROM scored)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(score_u AS BIGINT) AS score_u,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {int(k)}"""
