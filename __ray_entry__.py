@@ -167,6 +167,18 @@ def q_zonal_stats(sf_dir):
     return jstage.zonal_stats(tiles, polygons, band=0)
 
 
+def q_rasterize_count(sf_dir):
+    """Vector burn-in: per PIP join pair, the number of pixel CENTERS
+    inside the polygon — per-axis vectorized comparisons multiplied, the
+    exact IEEE expression the SQL oracle evaluates per pixel
+    (stages/join.py:rasterize_count)."""
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    return jstage.rasterize_count(tiles, polygons)
+
+
 def q_mask_counts(sf_dir):
     """Planted-feature mask counts per image through the decode path:
     density-slice water, saturation, NoData, cfmask-QA (reference ops
@@ -1200,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
         "zonal_stats": q_zonal_stats,
+        "rasterize_count": q_rasterize_count,
         "mask_counts": q_mask_counts,
         "band_stats": q_band_stats,
         "spectral_indices": q_spectral_indices,
@@ -1329,6 +1342,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{C}/tiles_expected.parquet')""",
         "spatial_join_pip": f"""
             SELECT t.tile_id, p.poly_id
+            FROM read_parquet('{C}/tiles_expected.parquet') t
+            JOIN read_parquet('{C}/polygons.parquet') p
+              ON t.cx BETWEEN p.xmin AND p.xmax
+             AND t.cy BETWEEN p.ymin AND p.ymax""",
+        "rasterize_count": f"""
+            SELECT t.tile_id, p.poly_id,
+                   CAST((SELECT count(*)
+                         FROM generate_series(0, {_synth.TILE - 1}) g(c)
+                         WHERE t.gt0 + (c + 0.5) * t.gt1
+                               BETWEEN p.xmin AND p.xmax)
+                      * (SELECT count(*)
+                         FROM generate_series(0, {_synth.TILE - 1}) g(r)
+                         WHERE t.gt3 + (r + 0.5) * t.gt5
+                               BETWEEN p.ymin AND p.ymax)
+                        AS BIGINT) AS n_px
             FROM read_parquet('{C}/tiles_expected.parquet') t
             JOIN read_parquet('{C}/polygons.parquet') p
               ON t.cx BETWEEN p.xmin AND p.xmax

@@ -122,3 +122,32 @@ def test_audio_features_wav_matches_generation_sidecar():
     got_sum = [int(np.sum(np.asarray(v, dtype=np.int64)))
                for v in out["rms_u6"]]
     assert got_sum == exp["rms_sum_u6"].astype("int64").tolist()
+
+
+def test_wav_stereo_pcm16_roundtrip():
+    from unmixing_ray.stages.media import decode_wav, encode_wav
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-0.9, 0.9, size=(500, 2))
+    y, sr = decode_wav(encode_wav(x, sr=22050, bits=16))
+    assert sr == 22050 and y.shape == (500, 2)
+    assert np.abs(y - x).max() < 1.0 / 32767
+
+
+def test_wav_mono_pcm8_roundtrip():
+    from unmixing_ray.stages.media import decode_wav, encode_wav
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-0.9, 0.9, size=300)
+    y, sr = decode_wav(encode_wav(x, sr=8000, bits=8))
+    assert sr == 8000 and y.shape == (300, 1)
+    assert np.abs(y[:, 0] - x).max() < 1.0 / 127
+
+
+def test_wav_pcm16_strict_rejects_stereo_and_8bit():
+    import pytest as _pytest
+    from unmixing_ray.stages.media import decode_wav_pcm16, encode_wav
+    stereo = encode_wav(np.zeros((10, 2)), bits=16)
+    eight = encode_wav(np.zeros(10), bits=8)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(stereo)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(eight)

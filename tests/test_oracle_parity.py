@@ -73,7 +73,7 @@ def registry(ray_session):
     # round 3 (cont. 2): window functions, interval join, grouping sets,
     # hierarchical cell rollup
     "events_lag", "events_session_join", "lineitem_rollup", "cell_rollup",
-    "zonal_stats", "tfidf_topk",
+    "zonal_stats", "tfidf_topk", "rasterize_count",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

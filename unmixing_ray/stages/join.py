@@ -464,3 +464,61 @@ def zonal_stats(tiles, polygons, band=0):
     parts = tiles.map_batches(partial, batch_format="pyarrow")
     return parts.groupby("poly_id").map_groups(
         merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# rasterize (vector burn-in)
+
+def rasterize_count(tiles, polygons):
+    """Rasterize polygons onto the tile pixel grid: for every PIP join
+    pair, the number of pixel CENTERS inside the polygon's bbox (the
+    burn-in/coverage primitive behind mask_by_query-style vector masks;
+    reference analogue utils.py rasterization idiom via point_to_pixel).
+
+    Per batch: probe the broadcast polygon index, then one vectorized
+    per-pixel-center comparison per axis — x and y counts multiply, so
+    the work is O(pairs × tile_edge), never O(pairs × pixels). The
+    comparison `gt0 + (c + 0.5) * gt1 BETWEEN xmin AND xmax` is the
+    exact IEEE expression the SQL oracle evaluates, so boundary pixels
+    agree bit-for-bit. Pixel payloads are never read.
+    """
+    ref = ray.put(polygons)
+    pol = _polygons_to_arrays(polygons)
+    pol_ids = list(pol[0])
+    pol_ix = {pid: i for i, pid in enumerate(pol_ids)}
+    bx = pol[2]  # bboxes (n, 4): xmin, ymin, xmax, ymax
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pip = cached_probe_actor(ref, 0)(
+            batch.select(["tile_id", "cell", "cx", "cy"])).to_pandas()
+        pip = pip[pip["kind"] == "pip"]
+        if not len(pip):
+            return pa.table({"tile_id": pa.array([], pa.string()),
+                             "poly_id": pa.array([], pa.string()),
+                             "n_px": pa.array([], pa.int64())})
+        tid_ix = {t: i for i, t in
+                  enumerate(batch["tile_id"].to_pylist())}
+        ti = pip["tile_id"].map(tid_ix).to_numpy()
+        pi = pip["poly_id"].map(pol_ix).to_numpy()
+        gt = np.stack(batch["gt"].to_numpy(zero_copy_only=False))
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        if not ((ws == ws[0]).all() and (hs == hs[0]).all()):
+            raise NotImplementedError("mixed tile shapes in a batch")
+        w, h = int(ws[0]), int(hs[0])
+        cs = np.arange(w, dtype=np.float64) + 0.5
+        rs = np.arange(h, dtype=np.float64) + 0.5
+        xc = gt[ti, 0][:, None] + cs[None, :] * gt[ti, 1][:, None]
+        yc = gt[ti, 3][:, None] + rs[None, :] * gt[ti, 5][:, None]
+        nx = ((xc >= bx[pi, 0][:, None])
+              & (xc <= bx[pi, 2][:, None])).sum(axis=1)
+        ny = ((yc >= bx[pi, 1][:, None])
+              & (yc <= bx[pi, 3][:, None])).sum(axis=1)
+        return pa.table({
+            "tile_id": pa.array(pip["tile_id"], pa.string()),
+            "poly_id": pa.array(pip["poly_id"], pa.string()),
+            "n_px": pa.array((nx * ny).astype(np.int64))})
+
+    return tiles.select_columns(
+        ["tile_id", "cell", "cx", "cy", "gt", "w", "h"]).map_batches(
+        partial, batch_format="pyarrow")

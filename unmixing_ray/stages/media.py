@@ -64,30 +64,45 @@ def _synthetic_samples(buf, n, seed_tag):
 # real WAV/PCM codec (stdlib-only RIFF parse — the audio analogue of the
 # image path's self-contained codecs.py; VERDICT r02 item 6)
 
-def encode_wav_pcm16(samples, sr=16000):
-    """float samples in [-1, 1] → mono 16-bit PCM RIFF/WAVE bytes."""
+def encode_wav(samples, sr=16000, bits=16):
+    """float samples in [-1, 1] → PCM RIFF/WAVE bytes. ``samples`` is
+    (n,) mono or (n, channels) interleaved on write; ``bits`` ∈ {8, 16}
+    (8 = unsigned offset-128, 16 = signed little-endian)."""
     import struct
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm = np.rint(x * 32767.0).astype("<i2")
-    data = pcm.tobytes()
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if bits == 16:
+        data = np.rint(x * 32767.0).astype("<i2").tobytes()
+    elif bits == 8:
+        data = (np.rint(x * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = channels * (bits // 8)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
         b"fmt ", 16,
         1,                      # PCM
-        1,                      # mono
+        channels,
         int(sr),
-        int(sr) * 2,            # byte rate
-        2,                      # block align
-        16,                     # bits per sample
+        int(sr) * block,        # byte rate
+        block,
+        bits,
         b"data", len(data))
     return hdr + data
 
 
-def decode_wav_pcm16(buf):
-    """Mono 16-bit PCM RIFF/WAVE bytes → (float64 samples in [-1, 1],
-    sample_rate). Walks the chunk list (fmt may not directly precede
-    data); raises on non-PCM16-mono payloads."""
+def encode_wav_pcm16(samples, sr=16000):
+    """float samples in [-1, 1] → mono 16-bit PCM RIFF/WAVE bytes."""
+    return encode_wav(samples, sr=sr, bits=16)
+
+
+def _wav_chunks(buf):
+    """RIFF chunk walk → ((audio_fmt, channels, sr, br, ba, bits),
+    data_bytes). fmt may not directly precede data; chunks are
+    word-aligned."""
     import struct
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -101,16 +116,43 @@ def decode_wav_pcm16(buf):
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)     # chunks are word-aligned
+        pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt, data
+
+
+def decode_wav(buf):
+    """PCM RIFF/WAVE bytes → (float64 samples (n, channels) in [-1, 1],
+    sample_rate). Handles 8-bit unsigned and 16-bit signed PCM, any
+    channel count; raises on compressed/float formats."""
+    fmt, data = _wav_chunks(buf)
     audio_fmt, channels, sr, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            "only 8/16-bit integer PCM supported (fmt=%d ch=%d bits=%d)"
+            % (audio_fmt, channels, bits))
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 127.0
+    n = len(x) // channels
+    return x[:n * channels].reshape(n, channels), int(sr)
+
+
+def decode_wav_pcm16(buf):
+    """Mono 16-bit PCM RIFF/WAVE bytes → (float64 samples (n,) in
+    [-1, 1], sample_rate); raises on non-PCM16-mono payloads (strict
+    contract kept for the oracle-checked audio query)."""
+    fmt, _data = _wav_chunks(buf)
+    audio_fmt, channels, _sr, _br, _ba, bits = fmt
     if audio_fmt != 1 or channels != 1 or bits != 16:
         raise ValueError(
             "only mono 16-bit PCM supported (fmt=%d ch=%d bits=%d)"
             % (audio_fmt, channels, bits))
-    pcm = np.frombuffer(data, dtype="<i2")
-    return pcm.astype(np.float64) / 32767.0, int(sr)
+    x, sr = decode_wav(buf)
+    return x[:, 0], sr
 
 
 class AudioFeatureActor:
