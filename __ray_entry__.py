@@ -1153,6 +1153,24 @@ def q_simhash_pairs(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_dedup_clusters(sf_dir):
+    """Near-dup pair list → connected components → canonical doc per
+    cluster. Oracle: recursive-CTE transitive closure over the exact
+    Jaccard sidecar (the engine's pair list is proven equal to that
+    sidecar by q_minhash_pairs)."""
+    from unmixing_ray.stages import dedup
+    pairs = dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.35)
+    return dedup.resolve_duplicate_clusters(pairs)
+
+
+def q_corpus_filter(sf_dir):
+    from unmixing_ray.stages import text
+    return text.corpus_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_ann_topk(sf_dir):
     from unmixing_ray.stages import ann
     return ann.brute_force_topk(_read(sf_dir, "embeddings"), k=10)
@@ -1258,6 +1276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "audio_features": q_audio_features,
@@ -1577,6 +1597,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard_u6
             FROM read_parquet('{C}/minhash_expected.parquet')
             WHERE NOT planted AND jaccard_u6 >= 350000""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b
+                  FROM read_parquet('{C}/minhash_expected.parquet')
+                  WHERE NOT planted AND jaccard_u6 >= 350000),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            n AS (SELECT DISTINCT u AS id FROM e),
+            r(id, lab) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v)
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(lab) AS BIGINT) AS canon_id
+            FROM r GROUP BY id""",
+        "corpus_filter": text.corpus_filter_sql(),
         "simhash_pairs": f"""
             SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
             FROM read_parquet('{C}/simhash_expected.parquet')

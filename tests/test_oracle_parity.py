@@ -74,6 +74,8 @@ def registry(ray_session):
     # hierarchical cell rollup
     "events_lag", "events_session_join", "lineitem_rollup", "cell_rollup",
     "zonal_stats", "tfidf_topk", "rasterize_count",
+    # round 3 (cont. 3): dup-cluster resolution + corpus filter
+    "dedup_clusters", "corpus_filter",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

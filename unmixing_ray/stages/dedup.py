@@ -310,3 +310,125 @@ def simhash_pairs(docs, max_hamming=3, k=2, bucket_cap=8192):
         bucket_pairs, batch_format="pandas")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def resolve_duplicate_clusters(pairs, max_rounds=16):
+    """Connected components over a near-duplicate pair list → canonical
+    doc per cluster (the cluster's minimum ``doc_id``).
+
+    This is the step that turns a pair list (MinHash/SimHash/cosine
+    near-dup output) into an actually deduplicated corpus: every doc in
+    a dup cluster maps to one canonical representative, and a downstream
+    anti-join keeps only rows where ``doc_id == canon_id``.
+
+    Distributed min-label propagation with pointer jumping:
+    each round (a) every node takes the min label over its neighborhood
+    (edges + labels co-grouped by the ``groupby(key).map_groups``
+    exchange), then (b) labels pointer-jump (``lab ← lab(lab)``, same
+    exchange keyed on the label). Convergence in O(log d) rounds for
+    cluster diameter d; detected by the monotonically decreasing
+    ``sum(lab)`` fixpoint (labels are min-ids, so an unchanged sum is a
+    fixpoint), one scalar aggregate per round.
+
+    Scale: every exchange is over the PAIR table (small by
+    construction relative to the corpus — only near-dup docs appear),
+    never the corpus; per-round ``materialize()`` truncates lineage so
+    round k does not recompute rounds 1..k-1. Returns pandas
+    (doc_id, canon_id), both int64, one row per node that appears in
+    ``pairs``.
+    """
+    import ray.data
+
+    if isinstance(pairs, pd.DataFrame):
+        edge_df = pairs[["doc_a", "doc_b"]].astype("int64")
+        if not len(edge_df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "canon_id": pd.Series([], dtype="int64")})
+        pairs_ds = ray.data.from_pandas(edge_df)
+    else:
+        pairs_ds = pairs.select_columns(["doc_a", "doc_b"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas") \
+        .materialize()
+
+    # initial labels: lab(node) = node, nodes deduped via groupby
+    labels = edges.groupby("src").aggregate(Min("src", alias_name="lab")) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["src"].astype("int64"),
+                "lab": df["lab"].astype("int64")}),
+            batch_format="pandas").materialize()
+
+    def _exchange(key_rows, req_rows):
+        """Co-group ONE label row (node=-1) per key with request rows;
+        each request receives the key's label."""
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            labv = g.loc[g["node"] < 0, "val"]
+            if not len(labv):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "cand": pd.Series([], dtype="int64")})
+            lv = int(labv.min())
+            rec = g.loc[g["node"] >= 0, "node"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "node": np.concatenate([rec, [np.int64(g["key"].iloc[0])]]),
+                "cand": np.int64(lv)})
+
+        return key_rows.union(req_rows).groupby("key").map_groups(
+            emit, batch_format="pandas").groupby("node").aggregate(
+                Min("cand", alias_name="lab")).map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "lab": df["lab"].astype("int64")}),
+            batch_format="pandas")
+
+    def lab_keyed(ls):
+        return ls.map_batches(
+            lambda df: pd.DataFrame({
+                "key": df["node"].astype("int64"),
+                "node": np.int64(-1),
+                "val": df["lab"].astype("int64")}),
+            batch_format="pandas")
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # (a) propagate: edge (src, dst) requests lab(dst) for src
+        edge_req = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "key": df["dst"].astype("int64"),
+                "node": df["src"].astype("int64"),
+                "val": np.int64(-1)}),
+            batch_format="pandas")
+        labels = _exchange(lab_keyed(labels), edge_req).materialize()
+        # (b) pointer jump: node requests lab(lab(node)); every label
+        # value is itself a node id, so the lookup always resolves
+        jump_req = labels.map_batches(
+            lambda df: pd.DataFrame({
+                "key": df["lab"].astype("int64"),
+                "node": df["node"].astype("int64"),
+                "val": np.int64(-1)}),
+            batch_format="pandas")
+        labels = _exchange(lab_keyed(labels), jump_req).materialize()
+        cur = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"resolve_duplicate_clusters: no fixpoint in {max_rounds} "
+            "rounds (cluster diameter > 2**rounds is not plausible for "
+            "near-dup data; inspect the pair list)")
+
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "lab": "canon_id"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "canon_id": "int64"})

@@ -283,3 +283,76 @@ def tfidf_topk_sql(k=3, idf_scale=1_000_000):
                CAST(score_u AS BIGINT) AS score_u,
                CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= {int(k)}"""
+
+
+def corpus_filter(docs, min_stopwords=2, min_tokens=20,
+                  min_mtl_u6=4_000_000, max_mtl_u6=4_700_000):
+    """C4-style corpus cleanup pipeline: language gate (>= min_stopwords
+    English stopword tokens), length gate (>= min_tokens tokens),
+    lexical-plausibility gate (micro-scaled mean token length within
+    [min_mtl_u6, max_mtl_u6]), then exact-dup removal (md5(text),
+    keep the minimum doc_id per hash).
+
+    One vectorized feature+filter ``map_batches`` pass over the corpus
+    (all gates evaluated per batch — no shuffle), then the surviving
+    rows shuffle ONCE by content hash for the keep-first dedup. At
+    100 TB the shuffle moves only (hash, doc_id, n_tokens,
+    mean_tok_len_u6) for the docs that pass the gates — the text never
+    enters the exchange. Returns (doc_id, n_tokens, mean_tok_len_u6).
+    """
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").map(
+            lambda ts: [t for t in ts if t])
+        n_tokens = toks.map(len).astype("int64").to_numpy()
+        n_stop = toks.map(
+            lambda ts: sum(1 for t in ts if t.lower() in EN_STOPWORDS))\
+            .astype("int64").to_numpy()
+        tok_chars = toks.map(lambda ts: sum(len(t) for t in ts))\
+            .astype("int64").to_numpy()
+        mtl_u6 = np.where(
+            n_tokens > 0,
+            np.floor(tok_chars * 1_000_000 / np.maximum(n_tokens, 1)),
+            0).astype("int64")
+        keep = ((n_stop >= min_stopwords) & (n_tokens >= min_tokens)
+                & (mtl_u6 >= min_mtl_u6) & (mtl_u6 <= max_mtl_u6))
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in df["text"][keep]]
+        return pd.DataFrame({
+            "h": h,
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "n_tokens": n_tokens[keep],
+            "mean_tok_len_u6": mtl_u6[keep]})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")[
+            ["doc_id", "n_tokens", "mean_tok_len_u6"]]
+
+    return docs.map_batches(gate, batch_format="pandas") \
+        .groupby("h").map_groups(keep_first, batch_format="pandas")
+
+
+def corpus_filter_sql(min_stopwords=2, min_tokens=20,
+                      min_mtl_u6=4_000_000, max_mtl_u6=4_700_000):
+    stop = ", ".join("'%s'" % s for s in EN_STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS h,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks,
+                 len(list_filter(string_split(lower(text), ' '),
+                     x -> x IN ({stop}))) AS n_stop
+          FROM documents),
+        f AS (
+          SELECT doc_id, h,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN len(toks) > 0 THEN floor(
+                      list_sum(list_transform(toks, x -> length(x)))
+                      * 1000000.0 / len(toks)) ELSE 0 END AS BIGINT)
+                   AS mean_tok_len_u6
+          FROM t WHERE n_stop >= {min_stopwords})
+        SELECT doc_id, n_tokens, mean_tok_len_u6
+        FROM f
+        WHERE n_tokens >= {min_tokens}
+          AND mean_tok_len_u6 BETWEEN {min_mtl_u6} AND {max_mtl_u6}
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1"""
