@@ -190,42 +190,96 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
             "doc_b": pd.Series(b, dtype="int64")})
 
     cand = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+        bucket_pairs, batch_format="pandas")
     empty = pd.DataFrame({
         "doc_a": pd.Series([], dtype="int64"),
         "doc_b": pd.Series([], dtype="int64"),
         "jaccard_u6": pd.Series([], dtype="int64")})
-    if not len(cand):
+    # distributed pair dedup (a pair can surface from several bands)
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("doc_a", alias_name="_a")).select_columns(["doc_a", "doc_b"])
+    # the driver holds only the candidate ID SET (ints, pair-bounded) to
+    # broadcast into the filtered text-gather pass — never the texts
+    cand_ids = cand.to_pandas()
+    cand_ids = cand_ids[cand_ids["doc_a"] != cand_ids["doc_b"]]
+    if not len(cand_ids):
         return empty
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    cand = cand[cand["doc_a"] != cand["doc_b"]]
-    # gather candidate texts: one column-pruned filtered pass; the
-    # candidate set is bounded by bucket-min pairing, so this collect is
-    # O(candidates), not O(corpus)
-    wanted = set(int(i) for i in
-                 np.union1d(cand["doc_a"].to_numpy(),
-                            cand["doc_b"].to_numpy()))
+    wanted = np.union1d(cand_ids["doc_a"].to_numpy(),
+                        cand_ids["doc_b"].to_numpy()).astype(np.int64)
 
+    import ray.data
     import pyarrow as pa_
     import pyarrow.compute as pc_
-    want_arr = pa_.array(sorted(wanted), pa_.int64())
+    want_arr = pa_.array(wanted, pa_.int64())
 
     def pick(t):
         m = pc_.is_in(t["doc_id"].cast(pa_.int64()), value_set=want_arr)
         return t.select(["doc_id", "text"]).filter(m)
 
-    texts = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
-    rows = {"doc_a": [], "doc_b": [], "jaccard_u6": []}
-    for a, b in sorted(zip(cand["doc_a"], cand["doc_b"])):
-        j = ngram_jaccard(tmap[int(a)], tmap[int(b)], k)
-        if j >= threshold:
-            rows["doc_a"].append(int(a))
-            rows["doc_b"].append(int(b))
-            rows["jaccard_u6"].append(int(np.floor(j * 1_000_000)))
-    out = pd.DataFrame(rows)
-    return out.astype({"doc_a": "int64", "doc_b": "int64",
-                       "jaccard_u6": "int64"}) if len(out) else empty
+    texts = docs.map_batches(pick, batch_format="pyarrow")
+    cand_ids = cand_ids.reset_index(drop=True).astype("int64")
+    cand_ids["pair_id"] = np.arange(len(cand_ids), dtype=np.int64)
+    pairs = ray.data.from_pandas(cand_ids)
+
+    # distributed verify (the round-2 version Jaccard-verified every
+    # candidate pair in a driver-side Python loop):
+    # exchange 1 keyed by doc id rendezvouses each candidate doc's text
+    # with the pair slots that need it; exchange 2 keyed by pair_id
+    # brings the two texts of a pair together and verifies in place.
+    # Both exchanges move only candidate-bounded rows, never the corpus.
+    def tag_text(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"),
+            "pair_id": np.int64(-1), "role": np.int64(-1),
+            "txt": df["text"].astype(object)})
+
+    def tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["pair_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "key": np.concatenate([df["doc_a"].to_numpy(dtype=np.int64),
+                                   df["doc_b"].to_numpy(dtype=np.int64)]),
+            "pair_id": np.concatenate([pid, pid]),
+            "role": np.concatenate([np.zeros(len(df), dtype=np.int64),
+                                    np.ones(len(df), dtype=np.int64)]),
+            "txt": pd.Series([None] * (2 * len(df)), dtype=object)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        tx = g.loc[g["role"] < 0, "txt"]
+        req = g[g["role"] >= 0]
+        if not len(req) or not len(tx):
+            return pd.DataFrame({
+                "pair_id": pd.Series([], dtype="int64"),
+                "role": pd.Series([], dtype="int64"),
+                "doc": pd.Series([], dtype="int64"),
+                "txt": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "pair_id": req["pair_id"].to_numpy(dtype=np.int64),
+            "role": req["role"].to_numpy(dtype=np.int64),
+            "doc": np.int64(g["key"].iloc[0]),
+            "txt": tx.iloc[0]})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return empty.copy()
+        g = g.sort_values("role")
+        a, b = int(g["doc"].iloc[0]), int(g["doc"].iloc[1])
+        j = ngram_jaccard(g["txt"].iloc[0], g["txt"].iloc[1], k)
+        if j < threshold:
+            return empty.copy()
+        return pd.DataFrame({
+            "doc_a": pd.Series([a], dtype="int64"),
+            "doc_b": pd.Series([b], dtype="int64"),
+            "jaccard_u6": pd.Series([int(np.floor(j * 1_000_000))],
+                                    dtype="int64")})
+
+    slots = texts.map_batches(tag_text, batch_format="pandas").union(
+        pairs.map_batches(tag_pair, batch_format="pandas")) \
+        .groupby("key").map_groups(attach, batch_format="pandas")
+    out = slots.groupby("pair_id").map_groups(
+        verify, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def simhash64(text, k=2):
