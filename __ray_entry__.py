@@ -102,6 +102,16 @@ def q_tile_assignment(sf_dir):
     return tiles.map_batches(project, batch_format="pyarrow")
 
 
+def q_focal_mean(sf_dir):
+    """Radius-1 focal mean via cross-tile HALO EXCHANGE (stages/focal.py)
+    summarized to per-(tile, band) int64 sums. Oracle: the full-image
+    shift-sum sidecar — a match proves the halo plumbing end to end."""
+    from unmixing_ray.stages import focal
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return focal.focal_band_sums(
+        focal.focal_mean_tiles(tiles, radius=1, scale=1000))
+
+
 def q_pixel_to_xy(sf_dir):
     """The bit-for-bit affine transform: per-tile origin and far-corner
     map coordinates computed from the tile gt through pixel_to_xy."""
@@ -770,6 +780,19 @@ def q_events_quantiles(sf_dir):
     return res
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir):
+    """Long → wide pivot: per-user event-type count columns. Per-batch
+    crosstab partials, one fixed-width combiner shuffle
+    (stages/relational.py:pivot_count)."""
+    from unmixing_ray.stages import relational
+    return relational.pivot_count(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type", EVENT_TYPES)
+
+
 def q_bigram_topk(sf_dir):
     """Global top-20 word bigrams (n-gram statistics with
     combiner-before-shuffle; stages/text.py:bigram_topk)."""
@@ -1222,10 +1245,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
+                _synth.generate_focal_expected(sf)
             except Exception:
                 pass
     return {
         "tile_assignment": q_tile_assignment,
+        "focal_mean": q_focal_mean,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -1256,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_distinct_parts": q_supplier_distinct_parts,
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
+        "events_pivot": q_events_pivot,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
@@ -1343,9 +1369,10 @@ def oracle_sql() -> dict[str, str]:
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
+                _synth.generate_focal_expected(sf)
             except Exception:
                 pass
-    from unmixing_ray.stages import ann, text
+    from unmixing_ray.stages import ann, relational, text
     C = SF01_CORPUS
     return {
         "tile_assignment": f"""
@@ -1360,6 +1387,9 @@ def oracle_sql() -> dict[str, str]:
                    0*gt1 + gt0 AS x0, 0*gt5 + gt3 AS y0,
                    32*gt1 + gt0 AS x1, 32*gt5 + gt3 AS y1
             FROM read_parquet('{C}/tiles_expected.parquet')""",
+        "focal_mean": f"""
+            SELECT tile_id, band, focal_sum_u
+            FROM read_parquet('{C}/focal_expected.parquet')""",
         "spatial_join_pip": f"""
             SELECT t.tile_id, p.poly_id
             FROM read_parquet('{C}/tiles_expected.parquet') t
@@ -1543,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(quantile_disc(value, 0.99)*1e6) AS BIGINT)
                      AS p99_u6
             FROM events GROUP BY event_type""",
+        "events_pivot": relational.pivot_count_sql(
+            "events", "user_id", "event_type", EVENT_TYPES),
         "bigram_topk": text.bigram_topk_sql(),
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),

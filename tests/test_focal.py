@@ -1,0 +1,136 @@
+"""Focal mean with cross-tile halo exchange: the distributed result must
+equal a full-image single-machine reference (proves the halo plumbing),
+at several radii and batch sizes, including non-square image lattices."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from unmixing_ray.stages.focal import focal_mean_tiles, _box_filter_u
+
+
+def _full_image_focal(arr, r, scale=1000):
+    """Independent shift-sum reference over one full image."""
+    p, H, W = arr.shape
+    acc = np.zeros((p, H, W), dtype=np.int64)
+    cnt = np.zeros((H, W), dtype=np.int64)
+    for di in range(-r, r + 1):
+        for dj in range(-r, r + 1):
+            dst_r = slice(max(0, -di), H - max(0, di))
+            src_r = slice(max(0, di), H - max(0, -di))
+            dst_c = slice(max(0, -dj), W - max(0, dj))
+            src_c = slice(max(0, dj), W - max(0, -dj))
+            acc[:, dst_r, dst_c] += arr[:, src_r, src_c]
+            cnt[dst_r, dst_c] += 1
+    return (acc * np.int64(scale)) // cnt[None, :, :]
+
+
+def _tiles_table(images, T):
+    """images: dict image_id -> (p, H, W) int16 array, H,W multiples
+    of T."""
+    rows = {k: [] for k in ("tile_id", "image_id", "cell", "row_off",
+                            "col_off", "h", "w", "bands", "pixels")}
+    for img, arr in images.items():
+        p, H, W = arr.shape
+        for ty in range(H // T):
+            for tx in range(W // T):
+                blk = arr[:, ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["image_id"].append(img)
+                rows["cell"].append(0)
+                rows["row_off"].append(ty * T)
+                rows["col_off"].append(tx * T)
+                rows["h"].append(T)
+                rows["w"].append(T)
+                rows["bands"].append(p)
+                rows["pixels"].append(
+                    np.ascontiguousarray(blk).tobytes())
+    return pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "cell": pa.array(rows["cell"], pa.uint64()),
+        "row_off": pa.array(rows["row_off"], pa.int32()),
+        "col_off": pa.array(rows["col_off"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "bands": pa.array(rows["bands"], pa.int32()),
+        "pixels": pa.array(rows["pixels"], pa.binary())})
+
+
+def _run_and_compare(images, T, r, batch_size):
+    t = _tiles_table(images, T)
+    out = focal_mean_tiles(
+        ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=batch_size),
+        radius=r).to_pandas()
+    assert len(out) == t.num_rows
+    for img, arr in images.items():
+        want = _full_image_focal(arr, r)
+        for _, row in out[out["image_id"] == img].iterrows():
+            got = np.frombuffer(row["focal"], dtype=np.int64).reshape(
+                (arr.shape[0], T, T))
+            ro, co = int(row["row_off"]), int(row["col_off"])
+            np.testing.assert_array_equal(
+                got, want[:, ro:ro + T, co:co + T], err_msg=row["tile_id"])
+
+
+@pytest.mark.parametrize("r", [1, 2, 3])
+def test_focal_matches_full_image(ray_session, r):
+    rng = np.random.default_rng(5)
+    images = {
+        "imgA": rng.integers(-100, 4000, (3, 32, 48)).astype(np.int16),
+        "imgB": rng.integers(-100, 4000, (3, 48, 16)).astype(np.int16),
+    }
+    _run_and_compare(images, T=16, r=r, batch_size=3)
+
+
+def test_focal_batching_invariant(ray_session):
+    rng = np.random.default_rng(9)
+    images = {"img%d" % i: rng.integers(0, 1000, (2, 32, 32))
+              .astype(np.int16) for i in range(6)}
+    for bs in (1, 7, 64):
+        _run_and_compare(images, T=16, r=1, batch_size=bs)
+
+
+def test_box_filter_kernel_vs_brute():
+    rng = np.random.default_rng(3)
+    r = 2
+    vals = np.zeros((2, 10 + 2 * r, 12 + 2 * r), dtype=np.int64)
+    valid = np.zeros((10 + 2 * r, 12 + 2 * r), dtype=np.int64)
+    inner = rng.integers(-50, 50, (2, 10, 12))
+    vals[:, r:-r, r:-r] = inner
+    valid[r:-r, r:-r] = 1
+    # partially valid halo (image continues on the right only)
+    vals[:, r:-r, -r:] = rng.integers(-50, 50, (2, 10, r))
+    valid[r:-r, -r:] = 1
+    got = _box_filter_u(vals, valid, r, 1000)
+    for b in range(2):
+        for i in range(10):
+            for j in range(12):
+                s = c = 0
+                for di in range(-r, r + 1):
+                    for dj in range(-r, r + 1):
+                        ii, jj = i + r + di, j + r + dj
+                        if valid[ii, jj]:
+                            s += int(vals[b, ii, jj])
+                            c += 1
+                assert got[b, i, j] == (s * 1000) // c
+
+
+def test_focal_rejects_ragged_lattice(ray_session):
+    t = pa.table({
+        "tile_id": pa.array(["a_t0_0"], pa.string()),
+        "image_id": pa.array(["a"], pa.string()),
+        "cell": pa.array([0], pa.uint64()),
+        "row_off": pa.array([8], pa.int32()),    # not a multiple of h
+        "col_off": pa.array([0], pa.int32()),
+        "h": pa.array([16], pa.int32()),
+        "w": pa.array([16], pa.int32()),
+        "bands": pa.array([1], pa.int32()),
+        "pixels": pa.array([np.zeros((1, 16, 16), np.int16).tobytes()],
+                           pa.binary())})
+    with pytest.raises(Exception, match="uniform tile lattice"):
+        focal_mean_tiles(ray.data.from_arrow(t)).to_pandas()

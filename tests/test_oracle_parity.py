@@ -74,8 +74,9 @@ def registry(ray_session):
     # hierarchical cell rollup
     "events_lag", "events_session_join", "lineitem_rollup", "cell_rollup",
     "zonal_stats", "tfidf_topk", "rasterize_count",
-    # round 3 (cont. 3): dup-cluster resolution + corpus filter
-    "dedup_clusters", "corpus_filter",
+    # round 3 (cont. 3): dup-cluster resolution, corpus filter, pivot,
+    # focal mean via halo exchange
+    "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

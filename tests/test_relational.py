@@ -184,3 +184,29 @@ def test_hll_error_bound(ray_session):
     for k in ("a", "b"):
         rel = abs(got[k] - want[k]) / want[k]
         assert rel < 0.05, (k, got[k], want[k])
+
+
+def test_pivot_count_matches_pandas(ray_session):
+    import ray.data
+    from unmixing_ray.stages.relational import pivot_count
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 500),
+        "c": rng.choice(["a", "b", "c"], 500)})
+    got = pivot_count(ray.data.from_pandas(df), "k", "c", ["a", "b", "c"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = pd.crosstab(df["k"], df["c"]).reindex(
+        columns=["a", "b", "c"], fill_value=0)
+    for c in ("a", "b", "c"):
+        assert (got[f"n_{c}"].to_numpy() == want[c].to_numpy()).all()
+    assert (got["n_total"].to_numpy() == want.sum(axis=1).to_numpy()).all()
+
+
+def test_pivot_count_rejects_undeclared_category(ray_session):
+    import pytest as _pytest
+    import ray.data
+    from unmixing_ray.stages.relational import pivot_count
+    df = pd.DataFrame({"k": [1, 2], "c": ["a", "z"]})
+    with _pytest.raises(Exception, match="not in the declared"):
+        pivot_count(ray.data.from_pandas(df), "k", "c", ["a", "b"]) \
+            .to_pandas()

@@ -1090,3 +1090,65 @@ def images_table(corpus_dir, columns=None):
     src = d / "images" if (d / "images").is_dir() else d / "images.parquet"
     return pads.dataset(str(src), format="parquet").to_table(
         columns=columns)
+
+
+FOCAL_VERSION = 1
+
+
+def generate_focal_expected(sf_dir, radius=1, scale=1000):
+    """Write the ``focal_expected.parquet`` sidecar: per-(tile, band)
+    sums of the radius-``radius`` focal mean over every corpus image,
+    computed FULL-IMAGE with an independent shift-sum formulation (the
+    engine computes the same quantity tile-wise via halo exchange +
+    integral images — stages/focal.py — so a match proves the halo
+    plumbing, not just the kernel). Values are exact int64:
+    floor(window_sum * scale / window_count) summed per tile band.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_FOCAL_DONE"
+    stamp = "focal v%d r%d s%d" % (FOCAL_VERSION, radius, scale)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    r = radius
+    rows = {"tile_id": [], "band": [], "focal_sum_u": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        p, H, W = arr.shape
+        acc = np.zeros((p, H, W), dtype=np.int64)
+        cnt = np.zeros((H, W), dtype=np.int64)
+        for di in range(-r, r + 1):
+            for dj in range(-r, r + 1):
+                dst_r = slice(max(0, -di), H - max(0, di))
+                src_r = slice(max(0, di), H - max(0, -di))
+                dst_c = slice(max(0, -dj), W - max(0, dj))
+                src_c = slice(max(0, dj), W - max(0, -dj))
+                acc[:, dst_r, dst_c] += arr[:, src_r, src_c]
+                cnt[dst_r, dst_c] += 1
+        focal = (acc * np.int64(scale)) // cnt[None, :, :]
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = focal[:, ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                s = blk.sum(axis=(1, 2))
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * p)
+                rows["band"].extend(range(p))
+                rows["focal_sum_u"].extend(int(v) for v in s)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "focal_sum_u": pa.array(rows["focal_sum_u"], pa.int64())})
+    pq.write_table(t, str(out / "focal_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

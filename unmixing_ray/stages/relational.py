@@ -452,3 +452,58 @@ def rollup_sums_sql(table, keys, val, scale=100, marker=ROLLUP_ALL):
                CAST(count(*) AS BIGINT) AS n
         FROM {table}
         GROUP BY ROLLUP ({", ".join(keys)})"""
+
+
+def pivot_count(ds, key, pivot_col, categories, total_alias="n_total"):
+    """Pivot/crosstab: one output row per ``key`` with a count column
+    per ``pivot_col`` category (plus a total), i.e. long → wide.
+
+    Ray Data has no native pivot; this is the canonical distributed
+    shape: each batch pre-aggregates its own crosstab (vectorized
+    ``pd.crosstab``), so the single ``groupby(key)`` exchange moves one
+    row per (key, batch) of fixed-width int64 counts — never the input
+    rows. ``categories`` must be the closed category list (explicit so
+    the output schema is deterministic; unseen categories yield zero
+    columns, unexpected values raise loudly rather than silently
+    widening the schema).
+    """
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    cols = [f"n_{c}" for c in cats]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        extra = set(df[pivot_col].unique()) - set(cats)
+        if extra:
+            raise ValueError(
+                f"pivot_count: values {sorted(extra)!r} not in the "
+                f"declared categories {cats!r}")
+        ct = pd.crosstab(df[key], df[pivot_col])
+        ct = ct.reindex(columns=cats, fill_value=0).astype("int64")
+        ct.columns = cols
+        out = ct.reset_index().rename(columns={ct.index.name or key: key})
+        return out
+
+    return ds.select_columns([key, pivot_col]).map_batches(
+        partial, batch_format="pandas").groupby(key).aggregate(
+        *[Sum(c, alias_name=c) for c in cols]).map_batches(
+        lambda df: df.assign(
+            **{c: df[c].astype("int64") for c in cols},
+            **{total_alias: df[cols].sum(axis=1).astype("int64")}),
+        batch_format="pandas")
+
+
+def pivot_count_sql(table, key, pivot_col, categories,
+                    total_alias="n_total"):
+    """DuckDB oracle for :func:`pivot_count` (conditional aggregation —
+    column names must match the engine's exactly for the value-hash)."""
+    cats = list(categories)
+    conds = ",\n               ".join(
+        f"CAST(sum(CASE WHEN {pivot_col} = '{c}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{c}" for c in cats)
+    return f"""
+        SELECT {key},
+               {conds},
+               CAST(count(*) AS BIGINT) AS {total_alias}
+        FROM {table}
+        GROUP BY {key}"""
