@@ -682,6 +682,30 @@ def q_customer_orders(sf_dir):
     return out.rename(columns={"one": "n_orders"})
 
 
+def q_orders_join_lineitem(sf_dir):
+    """orders ⨝ lineitem with BOTH sides large — the partitioned
+    shuffle hash join (stages/relational.py:hash_join), then per-order-
+    priority exact totals."""
+    from ray.data.aggregate import Count, Sum
+    from unmixing_ray.stages import relational
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "okey"}),
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"],
+            "qty_c": np.rint(df["l_quantity"].to_numpy() * 100)
+            .astype(np.int64)}), batch_format="pandas")
+    joined = relational.hash_join(orders, li, "okey", how="inner")
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("qty_c", alias_name="sum_qty_c"),
+        Count(alias_name="n_rows")).map_batches(
+        lambda df: df.astype({"sum_qty_c": "int64", "n_rows": "int64"}),
+        batch_format="pandas")
+
+
 def q_part_filter_topk(sf_dir):
     """Predicate + sort + limit over part (filter pushdown pattern)."""
     import pyarrow.compute as pc_
@@ -1282,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
         "events_pivot": q_events_pivot,
+        "orders_join_lineitem": q_orders_join_lineitem,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
@@ -1575,6 +1600,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "events_pivot": relational.pivot_count_sql(
             "events", "user_id", "event_type", EVENT_TYPES),
+        "orders_join_lineitem": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority""",
         "bigram_topk": text.bigram_topk_sql(),
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),

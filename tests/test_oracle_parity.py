@@ -77,6 +77,7 @@ def registry(ray_session):
     # round 3 (cont. 3): dup-cluster resolution, corpus filter, pivot,
     # focal mean via halo exchange
     "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
+    "orders_join_lineitem",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -210,3 +210,31 @@ def test_pivot_count_rejects_undeclared_category(ray_session):
     with _pytest.raises(Exception, match="not in the declared"):
         pivot_count(ray.data.from_pandas(df), "k", "c", ["a", "b"]) \
             .to_pandas()
+
+
+def test_hash_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 30, 200),
+        "lv": rng.integers(0, 1000, 200)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 40, 300),   # some keys unmatched both ways
+        "rv": rng.integers(0, 1000, 300)})
+    for how in ("inner", "left"):
+        got = relational.hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", how=how).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        key = ["k", "lv", "rv"]
+        got = got.fillna(-1).astype({"rv": "int64"}) \
+            .sort_values(key).reset_index(drop=True)
+        want = want.fillna(-1).astype({"rv": "int64"}) \
+            .sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[key], want[key])
+
+
+def test_hash_join_rejects_overlapping_columns(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [3]}))
+    with pytest.raises(ValueError, match="both sides"):
+        relational.hash_join(l, r, "k")

@@ -507,3 +507,51 @@ def pivot_count_sql(table, key, pivot_col, categories,
                CAST(count(*) AS BIGINT) AS {total_alias}
         FROM {table}
         GROUP BY {key}"""
+
+
+def hash_join(left, right, key, how="inner"):
+    """Distributed equi-join with BOTH sides large: the canonical
+    partitioned hash join. Each side's rows are tagged and unioned, the
+    single ``groupby(key)`` exchange co-locates matching keys, and each
+    group merges its two sides with a vectorized ``pd.merge`` (exact
+    multiplicity semantics: |L_k| × |R_k| output rows per key).
+
+    Scale shape: both inputs shuffle ONCE by key hash — use
+    broadcast-small-side (see q_customer_orders) when one side fits in
+    object-store memory, and pre-aggregate before joining when the
+    downstream is an aggregate anyway. Hot keys skew the exchange: salt
+    them upstream (stages/shuffle.py) if |L_k| × |R_k| of one key
+    dominates. ``how`` supports "inner" and "left" (unmatched left rows
+    carry nulls in the right columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("hash_join: how must be 'inner' or 'left'")
+    lcols = [c for c in left.schema().names if c != key]
+    rcols = [c for c in right.schema().names if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(
+            f"hash_join: non-key columns {sorted(overlap)!r} exist on "
+            "both sides; rename before joining")
+    all_cols = [key, "_side"] + lcols + rcols
+
+    def tag(side, own):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df[key], "_side": np.int8(side)})
+            for c in own:
+                out[c] = df[c]
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = None
+            return out[all_cols]
+        return fn
+
+    tagged = left.map_batches(tag(0, lcols), batch_format="pandas") \
+        .union(right.map_batches(tag(1, rcols), batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][[key] + lcols]
+        r = g[g["_side"] == 1][[key] + rcols]
+        return l.merge(r, on=key, how=how)
+
+    return tagged.groupby(key).map_groups(merge, batch_format="pandas")
