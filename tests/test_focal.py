@@ -134,3 +134,41 @@ def test_focal_rejects_ragged_lattice(ray_session):
                            pa.binary())})
     with pytest.raises(Exception, match="uniform tile lattice"):
         focal_mean_tiles(ray.data.from_arrow(t)).to_pandas()
+
+
+def _full_image_stat(arr, r, stat, scale=1000):
+    p, H, W = arr.shape
+    out = np.zeros((p, H, W), dtype=np.int64)
+    a = arr.astype(np.int64)
+    for i in range(H):
+        for j in range(W):
+            win = a[:, max(0, i - r):i + r + 1, max(0, j - r):j + r + 1]
+            flat = win.reshape(p, -1)
+            if stat == "var":
+                c = flat.shape[1]
+                s = flat.sum(axis=1)
+                s2 = (flat * flat).sum(axis=1)
+                out[:, i, j] = (c * s2 - s * s) * scale // (c * c)
+            elif stat == "max":
+                out[:, i, j] = flat.max(axis=1)
+            else:
+                out[:, i, j] = flat.min(axis=1)
+    return out
+
+
+@pytest.mark.parametrize("stat", ["var", "max", "min"])
+def test_focal_stat_variants(ray_session, stat):
+    from unmixing_ray.stages.focal import focal_stat_tiles
+    rng = np.random.default_rng(21)
+    images = {"im": rng.integers(-200, 3000, (2, 32, 32))
+              .astype(np.int16)}
+    t = _tiles_table(images, 16)
+    out = focal_stat_tiles(ray.data.from_arrow(t), stat=stat,
+                           radius=1).to_pandas()
+    want = _full_image_stat(images["im"], 1, stat)
+    for _, row in out.iterrows():
+        got = np.frombuffer(row["focal"], dtype=np.int64).reshape(
+            (2, 16, 16))
+        ro, co = int(row["row_off"]), int(row["col_off"])
+        np.testing.assert_array_equal(
+            got, want[:, ro:ro + 16, co:co + 16], err_msg=row["tile_id"])

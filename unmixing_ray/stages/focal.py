@@ -138,8 +138,48 @@ def _box_filter_u(vals, valid, r, scale):
     return (s * np.int64(scale)) // c[None, :, :]
 
 
-def make_focal_assemble(radius=1, scale=1000):
-    """Stage B: one tile + its halo strips → focal-mean tile."""
+def _box_var_u(vals, valid, r, scale):
+    """floor(population variance · scale) over the valid window —
+    exact integers: (c·Σx² − (Σx)²) · scale // c²."""
+    ii = np.pad(vals, ((0, 0), (1, 0), (1, 0))).cumsum(
+        axis=1).cumsum(axis=2)
+    ii2 = np.pad(vals * vals, ((0, 0), (1, 0), (1, 0))).cumsum(
+        axis=1).cumsum(axis=2)
+    ic = np.pad(valid, ((1, 0), (1, 0))).cumsum(axis=0).cumsum(axis=1)
+    k = 2 * r + 1
+
+    def win(I):
+        return I[..., k:, k:] - I[..., :-k, k:] - I[..., k:, :-k] \
+            + I[..., :-k, :-k]
+
+    s, s2, c = win(ii), win(ii2), win(ic)
+    assert (c > 0).all()
+    return ((c * s2 - s * s) * np.int64(scale)) // (c * c)
+
+
+def _box_extreme(vals, valid, r, take_max):
+    """Focal max/min via (2r+1)² vectorized shifts over the valid mask."""
+    p, hp, wp = vals.shape
+    H, W = hp - 2 * r, wp - 2 * r
+    sentinel = np.int64(np.iinfo(np.int64).min if take_max
+                        else np.iinfo(np.int64).max)
+    masked = np.where(valid[None, :, :] > 0, vals, sentinel)
+    out = np.full((p, H, W), sentinel, dtype=np.int64)
+    op = np.maximum if take_max else np.minimum
+    for di in range(2 * r + 1):
+        for dj in range(2 * r + 1):
+            op(out, masked[:, di:di + H, dj:dj + W], out=out)
+    return out
+
+
+def make_focal_assemble(radius=1, scale=1000, stat="mean"):
+    """Stage B: one tile + its halo strips → focal-stat tile.
+
+    ``stat``: "mean" (floor(Σ·scale/c)), "var" (floor(popvar·scale)),
+    "max", "min" — all exact int64, batching/partitioning-invariant.
+    """
+    if stat not in ("mean", "var", "max", "min"):
+        raise ValueError(f"unknown focal stat {stat!r}")
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         me = g[g["kind"] == 0]
@@ -175,7 +215,12 @@ def make_focal_assemble(radius=1, scale=1000):
                 slice(r + W, r + W + r) if pc > 0 else slice(r, r + W))
             vals[:, rs, cs] = arr
             valid[rs, cs] = 1
-        focal = _box_filter_u(vals, valid, r, scale)
+        if stat == "mean":
+            focal = _box_filter_u(vals, valid, r, scale)
+        elif stat == "var":
+            focal = _box_var_u(vals, valid, r, scale)
+        else:
+            focal = _box_extreme(vals, valid, r, stat == "max")
         return pd.DataFrame({
             "tile_id": [m["tile_id"]],
             "image_id": [m["image_id"]],
@@ -190,19 +235,24 @@ def make_focal_assemble(radius=1, scale=1000):
     return assemble
 
 
-def focal_mean_tiles(tiles, radius=1, scale=1000):
-    """Distributed focal mean over tiled rasters (see module docstring).
+def focal_stat_tiles(tiles, stat="mean", radius=1, scale=1000):
+    """Distributed focal statistic over tiled rasters (see module
+    docstring). ``stat``: mean | var | max | min.
 
     Returns a Dataset of focal tiles: the ``focal`` column is the
-    little-endian int64 (bands, h, w) payload of
-    floor(window_sum·scale/window_count).
+    little-endian int64 (bands, h, w) payload.
     """
     exploded = tiles.select_columns(
         ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
          "bands", "pixels"]).map_batches(
         make_halo_explode(radius), batch_format="pyarrow")
     return exploded.groupby(["image_id", "key_row", "key_col"]).map_groups(
-        make_focal_assemble(radius, scale), batch_format="pandas")
+        make_focal_assemble(radius, scale, stat), batch_format="pandas")
+
+
+def focal_mean_tiles(tiles, radius=1, scale=1000):
+    """Focal mean (the oracle-checked default; see focal_stat_tiles)."""
+    return focal_stat_tiles(tiles, "mean", radius, scale)
 
 
 def focal_band_sums(focal_tiles):
