@@ -706,6 +706,42 @@ def q_orders_join_lineitem(sf_dir):
         batch_format="pandas")
 
 
+def q_suppliers_with_returns(sf_dir):
+    """Distributed semi-join (EXISTS): suppliers with at least one
+    high-quantity returned lineitem (stages/relational.py:semi_join —
+    tag-union, right side deduped to bare keys per batch, left
+    multiplicity preserved, right payload never shuffled)."""
+    from unmixing_ray.stages import relational
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_returnflag", "l_quantity"])\
+        .filter(expr="l_returnflag == 'R' and l_quantity >= 45")
+    return relational.semi_join(supp, li, "s_suppkey",
+                                right_key="l_suppkey")
+
+
+def q_heavy_hitters_tokens(sf_dir):
+    """Exact global top-20 tokens via the Misra-Gries sketch pass +
+    candidate-restricted exact verify (stages/relational.py:
+    heavy_hitters) — the bounded-bandwidth path for billion-key token
+    universes; result is provably exact or falls back loudly."""
+    import re
+    from collections import Counter
+    from unmixing_ray.stages import relational
+    tok = re.compile(r"[a-z0-9]+")
+
+    def cf(df):
+        c = Counter()
+        for s in df["text"]:
+            c.update(tok.findall(s.lower()))
+        return c
+
+    return relational.heavy_hitters(
+        _read(sf_dir, "documents", columns=["text"]),
+        counter_fn=cf, k=20, key_name="token")
+
+
 def q_part_filter_topk(sf_dir):
     """Predicate + sort + limit over part (filter pushdown pattern)."""
     import pyarrow.compute as pc_
@@ -1307,6 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
+        "suppliers_with_returns": q_suppliers_with_returns,
+        "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "bigram_topk": q_bigram_topk,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
@@ -1608,6 +1646,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l
               ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority""",
+        "suppliers_with_returns": """
+            SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT)
+                     AS s_nationkey
+            FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey
+                            AND l.l_returnflag = 'R'
+                            AND l.l_quantity >= 45)""",
+        "heavy_hitters_tokens": relational.heavy_hitters_tokens_sql(20),
         "bigram_topk": text.bigram_topk_sql(),
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),

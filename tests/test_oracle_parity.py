@@ -77,7 +77,8 @@ def registry(ray_session):
     # round 3 (cont. 3): dup-cluster resolution, corpus filter, pivot,
     # focal mean via halo exchange
     "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
-    "orders_join_lineitem",
+    "orders_join_lineitem", "suppliers_with_returns",
+    "heavy_hitters_tokens",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

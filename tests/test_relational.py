@@ -238,3 +238,123 @@ def test_hash_join_rejects_overlapping_columns(ray_session):
     r = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [3]}))
     with pytest.raises(ValueError, match="both sides"):
         relational.hash_join(l, r, "k")
+
+
+def test_semi_join_matches_pandas(ray_session):
+    df = _orders()
+    right = pd.DataFrame(
+        {"rkey": np.concatenate([np.arange(0, 500, 3, dtype=np.int64),
+                                 np.arange(0, 500, 3, dtype=np.int64)])})
+    left = ray.data.from_pandas(df).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    got = relational.semi_join(left, rds, "key", right_key="rkey")\
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    want = df[df["key"].isin(right["rkey"])]\
+        .sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["seg", "key", "val"]],
+                                  want[["seg", "key", "val"]])
+    # left multiplicity preserved, right duplicates don't multiply
+    assert len(got) == df["key"].isin(right["rkey"]).sum()
+
+
+def test_semi_join_empty_right(ray_session):
+    df = _orders(50)
+    left = ray.data.from_pandas(df).repartition(2)
+    rds = ray.data.from_pandas(
+        pd.DataFrame({"key": np.array([], dtype=np.int64)}))
+    got = relational.semi_join(left, rds, "key")
+    assert got.count() == 0
+
+
+def _zipf_tokens(n=20_000, v=400, seed=3):
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, n).clip(1, v)
+    return pd.DataFrame({"tok": np.array(["w%04d" % r for r in ranks])})
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_heavy_hitters_exact_via_sketch(ray_session, nblocks):
+    df = _zipf_tokens()
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = relational.heavy_hitters(ds, col="tok", k=10, capacity=64,
+                                   _force_no_fallback=True)
+    vc = df["tok"].value_counts()
+    want = pd.DataFrame({"tok": vc.index, "n_total": vc.values})\
+        .sort_values(["n_total", "tok"], ascending=[False, True])\
+        .head(10).reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert got["tok"].tolist() == want["tok"].tolist()
+    assert got["n_total"].tolist() == want["n_total"].tolist()
+
+
+def test_heavy_hitters_fallback_is_still_exact(ray_session):
+    # uniform counts defeat the sketch proof -> loud exact fallback
+    df = pd.DataFrame({"tok": ["t%03d" % (i % 300) for i in range(3000)]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    with pytest.warns(UserWarning, match="falling back"):
+        got = relational.heavy_hitters(ds, col="tok", k=5, capacity=8,
+                                       candidates=8)
+    vc = df["tok"].value_counts()
+    want = pd.DataFrame({"tok": vc.index, "n_total": vc.values})\
+        .sort_values(["n_total", "tok"], ascending=[False, True]).head(5)
+    assert got["tok"].tolist() == want["tok"].tolist()
+    assert got["n_total"].tolist() == want["n_total"].tolist()
+
+
+def test_heavy_hitters_counter_fn(ray_session):
+    docs = pd.DataFrame({"text": ["a b b c", "b c c d", "c d d d"]})
+    ds = ray.data.from_pandas(docs)
+
+    def cf(df):
+        from collections import Counter
+        c = Counter()
+        for s in df["text"]:
+            c.update(s.split())
+        return c
+
+    got = relational.heavy_hitters(ds, counter_fn=cf, k=2,
+                                   key_name="token")
+    # c:4, d:4, b:3, a:1 — ties break token-ascending
+    assert got["token"].tolist() == ["c", "d"]
+    assert got["n_total"].tolist() == [4, 4]
+
+
+def test_bloom_no_false_negatives(ray_session):
+    keys = pd.DataFrame({"k": np.arange(0, 5000, 7, dtype=np.int64)})
+    ds = ray.data.from_pandas(keys).repartition(4)
+    bm = relational.bloom_from_dataset(ds, "k", bits=1 << 16)
+    probe = np.arange(0, 5000, dtype=np.int64)
+    hit = relational.bloom_contains(bm, pd.Series(probe), 1 << 16)
+    member = (probe % 7 == 0)
+    assert hit[member].all()                    # no false negatives
+    fp = hit[~member].mean()
+    assert fp < 0.2                             # sparse filter, low fp
+
+
+@pytest.mark.parametrize("side,how", [("left", "inner"),
+                                      ("right", "inner"),
+                                      ("right", "left")])
+def test_hash_join_bloom_parity(ray_session, side, how):
+    lf = _orders(300, seed=1).rename(columns={"val": "lval"})
+    rf = pd.DataFrame({
+        "key": np.arange(0, 300, 5, dtype=np.int64),
+        "rval": np.arange(60, dtype=np.int64)})
+    lds = ray.data.from_pandas(lf).repartition(4)
+    rds = ray.data.from_pandas(rf).repartition(2)
+    plain = relational.hash_join(lds, rds, "key", how=how)\
+        .to_pandas().sort_values(["key"]).reset_index(drop=True)
+    pruned = relational.hash_join(lds, rds, "key", how=how,
+                                  bloom_prune=side, bloom_bits=1 << 16)\
+        .to_pandas().sort_values(["key"]).reset_index(drop=True)
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].astype(str), pruned[cols].astype(str))
+
+
+def test_hash_join_bloom_rejects_left_prune_of_left_join(ray_session):
+    lf = _orders(20)
+    lds = ray.data.from_pandas(lf)
+    with pytest.raises(ValueError, match="preserved side"):
+        relational.hash_join(lds, lds.map_batches(
+            lambda d: d[["key"]], batch_format="pandas"),
+            "key", how="left", bloom_prune="left")

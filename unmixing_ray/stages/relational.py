@@ -90,6 +90,21 @@ def anti_join(left, right, key, right_key=None):
     tagged, unioned with the tagged left rows, and one ``groupby(key)``
     keeps the groups with no right-tag row. Scale shape: the shuffle
     carries every left row once plus O(distinct right keys)."""
+    return _tag_union_filter(left, right, key, right_key, keep_matched=False)
+
+
+def semi_join(left, right, key, right_key=None):
+    """Rows of ``left`` whose ``key`` appears at least once in ``right``
+    — distributed EXISTS / IN, the complement of :func:`anti_join` and
+    the same tag-union shape: right batches are deduped to bare keys
+    (combiner), so the shuffle carries left rows + O(distinct right
+    keys) and the right payload never moves. Left multiplicity is
+    preserved; right multiplicity never multiplies output rows (unlike
+    an inner :func:`hash_join`)."""
+    return _tag_union_filter(left, right, key, right_key, keep_matched=True)
+
+
+def _tag_union_filter(left, right, key, right_key, keep_matched):
     right_key = right_key or key
     schema = left.schema()
     names = list(schema.names)
@@ -123,8 +138,14 @@ def anti_join(left, right, key, right_key=None):
 
     def keep(g: pa.Table) -> pa.Table:
         src = g["__src"].to_numpy()
+        matched = bool((src == 1).any())
         body = g.drop_columns(["__src"])
-        return body.slice(0, 0) if (src == 1).any() else body
+        if matched != keep_matched:
+            return body.slice(0, 0)
+        if keep_matched:
+            # drop the bare right-key marker rows, keep the left rows
+            return body.filter(pa.array(src == 0))
+        return body
 
     return u.groupby(key).map_groups(keep, batch_format="pyarrow")
 
@@ -509,7 +530,54 @@ def pivot_count_sql(table, key, pivot_col, categories,
         GROUP BY {key}"""
 
 
-def hash_join(left, right, key, how="inner"):
+def _bloom_positions(vals, bits):
+    """Two deterministic bit positions per value (double hashing over
+    the 64-bit siphash pandas uses with its fixed default key — stable
+    across processes and nodes, so build and probe agree)."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(vals), index=False).to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = h * np.uint64(0x9E3779B97F4A7C15)
+    return h % np.uint64(bits), h2 % np.uint64(bits)
+
+
+def bloom_from_dataset(ds, key, bits=1 << 23):
+    """One column-pruned pass over ``ds`` building a Bloom filter of its
+    ``key`` values as a packed uint64 bitmap (``bits`` must be a power
+    of two; default 1 MiB). Per-block bitmaps are OR-merged pairwise by
+    Ray's aggregate tree — the driver only ever sees the final bitmap."""
+    from ray.data.aggregate import AggregateFn
+
+    words = bits // 64
+
+    def acc(state, block):
+        i1, i2 = _bloom_positions(block[key], bits)
+        for i in (i1, i2):
+            np.bitwise_or.at(state, (i >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (i & np.uint64(63)))
+        return state
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(words, np.uint64),
+        merge=lambda a, b: a | b,
+        accumulate_block=acc,
+        name="bloom")
+    return ds.select_columns([key]).aggregate(agg)["bloom"]
+
+
+def bloom_contains(bitmap, vals, bits=None):
+    """Vectorized membership probe (no false negatives)."""
+    bits = bits or len(bitmap) * 64
+    i1, i2 = _bloom_positions(vals, bits)
+    hit = np.ones(len(i1), bool)
+    for i in (i1, i2):
+        hit &= ((bitmap[(i >> np.uint64(6)).astype(np.int64)]
+                 >> (i & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
+def hash_join(left, right, key, how="inner", bloom_prune=None,
+              bloom_bits=1 << 23):
     """Distributed equi-join with BOTH sides large: the canonical
     partitioned hash join. Each side's rows are tagged and unioned, the
     single ``groupby(key)`` exchange co-locates matching keys, and each
@@ -523,9 +591,36 @@ def hash_join(left, right, key, how="inner"):
     them upstream (stages/shuffle.py) if |L_k| × |R_k| of one key
     dominates. ``how`` supports "inner" and "left" (unmatched left rows
     carry nulls in the right columns).
+
+    ``bloom_prune`` ("left" or "right") drops that side's no-match rows
+    BEFORE they enter the shuffle, via a Bloom filter of the other
+    side's keys (one extra column-pruned pass over the build side, a
+    fixed ``bloom_bits``-bit bitmap broadcast once with ``ray.put``).
+    No false negatives, so the join result is identical; false
+    positives only cost shuffle bytes. Worth it when the pruned side is
+    much larger than its matching subset (selective filters on the
+    build side). A left join must keep every left row, so only
+    ``bloom_prune="right"`` is legal there.
     """
     if how not in ("inner", "left"):
         raise ValueError("hash_join: how must be 'inner' or 'left'")
+    if bloom_prune not in (None, "left", "right"):
+        raise ValueError("hash_join: bloom_prune must be left/right")
+    if bloom_prune == "left" and how == "left":
+        raise ValueError("hash_join: cannot bloom-prune the preserved "
+                         "side of a left join")
+    if bloom_prune:
+        import ray
+        build = right if bloom_prune == "left" else left
+        bm_ref = ray.put(bloom_from_dataset(build, key, bloom_bits))
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            return df[bloom_contains(ray.get(bm_ref), df[key], bloom_bits)]
+
+        if bloom_prune == "left":
+            left = left.map_batches(prune, batch_format="pandas")
+        else:
+            right = right.map_batches(prune, batch_format="pandas")
     lcols = [c for c in left.schema().names if c != key]
     rcols = [c for c in right.schema().names if c != key]
     overlap = set(lcols) & set(rcols)
@@ -555,3 +650,144 @@ def hash_join(left, right, key, how="inner"):
         return l.merge(r, on=key, how=how)
 
     return tagged.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact global top-k heavy hitters via a Misra-Gries sketch pass + a
+# candidate-restricted exact counting pass.
+#
+# The exact path (bigram_topk-style per-batch count combiner) shuffles
+# one row per (batch, distinct key) — at web scale the distinct-key
+# universe (tokens, URLs, hosts) can be billions, so that exchange is
+# the bottleneck. Here pass 1 ships at most `capacity` rows per batch
+# (the Misra-Gries summary: per-key LOWER bounds plus the batch's
+# decrement total d_b, whose global sum D bounds every undercount —
+# Agarwal et al., "Mergeable Summaries", PODS 2012); pass 2 exact-counts
+# ONLY the top-C candidate keys (broadcast via ray.put). The result is
+# PROVABLY exact when kth_exact_count > lb_C + D (no unseen or
+# non-candidate key can reach — or lexicographically steal — rank k);
+# otherwise we fall back loudly to the exact full-shuffle path, so the
+# answer is exact either way and the sketch is purely a bandwidth
+# optimization.
+
+def heavy_hitters(ds, col=None, k=20, capacity=None, counter_fn=None,
+                  candidates=None, key_name=None, alias="n_total",
+                  _force_no_fallback=False):
+    """Exact global top-``k`` most frequent items with counts.
+
+    Items come from column ``col``, or from ``counter_fn(df) ->
+    dict[item, count]`` for derived items (e.g. tokenized text).
+    ``capacity`` is the Misra-Gries summary size per batch (default
+    64·k); ``candidates`` the verified candidate pool size C (default
+    max(4k, 64)). Ties break (count desc, item asc) — same total order
+    as the SQL oracle."""
+    import warnings
+
+    from ray.data.aggregate import Sum
+
+    if (col is None) == (counter_fn is None):
+        raise ValueError("heavy_hitters: pass exactly one of col / "
+                         "counter_fn")
+    key_name = key_name or (col if col is not None else "item")
+    m = int(capacity or 64 * k)
+    C = int(candidates or max(4 * k, 64))
+
+    def _counts(df):
+        if counter_fn is not None:
+            return counter_fn(df)
+        v, c = np.unique(df[col].to_numpy(), return_counts=True)
+        return dict(zip(v.tolist(), c.tolist()))
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        c = _counts(df)
+        items = np.array(list(c.keys()))
+        n = np.fromiter(c.values(), np.int64, len(c))
+        d = 0
+        if len(n) > m:
+            # Misra-Gries truncation of the exact batch counts: subtract
+            # the (m+1)-th largest count from all, keep the positives.
+            d = int(np.partition(n, len(n) - (m + 1))[len(n) - (m + 1)])
+            keep = n > d
+            items, n = items[keep], n[keep] - d
+        out = pd.DataFrame({key_name: items.astype(str),
+                            "n": n, "kind": np.int8(0)})
+        sent = pd.DataFrame({key_name: [""], "n": np.array([d], np.int64),
+                             "kind": np.array([1], np.int8)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    src = ds if counter_fn is not None else ds.select_columns([col])
+    merged = src.map_batches(sketch, batch_format="pandas")\
+        .groupby(["kind", key_name])\
+        .aggregate(Sum("n", alias_name="n"))
+
+    # D and the top-C candidate lower bounds are tiny driver-side tables
+    dd = merged.filter(expr="kind == 1").to_pandas()
+    D = int(dd["n"].sum()) if "n" in dd.columns else 0
+    cand = merged.filter(expr="kind == 0")\
+        .sort(["n", key_name], descending=[True, False])\
+        .limit(C).to_pandas()
+    if len(cand) == 0 or key_name not in cand.columns:
+        # every batch's summary truncated to nothing (near-uniform data)
+        cand = pd.DataFrame({key_name: [], "n": []})
+    # lb_C bounds every NON-candidate sketched key; if the sketch pass
+    # produced fewer than C distinct keys there are none, so only the
+    # never-sketched bound D applies.
+    lb_C = int(cand["n"].iloc[-1]) if len(cand) >= C else 0
+    cand_keys = cand[key_name].tolist()
+
+    exact, kth = None, None
+    if len(cand_keys) >= k:
+        import ray
+        ref = ray.put(set(cand_keys))
+
+        def exact_pass(df: pd.DataFrame) -> pd.DataFrame:
+            want = ray.get(ref)
+            c = _counts(df)
+            kept = {kk: vv for kk, vv in c.items() if str(kk) in want}
+            return pd.DataFrame({
+                key_name: np.array(list(kept.keys()), dtype=str),
+                "n": np.fromiter(kept.values(), np.int64, len(kept))})
+
+        exact = src.map_batches(exact_pass, batch_format="pandas")\
+            .groupby(key_name).aggregate(Sum("n", alias_name=alias))\
+            .sort([alias, key_name], descending=[True, False])\
+            .limit(k).to_pandas()
+        kth = int(exact[alias].iloc[-1]) if len(exact) >= k else -1
+        if kth > lb_C + D:
+            exact[alias] = exact[alias].astype("int64")
+            return exact
+
+    if _force_no_fallback:
+        raise AssertionError(
+            "heavy_hitters: exactness proof failed (kth=%s, lb_C=%d, "
+            "D=%d) and fallback disabled" % (kth, lb_C, D))
+    warnings.warn(
+        "heavy_hitters: sketch could not prove exactness "
+        "(lb_C=%d, D=%d); falling back to the full exact shuffle"
+        % (lb_C, D))
+
+    def full(df: pd.DataFrame) -> pd.DataFrame:
+        c = _counts(df)
+        return pd.DataFrame({
+            key_name: np.array(list(c.keys()), dtype=str),
+            "n": np.fromiter(c.values(), np.int64, len(c))})
+
+    out = src.map_batches(full, batch_format="pandas")\
+        .groupby(key_name).aggregate(Sum("n", alias_name=alias))\
+        .sort([alias, key_name], descending=[True, False])\
+        .limit(k).to_pandas()
+    out[alias] = out[alias].astype("int64")
+    return out
+
+
+def heavy_hitters_tokens_sql(k=20):
+    """DuckDB oracle for token heavy hitters over ``documents`` (same
+    [a-z0-9]+ tokenizer as :func:`unmixing_ray.stages.text.bigram_topk`)."""
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS token
+          FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n_total
+        FROM toks GROUP BY token
+        ORDER BY n_total DESC, token LIMIT {k}"""
