@@ -1217,6 +1217,50 @@ def q_fingerprint(sf_dir):
                                   columns=["doc_id", "text"]))
 
 
+PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END")
+
+
+def q_pii_scrub(sf_dir):
+    """PII redaction pass (stages/text.py:pii_scrub). The provided
+    corpus carries no PII, so both the engine and the SQL oracle plant
+    it inline as the SAME pure function of doc_id (PII_AUG_SQL) — the
+    scrubbed-text md5 fingerprint then proves the rewritten text
+    matches byte for byte."""
+    from unmixing_ray.stages import text as tstage
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        s = df["text"].astype(str).to_numpy()
+        ds_ = did.astype(str)
+        e = np.where(did % 3 == 0,
+                     " contact user" + ds_ + "@example.com now", "")
+        ph = np.where(did % 5 == 0,
+                      " call 555-" + (did % 1000).astype(str).str.zfill(3)
+                      + "-" + (did % 10000).astype(str).str.zfill(4), "")
+        ip = np.where(did % 7 == 0,
+                      " from 10." + (did % 256).astype(str) + ".0.1", "")
+        return pd.DataFrame({"doc_id": did, "text": s + e + ph + ip})
+
+    return tstage.pii_scrub(ds.map_batches(aug, batch_format="pandas"))
+
+
+def q_repetition_filter(sf_dir):
+    """Gopher-style duplicate-3-gram fraction per document
+    (stages/text.py:gopher_repetition) — integer-exact dup_u6."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.gopher_repetition(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3)
+
+
 def q_dedup_exact_docs(sf_dir):
     from unmixing_ray.stages import dedup
     return dedup.exact_dedup_docs(_read(sf_dir, "documents",
@@ -1362,6 +1406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition_filter": q_repetition_filter,
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1676,6 +1722,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, o_orderkey, CAST(rank AS BIGINT)
                      AS rank
             FROM r WHERE rank <= 4""",
+        "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
+        "repetition_filter": text.gopher_repetition_sql(3),
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

@@ -78,7 +78,7 @@ def registry(ray_session):
     # focal mean via halo exchange
     "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
     "orders_join_lineitem", "suppliers_with_returns",
-    "heavy_hitters_tokens",
+    "heavy_hitters_tokens", "pii_scrub", "repetition_filter",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

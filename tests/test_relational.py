@@ -358,3 +358,38 @@ def test_hash_join_bloom_rejects_left_prune_of_left_join(ray_session):
         relational.hash_join(lds, lds.map_batches(
             lambda d: d[["key"]], batch_format="pandas"),
             "key", how="left", bloom_prune="left")
+
+
+def test_pii_scrub_counts_and_fingerprint(ray_session):
+    from unmixing_ray.stages import text as tstage
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["mail bob@x.org or carol@y.co.uk at 10.0.0.1",
+                 "call 555-123-4567 and 555-000-1111 no pii else"]})
+    got = tstage.pii_scrub(ray.data.from_pandas(docs)).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_email"].tolist() == [2, 0]
+    assert got["n_ip"].tolist() == [1, 0]
+    assert got["n_phone"].tolist() == [0, 2]
+    import hashlib
+    want0 = hashlib.md5(
+        b"mail <EMAIL> or <EMAIL> at <IP>").hexdigest()[:16]
+    want1 = hashlib.md5(
+        b"call <PHONE> and <PHONE> no pii else").hexdigest()[:16]
+    assert got["fp"].tolist() == [want0, want1]
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_gopher_repetition_exact(ray_session, nblocks):
+    from unmixing_ray.stages import text as tstage
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["a b c a b c a b c",     # grams: 7 total, 3 distinct
+                 "x y z w",               # 2 total, 2 distinct
+                 "q r"]})                 # shorter than n -> 0
+    ds = ray.data.from_pandas(docs).repartition(nblocks)
+    got = tstage.gopher_repetition(ds, n=3).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_grams"].tolist() == [7, 2, 0]
+    assert got["n_distinct"].tolist() == [3, 2, 0]
+    assert got["dup_u6"].tolist() == [(7 - 3) * 1_000_000 // 7, 0, 0]

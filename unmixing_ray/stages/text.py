@@ -356,3 +356,130 @@ def corpus_filter_sql(min_stopwords=2, min_tokens=20,
         WHERE n_tokens >= {min_tokens}
           AND mean_tok_len_u6 BETWEEN {min_mtl_u6} AND {max_mtl_u6}
         QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — a standard training-data hygiene pass: redact emails,
+# phone numbers and IPv4 addresses, reporting per-document counts plus a
+# fingerprint of the scrubbed text. One vectorized map_batches pass;
+# regexes are compiled once per worker process at module import, and the
+# patterns stay in RE2-compatible syntax so the DuckDB oracle applies
+# the IDENTICAL expressions with regexp_replace(..., 'g').
+
+import re as _re
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII = [("email", _re.compile(PII_EMAIL), "<EMAIL>"),
+        ("ip", _re.compile(PII_IP), "<IP>"),
+        ("phone", _re.compile(PII_PHONE), "<PHONE>")]
+
+
+def pii_scrub(docs, text_col="text", fp_len=16):
+    """Redact PII (emails, then IPv4s, then phones — fixed order so the
+    oracle replays it) from ``text_col``. Output: doc_id, per-kind
+    redaction counts, and ``fp`` = first ``fp_len`` hex chars of the md5
+    of the scrubbed text (the value-hash proof that the rewritten TEXT
+    matches, without shipping it)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str)
+        out = {"doc_id": df["doc_id"].astype(np.int64)}
+        for name, pat, token in _PII:
+            out["n_" + name] = s.str.count(pat).astype(np.int64)
+            s = s.str.replace(pat, token, regex=True)
+        out["fp"] = [hashlib.md5(t.encode()).hexdigest()[:fp_len]
+                     for t in s]
+        return pd.DataFrame(out)
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def pii_scrub_sql(aug_text_expr="text", fp_len=16):
+    """DuckDB oracle for :func:`pii_scrub` over ``documents`` —
+    ``aug_text_expr`` lets callers plant PII inline (the provided corpus
+    has none) as a pure SQL function of the row, matching the engine
+    side's construction exactly."""
+    return f"""
+        WITH aug AS (SELECT doc_id, {aug_text_expr} AS t FROM documents),
+        s1 AS (SELECT doc_id, t,
+                      len(regexp_extract_all(t, '{PII_EMAIL}')) AS ne,
+                      regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g')
+                        AS t1
+               FROM aug),
+        s2 AS (SELECT doc_id, ne,
+                      len(regexp_extract_all(t1, '{PII_IP}')) AS ni,
+                      regexp_replace(t1, '{PII_IP}', '<IP>', 'g') AS t2
+               FROM s1),
+        s3 AS (SELECT doc_id, ne, ni,
+                      len(regexp_extract_all(t2, '{PII_PHONE}')) AS np,
+                      regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g')
+                        AS t3
+               FROM s2)
+        SELECT doc_id,
+               CAST(ne AS BIGINT) AS n_email,
+               CAST(ni AS BIGINT) AS n_ip,
+               CAST(np AS BIGINT) AS n_phone,
+               substr(md5(t3), 1, {fp_len}) AS fp
+        FROM s3"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signal: the fraction of duplicate word
+# n-grams per document (Rae et al. 2021 use duplicate-line and
+# duplicate-ngram fractions as quality gates). Integer-exact:
+# dup_u6 = (n_grams - n_distinct) * 1e6 // n_grams, so the SQL oracle
+# hash-matches bit for bit — no float division anywhere.
+
+def gopher_repetition(docs, n=3):
+    """Per-document duplicate word-``n``-gram fraction (tokens: maximal
+    [a-z0-9]+ runs of the lowercased text, same tokenizer as
+    :func:`bigram_topk`). Output: doc_id, n_grams, n_distinct, dup_u6.
+    Documents shorter than ``n`` tokens report zero grams and dup_u6=0.
+    One vectorized map_batches pass — per-doc work only, no shuffle."""
+    tok = _re.compile(r"[a-z0-9]+")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, tot, dis, dup = [], [], [], []
+        for i, s in zip(df["doc_id"], df["text"]):
+            ts = tok.findall(s.lower())
+            grams = [" ".join(ts[j:j + n]) for j in range(len(ts) - n + 1)]
+            t, d = len(grams), len(set(grams))
+            ids.append(int(i))
+            tot.append(t)
+            dis.append(d)
+            dup.append((t - d) * 1_000_000 // t if t else 0)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64),
+            "n_grams": np.array(tot, np.int64),
+            "n_distinct": np.array(dis, np.int64),
+            "dup_u6": np.array(dup, np.int64)})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+
+def gopher_repetition_sql(n=3):
+    """DuckDB oracle for :func:`gopher_repetition`."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+            AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, {parts} AS g
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {n - 1})) AS i
+                FROM toks)),
+        agg AS (
+          SELECT doc_id, count(*) AS t, count(DISTINCT g) AS d
+          FROM grams GROUP BY doc_id)
+        SELECT k.doc_id,
+               CAST(coalesce(a.t, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(a.d, 0) AS BIGINT) AS n_distinct,
+               CAST(coalesce((a.t - a.d) * 1000000 // a.t, 0) AS BIGINT)
+                 AS dup_u6
+        FROM (SELECT doc_id FROM documents) k
+        LEFT JOIN agg a USING (doc_id)"""
