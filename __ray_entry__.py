@@ -1261,6 +1261,30 @@ def q_repetition_filter(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3)
 
 
+TEXTPREP_BASE_SQL = ("SELECT doc_id, text FROM documents "
+                     "UNION ALL SELECT 2000000 + doc_id, text "
+                     "FROM documents WHERE doc_id % 11 = 0")
+
+
+def q_textprep_decisions(sf_dir):
+    """End-to-end training-data prep: per-document keep/drop verdict
+    with reason code (stages/text.py:textprep_decisions — one feature
+    pass, one narrow shuffle; gates then keep-first dedup). Exact
+    duplicates are planted as a pure function of doc_id on BOTH sides
+    (the corpus has none) so the 'duplicate' branch is non-vacuous."""
+    import ray.data
+    from unmixing_ray.stages import text as tstage
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 11 == 0].copy()
+        c["doc_id"] = c["doc_id"].astype(np.int64) + 2_000_000
+        return c
+
+    return tstage.textprep_decisions(
+        base.union(base.map_batches(plant, batch_format="pandas")))
+
+
 def q_dedup_exact_docs(sf_dir):
     from unmixing_ray.stages import dedup
     return dedup.exact_dedup_docs(_read(sf_dir, "documents",
@@ -1406,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "textprep_decisions": q_textprep_decisions,
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1722,6 +1747,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, o_orderkey, CAST(rank AS BIGINT)
                      AS rank
             FROM r WHERE rank <= 4""",
+        "textprep_decisions": text.textprep_decisions_sql(
+            TEXTPREP_BASE_SQL),
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
         "token_count": text.token_count_sql(),

@@ -79,6 +79,7 @@ def registry(ray_session):
     "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
     "orders_join_lineitem", "suppliers_with_returns",
     "heavy_hitters_tokens", "pii_scrub", "repetition_filter",
+    "textprep_decisions",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

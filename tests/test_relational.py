@@ -393,3 +393,42 @@ def test_gopher_repetition_exact(ray_session, nblocks):
     assert got["n_grams"].tolist() == [7, 2, 0]
     assert got["n_distinct"].tolist() == [3, 2, 0]
     assert got["dup_u6"].tolist() == [(7 - 3) * 1_000_000 // 7, 0, 0]
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_textprep_decisions_batch_invariant(ray_session, nblocks):
+    from unmixing_ray.stages import text as tstage
+    rng = np.random.default_rng(5)
+    words = ["the", "and", "of", "to", "meadow", "quartz", "violet",
+             "summit", "harbor", "lantern"]
+    docs, texts = [], []
+    for i in range(60):
+        n = rng.integers(5, 60)
+        texts.append(" ".join(rng.choice(words, n)))
+        docs.append(i)
+    # exact duplicates of the first five documents
+    for j in range(5):
+        docs.append(1000 + j)
+        texts.append(texts[j])
+    df = pd.DataFrame({"doc_id": np.array(docs, np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df).repartition(nblocks)
+    got = tstage.textprep_decisions(ds).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(df)
+    assert set(got["verdict"]) <= {"lang", "short", "lexical",
+                                   "repetition", "duplicate", "keep"}
+    # planted exact copies: whichever side passes gates, the copy of a
+    # gate-passing original must be 'duplicate' (originals have the
+    # smaller doc_id)
+    byid = got.set_index("doc_id")["verdict"]
+    for j in range(5):
+        if byid[j] in ("keep", "duplicate"):
+            assert byid[1000 + j] == "duplicate"
+        else:
+            assert byid[1000 + j] == byid[j]
+    # deterministic across batching
+    got1 = tstage.textprep_decisions(
+        ray.data.from_pandas(df)).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got1)

@@ -483,3 +483,134 @@ def gopher_repetition_sql(n=3):
                  AS dup_u6
         FROM (SELECT doc_id FROM documents) k
         LEFT JOIN agg a USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data prep: one decision per document with the
+# reason code — the composite pipeline a 100-TB corpus actually runs
+# (gates, then dedup among the survivors), expressed as ONE feature
+# pass + ONE narrow shuffle. Gate features reuse the exact semantics of
+# corpus_filter (space-split tokens for length/lexical/stopword gates)
+# and gopher_repetition ([a-z0-9]+ 3-grams for the repetition gate), so
+# every branch is independently oracle-checked elsewhere too.
+
+TEXTPREP_GATES = ("lang", "short", "lexical", "repetition")
+
+
+def textprep_decisions(docs, min_stopwords=2, min_tokens=20,
+                       min_mtl_u6=4_000_000, max_mtl_u6=4_700_000,
+                       max_dup_u6=20_000, ngram=3):
+    """Per-document verdicts: the FIRST failing gate of
+    lang → short → lexical → repetition, else 'duplicate' (a
+    gate-passing doc whose md5(text) has a smaller gate-passing
+    doc_id) or 'keep'.
+
+    Scale shape: one vectorized feature pass computes every gate AND
+    the content hash per batch; the single shuffle then carries only
+    (doc_id, n_tokens, verdict, h) — text never enters the exchange,
+    and gate failures ride the same shuffle under a per-doc singleton
+    key (no second pass over the corpus, no branch re-execution)."""
+    tok = _re.compile(r"[a-z0-9]+")
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, verdicts, hs = [], [], [], []
+        for i, s in zip(df["doc_id"], df["text"]):
+            toks = [t for t in s.split(" ") if t]
+            n_tokens = len(toks)
+            n_stop = sum(1 for t in toks if t.lower() in EN_STOPWORDS)
+            chars = sum(len(t) for t in toks)
+            mtl = int(np.floor(chars * 1_000_000 / n_tokens)) \
+                if n_tokens else 0
+            rt = tok.findall(s.lower())
+            grams = [" ".join(rt[j:j + ngram])
+                     for j in range(len(rt) - ngram + 1)]
+            t_, d_ = len(grams), len(set(grams))
+            dup = (t_ - d_) * 1_000_000 // t_ if t_ else 0
+            if n_stop < min_stopwords:
+                v = "lang"
+            elif n_tokens < min_tokens:
+                v = "short"
+            elif not (min_mtl_u6 <= mtl <= max_mtl_u6):
+                v = "lexical"
+            elif dup > max_dup_u6:
+                v = "repetition"
+            else:
+                v = ""
+            ids.append(int(i))
+            nt.append(n_tokens)
+            verdicts.append(v)
+            # failures get a singleton shuffle key so they pass through
+            # the same exchange without joining any dedup group
+            hs.append(hashlib.md5(s.encode()).hexdigest() if v == ""
+                      else "f%d" % int(i))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64),
+            "n_tokens": np.array(nt, np.int64),
+            "verdict": verdicts, "h": hs})
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["doc_id", "n_tokens", "verdict"]].copy()
+        if (out["verdict"] == "").any():
+            first = g["doc_id"].min()
+            out["verdict"] = np.where(g["doc_id"] == first, "keep",
+                                      "duplicate")
+        return out
+
+    return docs.map_batches(feats, batch_format="pandas")\
+        .groupby("h").map_groups(decide, batch_format="pandas")
+
+
+def textprep_decisions_sql(base_sql="SELECT doc_id, text FROM documents",
+                           min_stopwords=2, min_tokens=20,
+                           min_mtl_u6=4_000_000, max_mtl_u6=4_700_000,
+                           max_dup_u6=20_000, ngram=3):
+    """DuckDB oracle for :func:`textprep_decisions` over any base
+    relation (``base_sql`` lets the query plant exact duplicates)."""
+    stop = ", ".join("'%s'" % s for s in EN_STOPWORDS)
+    parts = " || ' ' || ".join(f"rt[i+{j}]" for j in range(ngram))
+    return f"""
+        WITH base AS ({base_sql}),
+        t AS (
+          SELECT doc_id, md5(text) AS h,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks,
+                 len(list_filter(string_split(lower(text), ' '),
+                     x -> x IN ({stop}))) AS n_stop,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS rt
+          FROM base),
+        g AS (
+          SELECT doc_id, count(*) AS tt, count(DISTINCT gg) AS dd
+          FROM (SELECT doc_id, {parts} AS gg
+                FROM (SELECT doc_id, rt,
+                             unnest(generate_series(1, len(rt) -
+                                                    {ngram - 1})) AS i
+                      FROM t))
+          GROUP BY doc_id),
+        f AS (
+          SELECT t.doc_id, t.h,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 n_stop,
+                 CASE WHEN len(toks) > 0 THEN CAST(floor(
+                      list_sum(list_transform(toks, x -> length(x)))
+                      * 1000000.0 / len(toks)) AS BIGINT)
+                      ELSE 0 END AS mtl,
+                 coalesce((g.tt - g.dd) * 1000000 // g.tt, 0) AS dup
+          FROM t LEFT JOIN g USING (doc_id)),
+        v AS (
+          SELECT doc_id, h, n_tokens,
+                 CASE WHEN n_stop < {min_stopwords} THEN 'lang'
+                      WHEN n_tokens < {min_tokens} THEN 'short'
+                      WHEN mtl NOT BETWEEN {min_mtl_u6}
+                           AND {max_mtl_u6} THEN 'lexical'
+                      WHEN dup > {max_dup_u6} THEN 'repetition'
+                      ELSE '' END AS pre
+          FROM f)
+        SELECT doc_id, n_tokens,
+               CASE WHEN pre <> '' THEN pre
+                    WHEN doc_id = min(doc_id) OVER (
+                        PARTITION BY CASE WHEN pre = '' THEN h
+                                     ELSE 'f' || CAST(doc_id AS VARCHAR)
+                                     END)
+                      THEN 'keep'
+                    ELSE 'duplicate' END AS verdict
+        FROM v"""
