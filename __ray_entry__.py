@@ -112,6 +112,17 @@ def q_focal_mean(sf_dir):
         focal.focal_mean_tiles(tiles, radius=1, scale=1000))
 
 
+def q_pyramid_overview(sf_dir):
+    """Level-1 image overview via the spatial reduction tree
+    (stages/pyramid.py: local factor-2 block-sum decimation, then a
+    groupby assembly of up to 4 children per parent), summarized to
+    per-(parent, band) int64 sums. Oracle: the full-image downsample
+    sidecar — a match proves the cross-tile assembly end to end."""
+    from unmixing_ray.stages import pyramid
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return pyramid.overview_band_sums(pyramid.build_overview(tiles))
+
+
 def q_pixel_to_xy(sf_dir):
     """The bit-for-bit affine transform: per-tile origin and far-corner
     map coordinates computed from the tile gt through pixel_to_xy."""
@@ -1374,11 +1385,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_pyramid_expected(sf)
             except Exception:
                 pass
     return {
         "tile_assignment": q_tile_assignment,
         "focal_mean": q_focal_mean,
+        "pyramid_overview": q_pyramid_overview,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -1504,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_pyramid_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, relational, text
@@ -1524,6 +1538,9 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": f"""
             SELECT tile_id, band, focal_sum_u
             FROM read_parquet('{C}/focal_expected.parquet')""",
+        "pyramid_overview": f"""
+            SELECT ov_id, band, ov_sum_u
+            FROM read_parquet('{C}/pyramid_expected.parquet')""",
         "spatial_join_pip": f"""
             SELECT t.tile_id, p.poly_id
             FROM read_parquet('{C}/tiles_expected.parquet') t

@@ -172,3 +172,56 @@ def test_focal_stat_variants(ray_session, stat):
         ro, co = int(row["row_off"]), int(row["col_off"])
         np.testing.assert_array_equal(
             got, want[:, ro:ro + 16, co:co + 16], err_msg=row["tile_id"])
+
+
+def _mk_tiles(img, arr, tile):
+    """Split (p,H,W) into lattice tile rows."""
+    import pandas as pd
+    p, H, W = arr.shape
+    rows = []
+    for r0 in range(0, H, tile):
+        for c0 in range(0, W, tile):
+            blk = arr[:, r0:r0 + tile, c0:c0 + tile]
+            rows.append({"image_id": img, "row_off": r0, "col_off": c0,
+                         "h": tile, "w": tile, "bands": p,
+                         "pixels": np.ascontiguousarray(blk).tobytes()})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("hw", [(96, 96), (128, 64)])
+def test_overview_partial_parents_match_full_image(ray_session, hw):
+    from unmixing_ray.stages import pyramid
+    rng = np.random.default_rng(13)
+    H, W = hw
+    arr = rng.integers(0, 8000, (3, H, W)).astype(np.int16)
+    df = _mk_tiles("imgA", arr, 32)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = pyramid.build_overview(ds, factor=2).to_pandas()
+    want = arr.astype(np.int64).reshape(
+        (3, H // 2, 2, W // 2, 2)).sum(axis=(2, 4)) // 4
+    for _, t in got.iterrows():
+        a = np.frombuffer(t["pixels"], np.int64).reshape(
+            (3, t["h"], t["w"]))
+        r0 = int(t["prow"]) * 32
+        c0 = int(t["pcol"]) * 32
+        np.testing.assert_array_equal(
+            a, want[:, r0:r0 + int(t["h"]), c0:c0 + int(t["w"])])
+    # parents tile the downsampled image exactly once
+    assert int(got["h"].astype(int).mul(got["w"].astype(int)).sum()) \
+        * 3 == want.size
+
+
+def test_pyramid_two_levels_floor_of_floor(ray_session):
+    from unmixing_ray.stages import pyramid
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 8000, (2, 128, 128)).astype(np.int16)
+    ds = ray.data.from_pandas(_mk_tiles("imgB", arr, 32)).repartition(3)
+    lv1, lv2 = pyramid.build_pyramid(ds, levels=2, factor=2)
+    d1 = arr.astype(np.int64).reshape((2, 64, 2, 64, 2)).sum(
+        axis=(2, 4)) // 4
+    d2 = d1.reshape((2, 32, 2, 32, 2)).sum(axis=(2, 4)) // 4
+    got2 = lv2.to_pandas()
+    assert len(got2) == 1
+    a = np.frombuffer(got2.iloc[0]["pixels"], np.int64).reshape(
+        (2, 32, 32))
+    np.testing.assert_array_equal(a, d2)

@@ -77,6 +77,7 @@ def registry(ray_session):
     # round 3 (cont. 3): dup-cluster resolution, corpus filter, pivot,
     # focal mean via halo exchange
     "dedup_clusters", "corpus_filter", "events_pivot", "focal_mean",
+    "pyramid_overview",
     "orders_join_lineitem", "suppliers_with_returns",
     "heavy_hitters_tokens", "pii_scrub", "repetition_filter",
     "textprep_decisions",

@@ -1152,3 +1152,58 @@ def generate_focal_expected(sf_dir, radius=1, scale=1000):
     pq.write_table(t, str(out / "focal_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+PYRAMID_VERSION = 1
+
+
+def generate_pyramid_expected(sf_dir, factor=2):
+    """Write the ``pyramid_expected.parquet`` sidecar: per-(parent
+    tile, band) sums of the level-1 overview (floor block mean by
+    ``factor``) computed FULL-IMAGE (downsample the whole raster, then
+    tile the downsampled image by TILE). The engine builds the same
+    overview tile-wise via the decimate → groupby reduction tree
+    (stages/pyramid.py), so a hash match proves the cross-tile assembly
+    plumbing, not just the block-mean kernel.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_PYRAMID_DONE"
+    stamp = "pyramid v%d f%d" % (PYRAMID_VERSION, factor)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    f = int(factor)
+    rows = {"ov_id": [], "band": [], "ov_sum_u": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        p, H, W = arr.shape
+        assert H % f == 0 and W % f == 0
+        dsamp = arr.astype(np.int64).reshape(
+            (p, H // f, f, W // f, f)).sum(axis=(2, 4)) // (f * f)
+        Hd, Wd = H // f, W // f
+        n_ty = (Hd + TILE - 1) // TILE
+        n_tx = (Wd + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = dsamp[:, ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                s = blk.sum(axis=(1, 2))
+                oid = "%s_o%d_%d" % (img, ty, tx)
+                rows["ov_id"].extend([oid] * p)
+                rows["band"].extend(range(p))
+                rows["ov_sum_u"].extend(int(v) for v in s)
+    t = pa.table({
+        "ov_id": pa.array(rows["ov_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "ov_sum_u": pa.array(rows["ov_sum_u"], pa.int64())})
+    pq.write_table(t, str(out / "pyramid_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
