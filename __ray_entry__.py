@@ -123,6 +123,28 @@ def q_pyramid_overview(sf_dir):
     return pyramid.overview_band_sums(pyramid.build_overview(tiles))
 
 
+def q_terrain_slope(sf_dir):
+    """Horn-method slope gradients via the cross-tile halo exchange
+    (stages/terrain.py): band 0 pruned out of the payload BEFORE the
+    exchange, integer gradient numerators summarized per tile. Oracle:
+    the full-image shift-computed sidecar — a match proves the halo
+    plumbing and the border rule end to end."""
+    from unmixing_ray.stages import terrain
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return terrain.terrain_slope_tiles(tiles)
+
+
+def q_warp_bilinear(sf_dir):
+    """5/4 bilinear upsample via the cross-tile halo exchange
+    (stages/warp.py): integer fixed-point interpolation, edge
+    replication at image borders, summarized to per-(tile, band) int64
+    sums. Oracle: the full-image warp sidecar — a match proves the
+    cross-tile interpolation plumbing end to end."""
+    from unmixing_ray.stages import warp
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return warp.warp_band_sums(warp.warp_tiles(tiles, num=5, den=4))
+
+
 def q_pixel_to_xy(sf_dir):
     """The bit-for-bit affine transform: per-tile origin and far-corner
     map coordinates computed from the tile gt through pixel_to_xy."""
@@ -1272,6 +1294,16 @@ def q_repetition_filter(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3)
 
 
+def q_substring_dup(sf_dir):
+    """Exact duplicate-substring detection at 8-token-window
+    granularity (stages/text.py:substring_dup — the Lee et al. 2021
+    dedup signal re-expressed as hash-partitioned window keys; text
+    never enters the exchange)."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.substring_dup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
+
+
 TEXTPREP_BASE_SQL = ("SELECT doc_id, text FROM documents "
                      "UNION ALL SELECT 2000000 + doc_id, text "
                      "FROM documents WHERE doc_id % 11 = 0")
@@ -1386,12 +1418,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
                 _synth.generate_pyramid_expected(sf)
+                _synth.generate_terrain_expected(sf)
+                _synth.generate_warp_expected(sf)
             except Exception:
                 pass
     return {
         "tile_assignment": q_tile_assignment,
         "focal_mean": q_focal_mean,
         "pyramid_overview": q_pyramid_overview,
+        "terrain_slope": q_terrain_slope,
+        "warp_bilinear": q_warp_bilinear,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -1446,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textprep_decisions": q_textprep_decisions,
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
+        "substring_dup": q_substring_dup,
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1518,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
                 _synth.generate_pyramid_expected(sf)
+                _synth.generate_terrain_expected(sf)
+                _synth.generate_warp_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, relational, text
@@ -1541,6 +1580,13 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_overview": f"""
             SELECT ov_id, band, ov_sum_u
             FROM read_parquet('{C}/pyramid_expected.parquet')""",
+        "terrain_slope": f"""
+            SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
+                   n_valid
+            FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "warp_bilinear": f"""
+            SELECT tile_id, band, warp_sum
+            FROM read_parquet('{C}/warp_expected.parquet')""",
         "spatial_join_pip": f"""
             SELECT t.tile_id, p.poly_id
             FROM read_parquet('{C}/tiles_expected.parquet') t
@@ -1768,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
             TEXTPREP_BASE_SQL),
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
+        "substring_dup": text.substring_dup_sql(8),
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

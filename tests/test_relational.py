@@ -432,3 +432,58 @@ def test_textprep_decisions_batch_invariant(ray_session, nblocks):
         ray.data.from_pandas(df)).to_pandas()\
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got1)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_substring_dup_exact(ray_session, nblocks):
+    from unmixing_ray.stages import text as tstage
+    # w=3 windows; doc 1 and 2 share "a b c d"; doc 3 repeats its own
+    # window internally; doc 4 is all-unique; doc 5 too short
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "text": ["a b c d e",        # windows: abc bcd cde
+                 "z a b c d",        # zab abc bcd
+                 "p q r p q r p q",  # pqr qrp rpq pqr qrp rpq
+                 "m n o",            # mno
+                 "x y"]})
+    ds = ray.data.from_pandas(docs).repartition(nblocks)
+    got = tstage.substring_dup(ds, window=3).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [1, 2, 3, 4]      # doc 5 dropped
+    assert got["n_windows"].tolist() == [3, 3, 6, 1]
+    # doc1: abc+bcd dup (shared with doc2); doc2: abc+bcd; doc3: all 6
+    # positions belong to within-doc repeated windows
+    assert got["n_dup_windows"].tolist() == [2, 2, 6, 0]
+    assert got["n_dup_distinct"].tolist() == [2, 2, 3, 0]
+
+
+def test_substring_dup_matches_bruteforce(ray_session):
+    from unmixing_ray.stages import text as tstage
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 40)))
+             for _ in range(60)]
+    texts += texts[:5]  # planted exact dups
+    ids = np.arange(len(texts), dtype=np.int64)
+    w = 4
+    from collections import Counter
+    cnt = Counter()
+    per_doc = {}
+    for i, s in zip(ids, texts):
+        toks = [t for t in s.split(" ") if t]
+        wins = [" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)]
+        if wins:
+            per_doc[int(i)] = wins
+            cnt.update(wins)
+    exp = {d: (len(ws),
+               sum(1 for x in ws if cnt[x] >= 2),
+               len({x for x in ws if cnt[x] >= 2}))
+           for d, ws in per_doc.items()}
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})).repartition(7)
+    got = tstage.substring_dup(ds, window=w).to_pandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        e = exp[int(r["doc_id"])]
+        assert (r["n_windows"], r["n_dup_windows"],
+                r["n_dup_distinct"]) == e

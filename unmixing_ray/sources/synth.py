@@ -1207,3 +1207,146 @@ def generate_pyramid_expected(sf_dir, factor=2):
     pq.write_table(t, str(out / "pyramid_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+TERRAIN_VERSION = 1
+
+
+def generate_terrain_expected(sf_dir):
+    """Write the ``terrain_expected.parquet`` sidecar: per-tile sums of
+    the Horn (1981) gradient numerators over band 0 of every corpus
+    image, computed FULL-IMAGE with plain shifts (the engine computes
+    the same quantity tile-wise via the halo exchange —
+    stages/terrain.py — so a match proves the cross-tile plumbing).
+    Border rule: pixels whose 3x3 neighborhood leaves the image get 0
+    (and do not count in n_valid). All values exact int64.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_TERRAIN_DONE"
+    stamp = "terrain v%d" % TERRAIN_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "sum_abs_dzdx": [], "sum_abs_dzdy": [],
+            "sum_rugged": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[0].astype(np.int64)
+        H, W = z.shape
+        dzdx = np.zeros((H, W), np.int64)
+        dzdy = np.zeros((H, W), np.int64)
+        ii = slice(1, H - 1)
+        jj = slice(1, W - 1)
+
+        def sh(dr, dc):
+            return z[1 + dr:H - 1 + dr, 1 + dc:W - 1 + dc]
+
+        dzdx[ii, jj] = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+                        - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)))
+        dzdy[ii, jj] = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+                        - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)))
+        ok = np.zeros((H, W), np.int64)
+        ok[ii, jj] = 1
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                rs = slice(ty * TILE, (ty + 1) * TILE)
+                cs = slice(tx * TILE, (tx + 1) * TILE)
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["sum_abs_dzdx"].append(int(np.abs(dzdx[rs, cs]).sum()))
+                rows["sum_abs_dzdy"].append(int(np.abs(dzdy[rs, cs]).sum()))
+                rows["sum_rugged"].append(
+                    int((dzdx[rs, cs] ** 2 + dzdy[rs, cs] ** 2).sum()))
+                rows["n_valid"].append(int(ok[rs, cs].sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "sum_abs_dzdx": pa.array(rows["sum_abs_dzdx"], pa.int64()),
+        "sum_abs_dzdy": pa.array(rows["sum_abs_dzdy"], pa.int64()),
+        "sum_rugged": pa.array(rows["sum_rugged"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "terrain_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+WARP_VERSION = 1
+
+
+def generate_warp_expected(sf_dir, num=5, den=4):
+    """Write the ``warp_expected.parquet`` sidecar: per-(tile, band)
+    sums of the num/den bilinear upsample of every corpus image,
+    computed FULL-IMAGE with integer fixed-point arithmetic (the
+    engine warps tile-wise via the halo exchange — stages/warp.py — so
+    a match proves the cross-tile interpolation plumbing). Border rule:
+    edge replication (clamp). Output pixel = floor(V / D^2) with
+    D = 2*num, exactly as the engine computes it.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_WARP_DONE"
+    stamp = "warp v%d %d/%d" % (WARP_VERSION, num, den)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    D = 2 * num
+    t_out = TILE * num // den
+    rows = {"tile_id": [], "band": [], "warp_sum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())\
+            .astype(np.int64)
+        p, H, W = arr.shape
+
+        def axis(n_in):
+            n_out = n_in * num // den
+            dst = np.arange(n_out, dtype=np.int64)
+            src_num = (2 * dst + 1) * den - num
+            i0 = src_num // D
+            frac = src_num - i0 * D
+            i1 = np.clip(i0 + 1, 0, n_in - 1)
+            i0 = np.clip(i0, 0, n_in - 1)
+            return i0, i1, D - frac, frac
+
+        r0, r1, wy0, wy1 = axis(H)
+        c0, c1, wx0, wx1 = axis(W)
+        v00 = arr[:, r0[:, None], c0[None, :]]
+        v01 = arr[:, r0[:, None], c1[None, :]]
+        v10 = arr[:, r1[:, None], c0[None, :]]
+        v11 = arr[:, r1[:, None], c1[None, :]]
+        V = (wy0[:, None] * (wx0[None, :] * v00 + wx1[None, :] * v01)
+             + wy1[:, None] * (wx0[None, :] * v10 + wx1[None, :] * v11))
+        warped = V // (D * D)
+        Ho, Wo = warped.shape[1:]
+        n_ty = (Ho + t_out - 1) // t_out
+        n_tx = (Wo + t_out - 1) // t_out
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = warped[:, ty * t_out:(ty + 1) * t_out,
+                             tx * t_out:(tx + 1) * t_out]
+                s = blk.sum(axis=(1, 2))
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * p)
+                rows["band"].extend(range(p))
+                rows["warp_sum"].extend(int(v) for v in s)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "warp_sum": pa.array(rows["warp_sum"], pa.int64())})
+    pq.write_table(t, str(out / "warp_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

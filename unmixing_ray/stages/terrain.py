@@ -1,0 +1,147 @@
+"""Terrain analysis over tiled rasters: Horn (1981) slope gradients via
+the cross-tile halo exchange.
+
+Horn's method (the de-facto standard for slope/aspect/hillshade, used by
+gdaldem) estimates per-pixel gradients from the 3x3 neighborhood:
+
+    dzdx_num = (z[r-1,c+1] + 2 z[r,c+1] + z[r+1,c+1])
+             - (z[r-1,c-1] + 2 z[r,c-1] + z[r+1,c-1])
+    dzdy_num = (z[r+1,c-1] + 2 z[r+1,c] + z[r+1,c+1])
+             - (z[r-1,c-1] + 2 z[r-1,c] + z[r-1,c+1])
+
+The engine keeps the INTEGER numerators (the /(8*cellsize) and the trig
+of slope/aspect are monotone per-pixel postprocessing — floats would
+cost hash-exactness and add nothing to the distributed semantics), plus
+the integer ruggedness proxy dzdx_num^2 + dzdy_num^2. Border rule:
+pixels whose full 3x3 neighborhood leaves the IMAGE get 0 in all three
+outputs (gdaldem's default skips edges unless -compute_edges).
+
+Scale shape: band 0 (the DEM band) is sliced out of the payload BEFORE
+the halo exchange — the exchange carries 1/bands of the corpus plus the
+~13% halo strips, never the full spectral payload. Stage A is the
+shared ``make_halo_explode`` from stages/focal.py; stage B assembles
+the padded DEM and computes the gradients with vectorized shifts.
+
+No reference analogue to copy: the reference operates on whole in-RAM
+rasters and has no terrain kernels; this operator exists for the
+tiled-at-scale regime (same contract as stages/focal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .decode import binary_views
+from .focal import make_halo_explode
+
+
+def dem_only(batch: pa.Table) -> pa.Table:
+    """Slice band 0 out of the (bands, h, w) payload so the halo
+    exchange never carries the other bands."""
+    values, offsets = binary_views(batch["pixels"], np.int16)
+    hs = batch["h"].to_numpy()
+    ws = batch["w"].to_numpy()
+    bands = batch["bands"].to_numpy()
+    payloads = []
+    for i in range(batch.num_rows):
+        n = int(hs[i]) * int(ws[i])
+        arr = values[offsets[i]:offsets[i] + n * int(bands[i])]
+        payloads.append(arr[:n].tobytes())
+    cols = {name: batch[name] for name in batch.column_names
+            if name not in ("pixels", "bands")}
+    cols["bands"] = pa.array(np.ones(batch.num_rows, np.int32))
+    cols["pixels"] = pa.array(payloads, pa.binary())
+    return pa.table(cols)
+
+
+def horn_gradients(dem, valid):
+    """Vectorized Horn numerators over a padded DEM.
+
+    dem: (H+2, W+2) int64 (invalid cells zero); valid: same-shape 0/1.
+    Returns (dzdx_num, dzdy_num, ok) each (H, W); ok is 1 where the
+    full 3x3 neighborhood is inside the image.
+    """
+    hp, wp = dem.shape
+    H, W = hp - 2, wp - 2
+
+    def sh(dr, dc):
+        return dem[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+
+    def vs(dr, dc):
+        return valid[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+
+    ok = np.ones((H, W), dtype=np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            ok &= vs(dr, dc)
+    dzdx = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+            - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))) * ok
+    dzdy = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+            - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))) * ok
+    return dzdx, dzdy, ok
+
+
+def make_terrain_assemble():
+    """Stage B: one DEM tile + halo strips -> per-tile gradient sums.
+
+    Group layout contract is make_halo_explode's (kind 0 = self tile,
+    kind 1 = neighbor strip at pos_r/pos_c); strips addressed beyond
+    the image border form self-less groups and are dropped.
+    """
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        me = g[g["kind"] == 0]
+        empty = {
+            "tile_id": pd.Series([], dtype=object),
+            "sum_abs_dzdx": pd.Series([], dtype="int64"),
+            "sum_abs_dzdy": pd.Series([], dtype="int64"),
+            "sum_rugged": pd.Series([], dtype="int64"),
+            "n_valid": pd.Series([], dtype="int64")}
+        if not len(me):
+            return pd.DataFrame(empty)
+        m = me.iloc[0]
+        H, W = int(m["h"]), int(m["w"])
+        dem = np.zeros((H + 2, W + 2), dtype=np.int64)
+        valid = np.zeros((H + 2, W + 2), dtype=np.int64)
+        dem[1:1 + H, 1:1 + W] = np.frombuffer(
+            m["payload"], dtype=np.int16).reshape((1, H, W))[0]
+        valid[1:1 + H, 1:1 + W] = 1
+        for _, s in g[g["kind"] == 1].iterrows():
+            sh_, sw = int(s["h"]), int(s["w"])
+            arr = np.frombuffer(s["payload"], dtype=np.int16).reshape(
+                (1, sh_, sw))[0]
+            pr, pc = int(s["pos_r"]), int(s["pos_c"])
+            rs = slice(0, 1) if pr < 0 else (
+                slice(1 + H, 2 + H) if pr > 0 else slice(1, 1 + H))
+            cs = slice(0, 1) if pc < 0 else (
+                slice(1 + W, 2 + W) if pc > 0 else slice(1, 1 + W))
+            dem[rs, cs] = arr
+            valid[rs, cs] = 1
+        dzdx, dzdy, ok = horn_gradients(dem, valid)
+        return pd.DataFrame({
+            "tile_id": [m["tile_id"]],
+            "sum_abs_dzdx": pd.Series([int(np.abs(dzdx).sum())],
+                                      dtype="int64"),
+            "sum_abs_dzdy": pd.Series([int(np.abs(dzdy).sum())],
+                                      dtype="int64"),
+            "sum_rugged": pd.Series(
+                [int((dzdx * dzdx + dzdy * dzdy).sum())], dtype="int64"),
+            "n_valid": pd.Series([int(ok.sum())], dtype="int64")})
+
+    return assemble
+
+
+def terrain_slope_tiles(tiles):
+    """Distributed Horn gradient summary per tile (see module
+    docstring). Returns (tile_id, sum_abs_dzdx, sum_abs_dzdy,
+    sum_rugged, n_valid) — all int64, batching/partitioning-invariant
+    and hash-checkable against the full-image sidecar oracle."""
+    exploded = tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
+         "bands", "pixels"]) \
+        .map_batches(dem_only, batch_format="pyarrow") \
+        .map_batches(make_halo_explode(1), batch_format="pyarrow")
+    return exploded.groupby(["image_id", "key_row", "key_col"]) \
+        .map_groups(make_terrain_assemble(), batch_format="pandas")

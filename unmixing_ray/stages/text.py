@@ -614,3 +614,130 @@ def textprep_decisions_sql(base_sql="SELECT doc_id, text FROM documents",
                       THEN 'keep'
                     ELSE 'duplicate' END AS verdict
         FROM v"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring detection (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499) at
+# token-window granularity: every run of `window` consecutive whitespace
+# tokens is a key; a window string occurring >= 2 times corpus-wide
+# (across OR within documents) marks each of its occurrences as
+# duplicated text. The suffix-array of the paper is replaced by the
+# shuffle-native equivalent — hash-partition the window keys — which is
+# the shape that scales on Ray Data.
+
+def substring_dup(docs, window=8, text_col="text"):
+    """Per-document duplicated-substring profile.
+
+    Returns (doc_id, n_windows, n_dup_windows, n_dup_distinct):
+    total token-window positions, positions whose window string repeats
+    anywhere in the corpus, and distinct repeated window strings in the
+    document. Documents with fewer than ``window`` tokens drop out
+    (they have no windows), matching the SQL oracle.
+
+    Scale shape: ONE feature pass tokenizes and hashes each document's
+    windows (text never leaves its batch); the first shuffle carries
+    only (key:int64, doc_id, cnt, n_windows) rows — per-batch combiner
+    semantics: a document repeating one window k times contributes ONE
+    row with cnt=k, and every document also rides the same exchange
+    under a negative singleton key so zero-duplicate documents still
+    reach the output. groupby(key) flags groups with total >= 2; the
+    second shuffle re-groups by doc_id to sum the flags. Window keys
+    are the top 60 bits of md5 (collision merges two distinct window
+    strings — negligible at any realistic corpus size and absent at
+    test scale, where the oracle compares by the window string itself).
+    At 100 TB the exchange volume is ~n_tokens x 20 bytes per doc;
+    pass ``window`` large / pre-gate the corpus to bound it.
+    """
+    w = int(window)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, cnts, nws = [], [], [], []
+        for doc_id, s in zip(df["doc_id"], df[text_col]):
+            toks = [t for t in s.split(" ") if t]
+            n_win = len(toks) - w + 1
+            if n_win <= 0:
+                continue
+            seen: dict = {}
+            for j in range(n_win):
+                win = " ".join(toks[j:j + w])
+                k = int(hashlib.md5(win.encode()).hexdigest()[:15], 16)
+                seen[k] = seen.get(k, 0) + 1
+            # base row: carries n_windows under a singleton key
+            keys.append(-int(doc_id) - 1)
+            ids.append(int(doc_id))
+            cnts.append(0)
+            nws.append(n_win)
+            for k, c in seen.items():
+                keys.append(k)
+                ids.append(int(doc_id))
+                cnts.append(c)
+                nws.append(0)
+        return pd.DataFrame({
+            "key": np.array(keys, np.int64),
+            "doc_id": np.array(ids, np.int64),
+            "cnt": np.array(cnts, np.int64),
+            "nw": np.array(nws, np.int64)})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["key"].iloc[0] < 0) or (g["cnt"].sum() < 2):
+            # base rows pass through; unique windows contribute nothing
+            g = g[g["key"] < 0]
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "dup_pos": np.zeros(len(g), np.int64),
+                "dup_distinct": np.zeros(len(g), np.int64),
+                "nw": g["nw"].to_numpy(np.int64)})
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "dup_pos": g["cnt"].to_numpy(np.int64),
+            "dup_distinct": np.ones(len(g), np.int64),
+            "nw": np.zeros(len(g), np.int64)})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].iloc[:1].astype("int64"),
+            "n_windows": [np.int64(g["nw"].sum())],
+            "n_dup_windows": [np.int64(g["dup_pos"].sum())],
+            "n_dup_distinct": [np.int64(g["dup_distinct"].sum())]})
+
+    return docs.map_batches(explode, batch_format="pandas") \
+        .groupby("key").map_groups(flag, batch_format="pandas") \
+        .groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+def substring_dup_sql(window=8,
+                      base_sql="SELECT doc_id, text FROM documents"):
+    """DuckDB oracle for :func:`substring_dup` — groups by the window
+    STRING itself (the engine's md5-60bit key is an implementation
+    detail)."""
+    w = int(window)
+    return f"""
+        WITH base AS ({base_sql}),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+          FROM base),
+        win AS (
+          SELECT doc_id,
+                 array_to_string(toks[g:g+{w - 1}], ' ') AS w
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, len(toks) - {w - 1})) AS g
+                FROM t)),
+        c AS (SELECT w, count(*) AS total FROM win GROUP BY w),
+        d AS (
+          SELECT win.doc_id,
+                 count(*) AS n_dup,
+                 count(DISTINCT win.w) AS n_dup_distinct
+          FROM win JOIN c USING (w) WHERE c.total >= 2
+          GROUP BY win.doc_id),
+        nw AS (SELECT doc_id, count(*) AS n_windows FROM win
+               GROUP BY doc_id)
+        SELECT nw.doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(d.n_dup_distinct, 0) AS BIGINT)
+                 AS n_dup_distinct
+        FROM nw LEFT JOIN d USING (doc_id)"""
