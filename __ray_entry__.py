@@ -1304,6 +1304,31 @@ def q_substring_dup(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
 
 
+def q_pack_chunks(sf_dir):
+    """LLM sequence packing: concat-and-chunk placement of every
+    document in the doc_id-ordered token stream via a distributed
+    prefix sum (stages/text.py:pack_chunks — narrow materialized
+    (doc_id, n_tokens) pass, ordered range buckets, P-row driver
+    offset table)."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.pack_chunks(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        seq_len=512)
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: per-doc 8-token-window overlap counts
+    against a benchmark table (docs with doc_id % 17 = 3 — a pure
+    function of the shared corpus, so overlap is non-vacuous by
+    construction), via broadcast set-membership probe
+    (stages/text.py:decontaminate)."""
+    from unmixing_ray.stages import text as tstage
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 17 == 3], batch_format="pandas")
+    return tstage.decontaminate(docs, bench, window=8)
+
+
 TEXTPREP_BASE_SQL = ("SELECT doc_id, text FROM documents "
                      "UNION ALL SELECT 2000000 + doc_id, text "
                      "FROM documents WHERE doc_id % 11 = 0")
@@ -1483,6 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
+        "pack_chunks": q_pack_chunks,
+        "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1815,6 +1842,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
         "substring_dup": text.substring_dup_sql(8),
+        "pack_chunks": text.pack_chunks_sql(512),
+        "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),

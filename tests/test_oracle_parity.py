@@ -81,8 +81,10 @@ def registry(ray_session):
     "orders_join_lineitem", "suppliers_with_returns",
     "heavy_hitters_tokens", "pii_scrub", "repetition_filter",
     "textprep_decisions",
-    # round 3 (cont. 4): terrain/warp halo stages, substring dedup
+    # round 3 (cont. 4): terrain/warp halo stages, substring dedup,
+    # sequence packing, benchmark decontamination
     "terrain_slope", "warp_bilinear", "substring_dup",
+    "pack_chunks", "decontaminate",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

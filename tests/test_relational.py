@@ -487,3 +487,66 @@ def test_substring_dup_matches_bruteforce(ray_session):
         e = exp[int(r["doc_id"])]
         assert (r["n_windows"], r["n_dup_windows"],
                 r["n_dup_distinct"]) == e
+
+
+@pytest.mark.parametrize("nblocks,n_parts", [(1, 4), (7, 3), (7, 64)])
+def test_pack_chunks_matches_bruteforce(ray_session, nblocks, n_parts):
+    from unmixing_ray.stages import text as tstage
+    rng = np.random.default_rng(13)
+    texts = [" ".join("t%d" % v for v in rng.integers(0, 9, n))
+             for n in rng.integers(0, 30, 80)]
+    ids = rng.permutation(np.arange(1000, 1000 + len(texts)))\
+        .astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    L = 16
+    got = tstage.pack_chunks(
+        ray.data.from_pandas(df).repartition(nblocks),
+        seq_len=L, n_parts=n_parts).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = df.sort_values("doc_id").reset_index(drop=True)
+    n = ref["text"].map(lambda s: len([t for t in s.split(" ") if t]))\
+        .to_numpy(np.int64)
+    start = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["tok_start"].to_numpy() == start).all()
+    first = np.where(n > 0, start // L, -1)
+    last = np.where(n > 0, (start + n - 1) // L, -1)
+    assert (got["chunk_first"].to_numpy() == first).all()
+    assert (got["chunk_last"].to_numpy() == last).all()
+    assert (got["n_chunks"].to_numpy()
+            == np.where(n > 0, last - first + 1, 0)).all()
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    from unmixing_ray.stages import text as tstage
+    rng = np.random.default_rng(5)
+    vocab = [f"v{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 25)))
+             for _ in range(50)]
+    ids = np.arange(50, dtype=np.int64)
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+    bench = docs[docs["doc_id"] % 5 == 2]
+    w = 3
+
+    def wins(s):
+        toks = [t for t in s.split(" ") if t]
+        return [" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)]
+
+    bset = set()
+    for s in bench["text"]:
+        bset.update(wins(s))
+    got = tstage.decontaminate(
+        ray.data.from_pandas(docs).repartition(6),
+        ray.data.from_pandas(bench.reset_index(drop=True)),
+        window=w).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(docs)
+    hit_any = 0
+    for _, r in got.iterrows():
+        ws = wins(docs.loc[docs["doc_id"] == r["doc_id"], "text"].iloc[0])
+        hit = [x for x in ws if x in bset]
+        assert r["n_windows"] == len(ws)
+        assert r["n_contam"] == len(hit)
+        assert r["n_contam_distinct"] == len(set(hit))
+        hit_any += bool(hit)
+    assert hit_any >= 10   # benchmark overlap is non-vacuous

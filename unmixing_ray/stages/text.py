@@ -741,3 +741,212 @@ def substring_dup_sql(window=8,
                CAST(coalesce(d.n_dup_distinct, 0) AS BIGINT)
                  AS n_dup_distinct
         FROM nw LEFT JOIN d USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the standard LLM-pretraining
+# layout — concatenate all documents in doc_id order into one token
+# stream and cut it into fixed seq_len chunks. The distributed core is
+# a GLOBAL ordered prefix sum over token counts, done the scale-correct
+# way: one narrow pass tokenizes (text never leaves its batch), ordered
+# range buckets give per-bucket partial sums (P driver-side numbers),
+# and a per-bucket cumsum plus the broadcast bucket base yields every
+# document's exact stream offset.
+
+def pack_chunks(docs, seq_len=2048, text_col="text", n_parts=64):
+    """Per-document placement in the packed token stream.
+
+    Returns (doc_id, n_tokens, tok_start, chunk_first, chunk_last,
+    n_chunks): the document's half-open token interval start in the
+    concatenated doc_id-ordered stream, and the fixed-``seq_len`` chunk
+    ids it spans (``-1``/``0`` for empty documents).
+
+    Scale shape: pass 1 reduces each document to 16 bytes
+    (doc_id, n_tokens) — a ~1000x narrowing — and MATERIALIZES that
+    narrow table so tokenization runs once (at 10^10 docs this is
+    ~160 GB across the cluster's object store, the legitimate use of
+    materialize). Bucket = doc_id // span with span from a tiny
+    max(doc_id) aggregate, so buckets are ordered BY CONSTRUCTION and
+    the exclusive-prefix base offsets are a P-row driver computation
+    broadcast in the closure. The final groupby(part) sorts each bucket
+    locally and cumsums — batching/partitioning-invariant, exact int64.
+    """
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": toks.map(
+                lambda ts: sum(1 for t in ts if t)).astype("int64")})
+
+    tok = docs.map_batches(counts, batch_format="pandas").materialize()
+    hi = tok.max("doc_id")
+    span = max(1, (int(hi) + int(n_parts)) // int(n_parts))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["doc_id"] // span).astype("int64")
+        return df
+
+    parted = tok.map_batches(add_part, batch_format="pandas")
+    sums = parted.groupby("part").aggregate(Sum("n_tokens")).to_pandas()
+    sums = sums.sort_values("part").reset_index(drop=True)
+    csum = sums["sum(n_tokens)"].cumsum().shift(fill_value=0)
+    base = dict(zip(sums["part"].astype(int), csum.astype(int)))
+    L = int(seq_len)
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = base[int(g["part"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1]))
+        first = np.where(n > 0, start // L, -1)
+        last = np.where(n > 0, (start + n - 1) // L, -1)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "tok_start": pd.Series(start, dtype="int64"),
+            "chunk_first": pd.Series(first, dtype="int64"),
+            "chunk_last": pd.Series(last, dtype="int64"),
+            "n_chunks": pd.Series(np.where(n > 0, last - first + 1, 0),
+                                  dtype="int64")})
+
+    return parted.groupby("part").map_groups(place, batch_format="pandas")
+
+
+def pack_chunks_sql(seq_len=2048,
+                    base_sql="SELECT doc_id, text FROM documents"):
+    """DuckDB oracle for :func:`pack_chunks` — a plain cumulative-sum
+    window over doc_id order."""
+    L = int(seq_len)
+    return f"""
+        WITH base AS ({base_sql}),
+        t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM base),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          FROM t)
+        SELECT doc_id, n_tokens, tok_start,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN tok_start // {L} ELSE -1 END AS BIGINT)
+                 AS chunk_first,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // {L} ELSE -1 END
+                 AS BIGINT) AS chunk_last,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (tok_start + n_tokens - 1) // {L}
+                         - tok_start // {L} + 1
+                    ELSE 0 END AS BIGINT) AS n_chunks
+        FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / Lee et al. 2021 style):
+# mark training documents that share any n-token window with an
+# evaluation benchmark. The benchmark side is SMALL (eval sets are
+# megabytes even when the corpus is 100 TB), so the scale-correct shape
+# is a broadcast set-membership probe, not a shuffle join: the
+# benchmark's distinct windows are collected once, ray.put once, and
+# every probe batch reads the same object-store copy.
+
+def decontaminate(docs, bench, window=8, text_col="text"):
+    """Per-document contamination profile against a benchmark table.
+
+    ``bench`` is a Dataset of (doc_id, text) benchmark rows. Returns
+    (doc_id, n_windows, n_contam, n_contam_distinct): total
+    ``window``-token positions, positions whose window string occurs in
+    the benchmark, and distinct such window strings. Documents shorter
+    than ``window`` tokens report 0/0/0 (they cannot collide).
+
+    Exactness: membership is by the window STRING (no hashes → no
+    false positives); a Bloom-bitmap variant (see
+    relational.hash_join(bloom_prune=...)) is the fallback if a
+    benchmark ever outgrows worker heap.
+    """
+    import ray
+
+    w = int(window)
+
+    def wins(toks):
+        return [" ".join(toks[j:j + w])
+                for j in range(len(toks) - w + 1)]
+
+    def bench_windows(df: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for s in df[text_col]:
+            out.update(wins([t for t in s.split(" ") if t]))
+        return pd.DataFrame({"w": sorted(out)})
+
+    bw = bench.map_batches(bench_windows, batch_format="pandas") \
+        .to_pandas()
+    bench_set = ray.put(frozenset(bw["w"]))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(bench_set)
+        n_win, n_con, n_dis = [], [], []
+        for s in df[text_col]:
+            ws = wins([t for t in s.split(" ") if t])
+            hit = [x for x in ws if x in bs]
+            n_win.append(len(ws))
+            n_con.append(len(hit))
+            n_dis.append(len(set(hit)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_windows": pd.Series(n_win, dtype="int64"),
+            "n_contam": pd.Series(n_con, dtype="int64"),
+            "n_contam_distinct": pd.Series(n_dis, dtype="int64")})
+
+    return docs.map_batches(probe, batch_format="pandas")
+
+
+def decontaminate_sql(window=8,
+                      base_sql="SELECT doc_id, text FROM documents",
+                      bench_sql="SELECT doc_id, text FROM documents "
+                                "WHERE doc_id % 17 = 3"):
+    """DuckDB oracle for :func:`decontaminate` — exploded windows
+    joined against the benchmark's distinct windows."""
+    w = int(window)
+    return f"""
+        WITH base AS ({base_sql}),
+        bench AS ({bench_sql}),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+          FROM base),
+        win AS (
+          SELECT doc_id,
+                 array_to_string(toks[g:g+{w - 1}], ' ') AS w
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, len(toks) - {w - 1})) AS g
+                FROM t)),
+        bt AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+          FROM bench),
+        bwin AS (
+          SELECT DISTINCT array_to_string(toks[g:g+{w - 1}], ' ') AS w
+          FROM (SELECT toks,
+                       unnest(generate_series(
+                           1, len(toks) - {w - 1})) AS g
+                FROM bt)),
+        hits AS (
+          SELECT win.doc_id, count(*) AS n_contam,
+                 count(DISTINCT win.w) AS n_contam_distinct
+          FROM win JOIN bwin USING (w) GROUP BY win.doc_id),
+        nw AS (SELECT doc_id, count(*) AS n_windows FROM win
+               GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(hits.n_contam, 0) AS BIGINT) AS n_contam,
+               CAST(coalesce(hits.n_contam_distinct, 0) AS BIGINT)
+                 AS n_contam_distinct
+        FROM base b
+        LEFT JOIN nw ON nw.doc_id = b.doc_id
+        LEFT JOIN hits ON hits.doc_id = b.doc_id"""
