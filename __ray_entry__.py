@@ -145,6 +145,18 @@ def q_warp_bilinear(sf_dir):
     return warp.warp_band_sums(warp.warp_tiles(tiles, num=5, den=4))
 
 
+def q_raster_components(sf_dir):
+    """Distributed raster connected-component labeling (polygonize):
+    per-tile local labels -> border-adjacency halo exchange ->
+    distributed connected components over the edge list
+    (stages/label.py). Oracle: the full-image union-find sidecar — a
+    match proves local labeling, the border rule, node encoding, and
+    the global merge end to end."""
+    from unmixing_ray.stages import label
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return label.raster_components(tiles, threshold=1300)
+
+
 def q_pixel_to_xy(sf_dir):
     """The bit-for-bit affine transform: per-tile origin and far-corner
     map coordinates computed from the tile gt through pixel_to_xy."""
@@ -1445,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_warp_expected(sf)
+                _synth.generate_components_expected(sf)
             except Exception:
                 pass
     return {
@@ -1453,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
         "warp_bilinear": q_warp_bilinear,
+        "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -1584,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_warp_expected(sf)
+                _synth.generate_components_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, relational, text
@@ -1614,6 +1629,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",
+        "raster_components": f"""
+            SELECT image_id, n_components, n_masked, max_size
+            FROM read_parquet('{C}/components_expected.parquet')""",
         "spatial_join_pip": f"""
             SELECT t.tile_id, p.poly_id
             FROM read_parquet('{C}/tiles_expected.parquet') t

@@ -84,7 +84,7 @@ def registry(ray_session):
     # round 3 (cont. 4): terrain/warp halo stages, substring dedup,
     # sequence packing, benchmark decontamination
     "terrain_slope", "warp_bilinear", "substring_dup",
-    "pack_chunks", "decontaminate",
+    "pack_chunks", "decontaminate", "raster_components",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1350,3 +1350,72 @@ def generate_warp_expected(sf_dir, num=5, den=4):
     pq.write_table(t, str(out / "warp_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+COMPONENTS_VERSION = 1
+
+
+def generate_components_expected(sf_dir, threshold=1300):
+    """Write the ``components_expected.parquet`` sidecar: per-image
+    4-connected-component statistics of the mask ``band 0 >
+    threshold``, computed FULL-IMAGE with an independent union-find
+    (the engine labels tile-wise and merges across borders via the
+    halo exchange + distributed connected components —
+    stages/label.py — so a match proves that whole chain). Images with
+    zero masked pixels are omitted (they produce no engine rows)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_COMPONENTS_DONE"
+    stamp = "components v%d t%d" % (COMPONENTS_VERSION, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "n_components": [], "n_masked": [],
+            "max_size": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        mask = arr[0] > threshold
+        if not mask.any():
+            continue
+        H, W = mask.shape
+        parent = np.arange(H * W, dtype=np.int64)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        flat = mask.ravel()
+        hm = mask[:, :-1] & mask[:, 1:]
+        vm = mask[:-1, :] & mask[1:, :]
+        idx = np.arange(H * W).reshape(H, W)
+        for a, b in zip(idx[:, :-1][hm], idx[:, 1:][hm]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in zip(idx[:-1, :][vm], idx[1:, :][vm]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(x) for x in np.flatnonzero(flat)])
+        _, counts = np.unique(roots, return_counts=True)
+        rows["image_id"].append(img)
+        rows["n_components"].append(len(counts))
+        rows["n_masked"].append(int(counts.sum()))
+        rows["max_size"].append(int(counts.max()))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "n_components": pa.array(rows["n_components"], pa.int64()),
+        "n_masked": pa.array(rows["n_masked"], pa.int64()),
+        "max_size": pa.array(rows["max_size"], pa.int64())})
+    pq.write_table(t, str(out / "components_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
