@@ -42,7 +42,7 @@ def _full_ccl_stats(mask):
     return len(counts), int(counts.sum()), int(counts.max())
 
 
-def _as_images(masks, lo=0, hi=2000, thr=1000):
+def _as_images(masks, lo=0, thr=1000):
     """bool masks -> single-band int16 images: masked px > thr."""
     out = {}
     for name, m in masks.items():

@@ -550,3 +550,47 @@ def test_decontaminate_matches_bruteforce(ray_session):
         assert r["n_contam_distinct"] == len(set(hit))
         hit_any += bool(hit)
     assert hit_any >= 10   # benchmark overlap is non-vacuous
+
+
+def test_substring_dup_duplicate_docid_rows(ray_session):
+    """Duplicate doc_id input rows must credit each distinct repeated
+    window ONCE per doc (matching count(DISTINCT w) in the oracle)."""
+    from unmixing_ray.stages import text as tstage
+    docs = pd.DataFrame({
+        "doc_id": np.array([7, 7, 8], dtype=np.int64),
+        "text": ["a b c d", "a b c d", "a b c z"]})
+    got = tstage.substring_dup(
+        ray.data.from_pandas(docs).repartition(3), window=3)\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 7: two physical rows x 2 windows each, both windows repeat
+    assert got.loc[got["doc_id"] == 7, "n_windows"].iloc[0] == 4
+    assert got.loc[got["doc_id"] == 7, "n_dup_windows"].iloc[0] == 4
+    assert got.loc[got["doc_id"] == 7, "n_dup_distinct"].iloc[0] == 2
+    # doc 8 shares only "a b c"
+    assert got.loc[got["doc_id"] == 8, "n_dup_distinct"].iloc[0] == 1
+
+
+def test_pack_chunks_empty(ray_session):
+    from unmixing_ray.stages import text as tstage
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=object)}))
+    got = tstage.pack_chunks(empty, seq_len=8)
+    assert got.count() == 0
+    # (to_pandas() on an empty Dataset drops columns — assert on the
+    # Dataset schema, which is what downstream stages consume)
+    assert got.schema().names == ["doc_id", "n_tokens", "tok_start",
+                                  "chunk_first", "chunk_last", "n_chunks"]
+
+
+def test_decontaminate_empty_bench(ray_session):
+    from unmixing_ray.stages import text as tstage
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1], dtype=np.int64),
+        "text": ["a b c d e"]}))
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=object)}))
+    got = tstage.decontaminate(docs, empty, window=2).to_pandas()
+    assert got["n_contam"].tolist() == [0]
+    assert got["n_windows"].tolist() == [4]

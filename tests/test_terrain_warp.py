@@ -56,7 +56,7 @@ def _full_image_warp(arr, num, den):
     return V // (D * D)
 
 
-def _images(seed=3, T=8, shapes=((3, 16, 24), (2, 8, 8), (1, 24, 16))):
+def _images(seed=3, shapes=((3, 16, 24), (2, 8, 8), (1, 24, 16))):
     rng = np.random.default_rng(seed)
     return {
         "im%d" % i: rng.integers(-200, 4000, s).astype(np.int16)
@@ -67,7 +67,7 @@ def _images(seed=3, T=8, shapes=((3, 16, 24), (2, 8, 8), (1, 24, 16))):
 def test_terrain_matches_full_image(ray_session, batch_size):
     from unmixing_ray.stages.terrain import terrain_slope_tiles
     T = 8
-    images = _images(T=T)
+    images = _images()
     t = _tiles_table(images, T)
     out = terrain_slope_tiles(
         ray.data.from_arrow(t).map_batches(
@@ -94,7 +94,7 @@ def test_terrain_matches_full_image(ray_session, batch_size):
 def test_warp_matches_full_image(ray_session, num, den):
     from unmixing_ray.stages.warp import warp_tiles
     T = 8
-    images = _images(seed=11, T=T)
+    images = _images(seed=11)
     t = _tiles_table(images, T)
     out = warp_tiles(
         ray.data.from_arrow(t).map_batches(
@@ -123,7 +123,7 @@ def test_warp_rejects_downsample(ray_session):
 def test_warp_band_sums_roundtrip(ray_session):
     from unmixing_ray.stages.warp import warp_band_sums, warp_tiles
     T = 8
-    images = _images(seed=5, T=T)
+    images = _images(seed=5)
     t = _tiles_table(images, T)
     warped = warp_tiles(ray.data.from_arrow(t), num=5, den=4)
     sums = warp_band_sums(warped).to_pandas()

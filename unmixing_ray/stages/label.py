@@ -301,8 +301,18 @@ def raster_components(tiles, threshold=1300, driver_edge_cap=1_000_000):
             ["tile_id", "image_id", "cell", "row_off", "col_off",
              "h", "w", "bands", "pixels"]),
         batch_format="pyarrow")
+    def prune_strips(df: pd.DataFrame) -> pd.DataFrame:
+        # the assembler reads only the up/left strips; drop the other
+        # 6 (down, right, corners) BEFORE the exchange — halves the
+        # strip bytes shuffled
+        keep = (df["kind"] == 0) | \
+            ((df["pos_r"] == -1) & (df["pos_c"] == 0)) | \
+            ((df["pos_r"] == 0) & (df["pos_c"] == -1))
+        return df[keep]
+
     edges = labtiles.map_batches(
         make_halo_explode(1), batch_format="pyarrow") \
+        .map_batches(prune_strips, batch_format="pandas") \
         .groupby(["image_id", "key_row", "key_col"]) \
         .map_groups(make_edge_assemble(), batch_format="pandas") \
         .materialize()

@@ -688,10 +688,14 @@ def substring_dup(docs, window=8, text_col="text"):
                 "dup_pos": np.zeros(len(g), np.int64),
                 "dup_distinct": np.zeros(len(g), np.int64),
                 "nw": g["nw"].to_numpy(np.int64)})
+        # one distinct-credit per (window, doc): duplicate doc_id input
+        # rows emit one explode row EACH, matching the oracle's
+        # count(DISTINCT w) only if credited once here
         return pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy(np.int64),
             "dup_pos": g["cnt"].to_numpy(np.int64),
-            "dup_distinct": np.ones(len(g), np.int64),
+            "dup_distinct": (~g["doc_id"].duplicated()).to_numpy()
+            .astype(np.int64),
             "nw": np.zeros(len(g), np.int64)})
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
@@ -780,6 +784,13 @@ def pack_chunks(docs, seq_len=2048, text_col="text", n_parts=64):
 
     tok = docs.map_batches(counts, batch_format="pandas").materialize()
     hi = tok.max("doc_id")
+    if hi is None:        # empty corpus -> empty, correctly-typed result
+        import pyarrow as pa
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in ("doc_id", "n_tokens", "tok_start", "chunk_first",
+                      "chunk_last", "n_chunks")}))
     span = max(1, (int(hi) + int(n_parts)) // int(n_parts))
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -880,11 +891,12 @@ def decontaminate(docs, bench, window=8, text_col="text"):
         out = set()
         for s in df[text_col]:
             out.update(wins([t for t in s.split(" ") if t]))
-        return pd.DataFrame({"w": sorted(out)})
+        return pd.DataFrame({"w": pd.Series(sorted(out), dtype=object)})
 
     bw = bench.map_batches(bench_windows, batch_format="pandas") \
         .to_pandas()
-    bench_set = ray.put(frozenset(bw["w"]))
+    bench_set = ray.put(
+        frozenset(bw["w"]) if "w" in bw.columns else frozenset())
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(bench_set)

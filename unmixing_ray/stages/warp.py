@@ -39,7 +39,7 @@ import pyarrow as pa
 from .focal import make_halo_explode
 
 
-def _axis_maps(t_out, tile, num, den):
+def _axis_maps(t_out, num, den):
     """Per-output-pixel source indices/weights along one axis, in
     LOCAL padded coordinates (0 = halo row above, 1..tile = the tile,
     tile+1 = halo row below). Returns (i0, i1, w0, w1) arrays and the
@@ -101,8 +101,8 @@ def make_warp_assemble(num=5, den=4):
                 col_ok[cs] = True
         t_out_h = H * num // den
         t_out_w = W * num // den
-        r0, r1, wy0, wy1, D = _axis_maps(t_out_h, H, num, den)
-        c0, c1, wx0, wx1, _ = _axis_maps(t_out_w, W, num, den)
+        r0, r1, wy0, wy1, D = _axis_maps(t_out_h, num, den)
+        c0, c1, wx0, wx1, _ = _axis_maps(t_out_w, num, den)
         # edge replication: a padded index whose row/col never arrived
         # is outside the image -> clamp to the tile's own edge
         r0 = np.where(row_ok[r0], r0, np.clip(r0, 1, H))
