@@ -134,6 +134,20 @@ def q_terrain_slope(sf_dir):
     return terrain.terrain_slope_tiles(tiles)
 
 
+def q_hillshade(sf_dir):
+    """Horn hillshade (gdaldem shading, az 315 / alt 45) via the same
+    cross-tile halo exchange as q_terrain_slope; per-pixel shading
+    floored to 1/255 integer units, summed per tile. Oracle: the
+    full-image sidecar replaying the identical float64 elementwise
+    kernel (bit-identical by construction) — a match proves the halo
+    plumbing carries exact neighbor DEM values."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import terrain
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return terrain.hillshade_tiles(tiles, cellsize=synth.PX,
+                                   azimuth_deg=315.0, altitude_deg=45.0)
+
+
 def q_warp_bilinear(sf_dir):
     """5/4 bilinear upsample via the cross-tile halo exchange
     (stages/warp.py): integer fixed-point interpolation, edge
@@ -143,6 +157,21 @@ def q_warp_bilinear(sf_dir):
     from unmixing_ray.stages import warp
     _corpus_dir, tiles = _tiles_ds(sf_dir)
     return warp.warp_band_sums(warp.warp_tiles(tiles, num=5, den=4))
+
+
+def q_retile(sf_dir):
+    """Re-chunk the tile grid 2x coarser (stages/retile.py): the whole
+    pixel payload moves through exactly one groupby(parent) exchange —
+    the raster-grid analogue of Dataset.repartition. Summarized to
+    non-NoData band-0 sums per parent so the oracle regroups the
+    per-child zonal sidecar by parent key (no new sidecar); exact
+    pixel PLACEMENT is pinned byte-for-byte in pytest
+    (tests/test_retile.py)."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import retile as rstage
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    parents = rstage.retile(tiles, tile=synth.TILE, factor=2)
+    return rstage.retile_band0_summary(parents)
 
 
 def q_raster_components(sf_dir):
@@ -751,6 +780,37 @@ def q_orders_join_lineitem(sf_dir):
         batch_format="pandas")
 
 
+def q_customer_orders_outer(sf_dir):
+    """FULL OUTER partitioned hash join: positive-balance customers vs
+    big orders — both join sides have unmatched rows (customers with no
+    big order; big orders from negative-balance customers), so every
+    outer branch is non-vacuous. Unmatched-side nulls are coalesced to
+    sentinels ('' / -1) so the driver's value-hash compare is
+    null-representation-independent."""
+    from unmixing_ray.stages import relational
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])\
+        .filter(expr="c_acctbal > 0").map_batches(
+        lambda df: pd.DataFrame({
+            "custkey": df["c_custkey"], "c_name": df["c_name"]}),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])\
+        .filter(expr="o_totalprice > 400000.0").map_batches(
+        lambda df: pd.DataFrame({
+            "custkey": df["o_custkey"], "o_orderkey": df["o_orderkey"]}),
+        batch_format="pandas")
+    joined = relational.hash_join(cust, orders, "custkey", how="outer")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": df["custkey"].astype("int64"),
+            "c_name": df["c_name"].fillna("").astype(str),
+            "o_orderkey": df["o_orderkey"].fillna(-1).astype("int64")})
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def q_suppliers_with_returns(sf_dir):
     """Distributed semi-join (EXISTS): suppliers with at least one
     high-quantity returned lineitem (stages/relational.py:semi_join —
@@ -904,6 +964,31 @@ def q_bigram_topk(sf_dir):
     from unmixing_ray.stages import text
     return text.bigram_topk(
         _read(sf_dir, "documents", columns=["text"]), k=20)
+
+
+def q_inverted_index(sf_dir):
+    """Inverted-index dictionary (term -> df, total tf) —
+    combiner-before-shuffle postings build
+    (stages/text.py:inverted_index). The synthetic corpus vocabulary is
+    small (~31 terms), so the query checks the FULL dictionary
+    (vocab_prefix=''); at 100 TB the md5 prefix IS the job shard key
+    (one run per hex prefix, 1/16th of the dictionary per exchange)."""
+    from unmixing_ray.stages import text
+    return text.inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        vocab_prefix="")
+
+
+def q_embedding_covariance(sf_dir):
+    """Exact distributed Gram/second-moment matrix of the embeddings
+    (fixed-point floor(x * 2^16) int64 quantization BEFORE accumulation
+    — bit-identical at every parallelism, and the SQL oracle replays the
+    quantization inline: stages/linalg.py:embedding_gram). The PCA on
+    top (driver eigh over this reduced integer matrix) is
+    pytest-pinned (tests/test_linalg.py)."""
+    from unmixing_ray.stages import linalg
+    return linalg.embedding_gram(
+        _read(sf_dir, "embeddings", columns=["embedding"]))
 
 
 def q_tfidf_topk(sf_dir):
@@ -1439,6 +1524,41 @@ def q_cosine_near_dup_lsh(sf_dir):
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+# phash near-dup planting: a constant 3-bit XOR mask (bits 3, 17, 42) —
+# a PURE function of the corpus, so the DuckDB oracle replays the
+# planting inline and the exact all-pairs Hamming check needs no sidecar
+PHASH_PLANT_MASK = (1 << 3) | (1 << 17) | (1 << 42)
+PHASH_PLANT_MOD = 50
+
+
+def q_phash_near_dup(sf_dir):
+    """Image near-duplicate pairs by perceptual-hash Hamming distance
+    (the LAION/DataComp image-dedup shape). The corpus phash is a
+    content hash, so near-dup pairs are planted: every image with
+    seq % 50 == 0 gets a twin whose phash differs in exactly 3 fixed
+    bits — a pure function the SQL oracle replays, making the oracle an
+    exact all-pairs popcount(xor) <= 4 with no sidecar. Exact-duplicate
+    images (planted at seq % 97 == 1) surface at hamming 0."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.dedup import signature_hamming_pairs
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus, columns=["image_id", "phash"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        seq = df["image_id"].str.slice(3).astype("int64")
+        sel = df[(seq % PHASH_PLANT_MOD == 0).to_numpy()]
+        extra = pd.DataFrame({
+            "image_id": sel["image_id"] + "_nd",
+            "phash": sel["phash"].to_numpy(dtype=np.int64)
+            ^ np.int64(PHASH_PLANT_MASK)})
+        return pd.concat([df[["image_id", "phash"]], extra],
+                         ignore_index=True)
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return signature_hamming_pairs(planted, id_col="image_id",
+                                   sig_col="phash", max_hamming=4)
+
+
 # ---------------------------------------------------------------------------
 # registries
 
@@ -1456,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_focal_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
+                _synth.generate_hillshade_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1465,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_mean": q_focal_mean,
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
+        "hillshade": q_hillshade,
+        "retile": q_retile,
         "warp_bilinear": q_warp_bilinear,
         "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
@@ -1476,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_stats": q_band_stats,
         "spectral_indices": q_spectral_indices,
         "image_dedup_phash": q_image_dedup_phash,
+        "phash_near_dup": q_phash_near_dup,
         "decode_invariants": q_decode_invariants,
         "unmix_abundance": q_unmix_abundance,
         "flagship_abundance": q_flagship_abundance,
@@ -1499,9 +1623,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
+        "customer_orders_outer": q_customer_orders_outer,
         "suppliers_with_returns": q_suppliers_with_returns,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "bigram_topk": q_bigram_topk,
+        "inverted_index": q_inverted_index,
+        "embedding_covariance": q_embedding_covariance,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
         "lineitem_sample": q_lineitem_sample,
@@ -1597,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_focal_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
+                _synth.generate_hillshade_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1629,6 +1757,19 @@ def oracle_sql() -> dict[str, str]:
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",
+        "hillshade": f"""
+            SELECT tile_id, sum_hs_u, n_valid
+            FROM read_parquet('{C}/hillshade_expected.parquet')""",
+        "retile": f"""
+            SELECT split_part(tile_id, '_t', 1) AS image_id,
+                   CAST(split_part(split_part(tile_id, '_t', 2),
+                                   '_', 1) AS BIGINT) // 2 AS parent_ty,
+                   CAST(split_part(split_part(tile_id, '_t', 2),
+                                   '_', 2) AS BIGINT) // 2 AS parent_tx,
+                   CAST(sum(b0_sum) AS BIGINT) AS b0_sum,
+                   CAST(sum(b0_n) AS BIGINT) AS b0_n
+            FROM read_parquet('{C}/tiles_spectral_expected.parquet')
+            GROUP BY 1, 2, 3""",
         "raster_components": f"""
             SELECT image_id, n_components, n_masked, max_size
             FROM read_parquet('{C}/components_expected.parquet')""",
@@ -1727,6 +1868,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT phash, min(image_id) AS keep_image_id,
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM read_parquet('{C}/images/*.parquet') GROUP BY phash""",
+        "phash_near_dup": f"""
+            WITH base AS (
+              SELECT image_id, phash
+              FROM read_parquet('{C}/images/*.parquet')
+            ), planted AS (
+              SELECT image_id || '_nd' AS image_id,
+                     xor(phash, {PHASH_PLANT_MASK}) AS phash
+              FROM base
+              WHERE CAST(substr(image_id, 4) AS BIGINT)
+                    % {PHASH_PLANT_MOD} = 0
+            ), allrows AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT a.image_id AS img_a, b.image_id AS img_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                     AS hamming
+            FROM allrows a JOIN allrows b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
@@ -1817,6 +1976,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "events_pivot": relational.pivot_count_sql(
             "events", "user_id", "event_type", EVENT_TYPES),
+        "customer_orders_outer": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                   COALESCE(c.c_name, '') AS c_name,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM (SELECT c_custkey, c_name FROM customer
+                  WHERE c_acctbal > 0) c
+            FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                             WHERE o_totalprice > 400000.0) o
+              ON c.c_custkey = o.o_custkey""",
         "orders_join_lineitem": """
             SELECT o.o_orderpriority,
                    CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
@@ -1835,6 +2003,23 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_quantity >= 45)""",
         "heavy_hitters_tokens": relational.heavy_hitters_tokens_sql(20),
         "bigram_topk": text.bigram_topk_sql(),
+        "inverted_index": text.inverted_index_sql(vocab_prefix=""),
+        "embedding_covariance": """
+            WITH q AS (
+              SELECT vec_id,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1
+                          AS BIGINT) AS dim,
+                     CAST(floor(unnest(embedding) * 65536) AS BIGINT)
+                       AS qv
+              FROM embeddings)
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(a.qv * b.qv) AS BIGINT) AS gram,
+                   CAST(CASE WHEN a.dim = 0 THEN sum(b.qv) ELSE 0 END
+                        AS BIGINT) AS s_sum,
+                   CAST(CASE WHEN a.dim = 0 AND b.dim = 0
+                        THEN count(*) ELSE 0 END AS BIGINT) AS n_rows
+            FROM q a JOIN q b USING (vec_id)
+            GROUP BY a.dim, b.dim""",
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),
         "lineitem_sample": """

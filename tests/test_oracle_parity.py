@@ -85,6 +85,11 @@ def registry(ray_session):
     # sequence packing, benchmark decontamination
     "terrain_slope", "warp_bilinear", "substring_dup",
     "pack_chunks", "decontaminate", "raster_components",
+    # round 3 (cont. 5): phash near-dup (pure-SQL Hamming oracle),
+    # hillshade via the halo exchange, grid re-chunking, full outer join
+    "phash_near_dup", "hillshade", "retile", "customer_orders_outer",
+    # inverted-index dictionary + exact fixed-point embedding Gram
+    "inverted_index", "embedding_covariance",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

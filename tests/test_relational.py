@@ -220,17 +220,29 @@ def test_hash_join_matches_pandas(ray_session):
     right = pd.DataFrame({
         "k": rng.integers(0, 40, 300),   # some keys unmatched both ways
         "rv": rng.integers(0, 1000, 300)})
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "right", "outer"):
         got = relational.hash_join(
             ray.data.from_pandas(left), ray.data.from_pandas(right),
             "k", how=how).to_pandas()
         want = left.merge(right, on="k", how=how)
         key = ["k", "lv", "rv"]
-        got = got.fillna(-1).astype({"rv": "int64"}) \
+        got = got.fillna(-1).astype({"lv": "int64", "rv": "int64"}) \
             .sort_values(key).reset_index(drop=True)
-        want = want.fillna(-1).astype({"rv": "int64"}) \
+        want = want.fillna(-1).astype({"lv": "int64", "rv": "int64"}) \
             .sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[key], want[key])
+
+
+def test_hash_join_outer_rejects_any_prune(ray_session):
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "lv": [2]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [1], "rv": [3]}))
+    for side in ("left", "right"):
+        with pytest.raises(ValueError, match="preserved"):
+            relational.hash_join(l, r, "k", how="outer",
+                                 bloom_prune=side)
+    with pytest.raises(ValueError, match="preserved"):
+        relational.hash_join(l, r, "k", how="right",
+                             bloom_prune="right")
 
 
 def test_hash_join_rejects_overlapping_columns(ray_session):

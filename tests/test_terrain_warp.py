@@ -135,3 +135,39 @@ def test_warp_band_sums_roundtrip(ray_session):
             .groupby("band")["warp_sum"].sum()
         np.testing.assert_array_equal(got.to_numpy(), want)
     assert len(sums) == total
+
+
+@pytest.mark.parametrize("batch_size", [1, 64])
+def test_hillshade_matches_full_image(ray_session, batch_size):
+    from unmixing_ray.stages.terrain import hillshade_tiles, hillshade_u
+    T = 8
+    cell, az, alt = 30.0, 315.0, 45.0
+    images = _images(seed=21)
+    t = _tiles_table(images, T)
+    out = hillshade_tiles(
+        ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow",
+            batch_size=batch_size),
+        cellsize=cell, azimuth_deg=az, altitude_deg=alt).to_pandas()
+    assert len(out) == t.num_rows
+    by_tid = out.set_index("tile_id")
+    for img, arr in images.items():
+        dzdx, dzdy, ok = _full_image_horn(arr[0])
+        hs = hillshade_u(dzdx, dzdy, ok, cell, az, alt)
+        H, W = arr.shape[1:]
+        for ty in range(H // T):
+            for tx in range(W // T):
+                rs = slice(ty * T, (ty + 1) * T)
+                cs = slice(tx * T, (tx + 1) * T)
+                row = by_tid.loc["%s_t%d_%d" % (img, ty, tx)]
+                assert row["sum_hs_u"] == hs[rs, cs].sum()
+                assert row["n_valid"] == ok[rs, cs].sum()
+
+
+def test_hillshade_flat_dem_is_sine_altitude(ray_session):
+    from unmixing_ray.stages.terrain import hillshade_u
+    # flat terrain: shading = sin(altitude) regardless of azimuth
+    z = np.zeros((6, 6), np.int64)
+    ok = np.ones((6, 6), np.int64)
+    hs = hillshade_u(z, z, ok, 30.0, azimuth_deg=200.0, altitude_deg=30.0)
+    assert (hs == int(np.floor(np.sin(np.deg2rad(30.0)) * 255.0))).all()

@@ -1352,6 +1352,84 @@ def generate_warp_expected(sf_dir, num=5, den=4):
     return str(out)
 
 
+HILLSHADE_VERSION = 1
+
+
+def generate_hillshade_expected(sf_dir, azimuth=315.0, altitude=45.0):
+    """Write the ``hillshade_expected.parquet`` sidecar: per-tile sums
+    of the Horn hillshade (1/255 integer units) over band 0 of every
+    corpus image, computed FULL-IMAGE with plain shifts (the engine
+    shades tile-wise via the halo exchange — stages/terrain.py
+    hillshade_tiles — so a match proves the cross-tile plumbing).
+
+    DETERMINISM: the float64 elementwise sequence below replicates
+    stages/terrain.py:hillshade_u exactly (identical expressions on
+    identical int64 numerators are bit-identical), so the per-pixel
+    floor and the per-tile integer sums are hash-exact. Keep both
+    sides in lockstep when editing.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_HILLSHADE_DONE"
+    stamp = "hillshade v%d az%.1f alt%.1f" % (HILLSHADE_VERSION,
+                                              azimuth, altitude)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "sum_hs_u": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[0].astype(np.int64)
+        H, W = z.shape
+        dzdx = np.zeros((H, W), np.int64)
+        dzdy = np.zeros((H, W), np.int64)
+        ii = slice(1, H - 1)
+        jj = slice(1, W - 1)
+
+        def sh(dr, dc):
+            return z[1 + dr:H - 1 + dr, 1 + dc:W - 1 + dc]
+
+        dzdx[ii, jj] = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+                        - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)))
+        dzdy[ii, jj] = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+                        - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)))
+        ok = np.zeros((H, W), np.int64)
+        ok[ii, jj] = 1
+        # lockstep replica of stages/terrain.py:hillshade_u
+        dx = dzdx / (8.0 * PX)
+        dy = dzdy / (8.0 * PX)
+        slope = np.arctan(np.hypot(dx, dy))
+        aspect = np.arctan2(dy, -dx)
+        az = np.deg2rad(360.0 - azimuth + 90.0)
+        alt = np.deg2rad(altitude)
+        hs = (np.sin(alt) * np.cos(slope)
+              + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+        hs_u = np.floor(np.maximum(hs, 0.0) * 255.0).astype(np.int64) * ok
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                rs = slice(ty * TILE, (ty + 1) * TILE)
+                cs = slice(tx * TILE, (tx + 1) * TILE)
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["sum_hs_u"].append(int(hs_u[rs, cs].sum()))
+                rows["n_valid"].append(int(ok[rs, cs].sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "sum_hs_u": pa.array(rows["sum_hs_u"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "hillshade_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 COMPONENTS_VERSION = 1
 
 
@@ -1417,5 +1495,69 @@ def generate_components_expected(sf_dir, threshold=1300):
         "n_masked": pa.array(rows["n_masked"], pa.int64()),
         "max_size": pa.array(rows["max_size"], pa.int64())})
     pq.write_table(t, str(out / "components_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+INTERSECT_VERSION = 1
+
+
+def generate_intersect_expected(sf_dir):
+    """Write ``intersect_expected.parquet``: per-tile band-0 sum/count
+    of a 2x-coarser source raster resampled back onto the reference
+    tile grid — the oracle for Q:intersect_resample (the engine runs
+    the generic co-grouped ``align.intersect_tiles`` gt-arithmetic
+    resampler; this sidecar replays the CLOSED FORM of the same
+    geometry, derived independently from the grid definition).
+
+    Geometry (per tile, local coords): the source is the tile's pixels
+    at rows/cols 0, 2, ... < h-2 / w-2 (same origin, 2x pixel size), so
+    a ref pixel (y, x) samples source cell (y//2, x//2) — valid while
+    y//2 < ceil((h-2)/2) and x//2 < ceil((w-2)/2), NODATA beyond (the
+    clip/pad branch). Tiles with h <= 2 or w <= 2 have an empty source
+    and are dropped (the intersection). Integer-exact: values are int16
+    carried through float32, summed as int64.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_INTERSECT_DONE"
+    stamp = "intersect v%d" % INTERSECT_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "b0_sum": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        H, W = arr.shape[1:]
+        for ty in range(-(-H // TILE)):
+            for tx in range(-(-W // TILE)):
+                r0, c0 = ty * TILE, tx * TILE
+                h = min(TILE, H - r0)
+                w = min(TILE, W - c0)
+                if h <= 2 or w <= 2:
+                    continue          # empty source -> dropped
+                t0 = arr[0, r0:r0 + h, c0:c0 + w].astype(np.int64)
+                ch = (h - 1) // 2     # ceil((h-2)/2)
+                cw = (w - 1) // 2
+                ys = np.arange(h) // 2
+                xs = np.arange(w) // 2
+                vy = ys < ch
+                vx = xs < cw
+                sub = t0[np.ix_(2 * ys[vy], 2 * xs[vx])]
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["b0_sum"].append(int(sub.sum()))
+                rows["n_valid"].append(int(vy.sum()) * int(vx.sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "b0_sum": pa.array(rows["b0_sum"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "intersect_expected.parquet"))
     done.write_text(stamp)
     return str(out)

@@ -41,12 +41,14 @@ def _resample_to(ref_gt, ref_h, ref_w, src, src_gt, nodata=NODATA):
     return out
 
 
-def intersect_tiles(ref_tiles, src_tiles, nodata=NODATA):
-    """Co-group two tile Datasets by cell; emit the source tile resampled
-    onto each reference tile's grid. Rows: (cell, tile_id, pixels, ...).
-    Both sides must carry a ``side`` column ('ref'/'src') — use
-    ``tag_side``. Cells present on only one side are dropped (the
-    intersection)."""
+def intersect_tiles(ref_tiles, src_tiles, nodata=NODATA, key="cell"):
+    """Co-group two tile Datasets by ``key`` (default the cell; pass
+    ``["image_id", "cell"]`` when several images share a cell grid);
+    emit the source tile resampled onto each reference tile's grid.
+    Rows: (cell, tile_id, pixels, ...). Both sides must carry a
+    ``side`` column ('ref'/'src') — use ``tag_side``. Keys present on
+    only one side are dropped (the intersection)."""
+    key_cols = [key] if isinstance(key, str) else list(key)
 
     def align_group(g: pd.DataFrame) -> pd.DataFrame:
         refs = g[g["side"] == "ref"]
@@ -85,11 +87,13 @@ def intersect_tiles(ref_tiles, src_tiles, nodata=NODATA):
         return fn
 
     cols = ["cell", "tile_id", "bands", "h", "w", "pixels", "gt"]
+    cols += [k for k in key_cols if k not in cols]
     ref = ref_tiles.select_columns(cols).map_batches(
         tag("ref"), batch_format="pyarrow")
     src = src_tiles.select_columns(cols).map_batches(
         tag("src"), batch_format="pyarrow")
-    return ref.union(src).groupby("cell").map_groups(
+    return ref.union(src).groupby(
+        key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
         align_group, batch_format="pandas")
 
 

@@ -366,6 +366,88 @@ def simhash_pairs(docs, max_hamming=3, k=2, bucket_cap=8192):
         Min("hamming", alias_name="hamming"))
 
 
+def signature_hamming_pairs(ds, id_col="image_id", sig_col="phash",
+                            max_hamming=4, bucket_cap=8192):
+    """Near-duplicate pairs by Hamming distance over a PRECOMPUTED
+    64-bit signature column — the image-side twin of ``simhash_pairs``
+    (which derives the signature from text).
+
+    The canonical use is perceptual-hash image dedup (LAION/DataComp
+    style): the corpus carries ``phash:int64`` per image and two images
+    are near-duplicates when ``popcount(phash_a XOR phash_b) <=
+    max_hamming``. Same exhaustive pigeonhole contract as
+    ``simhash_pairs``: the signature is split into ``max_hamming + 1``
+    segments, any pair within budget agrees exactly on >= 1 segment, so
+    the output is exactly the <= max_hamming pair set (hot buckets above
+    ``bucket_cap`` fall back to min-pairing — documented approximation).
+
+    Scale shape: the explode carries only (segment:int, seg_key:int,
+    id:str, sig:hex-str) — fixed-width rows, never image bytes; the
+    shuffle key is (segment, seg_key); within-bucket verify is one
+    vectorized XOR+popcount. Ids are strings ordered lexicographically
+    (img_a < img_b).
+
+    Returns a Dataset of (img_a:str, img_b:str, hamming:int64).
+    """
+    n_seg = int(max_hamming) + 1
+    base = 64 // n_seg
+    seg_offsets = [s * base for s in range(n_seg)]
+    seg_widths = [base] * (n_seg - 1) + [64 - base * (n_seg - 1)]
+
+    def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sig = df[sig_col].to_numpy(dtype=np.int64).view(np.uint64)
+        ids = df[id_col].astype(str).to_numpy(dtype=object)
+        # 64-bit signatures travel as hex strings: uint64 columns can be
+        # coerced to float64 through groupby shuffles (see simhash_pairs)
+        hexes = np.array(["%016x" % s for s in sig], dtype=object)
+        seg = np.empty(n * n_seg, dtype=np.int64)
+        key = np.empty(n * n_seg, dtype=np.int64)
+        for s in range(n_seg):
+            seg[s * n:(s + 1) * n] = s
+            key[s * n:(s + 1) * n] = (
+                (sig >> np.uint64(seg_offsets[s]))
+                & np.uint64((1 << seg_widths[s]) - 1)).astype(np.int64)
+        return pd.DataFrame({
+            "segment": seg, "seg_key": key,
+            "id": np.tile(ids, n_seg), "sig": np.tile(hexes, n_seg)})
+
+    exploded = ds.map_batches(sig_stage, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "img_a": pd.Series([], dtype=object),
+            "img_b": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates("id").sort_values("id")
+        ids = g["id"].to_numpy(dtype=object)
+        sims = np.array([int(s, 16) for s in g["sig"].tolist()],
+                        dtype=np.uint64)
+        m = len(ids)
+        if m > bucket_cap:
+            ia = np.zeros(m - 1, dtype=np.int64)
+            ib = np.arange(1, m, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(m, 1)
+        xor = sims[ia] ^ sims[ib]
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "img_a": pd.Series(ids[ia[keep]], dtype=object),
+            "img_b": pd.Series(ids[ib[keep]], dtype=object),
+            "hamming": pd.Series(ham[keep].astype(np.int64),
+                                 dtype="int64")})
+
+    pairs = exploded.groupby(["segment", "seg_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # a pair surfaces once per agreeing segment — distributed dedup
+    return pairs.groupby(["img_a", "img_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def resolve_duplicate_clusters(pairs, max_rounds=16):
     """Connected components over a near-duplicate pair list → canonical
     doc per cluster (the cluster's minimum ``doc_id``).

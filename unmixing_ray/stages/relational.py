@@ -589,8 +589,11 @@ def hash_join(left, right, key, how="inner", bloom_prune=None,
     object-store memory, and pre-aggregate before joining when the
     downstream is an aggregate anyway. Hot keys skew the exchange: salt
     them upstream (stages/shuffle.py) if |L_k| × |R_k| of one key
-    dominates. ``how`` supports "inner" and "left" (unmatched left rows
-    carry nulls in the right columns).
+    dominates. ``how`` supports "inner", "left", "right" and "outer"
+    (full outer): unmatched preserved-side rows carry nulls in the
+    other side's columns — per-key groups contain every row of either
+    side for that key, so the within-group merge realizes the global
+    outer semantics exactly.
 
     ``bloom_prune`` ("left" or "right") drops that side's no-match rows
     BEFORE they enter the shuffle, via a Bloom filter of the other
@@ -602,13 +605,15 @@ def hash_join(left, right, key, how="inner", bloom_prune=None,
     build side). A left join must keep every left row, so only
     ``bloom_prune="right"`` is legal there.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("hash_join: how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError("hash_join: how must be inner/left/right/outer")
     if bloom_prune not in (None, "left", "right"):
         raise ValueError("hash_join: bloom_prune must be left/right")
-    if bloom_prune == "left" and how == "left":
+    preserved = {"left": ("left",), "right": ("right",),
+                 "outer": ("left", "right")}.get(how, ())
+    if bloom_prune in preserved:
         raise ValueError("hash_join: cannot bloom-prune the preserved "
-                         "side of a left join")
+                         "side of a %s join" % how)
     if bloom_prune:
         import ray
         build = right if bloom_prune == "left" else left

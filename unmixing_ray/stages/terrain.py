@@ -83,6 +83,35 @@ def horn_gradients(dem, valid):
     return dzdx, dzdy, ok
 
 
+def _padded_dem(g: pd.DataFrame):
+    """Assemble one group's padded DEM from the make_halo_explode layout
+    (kind 0 = self tile, kind 1 = neighbor strip at pos_r/pos_c).
+    Returns (self_row, dem, valid) or None for self-less groups (strips
+    addressed beyond the image border)."""
+    me = g[g["kind"] == 0]
+    if not len(me):
+        return None
+    m = me.iloc[0]
+    H, W = int(m["h"]), int(m["w"])
+    dem = np.zeros((H + 2, W + 2), dtype=np.int64)
+    valid = np.zeros((H + 2, W + 2), dtype=np.int64)
+    dem[1:1 + H, 1:1 + W] = np.frombuffer(
+        m["payload"], dtype=np.int16).reshape((1, H, W))[0]
+    valid[1:1 + H, 1:1 + W] = 1
+    for _, s in g[g["kind"] == 1].iterrows():
+        sh_, sw = int(s["h"]), int(s["w"])
+        arr = np.frombuffer(s["payload"], dtype=np.int16).reshape(
+            (1, sh_, sw))[0]
+        pr, pc = int(s["pos_r"]), int(s["pos_c"])
+        rs = slice(0, 1) if pr < 0 else (
+            slice(1 + H, 2 + H) if pr > 0 else slice(1, 1 + H))
+        cs = slice(0, 1) if pc < 0 else (
+            slice(1 + W, 2 + W) if pc > 0 else slice(1, 1 + W))
+        dem[rs, cs] = arr
+        valid[rs, cs] = 1
+    return m, dem, valid
+
+
 def make_terrain_assemble():
     """Stage B: one DEM tile + halo strips -> per-tile gradient sums.
 
@@ -92,33 +121,16 @@ def make_terrain_assemble():
     """
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        me = g[g["kind"] == 0]
         empty = {
             "tile_id": pd.Series([], dtype=object),
             "sum_abs_dzdx": pd.Series([], dtype="int64"),
             "sum_abs_dzdy": pd.Series([], dtype="int64"),
             "sum_rugged": pd.Series([], dtype="int64"),
             "n_valid": pd.Series([], dtype="int64")}
-        if not len(me):
+        got = _padded_dem(g)
+        if got is None:
             return pd.DataFrame(empty)
-        m = me.iloc[0]
-        H, W = int(m["h"]), int(m["w"])
-        dem = np.zeros((H + 2, W + 2), dtype=np.int64)
-        valid = np.zeros((H + 2, W + 2), dtype=np.int64)
-        dem[1:1 + H, 1:1 + W] = np.frombuffer(
-            m["payload"], dtype=np.int16).reshape((1, H, W))[0]
-        valid[1:1 + H, 1:1 + W] = 1
-        for _, s in g[g["kind"] == 1].iterrows():
-            sh_, sw = int(s["h"]), int(s["w"])
-            arr = np.frombuffer(s["payload"], dtype=np.int16).reshape(
-                (1, sh_, sw))[0]
-            pr, pc = int(s["pos_r"]), int(s["pos_c"])
-            rs = slice(0, 1) if pr < 0 else (
-                slice(1 + H, 2 + H) if pr > 0 else slice(1, 1 + H))
-            cs = slice(0, 1) if pc < 0 else (
-                slice(1 + W, 2 + W) if pc > 0 else slice(1, 1 + W))
-            dem[rs, cs] = arr
-            valid[rs, cs] = 1
+        m, dem, valid = got
         dzdx, dzdy, ok = horn_gradients(dem, valid)
         return pd.DataFrame({
             "tile_id": [m["tile_id"]],
@@ -131,6 +143,74 @@ def make_terrain_assemble():
             "n_valid": pd.Series([int(ok.sum())], dtype="int64")})
 
     return assemble
+
+
+def hillshade_u(dzdx, dzdy, ok, cellsize, azimuth_deg=315.0,
+                altitude_deg=45.0):
+    """Per-pixel hillshade from integer Horn numerators, floored to
+    integer 1/255 units (gdaldem's Horn hillshade, z_factor = 1).
+
+    DETERMINISM CONTRACT: the sidecar oracle replicates this exact
+    sequence of float64 elementwise ops from the same int64 numerators
+    (synth.generate_hillshade_expected) — identical inputs + identical
+    elementwise expressions give bit-identical float64, so the floored
+    integers (and their per-tile sums) are hash-exact. Keep both sides
+    in lockstep when editing.
+    """
+    dx = dzdx / (8.0 * cellsize)
+    dy = dzdy / (8.0 * cellsize)
+    slope = np.arctan(np.hypot(dx, dy))
+    aspect = np.arctan2(dy, -dx)
+    az = np.deg2rad(360.0 - azimuth_deg + 90.0)
+    alt = np.deg2rad(altitude_deg)
+    hs = (np.sin(alt) * np.cos(slope)
+          + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    return np.floor(np.maximum(hs, 0.0) * 255.0).astype(np.int64) * ok
+
+
+def make_hillshade_assemble(cellsize, azimuth_deg=315.0,
+                            altitude_deg=45.0):
+    """Stage B variant: padded DEM -> per-tile hillshade sum (1/255
+    units, int64) + valid-pixel count. Border rule matches
+    make_terrain_assemble: pixels whose 3x3 neighborhood leaves the
+    image contribute 0 and don't count in n_valid."""
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "tile_id": pd.Series([], dtype=object),
+            "sum_hs_u": pd.Series([], dtype="int64"),
+            "n_valid": pd.Series([], dtype="int64")}
+        got = _padded_dem(g)
+        if got is None:
+            return pd.DataFrame(empty)
+        m, dem, valid = got
+        dzdx, dzdy, ok = horn_gradients(dem, valid)
+        hs = hillshade_u(dzdx, dzdy, ok, cellsize, azimuth_deg,
+                         altitude_deg)
+        return pd.DataFrame({
+            "tile_id": [m["tile_id"]],
+            "sum_hs_u": pd.Series([int(hs.sum())], dtype="int64"),
+            "n_valid": pd.Series([int(ok.sum())], dtype="int64")})
+
+    return assemble
+
+
+def hillshade_tiles(tiles, cellsize, azimuth_deg=315.0,
+                    altitude_deg=45.0):
+    """Distributed Horn hillshade summary per tile: same halo-exchange
+    shape as terrain_slope_tiles (DEM band sliced out before the
+    exchange), per-pixel shading floored to 1/255 integer units so the
+    per-tile sum is order-independent and hash-checkable against the
+    full-image sidecar oracle."""
+    exploded = tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
+         "bands", "pixels"]) \
+        .map_batches(dem_only, batch_format="pyarrow") \
+        .map_batches(make_halo_explode(1), batch_format="pyarrow")
+    return exploded.groupby(["image_id", "key_row", "key_col"]) \
+        .map_groups(make_hillshade_assemble(cellsize, azimuth_deg,
+                                            altitude_deg),
+                    batch_format="pandas")
 
 
 def terrain_slope_tiles(tiles):

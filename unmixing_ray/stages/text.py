@@ -962,3 +962,72 @@ def decontaminate_sql(window=8,
         FROM base b
         LEFT JOIN nw ON nw.doc_id = b.doc_id
         LEFT JOIN hits ON hits.doc_id = b.doc_id"""
+
+
+_TOKEN_RE = _re.compile(r"[a-z0-9]+")
+
+
+def inverted_index(docs, vocab_prefix="0", text_col="text"):
+    """Inverted-index dictionary build over a deterministic vocabulary
+    slice: per-term document frequency and total term frequency for
+    every term whose ``md5(term)`` hex starts with ``vocab_prefix``
+    (tokens: maximal [a-z0-9]+ runs of the lowercased text — same
+    tokenizer as :func:`bigram_topk`). The search-index primitive of a
+    retrieval / data-curation pipeline.
+
+    Scale shape: each batch emits one (term, df, tf) partial per
+    distinct in-slice term (combiner-before-shuffle — never a row per
+    token), the single ``groupby(term)`` exchange carries fixed-width
+    rows, and the md5-prefix slice is exactly how the full build
+    shards at 100 TB: run one job per prefix and every job's exchange
+    holds 1/16th of the dictionary (postings lists for a term land in
+    one group by construction). Returns (term, df, tf) — df = number
+    of documents containing the term, tf = total occurrences.
+    """
+    pre = str(vocab_prefix)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        tf = Counter()
+        dfc = Counter()
+        in_slice = {}
+        for s in df[text_col]:
+            c = Counter(_TOKEN_RE.findall(s.lower()))
+            for t, n in c.items():
+                hit = in_slice.get(t)
+                if hit is None:
+                    hit = hashlib.md5(
+                        t.encode()).hexdigest().startswith(pre)
+                    in_slice[t] = hit
+                if hit:
+                    tf[t] += n
+                    dfc[t] += 1
+        terms = list(tf.keys())
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype=object),
+            "df_part": np.fromiter((dfc[t] for t in terms), np.int64,
+                                   len(terms)),
+            "tf_part": np.fromiter((tf[t] for t in terms), np.int64,
+                                   len(terms))})
+
+    return docs.map_batches(partial, batch_format="pandas") \
+        .groupby("term").aggregate(
+            Sum("df_part", alias_name="df"),
+            Sum("tf_part", alias_name="tf"))
+
+
+def inverted_index_sql(vocab_prefix="0",
+                       base_sql="SELECT doc_id, text FROM documents"):
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+          FROM ({base_sql})),
+        per_doc AS (
+          SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf
+        FROM per_doc
+        WHERE md5(term) LIKE '{vocab_prefix}%'
+        GROUP BY term"""
