@@ -19,6 +19,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 SF01_CORPUS = "/tmp/ray_unmix_data/sf0.01"
 
@@ -146,6 +147,77 @@ def q_hillshade(sf_dir):
     _corpus_dir, tiles = _tiles_ds(sf_dir)
     return terrain.hillshade_tiles(tiles, cellsize=synth.PX,
                                    azimuth_deg=315.0, altitude_deg=45.0)
+
+
+def q_intersect_resample(sf_dir):
+    """Raster intersection/alignment (the reference's
+    intersect_rasters, utils.py:676-731, as a co-grouped exchange —
+    stages/align.py:intersect_tiles): a 2x-coarser source raster (same
+    origin, double pixel size, covering all but the last 2 rows/cols of
+    each tile) is resampled back onto the reference tile grid by the
+    generic gt-arithmetic nearest resampler; uncovered ref pixels take
+    the NODATA fill (the clip/pad branch). Summarized to per-tile
+    band-0 sums/valid counts; the sidecar oracle replays the CLOSED
+    FORM of the same grid geometry (synth.generate_intersect_expected),
+    so a match proves the gt math, the co-group plumbing and the fill
+    rule. Pair key = the tile id (1 ref + 1 src per group — immune to
+    several tiles sharing a cell)."""
+    from unmixing_ray.constants import NODATA
+    from unmixing_ray.stages import align
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    cols = ["tile_id", "image_id", "cell", "h", "w", "bands",
+            "pixels", "gt"]
+    ref = tiles.select_columns(cols)
+
+    def coarsen(df: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in cols}
+        for _, row in df.iterrows():
+            h, w, p = int(row["h"]), int(row["w"]), int(row["bands"])
+            if h <= 2 or w <= 2:
+                continue
+            arr = np.frombuffer(row["pixels"], dtype=np.int16).reshape(
+                (p, h, w))
+            c = np.ascontiguousarray(arr[:, 0:h - 2:2, 0:w - 2:2])
+            gt = list(row["gt"])
+            gt[1] *= 2.0
+            gt[5] *= 2.0
+            out["tile_id"].append(row["tile_id"])
+            out["image_id"].append(row["image_id"])
+            out["cell"].append(row["cell"])
+            out["h"].append(c.shape[1])
+            out["w"].append(c.shape[2])
+            out["bands"].append(p)
+            out["pixels"].append(c.tobytes())
+            out["gt"].append(gt)
+        # arrow out so gt keeps the ref side's fixed_size_list[6] type
+        # (a plain list<double> would fork the union schema)
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "cell": pa.array(out["cell"], pa.uint64()),
+            "h": pa.array(out["h"], pa.int32()),
+            "w": pa.array(out["w"], pa.int32()),
+            "bands": pa.array(out["bands"], pa.int32()),
+            "pixels": pa.array(out["pixels"], pa.binary()),
+            "gt": pa.array(out["gt"], pa.list_(pa.float64(), 6))})
+
+    src = ref.map_batches(coarsen, batch_format="pandas")
+    aligned = align.intersect_tiles(ref, src, key="tile_id")
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        sums, ns = [], []
+        for _, row in df.iterrows():
+            hw = int(row["h"]) * int(row["w"])
+            b0 = np.asarray(row["pixels"][:hw], dtype=np.float64)
+            valid = b0 != NODATA
+            sums.append(int(b0[valid].sum()))
+            ns.append(int(valid.sum()))
+        return pd.DataFrame({
+            "tile_id": df["tile_id"].astype(str),
+            "b0_sum": pd.Series(sums, dtype="int64"),
+            "n_valid": pd.Series(ns, dtype="int64")})
+
+    return aligned.map_batches(summarize, batch_format="pandas")
 
 
 def q_warp_bilinear(sf_dir):
@@ -1577,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
+                _synth.generate_intersect_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1589,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "retile": q_retile,
         "warp_bilinear": q_warp_bilinear,
+        "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
@@ -1725,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
+                _synth.generate_intersect_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1754,6 +1829,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
                    n_valid
             FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "intersect_resample": f"""
+            SELECT tile_id, b0_sum, n_valid
+            FROM read_parquet('{C}/intersect_expected.parquet')""",
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",

@@ -90,6 +90,8 @@ def registry(ray_session):
     "phash_near_dup", "hillshade", "retile", "customer_orders_outer",
     # inverted-index dictionary + exact fixed-point embedding Gram
     "inverted_index", "embedding_covariance",
+    # co-grouped raster intersection/resample (reference intersect_rasters)
+    "intersect_resample",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1499,7 +1499,7 @@ def generate_components_expected(sf_dir, threshold=1300):
     return str(out)
 
 
-INTERSECT_VERSION = 1
+INTERSECT_VERSION = 2
 
 
 def generate_intersect_expected(sf_dir):
@@ -1551,9 +1551,12 @@ def generate_intersect_expected(sf_dir):
                 vy = ys < ch
                 vx = xs < cw
                 sub = t0[np.ix_(2 * ys[vy], 2 * xs[vx])]
+                # same rule as the query summary: NODATA-valued source
+                # pixels (the corpus plants them) don't count as valid
+                ok = sub != NODATA
                 rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
-                rows["b0_sum"].append(int(sub.sum()))
-                rows["n_valid"].append(int(vy.sum()) * int(vx.sum()))
+                rows["b0_sum"].append(int(sub[ok].sum()))
+                rows["n_valid"].append(int(ok.sum()))
     t = pa.table({
         "tile_id": pa.array(rows["tile_id"], pa.string()),
         "b0_sum": pa.array(rows["b0_sum"], pa.int64()),
