@@ -220,6 +220,19 @@ def q_intersect_resample(sf_dir):
     return aligned.map_batches(summarize, batch_format="pandas")
 
 
+def q_distance_transform(sf_dir):
+    """Saturated Chebyshev distance-to-NODATA transform (the
+    buffer-around-gaps masking primitive) via radius-4 halo exchange +
+    integer chamfer iteration (stages/morphology.py), summarized to
+    per-tile (sum_dist, n_cap, n_px). Oracle: the full-image
+    box-dilation-ladder sidecar (synth.generate_distance_expected) — an
+    INDEPENDENT formulation, so a match proves both the kernel and the
+    cross-tile halo plumbing plus the radius-saturation contract."""
+    from unmixing_ray.stages import morphology
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return morphology.distance_to_nodata_tiles(tiles, radius=4)
+
+
 def q_warp_bilinear(sf_dir):
     """5/4 bilinear upsample via the cross-tile halo exchange
     (stages/warp.py): integer fixed-point interpolation, edge
@@ -1650,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
+                _synth.generate_distance_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1662,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "retile": q_retile,
         "warp_bilinear": q_warp_bilinear,
+        "distance_transform": q_distance_transform,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
@@ -1800,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
+                _synth.generate_distance_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1832,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
         "intersect_resample": f"""
             SELECT tile_id, b0_sum, n_valid
             FROM read_parquet('{C}/intersect_expected.parquet')""",
+        "distance_transform": f"""
+            SELECT tile_id, sum_dist, n_cap, n_px
+            FROM read_parquet('{C}/distance_expected.parquet')""",
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",

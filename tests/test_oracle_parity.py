@@ -92,6 +92,8 @@ def registry(ray_session):
     "inverted_index", "embedding_covariance",
     # co-grouped raster intersection/resample (reference intersect_rasters)
     "intersect_resample",
+    # saturated distance-to-NODATA via halo exchange + chamfer
+    "distance_transform",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1564,3 +1564,76 @@ def generate_intersect_expected(sf_dir):
     pq.write_table(t, str(out / "intersect_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+DISTANCE_VERSION = 1
+
+
+def generate_distance_expected(sf_dir, radius=4):
+    """Write the ``distance_expected.parquet`` sidecar: per-tile sums of
+    the saturated Chebyshev distance-to-NODATA transform over band 0 of
+    every corpus image, computed FULL-IMAGE with an INDEPENDENT
+    box-dilation formulation: ``within_k`` = shift-OR dilation of the
+    obstacle set by a (2k+1)-box, and
+    ``dist = sum_{k=0..radius} (NOT within_k)`` = min(d, radius + 1).
+    The engine computes the same quantity tile-wise via radius-deep halo
+    exchange + chamfer iteration (stages/morphology.py), so a match
+    proves the halo plumbing AND the saturation contract, not just the
+    kernel. Border rule: pixels outside the image are not obstacles
+    (the dilation never reads past the edge).
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_DISTANCE_DONE"
+    stamp = "distance v%d r%d" % (DISTANCE_VERSION, radius)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "sum_dist": [], "n_cap": [], "n_px": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        obstacle = arr[0] == NODATA
+        H, W = obstacle.shape
+        # dilation ladder: after k grow steps, ``within`` = pixels at
+        # Chebyshev distance <= k; summing NOT-within over k=0..radius
+        # yields min(d, radius + 1) without any chamfer recursion
+        dist = np.full((H, W), np.int64(0))
+        within = obstacle.copy()
+        for _ in range(radius + 1):
+            dist += (~within).astype(np.int64)
+            grown = within.copy()
+            # 3x3 OR-dilation via clipped shifts (edges stay inside)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    dst_r = slice(max(0, -di), H - max(0, di))
+                    src_r = slice(max(0, di), H - max(0, -di))
+                    dst_c = slice(max(0, -dj), W - max(0, dj))
+                    src_c = slice(max(0, dj), W - max(0, -dj))
+                    grown[dst_r, dst_c] |= within[src_r, src_c]
+            within = grown
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                rs = slice(ty * TILE, (ty + 1) * TILE)
+                cs = slice(tx * TILE, (tx + 1) * TILE)
+                blk = dist[rs, cs]
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["sum_dist"].append(int(blk.sum()))
+                rows["n_cap"].append(int((blk == radius + 1).sum()))
+                rows["n_px"].append(int(blk.size))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "sum_dist": pa.array(rows["sum_dist"], pa.int64()),
+        "n_cap": pa.array(rows["n_cap"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64())})
+    pq.write_table(t, str(out / "distance_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
