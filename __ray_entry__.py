@@ -220,6 +220,19 @@ def q_intersect_resample(sf_dir):
     return aligned.map_batches(summarize, batch_format="pandas")
 
 
+def q_histogram_equalize(sf_dir):
+    """Corpus-GLOBAL histogram equalization (stages/enhance.py) — the
+    two-pass global-statistics transform family (reference BCI/RNDSI
+    global min-max, mask_ledaps_qa global mode) as a distributed
+    combiner-before-shuffle histogram fit + broadcast-LUT remap;
+    integer-exact. Oracle: the single-machine full-corpus replay
+    sidecar (synth.generate_equalize_expected) — a match proves the
+    distributed two-pass plumbing, not just the LUT formula."""
+    from unmixing_ray.stages import enhance
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return enhance.equalize_tiles(tiles)
+
+
 def q_distance_transform(sf_dir):
     """Saturated Chebyshev distance-to-NODATA transform (the
     buffer-around-gaps masking primitive) via radius-4 halo exchange +
@@ -1317,6 +1330,27 @@ def q_forward_model_rmse(sf_dir):
                                             and rmse_pct < 2.0)]})
 
 
+def q_temporal_trend(sf_dir):
+    """Temporal trend composite over the SKEWED corpus (half the images
+    stacked on one lattice position = a planted ~n/2-deep date stack):
+    per tile position, the exact int64 rational least-squares slope of
+    band-0 sum vs acquisition index (stages/trend.py — regression
+    statistics as ASSOCIATIVE PARTIALS, one 5-int row per (batch, key)
+    through the exchange, never a pixel payload, so the hot key needs
+    no salting at any stack depth). Oracle: single-machine Python-int
+    replay sidecar (synth.generate_trend_expected)."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import trend
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    synth.generate_trend_expected(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    return trend.temporal_trend(tiles)
+
+
 def q_salted_cell_counts(sf_dir):
     """Skew-handling parity: per-cell tile counts over the SKEWED corpus
     (half the images stacked on one location → planted hot cells),
@@ -1516,6 +1550,44 @@ TEXTPREP_BASE_SQL = ("SELECT doc_id, text FROM documents "
                      "FROM documents WHERE doc_id % 11 = 0")
 
 
+def q_dataset_split(sf_dir):
+    """Deterministic train/val/test split assignment over documents
+    (stages/relational.py:split_assign): split = pure function of
+    md5(doc_id), so rows never migrate between splits as the corpus
+    grows; DuckDB replays the identical hash predicate."""
+    from unmixing_ray.stages import relational
+    return relational.split_assign(
+        _read(sf_dir, "documents", columns=["doc_id"]), "doc_id")
+
+
+def q_doc_freq_score(sf_dir):
+    """Unigram corpus-frequency quality score — the broadcast-model
+    shape (stages/text.py:doc_freq_score): pass 1 builds the global
+    top-V unigram table (combiner-before-shuffle, V-row driver
+    collect), pass 2 scores every document against the ray.put
+    broadcast model; integer-exact so the DuckDB replay hash-matches."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.doc_freq_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_imageprep_decisions(sf_dir):
+    """End-to-end multimodal corpus curation: per-IMAGE keep/drop
+    verdict with reason code (stages/curate.py:imageprep_decisions —
+    decode once, every gate off the same ndarray: NoData gap, cfmask
+    QA cloud, radiometric saturation, caption topic; then keep-first
+    phash dedup among passers; one feature pass, one narrow shuffle of
+    (image_id, verdict, key) — pixels/captions never shuffled). Oracle:
+    the generator's inline-numpy planted-feature sidecar for the
+    decode-derived gates + plain SQL for the caption and dedup gates;
+    every branch is non-vacuous at sf0.01 (NoData seq%7, QA seq%4,
+    saturation seq%5, topic-less captions ~26%, planted exact
+    duplicates seq%97==1)."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages import curate
+    return curate.imageprep_decisions(images.read_images(_corpus(sf_dir)))
+
+
 def q_textprep_decisions(sf_dir):
     """End-to-end training-data prep: per-document keep/drop verdict
     with reason code (stages/text.py:textprep_decisions — one feature
@@ -1570,6 +1642,15 @@ def q_corpus_filter(sf_dir):
     from unmixing_ray.stages import text
     return text.corpus_filter(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_embedding_quantize(sf_dir):
+    """Symmetric per-vector int8 embedding quantization
+    (stages/ann.py:quantize_int8) — 4x vector compression for every
+    downstream ANN exchange; float64 promotion order chosen so the
+    DuckDB replay is bit-identical, outputs integer summaries."""
+    from unmixing_ray.stages import ann
+    return ann.quantize_int8(_read(sf_dir, "embeddings"))
 
 
 def q_ann_topk(sf_dir):
@@ -1655,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             try:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
+                _synth.generate_trend_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
@@ -1664,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
+                _synth.generate_equalize_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1677,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retile": q_retile,
         "warp_bilinear": q_warp_bilinear,
         "distance_transform": q_distance_transform,
+        "histogram_equalize": q_histogram_equalize,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
@@ -1724,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sample_per_priority": q_orders_sample_per_priority,
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
+        "temporal_trend": q_temporal_trend,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
         "forward_model_rmse": q_forward_model_rmse,
@@ -1735,6 +1820,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "textprep_decisions": q_textprep_decisions,
+        "imageprep_decisions": q_imageprep_decisions,
+        "doc_freq_score": q_doc_freq_score,
+        "dataset_split": q_dataset_split,
+        "embedding_quantize": q_embedding_quantize,
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
@@ -1807,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
             try:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
+                _synth.generate_trend_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
@@ -1816,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
+                _synth.generate_equalize_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1851,6 +1942,13 @@ def oracle_sql() -> dict[str, str]:
         "distance_transform": f"""
             SELECT tile_id, sum_dist, n_cap, n_px
             FROM read_parquet('{C}/distance_expected.parquet')""",
+        "histogram_equalize": f"""
+            SELECT tile_id, band, eq_sum, n_valid
+            FROM read_parquet('{C}/equalize_expected.parquet')""",
+        "temporal_trend": f"""
+            SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
+                   trend_num, trend_den
+            FROM read_parquet('{C}-skew/trend_expected.parquet')""",
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",
@@ -2139,12 +2237,42 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 4""",
         "textprep_decisions": text.textprep_decisions_sql(
             TEXTPREP_BASE_SQL),
+        "imageprep_decisions": f"""
+            WITH f AS (
+              SELECT i.image_id, i.caption, i.phash,
+                     CAST(e.n_nodata AS BIGINT) AS n_nodata,
+                     CAST(e.n_qa_masked AS BIGINT) AS n_qa,
+                     CAST(e.n_saturated AS BIGINT) AS n_sat
+              FROM read_parquet('{C}/images/*.parquet') i
+              JOIN read_parquet('{C}/images_expected.parquet') e
+                USING (image_id)),
+            v AS (
+              SELECT image_id, phash,
+                     CASE WHEN n_nodata > 0 THEN 'gap'
+                          WHEN n_qa > 0 THEN 'cloudy'
+                          WHEN n_sat > 0 THEN 'saturated'
+                          WHEN NOT regexp_matches(caption,
+                               'water|vegetation|urban|forest')
+                            THEN 'topic'
+                          ELSE '' END AS pre
+              FROM f)
+            SELECT image_id,
+                   CASE WHEN pre <> '' THEN pre
+                        WHEN image_id = min(CASE WHEN pre = ''
+                             THEN image_id END)
+                             OVER (PARTITION BY phash) THEN 'keep'
+                        ELSE 'duplicate' END AS verdict
+            FROM v""",
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
         "substring_dup": text.substring_dup_sql(8),
         "pack_chunks": text.pack_chunks_sql(512),
         "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),
+        "doc_freq_score": text.doc_freq_score_sql(),
+        "embedding_quantize": ann.quantize_int8_sql(),
+        "dataset_split": "SELECT doc_id, %s AS split FROM documents"
+            % relational.split_assign_sql("doc_id"),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),
         "lang_id": text.lang_id_sql(),

@@ -94,6 +94,18 @@ def registry(ray_session):
     "intersect_resample",
     # saturated distance-to-NODATA via halo exchange + chamfer
     "distance_transform",
+    # end-to-end multimodal (image+caption) curation verdicts
+    "imageprep_decisions",
+    # broadcast unigram-model corpus-frequency scoring
+    "doc_freq_score",
+    # deterministic md5 train/val/test split assignment
+    "dataset_split",
+    # two-pass corpus-global histogram equalization
+    "histogram_equalize",
+    # symmetric int8 embedding quantization (float64-exact replay)
+    "embedding_quantize",
+    # temporal regression composite via associative partials (skew corpus)
+    "temporal_trend",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1637,3 +1637,157 @@ def generate_distance_expected(sf_dir, radius=4):
     pq.write_table(t, str(out / "distance_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+EQUALIZE_VERSION = 1
+
+
+def generate_equalize_expected(sf_dir, bins=256, lo=0, hi=10000,
+                               levels=256):
+    """Write the ``equalize_expected.parquet`` sidecar: per-(tile, band)
+    sums of the CORPUS-GLOBAL histogram-equalized pixels, computed in
+    one single-machine pass (accumulate the global per-band histogram
+    over every image, build the cdf-min LUT with exact integer floor
+    division, remap, tile, sum). The engine computes the same quantity
+    as a distributed two-pass (per-batch nonzero histogram partials →
+    groupby merge → broadcast LUT — stages/enhance.py), so a match
+    proves the distributed global-statistics plumbing. NODATA pixels
+    are excluded from the histogram and from n_valid.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_EQUALIZE_DONE"
+    stamp = "equalize v%d b%d lo%d hi%d L%d" % (
+        EQUALIZE_VERSION, bins, lo, hi, levels)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    def bin_of(vals):
+        v = np.clip(vals, lo, hi).astype(np.int64)
+        return (v - lo) * bins // (hi - lo + 1)
+
+    arrays = []
+    hist = None
+    for i in range(tbl.num_rows):
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        arrays.append(arr)
+        if hist is None:
+            hist = np.zeros((arr.shape[0], bins), dtype=np.int64)
+        for b in range(arr.shape[0]):
+            row = arr[b].ravel()
+            row = row[row != NODATA]
+            hist[b] += np.bincount(bin_of(row), minlength=bins)
+    lut = np.zeros_like(hist)
+    for b in range(hist.shape[0]):
+        cdf = np.cumsum(hist[b])
+        total = int(cdf[-1])
+        nz = np.flatnonzero(hist[b])
+        if not len(nz):
+            continue
+        cdf_min = int(cdf[nz[0]])
+        denom = total - cdf_min
+        if denom <= 0:
+            continue
+        lut[b] = (cdf - cdf_min) * (levels - 1) // denom
+        lut[b, :nz[0]] = 0
+    rows = {"tile_id": [], "band": [], "eq_sum": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = arrays[i]
+        p, H, W = arr.shape
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = arr[:, ty * TILE:(ty + 1) * TILE,
+                          tx * TILE:(tx + 1) * TILE]
+                for b in range(p):
+                    row = blk[b].ravel()
+                    valid = row != NODATA
+                    eq = lut[b][bin_of(row[valid])]
+                    rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                    rows["band"].append(b)
+                    rows["eq_sum"].append(int(eq.sum()))
+                    rows["n_valid"].append(int(valid.sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "eq_sum": pa.array(rows["eq_sum"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "equalize_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+TREND_VERSION = 1
+
+
+def generate_trend_expected(sf_dir):
+    """Write the ``trend_expected.parquet`` sidecar into the SKEWED
+    corpus dir: per tile position (cell_ix, cell_iy, row_off, col_off),
+    the exact int64 rational least-squares slope of band-0 tile sum vs
+    image sequence number, accumulated single-machine with Python ints
+    (the engine computes the same quantity as a distributed
+    associative-partials reduce — stages/trend.py — so a match proves
+    the combiner/groupby plumbing over the planted ~n/2-deep hot
+    stack). Cell ids replayed with the same closed-form lattice
+    arithmetic as skew_tiles_expected.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir) + "-skew")
+    done = out / "_TREND_DONE"
+    stamp = "trend v%d" % TREND_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "gt"])
+    acc = {}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        t = int(img[3:])
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        gt = tbl["gt"][i].as_py()
+        H, W = arr.shape[1], arr.shape[2]
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                k = (int(cx // edge), int(cy // edge),
+                     ty * TILE, tx * TILE)
+                y = int(arr[0, ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                        .astype(np.int64).sum())
+                a = acc.setdefault(k, [0, 0, 0, 0, 0])
+                a[0] += 1
+                a[1] += t
+                a[2] += t * t
+                a[3] += y
+                a[4] += t * y
+    rows = {k: [] for k in ("cell_ix", "cell_iy", "row_off", "col_off",
+                            "n_dates", "trend_num", "trend_den")}
+    for (ix, iy, ro, co), (n, st, st2, sy, sty) in acc.items():
+        rows["cell_ix"].append(ix)
+        rows["cell_iy"].append(iy)
+        rows["row_off"].append(ro)
+        rows["col_off"].append(co)
+        rows["n_dates"].append(n)
+        rows["trend_num"].append(n * sty - st * sy)
+        rows["trend_den"].append(n * st2 - st * st)
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    pq.write_table(t, str(out / "trend_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -432,3 +432,58 @@ def cosine_near_dup_pairs(embeddings_ds, threshold=0.95, nbits=6,
     # the same pair can surface from several tables: distributed dedup
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Min("sim_u6", alias_name="sim_u6"))
+
+
+def quantize_int8(embeddings_ds):
+    """Symmetric per-vector int8 quantization — the embedding
+    compression step of a scale ANN index (IVF-PQ-style storage: 4x
+    smaller vectors through every downstream exchange): per vector,
+    ``scale = max(|x|)`` and ``q_i = floor(x_i * 127 / scale)``, all
+    arithmetic in float64 so DuckDB's double math replays it exactly.
+    Stateless one-pass map; returns integer summaries
+    (q_sum, q_l1, n_dims, scale_u6) that pin every quantized value
+    through the hash check without shipping list columns."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_embeddings(df)                 # (n, d) float64
+        scale = np.abs(M).max(axis=1)
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.floor(M * 127.0 / safe[:, None]).astype(np.int64)
+        q[scale == 0] = 0
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "q_sum": q.sum(axis=1),
+            "q_l1": np.abs(q).sum(axis=1),
+            "n_dims": np.full(len(df), M.shape[1], np.int64),
+            "scale_u6": np.floor(scale * 1_000_000).astype(np.int64)})
+
+    return embeddings_ds.map_batches(fn, batch_format="pandas")
+
+
+def quantize_int8_sql():
+    """DuckDB oracle for :func:`quantize_int8` (identical float64
+    promotion order: abs/max in double, x*127/scale, floor)."""
+    return """
+        WITH s AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS e,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, scale,
+                 CASE WHEN scale > 0 THEN
+                   list_transform(e, x -> CAST(floor(x * 127 / scale)
+                                               AS BIGINT))
+                 ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                 END AS qv,
+                 len(e) AS d
+          FROM s)
+        SELECT vec_id,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x)))
+                    AS BIGINT) AS q_l1,
+               CAST(d AS BIGINT) AS n_dims,
+               CAST(floor(scale * 1000000) AS BIGINT) AS scale_u6
+        FROM q"""

@@ -1,0 +1,91 @@
+"""Multimodal (image + caption) training-corpus curation.
+
+``imageprep_decisions`` is the image-side analogue of
+``text.textprep_decisions``: one end-to-end per-IMAGE keep/drop verdict
+with a reason code, the LAION-style curation pass a 10^12-image corpus
+needs before training — decode-derived quality gates (NoData gaps, QA
+cloud cover, radiometric saturation — the reference's own masking
+primitives, kernels/masks.py: density_slice / saturation_mask / cfmask
+family), a caption-topic gate, then exact keep-first dedup by phash
+among the gate passers.
+
+Scale shape: ONE vectorized decode+feature pass computes every gate per
+batch (decode once, all gates off the same ndarray view); the single
+shuffle then carries only (image_id, verdict, key) — pixels and
+captions never enter the exchange, and gate failures ride the same
+shuffle under per-image singleton keys so there is no second pass over
+the corpus and no branch re-execution. Verdict = FIRST failing gate of
+gap -> cloudy -> saturated -> topic, else 'duplicate' (a passing image
+whose phash has a smaller passing image_id) or 'keep'.
+
+Oracle: the corpus generator's per-image planted-feature sidecar
+(images_expected.parquet — inline numpy, not engine kernels) supplies
+the decode-derived counts; caption/dedup gates replay in plain SQL over
+the images table (__ray_entry__.py: imageprep_decisions).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..constants import NODATA
+
+TOPIC_PATTERN = "water|vegetation|urban|forest"
+
+
+def imageprep_decisions(images, max_nodata=0, max_qa_masked=0,
+                        max_saturated=0, topic_pattern=TOPIC_PATTERN):
+    """Per-image curation verdicts over the raw images table (see
+    module docstring). Returns (image_id, verdict)."""
+    topic = re.compile(topic_pattern)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        from ..kernels import masks as mk
+        from .decode import binary_views, decode_batch, tiles_to_ndarray
+        dec = decode_batch(batch)
+        arrays, uniform = tiles_to_ndarray(dec)
+        qa_vals, qa_off = binary_views(dec["qa"], np.uint8)
+        hs = dec["h"].to_numpy()
+        ws = dec["w"].to_numpy()
+        caps = dec["caption"].to_pylist()
+        phash = dec["phash"].to_numpy()
+        ids = dec["image_id"].to_pylist()
+        verdicts, keys = [], []
+        for i in range(dec.num_rows):
+            arr = uniform[i] if uniform is not None else arrays[i]
+            qa = qa_vals[qa_off[i]:qa_off[i + 1]]\
+                .reshape((int(hs[i]), int(ws[i])))
+            if int((arr[0] == NODATA).sum()) > max_nodata:
+                v = "gap"
+            elif int(mk.cfmask(qa).sum()) > max_qa_masked:
+                v = "cloudy"
+            elif int(mk.saturation_mask(arr).sum()) > max_saturated:
+                v = "saturated"
+            elif not topic.search(caps[i]):
+                v = "topic"
+            else:
+                v = ""
+            verdicts.append(v)
+            # failures get a singleton shuffle key so they ride the
+            # same exchange without joining any dedup group
+            keys.append(str(int(phash[i])) if v == "" else "f" + ids[i])
+        return pa.table({
+            "image_id": dec["image_id"],
+            "verdict": pa.array(verdicts, pa.string()),
+            "key": pa.array(keys, pa.string())})
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["image_id", "verdict"]].copy()
+        if (out["verdict"] == "").any():
+            first = g["image_id"].min()
+            out["verdict"] = np.where(g["image_id"] == first, "keep",
+                                      "duplicate")
+        return out
+
+    return images.map_batches(feats, batch_format="pyarrow",
+                              batch_size=32) \
+        .groupby("key").map_groups(decide, batch_format="pandas")

@@ -1,0 +1,135 @@
+"""Global raster enhancement: corpus-wide histogram equalization.
+
+The classic two-pass GLOBAL-STATISTICS raster transform (same family as
+the reference's BCI/RNDSI global min-max normalization,
+transform.py:46-77/220-262, and mask_ledaps_qa's global mode,
+utils.py:796-845): pass 1 reduces the whole corpus to a tiny model —
+one per-band histogram — and pass 2 re-maps every pixel through the
+broadcast model.
+
+Scale shape: pass 1 is combiner-before-shuffle (each batch emits only
+its NONZERO (band, bin, n) partial rows, never per-pixel rows; the
+groupby merges ≤ bands·bins rows per batch) and the driver collect is
+exactly bands·bins rows regardless of corpus size. The equalization
+LUT (bands·bins int64 entries) rides the map_batches closure into
+pass 2 — a broadcast, never a join.
+
+Exactness: integer histogram counts, integer CDF, floor-division LUT
+(``eq[b] = (cdf[b] - cdf_min) * (levels-1) // (N - cdf_min)``) — the
+output is bit-identical at any batching/partitioning, and the
+full-corpus sidecar oracle (synth.generate_equalize_expected) replays
+the same definition in one single-machine pass, so a match proves the
+distributed two-pass plumbing. NODATA pixels are excluded from the
+histogram and pass through unmapped (not counted in n_valid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from ..constants import NODATA
+from .decode import binary_views
+
+
+def _bin_of(vals, lo, hi, bins):
+    """Integer bin index for values clipped to [lo, hi]."""
+    v = np.clip(vals, lo, hi).astype(np.int64)
+    return (v - lo) * bins // (hi - lo + 1)
+
+
+def fit_equalize_lut(tiles, bins=256, lo=0, hi=10000, levels=256):
+    """Pass 1: per-band global histogram → equalization LUT
+    (bands, bins) int64. Driver memory = bands·bins rows."""
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bd = batch["bands"].to_numpy()
+        out_band, out_bin, out_n = [], [], []
+        for i in range(batch.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            for b in range(arr.shape[0]):
+                row = arr[b].ravel()
+                valid = row != NODATA
+                if not valid.any():
+                    continue
+                h = np.bincount(_bin_of(row[valid], lo, hi, bins),
+                                minlength=bins)
+                nz = np.flatnonzero(h)
+                out_band.extend([b] * len(nz))
+                out_bin.extend(int(x) for x in nz)
+                out_n.extend(int(h[x]) for x in nz)
+        return pa.table({
+            "band": pa.array(out_band, pa.int64()),
+            "bin": pa.array(out_bin, pa.int64()),
+            "n": pa.array(out_n, pa.int64())})
+
+    rows = tiles.select_columns(["pixels", "bands", "h", "w"]) \
+        .map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["band", "bin"]) \
+        .aggregate(Sum("n", alias_name="n_total")).take_all()
+    n_bands = 1 + max(int(r["band"]) for r in rows)
+    hist = np.zeros((n_bands, bins), dtype=np.int64)
+    for r in rows:
+        hist[int(r["band"]), int(r["bin"])] = int(r["n_total"])
+    return build_lut(hist, levels)
+
+
+def build_lut(hist, levels=256):
+    """Histogram (bands, bins) → equalization LUT, the standard
+    cdf-min form with exact integer floor division."""
+    n_bands, bins = hist.shape
+    lut = np.zeros((n_bands, bins), dtype=np.int64)
+    for b in range(n_bands):
+        cdf = np.cumsum(hist[b])
+        total = int(cdf[-1])
+        nz = np.flatnonzero(hist[b])
+        if not len(nz):
+            continue
+        cdf_min = int(cdf[nz[0]])
+        denom = total - cdf_min
+        if denom <= 0:
+            continue   # single occupied bin: everything maps to 0
+        lut[b] = (cdf - cdf_min) * (levels - 1) // denom
+        lut[b, :nz[0]] = 0
+    return lut
+
+
+def equalize_tiles(tiles, bins=256, lo=0, hi=10000, levels=256):
+    """Two-pass global histogram equalization; returns per-(tile, band)
+    summaries (eq_sum, n_valid) of the remapped corpus."""
+    lut = fit_equalize_lut(tiles, bins=bins, lo=lo, hi=hi,
+                           levels=levels)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bd = batch["bands"].to_numpy()
+        tids = batch["tile_id"].to_pylist()
+        out = {"tile_id": [], "band": [], "eq_sum": [], "n_valid": []}
+        for i in range(batch.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            for b in range(arr.shape[0]):
+                row = arr[b].ravel()
+                valid = row != NODATA
+                eq = lut[b][_bin_of(row[valid], lo, hi, bins)]
+                out["tile_id"].append(tids[i])
+                out["band"].append(b)
+                out["eq_sum"].append(int(eq.sum()))
+                out["n_valid"].append(int(valid.sum()))
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "band": pa.array(out["band"], pa.int64()),
+            "eq_sum": pa.array(out["eq_sum"], pa.int64()),
+            "n_valid": pa.array(out["n_valid"], pa.int64())})
+
+    return tiles.select_columns(["tile_id", "pixels", "bands", "h",
+                                 "w"]) \
+        .map_batches(apply, batch_format="pyarrow")

@@ -796,3 +796,36 @@ def heavy_hitters_tokens_sql(k=20):
         SELECT token, CAST(count(*) AS BIGINT) AS n_total
         FROM toks GROUP BY token
         ORDER BY n_total DESC, token LIMIT {k}"""
+
+
+def split_assign(ds, id_col, val_rate=0.05, test_rate=0.05, seed=0):
+    """Deterministic train/val/test split assignment — the
+    leakage-proof dataset-split primitive of a training pipeline: a
+    row's split is a pure function of its id (first 8 hex chars of
+    md5("<id>:<seed>") against fixed thresholds), so the assignment is
+    reproducible across runs, partitionings, engines AND corpus
+    growth — adding rows never moves an existing row between splits
+    (the property a random_shuffle-based split lacks). Stateless
+    one-pass map; the same predicate is the SQL oracle."""
+    t_val = "%08x" % int(val_rate * (1 << 32))
+    t_test = "%08x" % int((val_rate + test_rate) * (1 << 32))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_hex8(df[id_col], seed)
+        split = np.where(h < t_val, "val",
+                         np.where(h < t_test, "test", "train"))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "split": split})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def split_assign_sql(id_expr, val_rate=0.05, test_rate=0.05, seed=0):
+    """The matching DuckDB CASE expression."""
+    t_val = "%08x" % int(val_rate * (1 << 32))
+    t_test = "%08x" % int((val_rate + test_rate) * (1 << 32))
+    h = "substr(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 8)" % (id_expr,
+                                                             seed)
+    return ("CASE WHEN %s < '%s' THEN 'val' "
+            "WHEN %s < '%s' THEN 'test' ELSE 'train' END"
+            % (h, t_val, h, t_test))

@@ -1031,3 +1031,86 @@ def inverted_index_sql(vocab_prefix="0",
         FROM per_doc
         WHERE md5(term) LIKE '{vocab_prefix}%'
         GROUP BY term"""
+
+
+def doc_freq_score(docs, vocab_size=512):
+    """Unigram corpus-frequency quality score — the broadcast-language-
+    model shape (a KenLM-style scorer with the log table replaced by
+    integer counts so the result is hash-exact): PASS 1 builds the
+    global unigram count table (per-batch Counter partials bound the
+    shuffle to one row per (batch, distinct token), then a distributed
+    sort+limit keeps the top-``vocab_size`` vocabulary with a
+    deterministic (count desc, token asc) tiebreak — the ONLY driver
+    collect is those V rows); the model dict rides ``ray.put`` into
+    PASS 2, which scores every document against it (OOV tokens
+    contribute 0). Returns (doc_id, n_tokens, sum_freq, mean_freq_u6),
+    all int64.
+
+    At 10^12 docs the model is still V rows broadcast once per worker —
+    never a join shuffle of the corpus against the count table."""
+    import re
+
+    import ray
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for s in df["text"]:
+            c.update(tok.findall(s.lower()))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64,
+                                              len(c))})
+
+    vocab_rows = docs.map_batches(partial, batch_format="pandas") \
+        .groupby("tok").aggregate(Sum("n", alias_name="n_total")) \
+        .sort(["n_total", "tok"], descending=[True, False]) \
+        .limit(vocab_size).take_all()
+    model_ref = ray.put({r["tok"]: int(r["n_total"]) for r in vocab_rows})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        ids, nt, sf = [], [], []
+        for i, s in zip(df["doc_id"], df["text"]):
+            ts = tok.findall(s.lower())
+            ids.append(int(i))
+            nt.append(len(ts))
+            sf.append(sum(model.get(t, 0) for t in ts))
+        nt = np.array(nt, np.int64)
+        sf = np.array(sf, np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(nt > 0, sf * 1_000_000 // np.maximum(nt, 1),
+                            np.int64(0))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64), "n_tokens": nt,
+            "sum_freq": sf, "mean_freq_u6": mean.astype(np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def doc_freq_score_sql(vocab_size=512):
+    """DuckDB oracle for :func:`doc_freq_score` (same tokenizer,
+    vocabulary tiebreak, OOV-as-zero, and floor division)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS tok
+          FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        vocab AS (SELECT tok, c FROM cnt
+                  ORDER BY c DESC, tok LIMIT {vocab_size}),
+        joined AS (
+          SELECT t.doc_id, v.c FROM toks t
+          LEFT JOIN vocab v USING (tok)),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(c), 0) AS BIGINT) AS sum_freq
+          FROM joined GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.sum_freq, 0) AS sum_freq,
+               CAST(coalesce(p.sum_freq * 1000000 // p.n_tokens, 0)
+                    AS BIGINT) AS mean_freq_u6
+        FROM documents d LEFT JOIN per p USING (doc_id)"""

@@ -1,0 +1,131 @@
+"""Temporal trend composite: per-position linear regression over a
+multi-date tile stack.
+
+The time-series analogue of the reference's composite family
+(utils.py:343-525 reduces a date stack pixel-wise with
+median/min/max/mean): here the reducer is the least-squares SLOPE of
+pixel value vs acquisition index — the classic Landsat change-detection
+workload (NDVI greening/browning trend mapping) that a
+median-composite engine cannot express. y is the tile's BAND-0 pixel
+sum (the index band, matching stages/terrain.py:dem_only's convention),
+which keeps num = n·Σty − Σt·Σy inside int64 for stacks up to ~20k
+dates of 32-px tiles; `finish` raises loudly (never wraps) beyond that
+— the documented deep-stack path is centering t per key (pass-0 min-t)
+plus two-word accumulation.
+
+Scale shape — this is the showcase ASSOCIATIVE-PARTIALS reduce: the
+regression statistics (n, Σt, Σt², Σy, Σty) are all sums, so each
+batch pre-aggregates its tiles into ONE 5-int partial row per
+(cell, row_off, col_off) position and the groupby exchange never
+carries a pixel payload (the skewed corpus stacks ~n_hot dates on one
+position — the exchange is n_batches·5 ints per hot key instead of
+n_hot tile payloads, so the hot key needs no salting at any stack
+depth). Final slope is returned as EXACT int64 numerator/denominator
+(num = n·Σty − Σt·Σy, den = n·Σt² − (Σt)², y = the tile's band-0 pixel
+sum), bit-identical at any batching.
+
+The date index t is the image sequence number parsed from the engine's
+image_id convention ("img%08d"), i.e. a value each task derives
+locally — no global rank pass.
+
+Key discipline: the group key is (cell_ix, cell_iy, row_off, col_off)
+with the Morton cell id decoded to small int64 lattice coordinates
+INSIDE the partials stage — raw uint64 cell ids carry level bits above
+2^53 and are not float-safe through an aggregate's internal pandas
+hops (the stages/label.py lesson; observed: 2404 keys collapsed to
+2202 when grouping on the raw cell column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from .. import cellindex
+from .decode import binary_views
+
+
+def _partials(batch: pa.Table) -> pd.DataFrame:
+    values, offsets = binary_views(batch["pixels"], np.int16)
+    hs = batch["h"].to_numpy()
+    ws = batch["w"].to_numpy()
+    cells = batch["cell"].to_numpy(zero_copy_only=False)
+    cix, ciy, _lv = cellindex.cell_to_ixiy(cells.astype(np.uint64))
+    ro = batch["row_off"].to_numpy()
+    co = batch["col_off"].to_numpy()
+    ids = batch["image_id"].to_pylist()
+    acc = {}
+    for i in range(batch.num_rows):
+        t = int(ids[i][3:])           # engine image_id = "img%08d"
+        hw = int(hs[i]) * int(ws[i])
+        b0 = values[offsets[i]:offsets[i] + hw]   # band 0 of (p,h,w)
+        y = int(b0.astype(np.int64).sum())
+        k = (int(cix[i]), int(ciy[i]), int(ro[i]), int(co[i]))
+        a = acc.get(k)
+        if a is None:
+            acc[k] = [1, t, t * t, y, t * y]
+        else:
+            a[0] += 1
+            a[1] += t
+            a[2] += t * t
+            a[3] += y
+            a[4] += t * y
+    keys = list(acc.keys())
+    cols = np.array([acc[k] for k in keys], dtype=np.int64).reshape(
+        (len(keys), 5))
+    return pd.DataFrame({
+        "cell_ix": pd.Series([k[0] for k in keys], dtype="int64"),
+        "cell_iy": pd.Series([k[1] for k in keys], dtype="int64"),
+        "row_off": pd.Series([k[2] for k in keys], dtype="int64"),
+        "col_off": pd.Series([k[3] for k in keys], dtype="int64"),
+        "n": cols[:, 0], "st": cols[:, 1], "st2": cols[:, 2],
+        "sy": cols[:, 3], "sty": cols[:, 4]})
+
+
+def temporal_trend(tiles):
+    """Distributed per-position regression over a date-stacked tile
+    table; returns (cell_ix, cell_iy, row_off, col_off, n_dates,
+    trend_num, trend_den) with exact int64 rational slope = num/den (den = 0 for
+    single-date positions)."""
+    agg = tiles.select_columns(
+        ["image_id", "cell", "row_off", "col_off", "h", "w",
+         "pixels"]) \
+        .map_batches(_partials, batch_format="pyarrow") \
+        .groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("st", alias_name="st"),
+                   Sum("st2", alias_name="st2"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sty", alias_name="sty"))
+
+    # pyarrow in/out: a pandas hop would round the uint64 Morton cell
+    # ids through float64 and collapse distinct cells (the label.py
+    # lesson — ids > 2^53 are not float-safe)
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        st = batch["st"].to_numpy().astype(np.int64)
+        st2 = batch["st2"].to_numpy().astype(np.int64)
+        sy = batch["sy"].to_numpy().astype(np.int64)
+        sty = batch["sty"].to_numpy().astype(np.int64)
+        # exact-domain guard: refuse to wrap (see module docstring)
+        f = np.float64
+        if len(n) and (
+                (np.abs(n.astype(f) * sty.astype(f)) > 2 ** 62).any()
+                or (np.abs(st.astype(f) * sy.astype(f))
+                    > 2 ** 62).any()):
+            raise OverflowError(
+                "temporal_trend: stack too deep for int64 rational "
+                "slope; center t (pass-0 min per key) for this corpus")
+        return pa.table({
+            "cell_ix": batch["cell_ix"].cast(pa.int64()),
+            "cell_iy": batch["cell_iy"].cast(pa.int64()),
+            "row_off": batch["row_off"].cast(pa.int64()),
+            "col_off": batch["col_off"].cast(pa.int64()),
+            "n_dates": pa.array(n, pa.int64()),
+            "trend_num": pa.array(n * sty - st * sy, pa.int64()),
+            "trend_den": pa.array(n * st2 - st * st, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
