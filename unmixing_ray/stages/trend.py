@@ -31,9 +31,11 @@ locally — no global rank pass.
 Key discipline: the group key is (cell_ix, cell_iy, row_off, col_off)
 with the Morton cell id decoded to small int64 lattice coordinates
 INSIDE the partials stage — raw uint64 cell ids carry level bits above
-2^53 and are not float-safe through an aggregate's internal pandas
-hops (the stages/label.py lesson; observed: 2404 keys collapsed to
-2202 when grouping on the raw cell column).
+2^53 and are not float-safe when PANDAS-format partial blocks feed a
+groupby().aggregate() (the stages/label.py lesson; observed: 2404 keys
+collapsed to 2202 grouping on the raw cell column here, while
+stages/rollup.py aggregates the same uint64 keys safely from
+Arrow-format partials).
 """
 
 from __future__ import annotations
