@@ -1,0 +1,132 @@
+"""Batching/partitioning invariance + contract pins for the
+continuation-session-5 operators (trend, enhance, curate, quantize,
+split)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skew_tiles(ray_session, batch_size):
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    corpus = synth.ensure_skewed_corpus(SF)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def test_temporal_trend_batching_invariant(ray_session):
+    """The associative-partials reduce must be bit-identical at any
+    batch size (different per-batch pre-aggregation splits)."""
+    from unmixing_ray.stages import trend
+    key = ["cell_ix", "cell_iy", "row_off", "col_off"]
+    a = trend.temporal_trend(_skew_tiles(ray_session, 4)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = trend.temporal_trend(_skew_tiles(ray_session, 64)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_dates"] > 1).any()          # the planted hot stack
+    single = a[a["n_dates"] == 1]
+    assert (single["trend_den"] == 0).all()  # undefined slope is 0/0
+
+
+def test_temporal_trend_overflow_guard():
+    """finish() must raise, never wrap, past the int64 exact domain."""
+    import pyarrow as pa
+    from unmixing_ray.stages import trend
+    big = pa.table({
+        "cell_ix": pa.array([1], pa.int64()),
+        "cell_iy": pa.array([1], pa.int64()),
+        "row_off": pa.array([0], pa.int64()),
+        "col_off": pa.array([0], pa.int64()),
+        "n": pa.array([2 ** 31], pa.int64()),
+        "st": pa.array([1], pa.int64()),
+        "st2": pa.array([1], pa.int64()),
+        "sy": pa.array([1], pa.int64()),
+        "sty": pa.array([2 ** 33], pa.int64())})
+    # reach the inner finish through a tiny fake aggregate output
+    import unmixing_ray.stages.trend as t
+
+    class FakeAgg:
+        def map_batches(self, fn, batch_format):
+            with pytest.raises(OverflowError):
+                fn(big)
+            return "raised"
+
+    class FakeTiles:
+        def select_columns(self, cols):
+            return self
+
+        def map_batches(self, *a, **k):
+            return self
+
+        def groupby(self, keys):
+            return self
+
+        def aggregate(self, *a):
+            return FakeAgg()
+
+    assert t.temporal_trend(FakeTiles()) == "raised"
+
+
+def test_equalize_batching_invariant_and_lut(ray_session):
+    """Two-pass equalization is exact at any batch size; the LUT is
+    monotone nondecreasing into [0, levels-1]."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import enhance
+
+    def tiles(bs):
+        corpus = synth.ensure_corpus(SF)
+        ds = images.read_images(corpus)
+        fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                         cell_level=synth.CELL_LEVEL)
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs)
+
+    lut = enhance.fit_equalize_lut(tiles(8))
+    assert lut.min() >= 0 and lut.max() <= 255
+    assert (np.diff(lut, axis=1) >= 0).all()
+    key = ["tile_id", "band"]
+    a = enhance.equalize_tiles(tiles(8)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = enhance.equalize_tiles(tiles(64)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_split_assign_growth_stable(ray_session):
+    """A row's split never changes when the corpus grows (pure fn of
+    id), and every split is non-empty at 500 docs."""
+    import ray.data
+    from unmixing_ray.stages import relational
+    ids = list(range(500))
+    full = relational.split_assign(
+        ray.data.from_items([{"doc_id": i} for i in ids]), "doc_id") \
+        .to_pandas().set_index("doc_id")["split"]
+    half = relational.split_assign(
+        ray.data.from_items([{"doc_id": i} for i in ids[:250]]),
+        "doc_id").to_pandas().set_index("doc_id")["split"]
+    pd.testing.assert_series_equal(half, full.loc[half.index])
+    assert set(full.unique()) == {"train", "val", "test"}
+
+
+def test_quantize_int8_bounds(ray_session):
+    """Quantized summaries respect |q_i| <= 127 (so q_l1 <= 127*d) and
+    the max-|x| dim hits exactly +/-127 via floor semantics."""
+    import ray.data
+    from unmixing_ray.stages import ann
+    rng = np.random.default_rng(5)
+    rows = [{"vec_id": i,
+             "embedding": rng.normal(size=8).astype(np.float32)}
+            for i in range(50)]
+    rows.append({"vec_id": 50,
+                 "embedding": np.zeros(8, np.float32)})   # zero vector
+    out = ann.quantize_int8(ray.data.from_items(rows)).to_pandas()
+    assert (out["q_l1"] <= 127 * out["n_dims"]).all()
+    z = out[out["vec_id"] == 50].iloc[0]
+    assert z["q_sum"] == 0 and z["q_l1"] == 0 and z["scale_u6"] == 0
