@@ -337,6 +337,19 @@ def q_spatial_join_knn(sf_dir):
         .reset_index(drop=True)
 
 
+def q_polygon_metrics(sf_dir):
+    """Vector-side geometry analytics (stages/join.py:polygon_metrics):
+    exact fixed-point shoelace area, L1 perimeter, vertex and
+    covering-cell counts per polygon; DuckDB replays the identical
+    doubled-integer arithmetic over the same ring lists."""
+    import ray.data
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.polygon_metrics(polys)
+
+
 def q_zonal_stats(sf_dir):
     """Zonal statistics (raster×vector classic): per polygon, sum +
     valid-pixel count of band 0 over tiles whose center is inside.
@@ -1809,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "temporal_trend": q_temporal_trend,
+        "polygon_metrics": q_polygon_metrics,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
         "forward_model_rmse": q_forward_model_rmse,
@@ -1949,6 +1963,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    trend_num, trend_den
             FROM read_parquet('{C}-skew/trend_expected.parquet')""",
+        "polygon_metrics": f"""
+            WITH p AS (
+              SELECT poly_id, ring, len(cells) AS n_cells,
+                     len(ring) - 1 AS n_vertices
+              FROM read_parquet('{C}/polygons.parquet')),
+            seg AS (
+              SELECT poly_id,
+                     CAST(round(ring[i][1] * 2) AS BIGINT) AS x0,
+                     CAST(round(ring[i][2] * 2) AS BIGINT) AS y0,
+                     CAST(round(ring[i + 1][1] * 2) AS BIGINT) AS x1,
+                     CAST(round(ring[i + 1][2] * 2) AS BIGINT) AS y1
+              FROM (SELECT poly_id, ring,
+                           unnest(generate_series(1, len(ring) - 1))
+                             AS i
+                    FROM p)),
+            m AS (
+              SELECT poly_id,
+                     abs(sum(x0 * y1 - x1 * y0)) AS area_x8,
+                     sum(abs(x1 - x0) + abs(y1 - y0)) AS perim_x2
+              FROM seg GROUP BY poly_id)
+            SELECT p.poly_id,
+                   CAST(m.area_x8 AS BIGINT) AS area_x8,
+                   CAST(m.perim_x2 AS BIGINT) AS perim_x2,
+                   CAST(p.n_vertices AS BIGINT) AS n_vertices,
+                   CAST(p.n_cells AS BIGINT) AS n_cells
+            FROM p JOIN m USING (poly_id)""",
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",

@@ -106,6 +106,8 @@ def registry(ray_session):
     "embedding_quantize",
     # temporal regression composite via associative partials (skew corpus)
     "temporal_trend",
+    # exact fixed-point shoelace polygon analytics
+    "polygon_metrics",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -522,3 +522,42 @@ def rasterize_count(tiles, polygons):
     return tiles.select_columns(
         ["tile_id", "cell", "cx", "cy", "gt", "w", "h"]).map_batches(
         partial, batch_format="pyarrow")
+
+
+def polygon_metrics(polygons_ds):
+    """Vector-side geometry analytics over a polygons Dataset: exact
+    fixed-point shoelace area, L1 perimeter, vertex count, covering-cell
+    count per polygon (the raster<->vector bridge's vector half — the
+    reference only GENERATES pixel polygons, lsma.py:695-741; this is
+    the analytics pass a polygon layer needs at scale). Stateless
+    one-pass map_batches; no shuffle.
+
+    Exactness: ring coordinates are doubled to integers (the corpus
+    uses .5-quantized map coords; doubling any IEEE double <= 2^52 is
+    exact), so the shoelace sum Σ(x_i·y_{i+1} − x_{i+1}·y_i) and the L1
+    perimeter Σ(|dx|+|dy|) are exact int64 — ``area_x8 = 8·area``,
+    ``perim_x2 = 2·L1-perimeter`` — and DuckDB replays them with the
+    same CAST/arith (no float-summation-order hazard)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, a8, p2, nv, nc = [], [], [], [], []
+        for pid, ring, cells in zip(df["poly_id"], df["ring"],
+                                    df["cells"]):
+            r = np.asarray([[p[0], p[1]] for p in ring], np.float64)
+            xi = np.rint(r[:, 0] * 2).astype(np.int64)
+            yi = np.rint(r[:, 1] * 2).astype(np.int64)
+            area2 = int(np.sum(xi[:-1] * yi[1:] - xi[1:] * yi[:-1]))
+            per = int(np.sum(np.abs(np.diff(xi)) + np.abs(np.diff(yi))))
+            ids.append(pid)
+            a8.append(abs(area2))      # (2x)^2 coords -> 8*area
+            p2.append(per)
+            nv.append(len(r) - 1)      # closed ring repeats the start
+            nc.append(len(cells))
+        return pd.DataFrame({
+            "poly_id": ids,
+            "area_x8": pd.Series(a8, dtype="int64"),
+            "perim_x2": pd.Series(p2, dtype="int64"),
+            "n_vertices": pd.Series(nv, dtype="int64"),
+            "n_cells": pd.Series(nc, dtype="int64")})
+
+    return polygons_ds.map_batches(fn, batch_format="pandas")
