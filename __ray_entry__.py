@@ -350,6 +350,32 @@ def q_polygon_metrics(sf_dir):
     return jstage.polygon_metrics(polys)
 
 
+def q_polygon_cover(sf_dir):
+    """Spatial-index cover build (stages/join.py:polygon_cover): the
+    level-12 covering cells of every polygon bbox, the key set the
+    partitioned join plans shuffle on; the DuckDB oracle replays the
+    closed-form floor-grid arithmetic."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.polygon_cover(polys, level=synth.CELL_LEVEL)
+
+
+def q_cell_density(sf_dir):
+    """3x3 neighborhood tile density per cell
+    (stages/rollup.py:cell_density) — the hot-spot statistic behind
+    salting decisions, computed combiner-before-shuffle (one partial
+    row per occupied cell x 9 offsets per batch; small int64 lattice
+    keys). Oracle: SQL shift-and-sum over the closed-form tile
+    lattice sidecar."""
+    from unmixing_ray.stages import rollup
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return rollup.cell_density(tiles)
+
+
 def q_zonal_stats(sf_dir):
     """Zonal statistics (raster×vector classic): per polygon, sum +
     valid-pixel count of band 0 over tiles whose center is inside.
@@ -1823,6 +1849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_cell_counts": q_salted_cell_counts,
         "temporal_trend": q_temporal_trend,
         "polygon_metrics": q_polygon_metrics,
+        "polygon_cover": q_polygon_cover,
+        "cell_density": q_cell_density,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
         "forward_model_rmse": q_forward_model_rmse,
@@ -1989,6 +2017,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n_vertices AS BIGINT) AS n_vertices,
                    CAST(p.n_cells AS BIGINT) AS n_cells
             FROM p JOIN m USING (poly_id)""",
+        "polygon_cover": f"""
+            SELECT poly_id,
+                   CAST(tx.ix AS BIGINT) AS cell_ix,
+                   CAST(ty.iy AS BIGINT) AS cell_iy
+            FROM read_parquet('{C}/polygons.parquet'),
+                 unnest(generate_series(
+                     greatest(0, CAST(floor(xmin / 1024.0) AS BIGINT)),
+                     least(4095, CAST(floor(xmax / 1024.0) AS BIGINT))))
+                   AS tx(ix),
+                 unnest(generate_series(
+                     greatest(0, CAST(floor(ymin / 1024.0) AS BIGINT)),
+                     least(4095, CAST(floor(ymax / 1024.0) AS BIGINT))))
+                   AS ty(iy)""",
+        "cell_density": f"""
+            WITH c AS (
+              SELECT cell_ix, cell_iy, count(*) AS n
+              FROM read_parquet('{C}/tiles_expected.parquet')
+              GROUP BY cell_ix, cell_iy),
+            o AS (SELECT dx.dx, dy.dy
+                  FROM (VALUES (-1), (0), (1)) dx(dx),
+                       (VALUES (-1), (0), (1)) dy(dy))
+            SELECT c.cell_ix + dx AS cell_ix,
+                   c.cell_iy + dy AS cell_iy,
+                   CAST(sum(n) AS BIGINT) AS n_tiles
+            FROM c, o
+            WHERE c.cell_ix + dx BETWEEN 0 AND 4095
+              AND c.cell_iy + dy BETWEEN 0 AND 4095
+            GROUP BY 1, 2""",
         "warp_bilinear": f"""
             SELECT tile_id, band, warp_sum
             FROM read_parquet('{C}/warp_expected.parquet')""",

@@ -108,6 +108,8 @@ def registry(ray_session):
     "temporal_trend",
     # exact fixed-point shoelace polygon analytics
     "polygon_metrics",
+    # spatial-index cover build + 3x3 neighborhood density
+    "polygon_cover", "cell_density",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

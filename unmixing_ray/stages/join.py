@@ -561,3 +561,35 @@ def polygon_metrics(polygons_ds):
             "n_cells": pd.Series(nc, dtype="int64")})
 
     return polygons_ds.map_batches(fn, batch_format="pandas")
+
+
+def polygon_cover(polygons_ds, level):
+    """Covering-cell computation for a polygon layer — the spatial-
+    index build step (the same cover the partitioned join plans key
+    on): one stateless pass emits (poly_id, cell_ix, cell_iy) for every
+    level-``level`` grid cell intersecting each polygon's bbox
+    (cellindex.cover_bbox semantics: floor grid arithmetic, clipped to
+    the level's lattice). The DuckDB oracle replays the identical
+    closed-form grid arithmetic — a match pins the engine's cell cover
+    (and therefore every cover-keyed partition plan) to the spec."""
+    from .. import cellindex
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, oxs, oys = [], [], []
+        for pid, xmin, ymin, xmax, ymax in zip(
+                df["poly_id"], df["xmin"], df["ymin"], df["xmax"],
+                df["ymax"]):
+            cells = cellindex.cover_bbox(float(xmin), float(ymin),
+                                         float(xmax), float(ymax),
+                                         level)
+            ix, iy, _lv = cellindex.cell_to_ixiy(
+                np.asarray(cells, np.uint64))
+            ids.extend([pid] * len(cells))
+            oxs.extend(int(v) for v in ix)
+            oys.extend(int(v) for v in iy)
+        return pd.DataFrame({
+            "poly_id": ids,
+            "cell_ix": pd.Series(oxs, dtype="int64"),
+            "cell_iy": pd.Series(oys, dtype="int64")})
+
+    return polygons_ds.map_batches(fn, batch_format="pandas")

@@ -77,3 +77,51 @@ def cell_rollup_sql(tiles_expected_path, base_level, steps=(0, 1, 2, 3)):
             FROM read_parquet('{tiles_expected_path}')
             GROUP BY 1, 2, 3""")
     return " UNION ALL ".join(legs)
+
+
+def cell_density(tiles, ring=1, level_bits=12):
+    """3x3 (king-move) neighborhood tile density per cell — the
+    spatial hot-spot statistic that drives salting decisions: for every
+    cell within ``ring`` of an occupied cell, the number of tiles in
+    its (2·ring+1)² neighborhood. Combiner-before-shuffle: each batch
+    counts tiles per cell locally, then emits ONE (jx, jy, n) partial
+    row per (occupied cell x 9 offsets) — the exchange never carries a
+    tile row — and a groupby sums partials. Keys are small int64
+    lattice coords (never raw uint64 Morton ids through an aggregate —
+    see stages/trend.py). Offsets are clipped at the level's lattice
+    bounds, matching cellindex.neighbors."""
+    from .. import cellindex
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cells = np.asarray(batch["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+        ix, iy, _lv = cellindex.cell_to_ixiy(cells)
+        cnt = {}
+        for a, b in zip(ix.astype(np.int64), iy.astype(np.int64)):
+            k = (int(a), int(b))
+            cnt[k] = cnt.get(k, 0) + 1
+        n = (1 << level_bits) - 1
+        out = {}
+        for (a, b), c in cnt.items():
+            for dy in range(-ring, ring + 1):
+                for dx in range(-ring, ring + 1):
+                    jx, jy = a + dx, b + dy
+                    if 0 <= jx <= n and 0 <= jy <= n:
+                        k = (jx, jy)
+                        out[k] = out.get(k, 0) + c
+        keys = list(out.keys())
+        return pd.DataFrame({
+            "cell_ix": pd.Series([k[0] for k in keys], dtype="int64"),
+            "cell_iy": pd.Series([k[1] for k in keys], dtype="int64"),
+            "n": pd.Series([out[k] for k in keys], dtype="int64")})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell_ix": batch["cell_ix"].cast(pa.int64()),
+            "cell_iy": batch["cell_iy"].cast(pa.int64()),
+            "n_tiles": batch["sum(n)"].cast(pa.int64())})
+
+    return tiles.select_columns(["cell"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_ix", "cell_iy"]).sum("n") \
+        .map_batches(rename, batch_format="pyarrow")
