@@ -130,3 +130,26 @@ def test_quantize_int8_bounds(ray_session):
     assert (out["q_l1"] <= 127 * out["n_dims"]).all()
     z = out[out["vec_id"] == 50].iloc[0]
     assert z["q_sum"] == 0 and z["q_l1"] == 0 and z["scale_u6"] == 0
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Bottom-m sketch quantiles: percentile-rank error <= 2.5/sqrt(m)
+    vs the exact sorted column, and the sketch is partitioning-
+    invariant (pure-hash ranks)."""
+    import ray.data
+    from unmixing_ray.stages import relational
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet") \
+        .select_columns(["event_id", "value"])
+    m = 2048
+    got = relational.approx_quantiles(ds, "value", qs=(0.1, 0.5, 0.9),
+                                      sample_size=m, id_col="event_id")
+    exact = np.sort(ds.to_pandas()["value"].to_numpy())
+    tol = 2.5 / np.sqrt(m)
+    for q, v in zip(got["q"], got["value"]):
+        rank = np.searchsorted(exact, v) / len(exact)
+        assert abs(rank - q) <= tol, (q, v, rank)
+    # partitioning invariance: same result from a repartitioned input
+    got2 = relational.approx_quantiles(
+        ds.repartition(17), "value", qs=(0.1, 0.5, 0.9),
+        sample_size=m, id_col="event_id")
+    assert list(got["value"]) == list(got2["value"])

@@ -829,3 +829,37 @@ def split_assign_sql(id_expr, val_rate=0.05, test_rate=0.05, seed=0):
     return ("CASE WHEN %s < '%s' THEN 'val' "
             "WHEN %s < '%s' THEN 'test' ELSE 'train' END"
             % (h, t_val, h, t_test))
+
+
+def approx_quantiles(ds, col, qs=(0.25, 0.5, 0.75, 0.95),
+                     sample_size=4096, id_col=None, seed=0):
+    """Approximate quantiles via a deterministic BOTTOM-m hash sketch —
+    the mergeable scale path of :func:`grouped_quantiles` (which is
+    exact but needs counting passes): every row gets the rank
+    md5("<id>:<seed>"), each batch keeps its ``sample_size`` smallest
+    ranks (the combiner), and the global bottom-``sample_size`` set —
+    an exact uniform sample WITHOUT replacement, identical at any
+    partitioning because the ranks are a pure function of row identity
+    — is reduced by a distributed sort+limit. Driver work = m rows;
+    percentile-rank error is O(1/sqrt(m)) (pytest-pinned vs the exact
+    operator). ``id_col`` defaults to ``col`` (dedup-by-value ranks;
+    pass a real id column for multiset semantics)."""
+    idc = id_col or col
+
+    def bottom_m(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "h": _md5_hex8(df[idc], seed),
+            "v": df[col].to_numpy()})
+        # hex strings sort lexicographically == numerically (fixed
+        # width); nsmallest rejects object dtype, so sort+head
+        return out.sort_values("h", kind="mergesort")\
+            .head(sample_size)
+
+    rows = ds.map_batches(bottom_m, batch_format="pandas") \
+        .sort("h").limit(sample_size).take_all()
+    vals = np.sort(np.array([r["v"] for r in rows]))
+    if not len(vals):
+        return pd.DataFrame({"q": [], "value": []})
+    idx = np.minimum((np.asarray(qs) * len(vals)).astype(np.int64),
+                     len(vals) - 1)
+    return pd.DataFrame({"q": list(qs), "value": vals[idx]})
