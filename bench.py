@@ -128,6 +128,57 @@ def run_kernel_scaling():
         "kernel_scaling_efficiency": round(m32 / m8 / 4.0, 3)}))
 
 
+def dram_probe(k, n_iter=3):
+    """One k-stream round of the bandwidth control (~1-2 s): annotates
+    a timed leg with the CONTEMPORANEOUS aggregate DRAM throughput, the
+    second quietness signal next to the CPU probe (a quiet CPU probe
+    with a saturated bus still means 3-4x pipeline times — see
+    BENCH.md round-3 session-5 datapoint). Runs in a CLEAN subprocess:
+    forking stream workers from a Ray-initialized parent measured
+    0.2 GB/s where the clean control reads 16+ (fork cost + inherited
+    state dominate the wall clock)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--dram-probe-once", str(k), str(n_iter)],
+        capture_output=True, text=True)
+    try:
+        return float(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return -1.0
+
+
+def _dram_probe_inproc(k, n_iter=3):
+    import multiprocessing as mp
+
+    def worker(n, q):
+        import numpy as np
+        a = np.random.default_rng(os.getpid()).integers(
+            0, 1000, 25_000_000, dtype=np.int16)
+        t0 = time.monotonic()
+        s = 0.0
+        for _ in range(n):
+            b = a.astype(np.float64)
+            s += float(b[::4096].sum())
+        q.put((n * a.nbytes * 9, time.monotonic() - t0))
+
+    def one_round(n):
+        q = mp.Queue()
+        procs = [mp.Process(target=worker, args=(n, q))
+                 for _ in range(k)]
+        t0 = time.monotonic()
+        for p in procs:
+            p.start()
+        tot = sum(q.get()[0] for _ in procs)
+        for p in procs:
+            p.join()
+        return tot / (time.monotonic() - t0) / 1e9
+
+    # a cold first round underreads ~7x (numpy import + first-touch
+    # page faults dominate); match the control's max-of-rounds reading
+    one_round(1)
+    return round(one_round(n_iter), 1)
+
+
 def run_bandwidth_control():
     """DRAM-bandwidth control (no Ray): aggregate streaming throughput
     with 8 vs 32 independent processes, each expanding a 50 MB int16
@@ -342,13 +393,22 @@ def main():
         "n_tiles": n_tiles,
         "tiles_per_sec": tiles_per_sec,
         "probe_mpx_s": probe,
+        # window-quality annotation: aggregate DRAM GB/s at this leg's
+        # stream count (quiet-host reference ~16-27 GB/s @8; a 32-way
+        # reading of ~2 GB/s means every pipeline time is ~3-4x its
+        # quiet-window value regardless of engine code — BENCH.md)
+        "dram_gb_s": dram_probe(min(ncpu, 32)),
     }))
     shutil.rmtree("/tmp/ray_unmix_bench", ignore_errors=True)
     ray.shutdown()
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--dram-probe-once" in sys.argv:
+        i = sys.argv.index("--dram-probe-once")
+        print(_dram_probe_inproc(int(sys.argv[i + 1]),
+                                 int(sys.argv[i + 2])))
+    elif "--scaling" in sys.argv:
         run_scaling()
     elif "--kernel-scaling" in sys.argv:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
