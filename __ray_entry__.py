@@ -847,6 +847,24 @@ def q_events_session_join(sf_dir):
     return ev.session_lookup(_read(sf_dir, "events"))
 
 
+def q_retention_cohorts(sf_dir):
+    """Cohort retention over the event log
+    (stages/events.py:retention_cohorts): per-batch (user, day) dedup
+    combiner -> one groupby(user) -> tiny cohort-day count shuffle;
+    exact int64 days-since-epoch."""
+    from unmixing_ray.stages import events as ev
+    return ev.retention_cohorts(_read(sf_dir, "events"))
+
+
+def q_funnel_conversions(sf_dir):
+    """Within-session view->purchase funnel per user
+    (stages/events.py:funnel_conversions): one groupby(user) exchange,
+    conversion = strictly-earlier-microsecond compare inside the
+    session (gap rule shared with sessionize)."""
+    from unmixing_ray.stages import events as ev
+    return ev.funnel_conversions(_read(sf_dir, "events"))
+
+
 def q_lineitem_rollup(sf_dir):
     """GROUP BY ROLLUP grouping sets in one shuffle: exact cent sums +
     counts for (returnflag, linestatus), (returnflag,) and the grand
@@ -1820,6 +1838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "retention_cohorts": q_retention_cohorts,
+        "funnel_conversions": q_funnel_conversions,
         "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -1953,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_components_expected(sf)
             except Exception:
                 pass
-    from unmixing_ray.stages import ann, relational, text
+    from unmixing_ray.stages import ann, events, relational, text
     C = SF01_CORPUS
     return {
         "tile_assignment": f"""
@@ -2366,6 +2386,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),
         "doc_freq_score": text.doc_freq_score_sql(),
+        "retention_cohorts": events.retention_cohorts_sql(),
+        "funnel_conversions": events.funnel_conversions_sql(),
         "embedding_quantize": ann.quantize_int8_sql(),
         "dataset_split": "SELECT doc_id, %s AS split FROM documents"
             % relational.split_assign_sql("doc_id"),

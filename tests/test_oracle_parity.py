@@ -110,6 +110,8 @@ def registry(ray_session):
     "polygon_metrics",
     # spatial-index cover build + 3x3 neighborhood density
     "polygon_cover", "cell_density",
+    # event-log analytics: cohort retention + within-session funnel
+    "retention_cohorts", "funnel_conversions",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -153,3 +153,23 @@ def test_approx_quantiles_error_bound(ray_session):
         ds.repartition(17), "value", qs=(0.1, 0.5, 0.9),
         sample_size=m, id_col="event_id")
     assert list(got["value"]) == list(got2["value"])
+
+
+def test_build_lut_known_histogram():
+    """Classic histeq identity checks on a hand-computed histogram:
+    cdf-min form maps the lowest occupied bin to 0 and the highest to
+    levels-1; empty bands map to all-zero."""
+    from unmixing_ray.stages.enhance import build_lut
+    hist = np.zeros((2, 8), dtype=np.int64)
+    hist[0, 2] = 10      # lowest occupied -> 0
+    hist[0, 5] = 30
+    hist[0, 7] = 60      # highest occupied -> levels-1
+    lut = build_lut(hist, levels=256)
+    assert lut[0, 2] == 0
+    assert lut[0, 7] == 255
+    # middle bin: (cdf-cdfmin)*(L-1)//(N-cdfmin) = (40-10)*255//90 = 85
+    assert lut[0, 5] == 85
+    # bins below the first occupied one are clamped to 0
+    assert (lut[0, :2] == 0).all()
+    # band 1 is empty -> all zeros
+    assert (lut[1] == 0).all()

@@ -373,3 +373,139 @@ def session_lookup_sql(gap_s=1800, event_type="purchase"):
         JOIN iv ON e.user_id = iv.user_id
                AND epoch_us(e.ts) BETWEEN iv.start_us AND iv.end_us
         WHERE e.event_type = '{event_type}'"""
+
+
+def retention_cohorts(events):
+    """Cohort retention analysis — the product-analytics staple over an
+    event log: users are cohorted by their FIRST active day, and the
+    output counts distinct users of each cohort active on each later
+    day (cohort_day, activity_day, n_users).
+
+    Scale shape: a per-batch (user, day) dedup combiner bounds the
+    first exchange to one row per (batch, user, active day) — never one
+    row per event; groupby(user) merges each user's distinct-day set
+    and emits (cohort=min day, day) pairs; a second tiny
+    groupby(cohort, day) counts them. Days travel as exact int64
+    days-since-epoch (no timestamp/date dtype through the shuffle)."""
+    US_PER_DAY = 86_400_000_000
+
+    def dedup_days(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].astype("datetime64[us]").astype("int64")
+                // US_PER_DAY)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": days.astype("int64")}).drop_duplicates()
+        return out
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        return pd.DataFrame({
+            "cohort_day": np.full(len(days), days.min(), np.int64),
+            "activity_day": days.astype(np.int64)})
+
+    pairs = events.select_columns(["user_id", "ts"]) \
+        .map_batches(dedup_days, batch_format="pandas") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    counts = pairs.groupby(["cohort_day", "activity_day"]).count()
+
+    def rename(batch):
+        import pyarrow as pa
+        return pa.table({
+            "cohort_day": batch["cohort_day"].cast(pa.int64()),
+            "activity_day": batch["activity_day"].cast(pa.int64()),
+            "n_users": batch["count()"].cast(pa.int64())})
+
+    return counts.map_batches(rename, batch_format="pyarrow")
+
+
+def retention_cohorts_sql():
+    """DuckDB oracle for :func:`retention_cohorts` (same int64
+    days-since-epoch arithmetic)."""
+    return """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day
+              FROM ud GROUP BY user_id)
+        SELECT c.cohort_day, ud.day AS activity_day,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY c.cohort_day, ud.day"""
+
+
+def funnel_conversions(events, first="view", then="purchase",
+                       gap_s=1800):
+    """Within-session funnel conversion per user: a session CONVERTS
+    when it contains a ``first`` event at a strictly earlier
+    microsecond than some ``then`` event (the product-analytics A→B
+    funnel; equal-timestamp pairs do NOT convert — the strict-us
+    contract keeps the SQL replay free of tuple-ordering arithmetic).
+    Returns (user_id, n_sessions, n_converted).
+
+    Scale shape: same single groupby(user) exchange as
+    :func:`sessionize` — conversion is evaluated inside the per-user
+    group with vectorized min/max per (session, type), so nothing else
+    shuffles."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        new_session = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_session[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_session) - 1
+        et = g["event_type"].to_numpy()
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        converted = 0
+        for s in range(n_sessions):
+            m = sid == s
+            a = m & (et == first)
+            b = m & (et == then)
+            if not (a.any() and b.any()):
+                continue
+            if ts_us[a].min() < ts_us[b].max():   # strict us compare
+                converted += 1
+        return pd.DataFrame({
+            "user_id": pd.Series([int(g["user_id"].iloc[0])],
+                                 dtype="int64"),
+            "n_sessions": pd.Series([n_sessions], dtype="int64"),
+            "n_converted": pd.Series([converted], dtype="int64")})
+
+    return events.select_columns(
+        ["user_id", "event_id", "ts", "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def funnel_conversions_sql(first="view", then="purchase", gap_s=1800):
+    """DuckDB oracle for :func:`funnel_conversions` (same gap rule
+    and strict-microsecond conversion compare)."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, event_id, ts, event_type,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS sid
+          FROM o),
+        conv AS (
+          SELECT user_id, sid,
+                 CASE WHEN min(CASE WHEN event_type = '{first}'
+                          THEN epoch_us(ts) END)
+                      < max(CASE WHEN event_type = '{then}'
+                          THEN epoch_us(ts) END)
+                      THEN 1 ELSE 0 END AS converted
+          FROM s GROUP BY user_id, sid)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM conv GROUP BY user_id"""
