@@ -1408,6 +1408,25 @@ def q_temporal_trend(sf_dir):
     return trend.temporal_trend(tiles)
 
 
+def q_composite_latest(sf_dir):
+    """Last-valid-observation composite over the SKEWED corpus
+    (stages/trend.py:composite_latest): per-pixel argmax-by-date reduce
+    carrying the (t, value) pair — at most 2 int64 planes per
+    (batch, position) through the exchange regardless of the planted
+    ~n/2-deep hot stack. Oracle: single-machine sequence-order replay
+    sidecar (synth.generate_latest_expected)."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import trend
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    synth.generate_latest_expected(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    return trend.composite_latest(tiles)
+
+
 def q_salted_cell_counts(sf_dir):
     """Skew-handling parity: per-cell tile counts over the SKEWED corpus
     (half the images stacked on one location → planted hot cells),
@@ -1794,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
+                _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
@@ -1868,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "temporal_trend": q_temporal_trend,
+        "composite_latest": q_composite_latest,
         "polygon_metrics": q_polygon_metrics,
         "polygon_cover": q_polygon_cover,
         "cell_density": q_cell_density,
@@ -1959,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
+                _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
@@ -2011,6 +2033,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    trend_num, trend_den
             FROM read_parquet('{C}-skew/trend_expected.parquet')""",
+        "composite_latest": f"""
+            SELECT cell_ix, cell_iy, row_off, col_off, latest_sum,
+                   latest_t_sum, n_hole
+            FROM read_parquet('{C}-skew/latest_expected.parquet')""",
         "polygon_metrics": f"""
             WITH p AS (
               SELECT poly_id, ring, len(cells) AS n_cells,

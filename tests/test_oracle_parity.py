@@ -112,6 +112,8 @@ def registry(ray_session):
     "polygon_cover", "cell_density",
     # event-log analytics: cohort retention + within-session funnel
     "retention_cohorts", "funnel_conversions",
+    # last-valid-observation composite (payload-carrying argmax reduce)
+    "composite_latest",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

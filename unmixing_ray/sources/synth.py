@@ -1791,3 +1791,71 @@ def generate_trend_expected(sf_dir):
     pq.write_table(t, str(out / "trend_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+LATEST_VERSION = 1
+
+
+def generate_latest_expected(sf_dir, valid_max=2600):
+    """Write the ``latest_expected.parquet`` sidecar into the SKEWED
+    corpus dir: per tile position, summaries of the last-valid-
+    observation composite (per pixel, band-0 value of the most recent
+    image whose value <= valid_max), accumulated single-machine in
+    image-sequence order (the engine computes the same quantity as a
+    distributed payload-carrying argmax reduce — stages/trend.py:
+    composite_latest — so a match proves the pair-merge plumbing over
+    the planted hot stack)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir) + "-skew")
+    done = out / "_LATEST_DONE"
+    stamp = "latest v%d vm%d" % (LATEST_VERSION, valid_max)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "gt"])
+    acc = {}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        t = int(img[3:])
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        gt = tbl["gt"][i].as_py()
+        H, W = arr.shape[1], arr.shape[2]
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                k = (int(cx // edge), int(cy // edge),
+                     ty * TILE, tx * TILE)
+                b0 = arr[0, ty * TILE:(ty + 1) * TILE,
+                         tx * TILE:(tx + 1) * TILE].astype(np.int64)
+                valid = b0 <= valid_max
+                tt = np.where(valid, np.int64(t), np.int64(-1))
+                vv = np.where(valid, b0, np.int64(0))
+                a = acc.get(k)
+                if a is None:
+                    acc[k] = [tt, vv]
+                else:
+                    newer = tt > a[0]
+                    a[0] = np.where(newer, tt, a[0])
+                    a[1] = np.where(newer, vv, a[1])
+    rows = {k: [] for k in ("cell_ix", "cell_iy", "row_off", "col_off",
+                            "latest_sum", "latest_t_sum", "n_hole")}
+    for (ix, iy, ro, co), (bt, bv) in acc.items():
+        rows["cell_ix"].append(ix)
+        rows["cell_iy"].append(iy)
+        rows["row_off"].append(ro)
+        rows["col_off"].append(co)
+        rows["latest_sum"].append(int(bv.sum()))
+        rows["latest_t_sum"].append(int(bt.sum()))
+        rows["n_hole"].append(int((bt < 0).sum()))
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    pq.write_table(t, str(out / "latest_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

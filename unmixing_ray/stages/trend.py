@@ -131,3 +131,90 @@ def temporal_trend(tiles):
             "trend_den": pa.array(n * st2 - st * st, pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _latest_partials(valid_max):
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        cix, ciy, _lv = cellindex.cell_to_ixiy(cells.astype(np.uint64))
+        ro = batch["row_off"].to_numpy()
+        co = batch["col_off"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        acc = {}
+        for i in range(batch.num_rows):
+            t = int(ids[i][3:])
+            h, w = int(hs[i]), int(ws[i])
+            b0 = values[offsets[i]:offsets[i] + h * w] \
+                .reshape((h, w)).astype(np.int64)
+            valid = b0 <= valid_max
+            tt = np.where(valid, np.int64(t), np.int64(-1))
+            vv = np.where(valid, b0, np.int64(0))
+            k = (int(cix[i]), int(ciy[i]), int(ro[i]), int(co[i]))
+            a = acc.get(k)
+            if a is None:
+                acc[k] = [tt, vv]
+            else:
+                newer = tt > a[0]
+                a[0] = np.where(newer, tt, a[0])
+                a[1] = np.where(newer, vv, a[1])
+        keys = list(acc.keys())
+        return pd.DataFrame({
+            "cell_ix": pd.Series([k[0] for k in keys], dtype="int64"),
+            "cell_iy": pd.Series([k[1] for k in keys], dtype="int64"),
+            "row_off": pd.Series([k[2] for k in keys], dtype="int64"),
+            "col_off": pd.Series([k[3] for k in keys], dtype="int64"),
+            "t_plane": [acc[k][0].tobytes() for k in keys],
+            "v_plane": [acc[k][1].tobytes() for k in keys],
+            "h": pd.Series([int(hs[0])] * len(keys), dtype="int64"),
+            "w": pd.Series([int(ws[0])] * len(keys), dtype="int64")})
+
+    return partials
+
+
+def _latest_merge(g: pd.DataFrame) -> pd.DataFrame:
+    h, w = int(g["h"].iloc[0]), int(g["w"].iloc[0])
+    bt = np.full((h, w), np.int64(-1))
+    bv = np.zeros((h, w), np.int64)
+    for _, row in g.iterrows():
+        tt = np.frombuffer(row["t_plane"], np.int64).reshape((h, w))
+        vv = np.frombuffer(row["v_plane"], np.int64).reshape((h, w))
+        newer = tt > bt
+        bt = np.where(newer, tt, bt)
+        bv = np.where(newer, vv, bv)
+    return pd.DataFrame({
+        "cell_ix": pd.Series([int(g["cell_ix"].iloc[0])], dtype="int64"),
+        "cell_iy": pd.Series([int(g["cell_iy"].iloc[0])], dtype="int64"),
+        "row_off": pd.Series([int(g["row_off"].iloc[0])], dtype="int64"),
+        "col_off": pd.Series([int(g["col_off"].iloc[0])], dtype="int64"),
+        "latest_sum": pd.Series([int(bv.sum())], dtype="int64"),
+        "latest_t_sum": pd.Series([int(bt.sum())], dtype="int64"),
+        "n_hole": pd.Series([int((bt < 0).sum())], dtype="int64")})
+
+
+def composite_latest(tiles, valid_max=2600):
+    """Last-valid-observation composite — the most-used Landsat
+    compositing rule (take each pixel's most RECENT cloud-free value),
+    which median/mean composites cannot express because it is an
+    ARGMAX-BY-DATE reduce carrying a payload: per pixel, keep the value
+    of the latest date whose band-0 observation passes the validity
+    gate (``b0 <= valid_max`` stands in for a cloud mask; NODATA-free
+    corpora get a planted invalid class this way).
+
+    Scale shape: the argmax pair (best_t, best_value) is associative,
+    so each batch pre-merges its tiles into ONE (t, v) plane pair per
+    position — the exchange carries at most 2 int64 planes per
+    (batch, key), NOT the n_hot-deep stack — and a groupby merges the
+    pairs; bit-identical at any batching. Pixels never observed valid
+    report t = -1 / v = 0 (counted as n_hole). Summaries
+    (latest_sum, latest_t_sum, n_hole) pin every selected pixel via
+    the sidecar hash (synth.generate_latest_expected)."""
+    parts = tiles.select_columns(
+        ["image_id", "cell", "row_off", "col_off", "h", "w",
+         "pixels"]) \
+        .map_batches(_latest_partials(valid_max),
+                     batch_format="pyarrow")
+    return parts.groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
+        .map_groups(_latest_merge, batch_format="pandas")
