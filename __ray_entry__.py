@@ -865,6 +865,24 @@ def q_funnel_conversions(sf_dir):
     return ev.funnel_conversions(_read(sf_dir, "events"))
 
 
+def q_transition_counts(sf_dir):
+    """Within-session event-type transition matrix (Markov sequence
+    analytics; stages/events.py:transition_counts) — one groupby(user)
+    exchange, per-user pre-counted partials, tiny type-pair merge."""
+    from unmixing_ray.stages import events as ev
+    return ev.transition_counts(_read(sf_dir, "events"))
+
+
+def q_value_histogram(sf_dir):
+    """Equi-width ANALYZE histogram of lineitem quantities
+    (stages/relational.py:value_histogram): per-batch bincount partials
+    (one row per non-empty bin per batch through the shuffle)."""
+    from unmixing_ray.stages import relational
+    return relational.value_histogram(
+        _read(sf_dir, "lineitem", columns=["l_quantity"]),
+        "l_quantity", lo=1, hi=50, bins=10)
+
+
 def q_lineitem_rollup(sf_dir):
     """GROUP BY ROLLUP grouping sets in one shuffle: exact cent sums +
     counts for (returnflag, linestatus), (returnflag,) and the grand
@@ -1860,6 +1878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "retention_cohorts": q_retention_cohorts,
         "funnel_conversions": q_funnel_conversions,
+        "transition_counts": q_transition_counts,
+        "value_histogram": q_value_histogram,
         "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
@@ -2414,6 +2434,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_freq_score": text.doc_freq_score_sql(),
         "retention_cohorts": events.retention_cohorts_sql(),
         "funnel_conversions": events.funnel_conversions_sql(),
+        "transition_counts": events.transition_counts_sql(),
+        "value_histogram": relational.value_histogram_sql(
+            "lineitem", "l_quantity", lo=1, hi=50, bins=10),
         "embedding_quantize": ann.quantize_int8_sql(),
         "dataset_split": "SELECT doc_id, %s AS split FROM documents"
             % relational.split_assign_sql("doc_id"),

@@ -114,6 +114,8 @@ def registry(ray_session):
     "retention_cohorts", "funnel_conversions",
     # last-valid-observation composite (payload-carrying argmax reduce)
     "composite_latest",
+    # Markov transition matrix + equi-width ANALYZE histogram
+    "transition_counts", "value_histogram",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -509,3 +509,67 @@ def funnel_conversions_sql(first="view", then="purchase", gap_s=1800):
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
                CAST(sum(converted) AS BIGINT) AS n_converted
         FROM conv GROUP BY user_id"""
+
+
+def transition_counts(events, gap_s=1800):
+    """Within-session event-type transition matrix (Markov sequence
+    analytics over the event log): counts of each (prev_type ->
+    next_type) adjacent pair in (ts, event_id) order, sessions bounded
+    by the same gap rule as :func:`sessionize` (no transition across a
+    session break). One groupby(user) exchange; the per-user group
+    emits pre-counted (from_type, to_type, n) partials and a tiny
+    second groupby merges them — the exchange after the user grouping
+    carries at most |types|² rows per user."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        same = np.diff(ts_us) <= gap_us
+        pairs = {}
+        for j in np.flatnonzero(same):
+            k = (et[j], et[j + 1])
+            pairs[k] = pairs.get(k, 0) + 1
+        keys = list(pairs.keys())
+        return pd.DataFrame({
+            "from_type": [k[0] for k in keys],
+            "to_type": [k[1] for k in keys],
+            "n": pd.Series([pairs[k] for k in keys], dtype="int64")})
+
+    per = events.select_columns(["user_id", "event_id", "ts",
+                                 "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    merged = per.groupby(["from_type", "to_type"]).sum("n")
+
+    def rename(batch):
+        import pyarrow as pa
+        return pa.table({
+            "from_type": batch["from_type"],
+            "to_type": batch["to_type"],
+            "n": batch["sum(n)"].cast(pa.int64())})
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def transition_counts_sql(gap_s=1800):
+    """DuckDB oracle for :func:`transition_counts`."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_type, ts,
+                 lag(event_type) OVER w AS prev_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o
+        WHERE prev_type IS NOT NULL AND dt <= {gap_us}
+        GROUP BY prev_type, event_type"""

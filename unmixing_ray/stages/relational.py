@@ -863,3 +863,41 @@ def approx_quantiles(ds, col, qs=(0.25, 0.5, 0.75, 0.95),
     idx = np.minimum((np.asarray(qs) * len(vals)).astype(np.int64),
                      len(vals) - 1)
     return pd.DataFrame({"q": list(qs), "value": vals[idx]})
+
+
+def value_histogram(ds, col, lo, hi, bins=32):
+    """Equi-width histogram of a numeric column — the ANALYZE/profiling
+    primitive: per-batch bincount partials (one row per non-empty bin
+    per batch through the shuffle, never a row per value), merged by a
+    tiny groupby. Bin rule matches SQL: values clipped into [lo, hi],
+    ``bin = floor((v - lo) * bins / (hi - lo + 1))`` in exact integer
+    arithmetic for integer columns."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.clip(df[col].to_numpy().astype(np.int64), lo, hi)
+        b = (v - lo) * bins // (hi - lo + 1)
+        h = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(h)
+        return pd.DataFrame({
+            "bin": pd.Series(nz, dtype="int64"),
+            "n": pd.Series(h[nz], dtype="int64")})
+
+    merged = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bin").sum("n")
+
+    def rename(batch):
+        import pyarrow as pa
+        return pa.table({
+            "bin": batch["bin"].cast(pa.int64()),
+            "n": batch["sum(n)"].cast(pa.int64())})
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def value_histogram_sql(table, col, lo, hi, bins=32):
+    """The matching DuckDB aggregation."""
+    return f"""
+        SELECT (least(greatest(CAST({col} AS BIGINT), {lo}), {hi})
+                - {lo}) * {bins} // ({hi} - {lo} + 1) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1"""
