@@ -1747,6 +1747,15 @@ def q_embedding_quantize(sf_dir):
     return ann.quantize_int8(_read(sf_dir, "embeddings"))
 
 
+def q_label_centroids(sf_dir):
+    """Per-label embedding centroid sums (stages/ann.py:
+    label_centroids) — the nearest-centroid-classifier build step as an
+    associative fixed-point reduce (floor(x·2^20) int64 coordinates,
+    so no float is ever summed and batching order cannot matter)."""
+    from unmixing_ray.stages import ann
+    return ann.label_centroids(_read(sf_dir, "embeddings"))
+
+
 def q_ann_topk(sf_dir):
     from unmixing_ray.stages import ann
     return ann.brute_force_topk(_read(sf_dir, "embeddings"), k=10)
@@ -1927,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq_score": q_doc_freq_score,
         "dataset_split": q_dataset_split,
         "embedding_quantize": q_embedding_quantize,
+        "label_centroids": q_label_centroids,
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
@@ -2438,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": relational.value_histogram_sql(
             "lineitem", "l_quantity", lo=1, hi=50, bins=10),
         "embedding_quantize": ann.quantize_int8_sql(),
+        "label_centroids": ann.label_centroids_sql(),
         "dataset_split": "SELECT doc_id, %s AS split FROM documents"
             % relational.split_assign_sql("doc_id"),
         "lang_stats": text.lang_stats_sql(),

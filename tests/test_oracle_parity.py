@@ -116,6 +116,8 @@ def registry(ray_session):
     "composite_latest",
     # Markov transition matrix + equi-width ANALYZE histogram
     "transition_counts", "value_histogram",
+    # fixed-point per-label embedding centroids
+    "label_centroids",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

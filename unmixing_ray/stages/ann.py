@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
 
 
 def _batch_embeddings(df):
@@ -487,3 +490,65 @@ def quantize_int8_sql():
                CAST(d AS BIGINT) AS n_dims,
                CAST(floor(scale * 1000000) AS BIGINT) AS scale_u6
         FROM q"""
+
+
+def label_centroids(embeddings_ds, scale_bits=20):
+    """Per-label embedding centroid sums — the class-prototype /
+    nearest-centroid-classifier build step: per label, the per-dimension
+    sum of vectors and the member count. Exactness discipline: each
+    float32 coordinate is floored to a fixed-point int
+    (``floor(x · 2^scale_bits)``, exact in float64), so the partial
+    sums are int64 and associative — bit-identical at any batching, and
+    DuckDB replays the identical arithmetic (float summation ORDER
+    never matters because no float is ever summed). Combiner: one
+    (label, dim, sum, n) row set per batch through the shuffle."""
+    scale = float(1 << scale_bits)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_embeddings(df)                     # (n, d) float64
+        Q = np.floor(M * scale).astype(np.int64)
+        labels = df["label"].to_numpy().astype(np.int64)
+        out = {"label": [], "dim": [], "s": [], "n": []}
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = Q[m].sum(axis=0)
+            out["label"].extend([int(lab)] * Q.shape[1])
+            out["dim"].extend(range(Q.shape[1]))
+            out["s"].extend(int(v) for v in s)
+            out["n"].extend([int(m.sum())] * Q.shape[1])
+        return pd.DataFrame({
+            "label": pd.Series(out["label"], dtype="int64"),
+            "dim": pd.Series(out["dim"], dtype="int64"),
+            "s": pd.Series(out["s"], dtype="int64"),
+            "n": pd.Series(out["n"], dtype="int64")})
+
+    merged = embeddings_ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("s", alias_name="sum_q"),
+                   Sum("n", alias_name="n_vecs"))
+
+    def rename(batch):
+        return pa.table({
+            "label": batch["label"].cast(pa.int64()),
+            "dim": batch["dim"].cast(pa.int64()),
+            "sum_q": batch["sum_q"].cast(pa.int64()),
+            "n_vecs": batch["n_vecs"].cast(pa.int64())})
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def label_centroids_sql(scale_bits=20):
+    """DuckDB oracle for :func:`label_centroids`."""
+    scale = 1 << scale_bits
+    return f"""
+        WITH u AS (
+          SELECT label, i - 1 AS dim,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale})
+                      AS BIGINT) AS q
+          FROM (SELECT label, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings))
+        SELECT CAST(label AS BIGINT) AS label, dim,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM u GROUP BY label, dim"""
