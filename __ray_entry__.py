@@ -1701,6 +1701,27 @@ def q_textprep_decisions(sf_dir):
         base.union(base.map_batches(plant, batch_format="pandas")))
 
 
+def q_streaming_dedup(sf_dir):
+    """Streaming admission dedup against a sharded SHARED MUTABLE INDEX
+    (stages/state_dedup.py — the engine's one raw-actor operator, the
+    documented Dataset-API escape hatch): exact duplicates planted as a
+    pure fn of doc_id on both sides; WHICH copy survives is
+    arrival-order-dependent, so the query returns the admitted-key SET
+    (one row per distinct content hash), which IS deterministic."""
+    from unmixing_ray.stages import state_dedup
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 7 == 0].copy()
+        c["doc_id"] = c["doc_id"].astype(np.int64) + 3_000_000
+        return c
+
+    full = base.union(base.map_batches(plant, batch_format="pandas"))
+    kept = state_dedup.streaming_exact_dedup(full)
+    return kept.select_columns(["content_hash"])
+
+
 def q_dedup_exact_docs(sf_dir):
     from unmixing_ray.stages import dedup
     return dedup.exact_dedup_docs(_read(sf_dir, "documents",
@@ -1943,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "streaming_dedup": q_streaming_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -2449,6 +2471,9 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_quantity", lo=1, hi=50, bins=10),
         "embedding_quantize": ann.quantize_int8_sql(),
         "label_centroids": ann.label_centroids_sql(),
+        "streaming_dedup": """
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM documents""",
         "dataset_split": "SELECT doc_id, %s AS split FROM documents"
             % relational.split_assign_sql("doc_id"),
         "lang_stats": text.lang_stats_sql(),

@@ -118,6 +118,8 @@ def registry(ray_session):
     "transition_counts", "value_histogram",
     # fixed-point per-label embedding centroids
     "label_centroids",
+    # sharded shared-mutable-index streaming dedup (raw-actor tier)
+    "streaming_dedup",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
