@@ -14,6 +14,11 @@ exactly bands·bins rows regardless of corpus size. The equalization
 LUT (bands·bins int64 entries) rides the map_batches closure into
 pass 2 — a broadcast, never a join.
 
+At 100 TB the two passes should not both re-decode the corpus: fit the
+histogram from the tiles CHECKPOINT (or piggyback the partials on the
+checkpoint write, the MNF-stats side-channel pattern in
+pipelines/flagship.py) and run only the remap pass over raw input.
+
 Exactness: integer histogram counts, integer CDF, floor-division LUT
 (``eq[b] = (cdf[b] - cdf_min) * (levels-1) // (N - cdf_min)``) — the
 output is bit-identical at any batching/partitioning, and the
