@@ -66,3 +66,47 @@ def test_fcls_invariants(seed, c):
         split = np.vstack([nnls.fcls_pixels(X[: c // 2], U),
                            nnls.fcls_pixels(X[c // 2:], U)])
         assert np.array_equal(out, split)
+
+
+@given(st.integers(1, 5), st.integers(3, 12), st.integers(3, 12),
+       st.data())
+@settings(max_examples=40, deadline=None)
+def test_chebyshev_distance_matches_bruteforce(radius, h, w, data):
+    """Chamfer-iterated saturated distance == brute-force min over all
+    obstacle pixels, saturated at radius+1."""
+    from unmixing_ray.stages.morphology import chebyshev_distance_u
+    obstacle = np.array(
+        data.draw(st.lists(st.booleans(), min_size=h * w,
+                           max_size=h * w))).reshape(h, w)
+    got = chebyshev_distance_u(obstacle, radius)
+    ys, xs = np.nonzero(obstacle)
+    exp = np.full((h, w), radius + 1, dtype=np.int64)
+    for i in range(h):
+        for j in range(w):
+            if len(ys):
+                d = np.maximum(np.abs(ys - i), np.abs(xs - j)).min()
+                exp[i, j] = min(d, radius + 1)
+    assert (got == exp).all()
+
+
+@given(st.integers(2, 6), st.integers(4, 32), st.data())
+@settings(max_examples=40, deadline=None)
+def test_build_lut_matches_naive(levels_pow, bins, data):
+    """LUT == the textbook cdf-min equalization formula, and is a
+    valid monotone map into [0, levels-1]."""
+    from unmixing_ray.stages.enhance import build_lut
+    levels = 2 ** levels_pow
+    h = np.array(data.draw(st.lists(st.integers(0, 1000), min_size=bins,
+                                    max_size=bins)), dtype=np.int64)
+    lut = build_lut(h[None, :], levels=levels)[0]
+    nz = np.flatnonzero(h)
+    if not len(nz) or h.sum() == h[nz[0]]:
+        assert (lut == 0).all()
+        return
+    cdf = np.cumsum(h)
+    cdf_min = cdf[nz[0]]
+    for b in range(bins):
+        exp = (cdf[b] - cdf_min) * (levels - 1) // (cdf[-1] - cdf_min)
+        assert lut[b] == max(exp, 0) if b >= nz[0] else lut[b] == 0
+    assert (np.diff(lut) >= 0).all()
+    assert lut[nz[0]] == 0 and lut[nz[-1]] == levels - 1
