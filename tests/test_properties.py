@@ -110,3 +110,33 @@ def test_build_lut_matches_naive(levels_pow, bins, data):
         assert lut[b] == max(exp, 0) if b >= nz[0] else lut[b] == 0
     assert (np.diff(lut) >= 0).all()
     assert lut[nz[0]] == 0 and lut[nz[-1]] == levels - 1
+
+
+@given(st.lists(st.tuples(st.integers(0, 2000), st.integers(0, 2000)),
+                min_size=3, max_size=8), st.data())
+@settings(max_examples=40, deadline=None)
+def test_polygon_metrics_shoelace_general(pts, data):
+    """polygon_metrics' doubled-integer shoelace == float shoelace on
+    arbitrary (possibly self-intersecting) closed rings with
+    .5-quantized coords — the engine contract is |2A| in x8 units."""
+    import pandas as pd
+    from unmixing_ray.stages.join import polygon_metrics
+
+    ring = [[x + 0.5, y + 0.5] for x, y in pts]
+    ring.append(ring[0])
+    df = pd.DataFrame({"poly_id": ["p0"], "ring": [ring],
+                       "cells": [[1, 2, 3]]})
+
+    class FakeDS:
+        def map_batches(self, fn, batch_format):
+            return fn(df)
+
+    out = polygon_metrics(FakeDS())
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    shoe2 = float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+    assert out["area_x8"].iloc[0] == int(round(abs(shoe2) * 4))
+    per = float(np.sum(np.abs(np.diff(xs)) + np.abs(np.diff(ys))))
+    assert out["perim_x2"].iloc[0] == int(round(per * 2))
+    assert out["n_vertices"].iloc[0] == len(pts)
+    assert out["n_cells"].iloc[0] == 3
