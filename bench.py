@@ -80,6 +80,13 @@ def run_scaling():
         "probe_mpx_s_32": hi.get("probe_mpx_s"),
         "probe_runs_8": [r.get("probe_mpx_s") for r in runs[8]],
         "probe_runs_32": [r.get("probe_mpx_s") for r in runs[32]],
+        # per-leg DRAM window quality (GB/s; see dram_probe) — the
+        # second control: a leg timed against a saturated bus carries
+        # its own evidence
+        "dram_gb_s_8": lo.get("dram_gb_s"),
+        "dram_gb_s_32": hi.get("dram_gb_s"),
+        "dram_runs_8": [r.get("dram_gb_s") for r in runs[8]],
+        "dram_runs_32": [r.get("dram_gb_s") for r in runs[32]],
         "sf": lo["sf"],
     }
     # throttle-normalized efficiency: time x contemporaneous host speed
