@@ -865,6 +865,17 @@ def q_funnel_conversions(sf_dir):
     return ev.funnel_conversions(_read(sf_dir, "events"))
 
 
+def q_rolling_active_users(sf_dir):
+    """Trailing 2-day distinct active users
+    (stages/events.py:rolling_active_users): (user, day) dedup combiner
+    -> window replication of deduped pairs -> exact count-distinct;
+    interior windows only. window_days=2 keeps counts non-saturated at
+    oracle scales (7-day windows cover every user every week)."""
+    from unmixing_ray.stages import events as ev
+    return ev.rolling_active_users(_read(sf_dir, "events"),
+                                   window_days=2)
+
+
 def q_transition_counts(sf_dir):
     """Within-session event-type transition matrix (Markov sequence
     analytics; stages/events.py:transition_counts) — one groupby(user)
@@ -1909,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "funnel_conversions": q_funnel_conversions,
         "transition_counts": q_transition_counts,
+        "rolling_active_users": q_rolling_active_users,
         "value_histogram": q_value_histogram,
         "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
@@ -2467,6 +2479,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": events.retention_cohorts_sql(),
         "funnel_conversions": events.funnel_conversions_sql(),
         "transition_counts": events.transition_counts_sql(),
+        "rolling_active_users": events.rolling_active_users_sql(
+            window_days=2),
         "value_histogram": relational.value_histogram_sql(
             "lineitem", "l_quantity", lo=1, hi=50, bins=10),
         "embedding_quantize": ann.quantize_int8_sql(),

@@ -120,6 +120,8 @@ def registry(ray_session):
     "label_centroids",
     # sharded shared-mutable-index streaming dedup (raw-actor tier)
     "streaming_dedup",
+    # trailing-window distinct active users (windowed COUNT DISTINCT)
+    "rolling_active_users",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -573,3 +573,74 @@ def transition_counts_sql(gap_s=1800):
         FROM o
         WHERE prev_type IS NOT NULL AND dt <= {gap_us}
         GROUP BY prev_type, event_type"""
+
+
+def rolling_active_users(events, window_days=7):
+    """Trailing-window distinct active users (rolling DAU/WAU — the
+    telemetry metric whose DISTINCT defeats plain prefix sums): for
+    every window-end day, the count of distinct users active in the
+    trailing ``window_days`` days. Composition: (user, day) dedup
+    combiner → replicate each pair to its ``window_days`` window-end
+    keys (exchange = deduped pairs × window, never events) → the
+    engine's exact count-distinct (pair-dedup combiner again on the
+    replicated side). Emits only windows that end on an active day AND
+    start within the observed span (interior windows), so the result
+    is independent of corpus truncation."""
+    US_PER_DAY = 86_400_000_000
+    from .relational import count_distinct
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].astype("datetime64[us]").astype("int64")
+                // US_PER_DAY)
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": days.astype("int64")}).drop_duplicates()
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.arange(window_days, dtype=np.int64)
+        u = np.repeat(df["user_id"].to_numpy(), window_days)
+        d = np.repeat(df["day"].to_numpy(), window_days)
+        return pd.DataFrame({
+            "user_id": u,
+            "window_end": d + np.tile(k, len(df))}).drop_duplicates()
+
+    dedup = events.select_columns(["user_id", "ts"]) \
+        .map_batches(pairs, batch_format="pandas")
+    reps = dedup.map_batches(replicate, batch_format="pandas")
+    counts = count_distinct(reps, key="window_end", val="user_id",
+                            alias="n_users")
+
+    # interior-window trim needs the observed day span: a tiny
+    # min/max aggregate (2 scalars to the driver)
+    import ray.data
+    span = dedup.aggregate(ray.data.aggregate.Min("day"),
+                           ray.data.aggregate.Max("day"))
+    lo = int(span["min(day)"]) + window_days - 1
+    hi = int(span["max(day)"])
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["window_end"] >= lo) & (df["window_end"] <= hi)]
+        return pd.DataFrame({
+            "window_end": out["window_end"].astype("int64"),
+            "n_users": out["n_users"].astype("int64")})
+
+    return counts.map_batches(trim, batch_format="pandas")
+
+
+def rolling_active_users_sql(window_days=7):
+    """DuckDB oracle for :func:`rolling_active_users`."""
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events),
+        w AS (
+          SELECT DISTINCT user_id, day + k AS window_end
+          FROM ud, unnest(generate_series(0, {window_days - 1})) t(k))
+        SELECT window_end,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM w
+        WHERE window_end BETWEEN
+              (SELECT min(day) FROM ud) + {window_days - 1}
+          AND (SELECT max(day) FROM ud)
+        GROUP BY window_end"""
