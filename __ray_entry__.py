@@ -865,6 +865,16 @@ def q_funnel_conversions(sf_dir):
     return ev.funnel_conversions(_read(sf_dir, "events"))
 
 
+def q_user_top_event(sf_dir):
+    """Grouped MODE (stages/relational.py:grouped_mode): each user's
+    most frequent event type with a deterministic (count desc, value
+    asc) tiebreak; two-level count combiner."""
+    from unmixing_ray.stages import relational
+    return relational.grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type", alias="top_event")
+
+
 def q_rolling_active_users(sf_dir):
     """Trailing 2-day distinct active users
     (stages/events.py:rolling_active_users): (user, day) dedup combiner
@@ -1921,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversions": q_funnel_conversions,
         "transition_counts": q_transition_counts,
         "rolling_active_users": q_rolling_active_users,
+        "user_top_event": q_user_top_event,
         "value_histogram": q_value_histogram,
         "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
@@ -2481,6 +2492,8 @@ def oracle_sql() -> dict[str, str]:
         "transition_counts": events.transition_counts_sql(),
         "rolling_active_users": events.rolling_active_users_sql(
             window_days=2),
+        "user_top_event": relational.grouped_mode_sql(
+            "events", "user_id", "event_type", alias="top_event"),
         "value_histogram": relational.value_histogram_sql(
             "lineitem", "l_quantity", lo=1, hi=50, bins=10),
         "embedding_quantize": ann.quantize_int8_sql(),

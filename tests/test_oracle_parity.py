@@ -122,6 +122,8 @@ def registry(ray_session):
     "streaming_dedup",
     # trailing-window distinct active users (windowed COUNT DISTINCT)
     "rolling_active_users",
+    # grouped MODE with deterministic tiebreak
+    "user_top_event",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

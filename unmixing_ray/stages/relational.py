@@ -901,3 +901,46 @@ def value_histogram_sql(table, col, lo, hi, bins=32):
                 - {lo}) * {bins} // ({hi} - {lo} + 1) AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM {table} GROUP BY 1"""
+
+
+def grouped_mode(ds, key, val, alias="mode"):
+    """Most-frequent ``val`` per ``key`` (grouped MODE, deterministic
+    (count desc, value asc) tiebreak — SQL mode() leaves ties
+    unspecified, so the oracle replays this explicit rank). Two-level
+    combiner: per-batch (key, val, n) count partials bound the first
+    shuffle to distinct pairs per batch; the per-key top-1 is a
+    vectorized group reduce."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, val], sort=False).size()
+        out = g.reset_index()
+        out.columns = [key, val, "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(val, sort=False)["n"].sum().reset_index()
+        m = m.sort_values(["n", val], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            alias: [m[val].iloc[0]],
+            "n_mode": pd.Series([int(m["n"].iloc[0])], dtype="int64")})
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(key).map_groups(top1, batch_format="pandas")
+
+
+def grouped_mode_sql(table, key, val, alias="mode"):
+    """The matching DuckDB window query (explicit tiebreak)."""
+    return f"""
+        WITH c AS (
+          SELECT {key}, {val}, count(*) AS n
+          FROM {table} GROUP BY {key}, {val}),
+        r AS (
+          SELECT {key}, {val}, n,
+                 row_number() OVER (PARTITION BY {key}
+                                    ORDER BY n DESC, {val}) AS rn
+          FROM c)
+        SELECT {key}, {val} AS {alias}, CAST(n AS BIGINT) AS n_mode
+        FROM r WHERE rn = 1"""
