@@ -173,3 +173,18 @@ def test_build_lut_known_histogram():
     assert (lut[0, :2] == 0).all()
     # band 1 is empty -> all zeros
     assert (lut[1] == 0).all()
+
+
+def test_streaming_dedup_exactly_once(ray_session):
+    """Sharded admission index admits EXACTLY one copy of each
+    distinct content at any parallelism (which copy is arbitrary)."""
+    import ray.data
+    from unmixing_ray.stages import state_dedup
+    rows = [{"doc_id": i, "text": "content %d" % (i % 40)}
+            for i in range(400)]
+    ds = ray.data.from_items(rows).repartition(16)
+    out = state_dedup.streaming_exact_dedup(ds, num_shards=4) \
+        .to_pandas()
+    assert len(out) == 40
+    assert out["content_hash"].nunique() == 40
+    assert set(out["text"]) == {"content %d" % i for i in range(40)}
