@@ -1774,6 +1774,40 @@ def q_dedup_clusters(sf_dir):
     return dedup.resolve_duplicate_clusters(pairs)
 
 
+def q_dedup_keep_best(sf_dir):
+    """Quality-aware duplicate resolution (stages/dedup.py:
+    keep_best_per_cluster): near-dup clusters keep their most-token-rich
+    member instead of the arbitrary min-id — the action real pipelines
+    take after MinHash. Cluster map broadcast (pair-bounded), one
+    filtered token-count pass, per-cluster argmax groupby. Oracle:
+    recursive-CTE components over the exact Jaccard sidecar + a SQL
+    window function."""
+    from unmixing_ray.stages import dedup
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(base, threshold=0.35)
+    return dedup.keep_best_per_cluster(base, pairs)
+
+
+def q_fuzzy_decontaminate(sf_dir):
+    """Cross-corpus MinHash-LSH near-dup JOIN (stages/dedup.py:
+    cross_corpus_minhash_join) — fuzzy benchmark decontamination:
+    training docs near-duplicate to a (perturbed) benchmark doc, found
+    without broadcasting either side. Benchmark side = the shared
+    perturb_docs construction; oracle = the exact all-pairs Jaccard
+    sidecar restricted to cross pairs."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import dedup
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    head = base.to_pandas().sort_values("doc_id").head(20)
+    planted = synth.perturb_docs(
+        dict(zip((int(i) for i in head["doc_id"]), head["text"])),
+        n_dups=20, seed=99)
+    bench = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in planted])
+    return dedup.cross_corpus_minhash_join(base, bench, threshold=0.5)
+
+
 def q_corpus_filter(sf_dir):
     from unmixing_ray.stages import text
     return text.corpus_filter(
@@ -1991,6 +2025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "corpus_filter": q_corpus_filter,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -2550,6 +2586,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS doc_id,
                    CAST(min(lab) AS BIGINT) AS canon_id
             FROM r GROUP BY id""",
+        "dedup_keep_best": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b
+                  FROM read_parquet('{C}/minhash_expected.parquet')
+                  WHERE NOT planted AND jaccard_u6 >= 350000),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            n AS (SELECT DISTINCT u AS id FROM e),
+            r(id, lab) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+            cl AS (SELECT id AS doc_id, min(lab) AS canon_id
+                   FROM r GROUP BY id),
+            q AS (SELECT doc_id,
+                         len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS n_tokens
+                  FROM documents)
+            SELECT CAST(cl.doc_id AS BIGINT) AS doc_id,
+                   CAST(cl.canon_id AS BIGINT) AS canon_id,
+                   CAST(q.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY cl.canon_id
+                        ORDER BY q.n_tokens DESC, cl.doc_id ASC) = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM cl JOIN q ON q.doc_id = cl.doc_id""",
+        "fuzzy_decontaminate": f"""
+            SELECT doc_a AS doc_id, doc_b AS bench_id, jaccard_u6
+            FROM read_parquet('{C}/minhash_expected.parquet')
+            WHERE doc_a < 1000000 AND doc_b >= 1000000
+              AND jaccard_u6 >= 500000""",
         "corpus_filter": text.corpus_filter_sql(),
         "simhash_pairs": f"""
             SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming

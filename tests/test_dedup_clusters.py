@@ -83,3 +83,47 @@ def test_corpus_filter_gates(ray_session):
                         min_mtl_u6=3_000_000, max_mtl_u6=9_000_000)
     out = out.to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [1]   # dup keeps min doc_id
+
+
+def test_keep_best_per_cluster(ray_session):
+    import ray.data
+    from unmixing_ray.stages.dedup import keep_best_per_cluster
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "a b c",                 # cluster {1,2,3}: 3 tokens
+            "a b c d e f g",         # 7 tokens -> kept
+            "a b c d",               # 4 tokens
+            "x y",                   # cluster {4,5}: tie on 2 tokens
+            "p q",                   # tie -> min doc_id (4) kept
+            "unclustered text",      # no pair: not emitted
+        ]})
+    pairs = pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]})
+    out = keep_best_per_cluster(ray.data.from_pandas(docs), pairs)
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["canon_id"].tolist() == [1, 1, 1, 4, 4]
+    assert dict(zip(out["doc_id"], out["kept"])) == {
+        1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+
+
+def test_cross_corpus_join_ids_may_collide(ray_session):
+    """The rendezvous key is (id, side): identical ids on both sides must
+    not cross-contaminate, and only CROSS pairs are emitted even when a
+    side has internal duplicates."""
+    import ray.data
+    from unmixing_ray.stages.dedup import cross_corpus_minhash_join
+    t = ("the quick brown fox jumps over the lazy dog again and again "
+         "until the evening falls quietly over the hills")
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [t, t, "completely different content about shipping "
+                       "manifests and harbor cranes at midnight"]}))
+    bench = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 9],
+        "text": [t + " extra", "unrelated benchmark prose about violins "
+                               "and sheet music in the attic"]}))
+    out = cross_corpus_minhash_join(corpus, bench, threshold=0.5)
+    # corpus 1 and 2 (internal dups) each pair with bench 1; never with
+    # each other, never with bench 9
+    assert set(zip(out["doc_id"], out["bench_id"])) == {(1, 1), (2, 1)}
+    assert (out["jaccard_u6"] >= 500000).all()

@@ -124,6 +124,8 @@ def registry(ray_session):
     "rolling_active_users",
     # grouped MODE with deterministic tiebreak
     "user_top_event",
+    # quality-aware cluster resolution + cross-corpus fuzzy decontamination
+    "dedup_keep_best", "fuzzy_decontaminate",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

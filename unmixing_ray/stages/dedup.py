@@ -568,3 +568,212 @@ def resolve_duplicate_clusters(pairs, max_rounds=16):
         columns={"node": "doc_id", "lab": "canon_id"})
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "canon_id": "int64"})
+
+
+def cross_corpus_minhash_join(corpus, benchmark, num_perm=64, bands=16,
+                              k=8, threshold=0.5, seed=1234,
+                              bucket_cap=256):
+    """Fuzzy decontamination: MinHash+LSH near-duplicate JOIN between two
+    corpora — emits ONLY cross pairs (a training doc whose text is a
+    near-duplicate of a benchmark doc). The standard guard against
+    benchmark leakage when exact-window membership (text.decontaminate)
+    is too brittle for paraphrased contamination.
+
+    Scale shape (same as minhash_lsh_pairs, asymmetric candidates):
+    both sides run the signature stage with a side tag; band buckets are
+    co-grouped with ``groupby(band, band_key)``; candidates are the
+    cross product of the bucket's corpus × benchmark ids only —
+    within-side duplication never becomes a candidate, so the verify
+    exchange is bounded by the contamination rate, not by either side's
+    internal dup structure. The benchmark side is typically tiny but is
+    NOT broadcast: everything stays a keyed exchange, so a
+    10^9-document benchmark side works identically.
+
+    Doc ids may collide across the two tables: the rendezvous key is
+    ``id*2+side`` everywhere internally. Returns pandas
+    (doc_id, bench_id, jaccard_u6) with jaccard ≥ threshold, exact
+    char-k-gram Jaccard.
+    """
+    rows_per_band = num_perm // bands
+
+    def make_sig_stage(side):
+        def sig_stage(df: pd.DataFrame) -> pd.DataFrame:
+            out = {"band": [], "band_key": [], "key": []}
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                sig = minhash_signature(text, num_perm, k, seed)
+                for b in range(bands):
+                    seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                    out["band"].append(b)
+                    out["band_key"].append(
+                        hashlib.md5(seg.tobytes()).hexdigest())
+                    out["key"].append(int(doc_id) * 2 + side)
+            return pd.DataFrame(out).astype({"key": "int64"})
+        return sig_stage
+
+    exploded = corpus.map_batches(
+        make_sig_stage(0), batch_format="pandas").union(
+        benchmark.map_batches(make_sig_stage(1), batch_format="pandas"))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["key"].to_numpy(dtype=np.int64)
+        left = np.unique(keys[keys % 2 == 0])
+        right = np.unique(keys[keys % 2 == 1])
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "ka": pd.Series([], dtype="int64"),
+                "kb": pd.Series([], dtype="int64")})
+        if len(left) * len(right) > bucket_cap * bucket_cap:
+            # hot-bucket bound (boilerplate shared across both corpora):
+            # pair every benchmark id against the min corpus id only —
+            # documented output approximation, same contract as
+            # minhash_lsh_pairs' bucket_cap
+            left = left[:1]
+        ka = np.repeat(left, len(right))
+        kb = np.tile(right, len(left))
+        return pd.DataFrame({"ka": ka, "kb": kb})
+
+    cand = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "bench_id": pd.Series([], dtype="int64"),
+        "jaccard_u6": pd.Series([], dtype="int64")})
+    # distributed pair dedup (a pair surfaces once per agreeing band)
+    cand = cand.groupby(["ka", "kb"]).aggregate(
+        Min("ka", alias_name="_a")).select_columns(["ka", "kb"])
+    cand_ids = cand.to_pandas()
+    if not len(cand_ids):
+        return empty
+    cand_ids = cand_ids.reset_index(drop=True).astype("int64")
+    cand_ids["pair_id"] = np.arange(len(cand_ids), dtype=np.int64)
+
+    import ray.data
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def gather(ds, keys, side):
+        want = pa_.array((keys // 2).astype(np.int64), pa_.int64())
+
+        def pick(t):
+            m = pc_.is_in(t["doc_id"].cast(pa_.int64()), value_set=want)
+            return t.select(["doc_id", "text"]).filter(m)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["doc_id"].astype("int64") * 2 + side,
+                "pair_id": np.int64(-1), "role": np.int64(-1),
+                "txt": df["text"].astype(object)})
+
+        return ds.map_batches(pick, batch_format="pyarrow") \
+            .map_batches(tag, batch_format="pandas")
+
+    texts = gather(corpus, np.unique(cand_ids["ka"].to_numpy()), 0) \
+        .union(gather(benchmark, np.unique(cand_ids["kb"].to_numpy()), 1))
+
+    def tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["pair_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "key": np.concatenate([df["ka"].to_numpy(dtype=np.int64),
+                                   df["kb"].to_numpy(dtype=np.int64)]),
+            "pair_id": np.concatenate([pid, pid]),
+            "role": np.concatenate([np.zeros(len(df), dtype=np.int64),
+                                    np.ones(len(df), dtype=np.int64)]),
+            "txt": pd.Series([None] * (2 * len(df)), dtype=object)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        tx = g.loc[g["role"] < 0, "txt"]
+        req = g[g["role"] >= 0]
+        if not len(req) or not len(tx):
+            return pd.DataFrame({
+                "pair_id": pd.Series([], dtype="int64"),
+                "role": pd.Series([], dtype="int64"),
+                "doc": pd.Series([], dtype="int64"),
+                "txt": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "pair_id": req["pair_id"].to_numpy(dtype=np.int64),
+            "role": req["role"].to_numpy(dtype=np.int64),
+            "doc": np.int64(g["key"].iloc[0]) // 2,
+            "txt": tx.iloc[0]})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return empty.copy()
+        g = g.sort_values("role")
+        j = ngram_jaccard(g["txt"].iloc[0], g["txt"].iloc[1], k)
+        if j < threshold:
+            return empty.copy()
+        return pd.DataFrame({
+            "doc_id": pd.Series([int(g["doc"].iloc[0])], dtype="int64"),
+            "bench_id": pd.Series([int(g["doc"].iloc[1])], dtype="int64"),
+            "jaccard_u6": pd.Series([int(np.floor(j * 1_000_000))],
+                                    dtype="int64")})
+
+    pairs = ray.data.from_pandas(cand_ids)
+    slots = texts.union(
+        pairs.map_batches(tag_pair, batch_format="pandas")) \
+        .groupby("key").map_groups(attach, batch_format="pandas")
+    out = slots.groupby("pair_id").map_groups(
+        verify, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    return out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+
+
+def keep_best_per_cluster(docs, pairs, max_rounds=16):
+    """Quality-aware duplicate resolution: near-dup pair list → connected
+    components → keep the HIGHEST-QUALITY doc per cluster (most tokens,
+    ties broken by min doc_id) instead of the arbitrary min-id canon.
+    This is the step real training-data pipelines run after MinHash: of
+    a boilerplate cluster, keep the longest/cleanest member.
+
+    Scale shape: cluster resolution is the pair-bounded label
+    propagation of resolve_duplicate_clusters; the (doc_id → cluster)
+    map is bounded by the pair list and rides one ``ray.put`` broadcast
+    into a single filtered token-count pass over the corpus (the corpus
+    itself is never shuffled); the per-cluster argmax is a groupby over
+    clustered docs only. Returns pandas
+    (doc_id, canon_id, n_tokens, kept∈{0,1}) — one row per clustered
+    doc; docs in no cluster are implicitly kept and not emitted.
+    """
+    import ray
+    import ray.data
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    cl = resolve_duplicate_clusters(pairs, max_rounds=max_rounds)
+    if not len(cl):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "canon_id": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "kept": pd.Series([], dtype="int64")})
+    cl_ref = ray.put(dict(zip(cl["doc_id"].tolist(),
+                              cl["canon_id"].tolist())))
+    want = pa_.array(cl["doc_id"].to_numpy(), pa_.int64())
+
+    def score(t):
+        m = pc_.is_in(t["doc_id"].cast(pa_.int64()), value_set=want)
+        t = t.select(["doc_id", "text"]).filter(m)
+        cmap = ray.get(cl_ref)
+        ids = t["doc_id"].to_pylist()
+        ntok = [sum(1 for x in s.split(" ") if x)
+                for s in t["text"].to_pylist()]
+        return pa_.table({
+            "doc_id": pa_.array([int(i) for i in ids], pa_.int64()),
+            "canon_id": pa_.array([cmap[int(i)] for i in ids],
+                                  pa_.int64()),
+            "n_tokens": pa_.array(ntok, pa_.int64())})
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        g["kept"] = np.zeros(len(g), dtype=np.int64)
+        g.loc[0, "kept"] = np.int64(1)
+        return g.astype({"doc_id": "int64", "canon_id": "int64",
+                         "n_tokens": "int64", "kept": "int64"})
+
+    out = scored.groupby("canon_id").map_groups(
+        pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
