@@ -1808,6 +1808,21 @@ def q_fuzzy_decontaminate(sf_dir):
     return dedup.cross_corpus_minhash_join(base, bench, threshold=0.5)
 
 
+def q_augment_images(sf_dir):
+    """Deterministic flip+crop image augmentation (stages/augment.py):
+    md5(image_id)-derived parameters, position-weighted checksum pins
+    the exact augmented array, caption carried through (the north-star
+    caption-equality invariant). Oracle = single-machine explicit
+    coordinate-mapping replay written at corpus generation."""
+    import ray.data
+    from unmixing_ray.stages import augment
+    corpus = _corpus(sf_dir)
+    images = ray.data.read_parquet(
+        os.path.join(corpus, "images"), file_extensions=["parquet"],
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption"])
+    return augment.augment_images(images)
+
+
 def q_corpus_filter(sf_dir):
     from unmixing_ray.stages import text
     return text.corpus_filter(
@@ -1927,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
                 _synth.generate_equalize_expected(sf)
+                _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -1941,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_bilinear": q_warp_bilinear,
         "distance_transform": q_distance_transform,
         "histogram_equalize": q_histogram_equalize,
+        "augment_images": q_augment_images,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "pixel_to_xy": q_pixel_to_xy,
@@ -2102,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
                 _synth.generate_equalize_expected(sf)
+                _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
             except Exception:
@@ -2140,6 +2158,10 @@ def oracle_sql() -> dict[str, str]:
         "histogram_equalize": f"""
             SELECT tile_id, band, eq_sum, n_valid
             FROM read_parquet('{C}/equalize_expected.parquet')""",
+        "augment_images": f"""
+            SELECT image_id, flip_h, flip_v, oy, ox, n_px,
+                   aug_checksum, caption
+            FROM read_parquet('{C}/augment_expected.parquet')""",
         "temporal_trend": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    trend_num, trend_den

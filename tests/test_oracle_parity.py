@@ -126,6 +126,8 @@ def registry(ray_session):
     "user_top_event",
     # quality-aware cluster resolution + cross-corpus fuzzy decontamination
     "dedup_keep_best", "fuzzy_decontaminate",
+    # deterministic flip+crop augmentation (position-weighted checksum)
+    "augment_images",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -124,3 +124,42 @@ def test_ray_read_and_tile(small_corpus):
     assert n == 40 * 4
     s = tiles.schema()
     assert "pixels" in s.names and "cell" in s.names
+
+
+def test_augment_flip_then_crop_semantics(ray_session):
+    """Engine flip/crop vs a hand-built expectation on a tiny known
+    array; checksum must be position-sensitive (transpose changes it)."""
+    import hashlib
+    import ray.data
+    from unmixing_ray.codecs import encode_image
+    from unmixing_ray.stages.augment import (augment_images,
+                                             augment_params,
+                                             weighted_checksum)
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 10000, (2, 8, 8)).astype(np.int16)
+    crop = 4
+    img_id = "aug_test_img"
+    fh, fv, oy, ox = augment_params(img_id, 8, 8, crop)
+    # independent expectation: explicit coordinate mapping
+    exp = np.empty((2, crop, crop), dtype=np.int64)
+    for b in range(2):
+        for y in range(crop):
+            sy = 8 - 1 - (oy + y) if fv else oy + y
+            for x in range(crop):
+                sx = 8 - 1 - (ox + x) if fh else ox + x
+                exp[b, y, x] = arr[b, sy, sx]
+    ds = ray.data.from_items([{
+        "image_id": img_id, "bytes": encode_image(arr, "tiff"),
+        "w": 8, "h": 8, "fmt": "tiff", "caption": "a caption"}])
+    out = augment_images(ds, crop=crop).to_pandas()
+    assert len(out) == 1
+    assert out["aug_checksum"][0] == weighted_checksum(exp)
+    assert out["caption"][0] == "a caption"
+    assert out["n_px"][0] == 2 * crop * crop
+    # position sensitivity: transposing the crop must change the checksum
+    assert weighted_checksum(exp.transpose(0, 2, 1)) != \
+        weighted_checksum(exp)
+    # determinism of the parameter derivation
+    assert augment_params(img_id, 8, 8, crop) == (fh, fv, oy, ox)
+    d = hashlib.md5(img_id.encode()).digest()
+    assert fh == d[0] & 1 and fv == (d[0] >> 1) & 1

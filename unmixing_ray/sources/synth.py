@@ -1639,6 +1639,73 @@ def generate_distance_expected(sf_dir, radius=4):
     return str(out)
 
 
+AUGMENT_VERSION = 1
+
+
+def generate_augment_expected(sf_dir, crop=24):
+    """Write the ``augment_expected.parquet`` sidecar: per-image
+    deterministic flip/crop parameters and the position-weighted int64
+    checksum of the augmented array, replayed single-machine with
+    EXPLICIT coordinate mapping (aug[b,y,x] = arr[b, fv?H-1-(oy+y):oy+y,
+    fh?W-1-(ox+x):ox+x]) and Python-int accumulation — independent of
+    the engine's view-slicing implementation (stages/augment.py), so a
+    match pins flip order (flip THEN crop), crop origin and layout."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_AUGMENT_DONE"
+    stamp = "augment v%d crop%d" % (AUGMENT_VERSION, crop)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "caption"])
+    rows = {"image_id": [], "flip_h": [], "flip_v": [], "oy": [],
+            "ox": [], "n_px": [], "aug_checksum": [], "caption": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        p, H, W = arr.shape
+        d = hashlib.md5(img.encode()).digest()
+        fh = d[0] & 1
+        fv = (d[0] >> 1) & 1
+        oy = int.from_bytes(d[1:5], "little") % max(1, H - crop + 1)
+        ox = int.from_bytes(d[5:9], "little") % max(1, W - crop + 1)
+        csum = 0
+        k = 0
+        for b in range(p):
+            for y in range(crop):
+                sy = H - 1 - (oy + y) if fv else oy + y
+                for x in range(crop):
+                    sx = W - 1 - (ox + x) if fh else ox + x
+                    csum += int(arr[b, sy, sx]) * (k % 251 + 1)
+                    k += 1
+        rows["image_id"].append(img)
+        rows["flip_h"].append(int(fh))
+        rows["flip_v"].append(int(fv))
+        rows["oy"].append(int(oy))
+        rows["ox"].append(int(ox))
+        rows["n_px"].append(int(p * crop * crop))
+        rows["aug_checksum"].append(csum)
+        rows["caption"].append(tbl["caption"][i].as_py())
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "flip_h": pa.array(rows["flip_h"], pa.int64()),
+        "flip_v": pa.array(rows["flip_v"], pa.int64()),
+        "oy": pa.array(rows["oy"], pa.int64()),
+        "ox": pa.array(rows["ox"], pa.int64()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "aug_checksum": pa.array(rows["aug_checksum"], pa.int64()),
+        "caption": pa.array(rows["caption"], pa.string())})
+    pq.write_table(t, str(out / "augment_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 EQUALIZE_VERSION = 1
 
 
