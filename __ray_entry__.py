@@ -1426,6 +1426,27 @@ def q_forward_model_rmse(sf_dir):
                                             and rmse_pct < 2.0)]})
 
 
+def q_epoch_change(sf_dir):
+    """Bi-temporal change detection over the SKEWED corpus
+    (stages/trend.py:epoch_change): exact rational late-minus-early
+    mean delta of band-0 tile sum per position, both epochs in ONE
+    associative-partials pass (the reference composites each epoch
+    separately and differences rasters driver-side). Oracle:
+    single-machine Python-int replay sidecar
+    (synth.generate_change_expected)."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import trend
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    synth.generate_change_expected(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    t_split = synth.n_images_for_sf(synth.sf_of_dir(sf_dir)) // 4
+    return trend.epoch_change(tiles, t_split)
+
+
 def q_temporal_trend(sf_dir):
     """Temporal trend composite over the SKEWED corpus (half the images
     stacked on one lattice position = a planted ~n/2-deep date stack):
@@ -1931,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
+                _synth.generate_change_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2012,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectra_at_points": q_spectra_at_points,
         "salted_cell_counts": q_salted_cell_counts,
         "temporal_trend": q_temporal_trend,
+        "epoch_change": q_epoch_change,
         "composite_latest": q_composite_latest,
         "polygon_metrics": q_polygon_metrics,
         "polygon_cover": q_polygon_cover,
@@ -2108,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
                 _corpus(sf)
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
+                _synth.generate_change_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2166,6 +2190,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    trend_num, trend_den
             FROM read_parquet('{C}-skew/trend_expected.parquet')""",
+        "epoch_change": f"""
+            SELECT cell_ix, cell_iy, row_off, col_off, n_early, n_late,
+                   delta_num, delta_den
+            FROM read_parquet('{C}-skew/change_expected.parquet')""",
         "composite_latest": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, latest_sum,
                    latest_t_sum, n_hole

@@ -128,6 +128,8 @@ def registry(ray_session):
     "dedup_keep_best", "fuzzy_decontaminate",
     # deterministic flip+crop augmentation (position-weighted checksum)
     "augment_images",
+    # bi-temporal epoch change detection (associative rational delta)
+    "epoch_change",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

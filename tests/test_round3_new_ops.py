@@ -188,3 +188,27 @@ def test_streaming_dedup_exactly_once(ray_session):
     assert len(out) == 40
     assert out["content_hash"].nunique() == 40
     assert set(out["text"]) == {"content %d" % i for i in range(40)}
+
+
+def test_epoch_change_batching_invariant_and_semantics(ray_session):
+    """epoch_change must be bit-identical at any batch size, and its
+    per-position counts must sum to the trend pass's n_dates (same
+    tiles, two different partial shapes)."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import trend
+    key = ["cell_ix", "cell_iy", "row_off", "col_off"]
+    t_split = synth.n_images_for_sf(synth.sf_of_dir(SF)) // 4
+    a = trend.epoch_change(_skew_tiles(ray_session, 4), t_split) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = trend.epoch_change(_skew_tiles(ray_session, 64), t_split) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    n = trend.temporal_trend(_skew_tiles(ray_session, 64)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert (a["n_early"] + a["n_late"]).tolist() == n["n_dates"].tolist()
+    # the skewed corpus stacks dates on a hot position: both epochs must
+    # be non-vacuously populated there
+    hot = a[(a["n_early"] > 1) & (a["n_late"] > 1)]
+    assert len(hot) > 0
+    assert (hot["delta_den"] ==
+            hot["n_early"] * hot["n_late"]).all()

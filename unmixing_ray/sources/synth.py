@@ -1860,6 +1860,79 @@ def generate_trend_expected(sf_dir):
     return str(out)
 
 
+CHANGE_VERSION = 2
+
+
+def generate_change_expected(sf_dir):
+    """Write the ``change_expected.parquet`` sidecar into the SKEWED
+    corpus dir: per tile position, exact int64 bi-temporal mean delta
+    (late epoch t >= n_images//2 minus early epoch) of band-0 tile sum,
+    accumulated single-machine with Python ints (the engine computes
+    the same quantity as a distributed associative-partials reduce —
+    stages/trend.py:epoch_change)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir) + "-skew")
+    done = out / "_CHANGE_DONE"
+    stamp = "change v%d" % CHANGE_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "gt"])
+    max_t = max(int(tbl["image_id"][i].as_py()[3:])
+                for i in range(tbl.num_rows))
+    # quarter split: the skewed corpus's hot stack is seq < n/2, so a
+    # midpoint split would leave the hot position single-epoch; n/4
+    # straddles the stack (n/4 early + n/4 late hot observations).
+    t_split = (max_t + 1) // 4
+    acc = {}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        t = int(img[3:])
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        gt = tbl["gt"][i].as_py()
+        H, W = arr.shape[1], arr.shape[2]
+        late = t >= t_split
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                k = (int(cx // edge), int(cy // edge),
+                     ty * TILE, tx * TILE)
+                y = int(arr[0, ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                        .astype(np.int64).sum())
+                a = acc.setdefault(k, [0, 0, 0, 0])
+                if late:
+                    a[1] += 1
+                    a[3] += y
+                else:
+                    a[0] += 1
+                    a[2] += y
+    rows = {k: [] for k in ("cell_ix", "cell_iy", "row_off", "col_off",
+                            "n_early", "n_late", "delta_num",
+                            "delta_den")}
+    for (ix, iy, ro, co), (ne, nl, se, sl) in acc.items():
+        rows["cell_ix"].append(ix)
+        rows["cell_iy"].append(iy)
+        rows["row_off"].append(ro)
+        rows["col_off"].append(co)
+        rows["n_early"].append(ne)
+        rows["n_late"].append(nl)
+        rows["delta_num"].append(sl * ne - se * nl)
+        rows["delta_den"].append(nl * ne)
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    pq.write_table(t, str(out / "change_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 LATEST_VERSION = 1
 
 

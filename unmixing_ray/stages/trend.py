@@ -218,3 +218,100 @@ def composite_latest(tiles, valid_max=2600):
                      batch_format="pyarrow")
     return parts.groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
         .map_groups(_latest_merge, batch_format="pandas")
+
+
+def _change_partials(t_split):
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        cix, ciy, _lv = cellindex.cell_to_ixiy(cells.astype(np.uint64))
+        ro = batch["row_off"].to_numpy()
+        co = batch["col_off"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        acc = {}
+        for i in range(batch.num_rows):
+            t = int(ids[i][3:])
+            hw = int(hs[i]) * int(ws[i])
+            y = int(values[offsets[i]:offsets[i] + hw]
+                    .astype(np.int64).sum())
+            late = 1 if t >= t_split else 0
+            k = (int(cix[i]), int(ciy[i]), int(ro[i]), int(co[i]))
+            a = acc.get(k)
+            if a is None:
+                acc[k] = [1 - late, late, 0 if late else y,
+                          y if late else 0]
+            else:
+                a[0] += 1 - late
+                a[1] += late
+                a[2] += 0 if late else y
+                a[3] += y if late else 0
+        keys = list(acc.keys())
+        cols = np.array([acc[k] for k in keys], dtype=np.int64).reshape(
+            (len(keys), 4))
+        return pd.DataFrame({
+            "cell_ix": pd.Series([k[0] for k in keys], dtype="int64"),
+            "cell_iy": pd.Series([k[1] for k in keys], dtype="int64"),
+            "row_off": pd.Series([k[2] for k in keys], dtype="int64"),
+            "col_off": pd.Series([k[3] for k in keys], dtype="int64"),
+            "n_early": cols[:, 0], "n_late": cols[:, 1],
+            "sum_early": cols[:, 2], "sum_late": cols[:, 3]})
+
+    return partials
+
+
+def epoch_change(tiles, t_split):
+    """Bi-temporal change detection: per tile position, the exact
+    rational difference of mean band-0 tile sum between the late epoch
+    (acquisition index >= ``t_split``) and the early epoch — the
+    two-date composite-delta workload (deforestation / urbanization
+    mapping between two Landsat epochs). delta = sum_late/n_late −
+    sum_early/n_early returned as EXACT int64 numerator
+    (sum_late·n_early − sum_early·n_late) and denominator
+    (n_late·n_early, 0 when a position has observations in only one
+    epoch).
+
+    Scale shape: same associative-partials reduce as temporal_trend —
+    each batch pre-aggregates to one 4-int row per (batch, position),
+    so the planted hot stack crosses the exchange as O(n_batches) rows
+    regardless of stack depth; bit-identical at any batching.
+
+    Reference parity: the reference composites each epoch separately
+    (utils.py composite family) and differences rasters driver-side;
+    here both epochs ride ONE pass and one groupby.
+    """
+    agg = tiles.select_columns(
+        ["image_id", "cell", "row_off", "col_off", "h", "w",
+         "pixels"]) \
+        .map_batches(_change_partials(t_split), batch_format="pyarrow") \
+        .groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
+        .aggregate(Sum("n_early", alias_name="n_early"),
+                   Sum("n_late", alias_name="n_late"),
+                   Sum("sum_early", alias_name="sum_early"),
+                   Sum("sum_late", alias_name="sum_late"))
+
+    # pyarrow in/out (the label.py float-safety lesson; see temporal_trend)
+    def finish(batch: pa.Table) -> pa.Table:
+        ne = batch["n_early"].to_numpy().astype(np.int64)
+        nl = batch["n_late"].to_numpy().astype(np.int64)
+        se = batch["sum_early"].to_numpy().astype(np.int64)
+        sl = batch["sum_late"].to_numpy().astype(np.int64)
+        f = np.float64
+        if len(ne) and ((np.abs(sl.astype(f) * ne.astype(f)) > 2 ** 62)
+                        .any() or
+                        (np.abs(se.astype(f) * nl.astype(f)) > 2 ** 62)
+                        .any()):
+            raise OverflowError(
+                "epoch_change: stack too deep for int64 rational delta")
+        return pa.table({
+            "cell_ix": batch["cell_ix"].cast(pa.int64()),
+            "cell_iy": batch["cell_iy"].cast(pa.int64()),
+            "row_off": batch["row_off"].cast(pa.int64()),
+            "col_off": batch["col_off"].cast(pa.int64()),
+            "n_early": pa.array(ne, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+            "delta_num": pa.array(sl * ne - se * nl, pa.int64()),
+            "delta_den": pa.array(nl * ne, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
