@@ -1656,6 +1656,19 @@ def q_substring_dup(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
 
 
+def q_line_dedup(sf_dir):
+    """CCNet-style cross-corpus duplicate-line removal with ordered
+    document reconstruction (stages/text.py:line_dedup): 8-token chunks
+    whose string occurs in >= 2 distinct documents are dropped from
+    every document; runs over documents ∪ planted perturbed copies
+    (the shared perturb_docs construction — the base corpus has no
+    cross-doc duplicate chunks), so ~43% of each planted doc's chunks
+    survive in both members. Oracle: pure SQL over the same union
+    (planted_docs.parquet sidecar), grouping by the chunk string."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.line_dedup(_planted_neardup_docs(sf_dir), chunk=8)
+
+
 def q_pack_chunks(sf_dir):
     """LLM sequence packing: concat-and-chunk placement of every
     document in the doc_id-ordered token stream via a distributed
@@ -2058,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
+        "line_dedup": q_line_dedup,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2569,6 +2583,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
         "substring_dup": text.substring_dup_sql(8),
+        "line_dedup": text.line_dedup_sql(
+            8, 2, base_sql=(
+                "SELECT doc_id, text FROM documents UNION ALL "
+                f"SELECT doc_id, text FROM "
+                f"read_parquet('{C}/planted_docs.parquet')")),
         "pack_chunks": text.pack_chunks_sql(512),
         "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),

@@ -130,6 +130,8 @@ def registry(ray_session):
     "augment_images",
     # bi-temporal epoch change detection (associative rational delta)
     "epoch_change",
+    # CCNet-style cross-corpus duplicate-chunk removal + reconstruction
+    "line_dedup",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

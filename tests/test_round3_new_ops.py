@@ -212,3 +212,33 @@ def test_epoch_change_batching_invariant_and_semantics(ray_session):
     assert len(hot) > 0
     assert (hot["delta_den"] ==
             hot["n_early"] * hot["n_late"]).all()
+
+
+def test_line_dedup_contract(ray_session):
+    """Cross-doc duplicate chunks drop from EVERY holder; a chunk
+    repeated only within one doc is kept; reconstruction preserves
+    order; result is batching-invariant."""
+    import ray.data
+    from unmixing_ray.stages import text as tstage
+    w = lambda *toks: " ".join(toks)
+    dup = w(*(f"d{i}" for i in range(4)))       # shared 4-token chunk
+    rows = [
+        {"doc_id": 1, "text": dup + " " + w("a1", "a2", "a3", "a4")},
+        {"doc_id": 2, "text": w("b1", "b2", "b3", "b4") + " " + dup},
+        # chunk repeated within ONE doc only -> kept (both copies)
+        {"doc_id": 3, "text": w("c1", "c2", "c3", "c4") + " " +
+                              w("c1", "c2", "c3", "c4")},
+        # partial tail chunk, unique -> kept
+        {"doc_id": 4, "text": w("e1", "e2")},
+    ]
+    for bs in (1, 4):
+        ds = ray.data.from_items(rows).map_batches(
+            lambda df: df, batch_format="pandas", batch_size=bs)
+        out = tstage.line_dedup(ds, chunk=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["n_chunks"].tolist() == [2, 2, 2, 1]
+        assert out["n_dropped"].tolist() == [1, 1, 0, 0]
+        assert out.loc[0, "clean_text"] == w("a1", "a2", "a3", "a4")
+        assert out.loc[1, "clean_text"] == w("b1", "b2", "b3", "b4")
+        assert out.loc[2, "clean_text"] == rows[2]["text"]
+        assert out.loc[3, "clean_text"] == w("e1", "e2")

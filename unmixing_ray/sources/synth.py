@@ -714,7 +714,7 @@ def generate_skewed_corpus(out_dir, n_images, seed=7, hot_frac=0.5,
 # not imports of the engine's operators) so the LSH near-dup queries get
 # hash-checkable oracles (VERDICT r02 item 1).
 
-NEARDUP_VERSION = 2
+NEARDUP_VERSION = 3
 NEARDUP_MAX_DOCS = 1500    # O(n^2) sidecar only at oracle scales
 PLANTED_OFFSET = 1_000_000
 
@@ -785,9 +785,17 @@ def generate_neardup_expected(sf_dir, n_dups=20, seed=99, jac_floor=0.3,
     out.mkdir(parents=True, exist_ok=True)
     base = dict(zip((int(i) for i in tbl["doc_id"].to_pylist()),
                     tbl["text"].to_pylist()))
+    planted = perturb_docs(base, n_dups, seed)
     all_docs = dict(base)
-    all_docs.update(perturb_docs(base, n_dups, seed))
+    all_docs.update(planted)
     ids = sorted(all_docs)
+
+    # the planted docs themselves as a table, so pure-SQL oracles can
+    # reproduce the documents ∪ planted union (line_dedup et al.)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([i for i, _ in planted], pa.int64()),
+        "text": pa.array([t for _, t in planted], pa.string())}),
+        str(out / "planted_docs.parquet"))
 
     # exact Jaccard sidecar
     sets = {i: _shingles_inline(all_docs[i], shingle_k) for i in ids}

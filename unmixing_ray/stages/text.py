@@ -1114,3 +1114,137 @@ def doc_freq_score_sql(vocab_size=512):
                CAST(coalesce(p.sum_freq * 1000000 // p.n_tokens, 0)
                     AS BIGINT) AS mean_freq_u6
         FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-corpus duplicate-line removal (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data", arXiv:1911.00359): hash every line of every document, drop
+# lines whose hash repeats across the corpus, keep the surviving text.
+# The provided corpus has no newlines, so a "line" is a fixed run of
+# `chunk` consecutive whitespace tokens (positions i*chunk..) — the
+# granularity knob, not a semantic change.
+
+def line_dedup(docs, chunk=8, min_docs=2, text_col="text"):
+    """Per-document duplicate-chunk removal with ordered reconstruction.
+
+    Drops EVERY occurrence of a chunk string that appears in at least
+    ``min_docs`` DISTINCT documents (a chunk repeated only within one
+    document is kept — that's :func:`gopher_repetition`'s job). Returns
+    (doc_id, n_chunks, n_dropped, clean_text) for every input document,
+    ``clean_text`` = kept chunks joined by ' ' in document order.
+
+    Scale shape: pass 1 explodes to (key:int64 md5-60bit, doc_id, idx)
+    — ~24 bytes per chunk; the text never rides the flag exchange.
+    groupby(key) emits (doc_id, idx) drop markers ONLY for flagged keys
+    (exchange out is bounded by the duplicate mass, not the corpus).
+    Reconstruction is a tag-union groupby(doc_id) — the corpus crosses
+    one exchange once, exactly like any repartition — and re-tokenizes
+    inside the group, so no chunk text is ever shipped twice. md5-60bit
+    key collisions merge two distinct chunk strings (negligible odds at
+    any realistic corpus size; absent at oracle scale, where the SQL
+    groups by the chunk string itself).
+    """
+    import ray.data
+
+    c = int(chunk)
+    md = int(min_docs)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, idxs = [], [], []
+        for doc_id, s in zip(df["doc_id"], df[text_col]):
+            toks = [t for t in s.split(" ") if t]
+            for j in range(0, len(toks), c):
+                win = " ".join(toks[j:j + c])
+                keys.append(int(hashlib.md5(
+                    win.encode()).hexdigest()[:15], 16))
+                ids.append(int(doc_id))
+                idxs.append(j // c)
+        return pd.DataFrame({
+            "key": np.array(keys, np.int64),
+            "doc_id": np.array(ids, np.int64),
+            "idx": np.array(idxs, np.int64)})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if g["doc_id"].nunique() < md:
+            return pd.DataFrame({
+                "doc_id": np.array([], np.int64),
+                "idx": np.array([], np.int64),
+                "tag": np.array([], np.int64),
+                "text": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "idx": g["idx"].to_numpy(np.int64),
+            "tag": np.ones(len(g), np.int64),
+            "text": pd.Series([""] * len(g), dtype=object)})
+
+    markers = docs.map_batches(explode, batch_format="pandas") \
+        .groupby("key").map_groups(flag, batch_format="pandas")
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "idx": np.full(len(df), -1, np.int64),
+            "tag": np.zeros(len(df), np.int64),
+            "text": df[text_col].astype(object)})
+
+    tagged = docs.map_batches(tag_docs, batch_format="pandas") \
+        .union(markers)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["tag"] == 0]
+        drop = set(g.loc[g["tag"] == 1, "idx"].tolist())
+        s = base["text"].iloc[0]
+        toks = [t for t in s.split(" ") if t]
+        kept, n_chunks = [], 0
+        for j in range(0, len(toks), c):
+            if (j // c) not in drop:
+                kept.append(" ".join(toks[j:j + c]))
+            n_chunks += 1
+        return pd.DataFrame({
+            "doc_id": np.array([int(base["doc_id"].iloc[0])], np.int64),
+            "n_chunks": np.array([n_chunks], np.int64),
+            "n_dropped": np.array([len(drop)], np.int64),
+            "clean_text": pd.Series([" ".join(kept)], dtype=object)})
+
+    return tagged.groupby("doc_id").map_groups(rebuild,
+                                               batch_format="pandas")
+
+
+def line_dedup_sql(chunk=8, min_docs=2,
+                   base_sql="SELECT doc_id, text FROM documents"):
+    """DuckDB oracle for :func:`line_dedup` — groups by the chunk STRING
+    itself (the engine's md5-60bit key is an implementation detail)."""
+    c = int(chunk)
+    return f"""
+        WITH base AS ({base_sql}),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+          FROM base),
+        ch AS (
+          SELECT doc_id, ci - 1 AS idx,
+                 array_to_string(toks[(ci-1)*{c}+1 : ci*{c}], ' ') AS s
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, CAST(ceil(len(toks) / {c}.0) AS BIGINT)))
+                         AS ci
+                FROM t)),
+        dup AS (SELECT s FROM ch GROUP BY s
+                HAVING count(DISTINCT doc_id) >= {int(min_docs)}),
+        kept AS (SELECT ch.doc_id, ch.idx, ch.s FROM ch
+                 WHERE ch.s NOT IN (SELECT s FROM dup)),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(s, ' ' ORDER BY idx) AS clean_text
+                FROM kept GROUP BY doc_id),
+        nc AS (SELECT doc_id, count(*) AS n_chunks FROM ch
+               GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(coalesce(nc.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(nc.n_chunks, 0) - coalesce(agg.n_kept, 0)
+                    AS BIGINT) AS n_dropped,
+               coalesce(agg.clean_text, '') AS clean_text
+        FROM base b
+        LEFT JOIN nc ON nc.doc_id = b.doc_id
+        LEFT JOIN agg ON agg.doc_id = b.doc_id"""
