@@ -1656,6 +1656,18 @@ def q_substring_dup(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), window=8)
 
 
+def q_orders_rank(sf_dir):
+    """Exact distributed row_number() over all orders by
+    (o_custkey, o_orderkey) (stages/relational.py:global_rank —
+    bottom-m sketch boundaries, one narrow materialized pass,
+    per-bucket prefix-sum bases; ~10 ties per custkey exercise the
+    ties-never-straddle-a-boundary contract)."""
+    from unmixing_ray.stages import relational
+    return relational.global_rank(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        order_col="o_custkey", id_col="o_orderkey", n_buckets=32)
+
+
 def q_line_dedup(sf_dir):
     """CCNet-style cross-corpus duplicate-line removal with ordered
     document reconstruction (stages/text.py:line_dedup): 8-token chunks
@@ -2072,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
         "line_dedup": q_line_dedup,
+        "orders_rank": q_orders_rank,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2583,6 +2596,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
         "repetition_filter": text.gopher_repetition_sql(3),
         "substring_dup": text.substring_dup_sql(8),
+        "orders_rank": relational.global_rank_sql(
+            "orders", "o_custkey", "o_orderkey"),
         "line_dedup": text.line_dedup_sql(
             8, 2, base_sql=(
                 "SELECT doc_id, text FROM documents UNION ALL "

@@ -132,6 +132,8 @@ def registry(ray_session):
     "epoch_change",
     # CCNet-style cross-corpus duplicate-chunk removal + reconstruction
     "line_dedup",
+    # exact distributed row_number via range-bucket prefix sums
+    "orders_rank",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -242,3 +242,26 @@ def test_line_dedup_contract(ray_session):
         assert out.loc[1, "clean_text"] == w("b1", "b2", "b3", "b4")
         assert out.loc[2, "clean_text"] == rows[2]["text"]
         assert out.loc[3, "clean_text"] == w("e1", "e2")
+
+
+def test_global_rank_bucket_invariant(ray_session):
+    """Ranks are exact and identical at any bucket count / sketch size
+    (the bucket layout is an execution detail); ties on the order
+    column are broken by id and never straddle bucket boundaries."""
+    import ray.data
+    from unmixing_ray.stages import relational
+    rng = np.random.default_rng(3)
+    n = 700
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 40, n).astype(np.int64)})  # heavy ties
+    expected = df.sort_values(["v", "id"]).reset_index(drop=True)
+    expected["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    for nb, m in ((4, 64), (16, 256), (64, 4096)):
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = relational.global_rank(ds, "v", "id", n_buckets=nb,
+                                     sample_size=m).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        assert out["rank"].tolist() == expected["rank"].tolist()
+        assert out["id"].tolist() == expected["id"].tolist()
+        assert out["v"].tolist() == expected["v"].tolist()

@@ -944,3 +944,76 @@ def grouped_mode_sql(table, key, val, alias="mode"):
           FROM c)
         SELECT {key}, {val} AS {alias}, CAST(n AS BIGINT) AS n_mode
         FROM r WHERE rn = 1"""
+
+
+def global_rank(ds, order_col, id_col, n_buckets=64, sample_size=4096,
+                seed=0):
+    """EXACT global row_number() under ORDER BY (order_col, id_col) —
+    the distributed ranking primitive (percentile assignment, top-N%
+    gating, leaderboards) the Dataset API lacks (``sort`` orders blocks
+    but assigns no ranks). Returns (id_col, order_col, rank), rank
+    1-based and dense over the whole dataset; ``id_col`` must be a
+    unique key (it makes the order total, so the result is
+    deterministic at any partitioning).
+
+    Scale shape: a bottom-m hash sketch (:func:`approx_quantiles`)
+    picks ``n_buckets - 1`` range boundaries; ONE narrow pass projects
+    (id, v, bucket) and materializes it (16-24 bytes/row — the
+    pack_chunks narrowing); per-bucket counts aggregate to
+    ``n_buckets`` driver rows whose exclusive prefix sum is broadcast
+    in a closure; the final ``groupby(bucket)`` sorts each bucket
+    locally and adds its base. Rows with EQUAL order values always
+    land in one bucket (searchsorted on value), so ties never straddle
+    a boundary and the id tiebreak stays bucket-local. Skewed values
+    make one bucket large — the same hot-key tradeoff as any range
+    partitioning; raise ``n_buckets`` or pre-salt by id if one value
+    dominates."""
+    from ray.data.aggregate import Sum
+
+    qs = [i / float(n_buckets) for i in range(1, int(n_buckets))]
+    qdf = approx_quantiles(ds, order_col, qs=qs,
+                           sample_size=sample_size, id_col=id_col,
+                           seed=seed)
+    bounds = np.sort(np.asarray(qdf["value"].to_numpy()))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[order_col].to_numpy()
+        return pd.DataFrame({
+            "id": df[id_col].to_numpy().astype(np.int64),
+            "v": v,
+            "bucket": np.searchsorted(bounds, v, side="right")
+            .astype(np.int64)})
+
+    narrow = ds.map_batches(project, batch_format="pandas").materialize()
+
+    def bcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", sort=False).size()
+        return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    counts = narrow.map_batches(bcount, batch_format="pandas") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")).take_all()
+    base = np.zeros(int(n_buckets) + 1, np.int64)
+    for r in counts:
+        base[int(r["bucket"])] = int(r["n"])
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "id"], kind="mergesort")
+        b = int(g["bucket"].iloc[0])
+        return pd.DataFrame({
+            id_col: g["id"].to_numpy(np.int64),
+            order_col: g["v"].to_numpy(),
+            "rank": base[b] + 1 + np.arange(len(g), dtype=np.int64)})
+
+    return narrow.groupby("bucket").map_groups(rank_bucket,
+                                               batch_format="pandas")
+
+
+def global_rank_sql(table, order_col, id_col):
+    """The matching DuckDB window query."""
+    return f"""
+        SELECT {id_col}, {order_col},
+               CAST(row_number() OVER (ORDER BY {order_col}, {id_col})
+                    AS BIGINT) AS rank
+        FROM {table}"""
