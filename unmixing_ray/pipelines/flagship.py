@@ -187,8 +187,15 @@ def run_flagship(corpus_dir, out_dir, tile=DEFAULT_TILE,
     # the actor used only those components anyway (k = q-1 dim drop)
     unmix_apply = mnf_stage.make_apply_mnf(
         W, drop=("pixels", "qa"), n_components=max(1, q - 1))
-    tiles_mnf = tiles.map_batches(unmix_apply, batch_format="pyarrow",
-                                  batch_size=64)
+    # qa is dead weight in this pass (masks ran pre-checkpoint and
+    # apply_mnf drops it unread) — prune it at the parquet read instead
+    # of decoding ~1 KB/tile only to discard it
+    schema_names = tiles.schema().names
+    pruned = tiles.select_columns(
+        [c for c in schema_names if c != "qa"]) \
+        if "qa" in schema_names else tiles
+    tiles_mnf = pruned.map_batches(unmix_apply, batch_format="pyarrow",
+                                   batch_size=64)
 
     # endmember induction: the NFINDR path refines the candidate pool
     # piggybacked on the write pass (no extra Dataset execution); a
