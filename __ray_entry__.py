@@ -1447,6 +1447,27 @@ def q_epoch_change(sf_dir):
     return trend.epoch_change(tiles, t_split)
 
 
+def q_composite_cube(sf_dir):
+    """Gap-filled 6-bin time-series composite cube over the SKEWED
+    corpus (stages/trend.py:composite_cube): dense per-(position, bin)
+    observation counts + exact band-0 sums with forward fill — the
+    monthly/seasonal composite product as an associative-partials
+    reduce plus one constant-size per-position densify group. Oracle:
+    single-machine Python-int replay sidecar
+    (synth.generate_cube_expected)."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import trend
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    synth.generate_cube_expected(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    t_count = synth.n_images_for_sf(synth.sf_of_dir(sf_dir))
+    return trend.composite_cube(tiles, n_bins=6, t_count=t_count)
+
+
 def q_temporal_trend(sf_dir):
     """Temporal trend composite over the SKEWED corpus (half the images
     stacked on one lattice position = a planted ~n/2-deep date stack):
@@ -1978,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
                 _synth.generate_change_expected(sf)
+                _synth.generate_cube_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2060,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_cell_counts": q_salted_cell_counts,
         "temporal_trend": q_temporal_trend,
         "epoch_change": q_epoch_change,
+        "composite_cube": q_composite_cube,
         "composite_latest": q_composite_latest,
         "polygon_metrics": q_polygon_metrics,
         "polygon_cover": q_polygon_cover,
@@ -2159,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.ensure_skewed_corpus(sf)
                 _synth.generate_trend_expected(sf)
                 _synth.generate_change_expected(sf)
+                _synth.generate_cube_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2221,6 +2245,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_ix, cell_iy, row_off, col_off, n_early, n_late,
                    delta_num, delta_den
             FROM read_parquet('{C}-skew/change_expected.parquet')""",
+        "composite_cube": f"""
+            SELECT cell_ix, cell_iy, row_off, col_off, bin, n_obs,
+                   sum_b0, fill_bin, fill_n, fill_sum
+            FROM read_parquet('{C}-skew/cube_expected.parquet')""",
         "composite_latest": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, latest_sum,
                    latest_t_sum, n_hole

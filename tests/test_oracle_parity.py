@@ -134,6 +134,8 @@ def registry(ray_session):
     "line_dedup",
     # exact distributed row_number via range-bucket prefix sums
     "orders_rank",
+    # gap-filled N-bin time-series composite cube (dense product)
+    "composite_cube",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

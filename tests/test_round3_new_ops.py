@@ -265,3 +265,36 @@ def test_global_rank_bucket_invariant(ray_session):
         assert out["rank"].tolist() == expected["rank"].tolist()
         assert out["id"].tolist() == expected["id"].tolist()
         assert out["v"].tolist() == expected["v"].tolist()
+
+
+def test_composite_cube_batching_invariant_and_fill(ray_session):
+    """The cube must be bit-identical at any batch size, dense over all
+    bins, and forward fill must point at the newest earlier non-empty
+    bin with that bin's exact (n, sum)."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import trend
+    key = ["cell_ix", "cell_iy", "row_off", "col_off", "bin"]
+    tc = synth.n_images_for_sf(synth.sf_of_dir(SF))
+    a = trend.composite_cube(_skew_tiles(ray_session, 4), 6, tc) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = trend.composite_cube(_skew_tiles(ray_session, 64), 6, tc) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # dense: every observed position carries all 6 bins
+    per_pos = a.groupby(["cell_ix", "cell_iy", "row_off", "col_off"])
+    assert (per_pos["bin"].count() == 6).all()
+    # fill contract: empty bins inherit the newest earlier composite
+    empty = a[a["n_obs"] == 0]
+    assert len(empty) > 0          # grid images observe only one bin
+    filled = empty[empty["fill_bin"] >= 0]
+    assert len(filled) > 0
+    merged = filled.merge(
+        a, left_on=["cell_ix", "cell_iy", "row_off", "col_off",
+                    "fill_bin"],
+        right_on=["cell_ix", "cell_iy", "row_off", "col_off", "bin"],
+        suffixes=("", "_src"))
+    assert (merged["fill_n"] == merged["n_obs_src"]).all()
+    assert (merged["fill_sum"] == merged["sum_b0_src"]).all()
+    # bins before the first observation are unfilled markers
+    pre = empty[empty["fill_bin"] < 0]
+    assert (pre["fill_n"] == 0).all() and (pre["fill_sum"] == 0).all()

@@ -1941,6 +1941,81 @@ def generate_change_expected(sf_dir):
     return str(out)
 
 
+CUBE_VERSION = 1
+
+
+def generate_cube_expected(sf_dir, n_bins=6):
+    """Write the ``cube_expected.parquet`` sidecar into the SKEWED
+    corpus dir: single-machine Python-int replay of the dense
+    gap-filled composite cube (stages/trend.py:composite_cube) — per
+    tile position and time bin, observation count, exact band-0 tile
+    sum, and the forward-fill source bin/count/sum."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir) + "-skew")
+    done = out / "_CUBE_DONE"
+    stamp = "cube v%d b%d" % (CUBE_VERSION, n_bins)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "gt"])
+    t_count = max(int(tbl["image_id"][i].as_py()[3:])
+                  for i in range(tbl.num_rows)) + 1
+    acc = {}
+    for i in range(tbl.num_rows):
+        t = int(tbl["image_id"][i].as_py()[3:])
+        b = t * n_bins // t_count
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        gt = tbl["gt"][i].as_py()
+        H, W = arr.shape[1], arr.shape[2]
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                k = (int(cx // edge), int(cy // edge),
+                     ty * TILE, tx * TILE)
+                y = int(arr[0, ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                        .astype(np.int64).sum())
+                a = acc.setdefault(k, {})
+                nb_s = a.get(b)
+                if nb_s is None:
+                    a[b] = [1, y]
+                else:
+                    nb_s[0] += 1
+                    nb_s[1] += y
+    rows = {k: [] for k in ("cell_ix", "cell_iy", "row_off", "col_off",
+                            "bin", "n_obs", "sum_b0", "fill_bin",
+                            "fill_n", "fill_sum")}
+    for (ix, iy, ro, co), per_bin in acc.items():
+        last = -1
+        for b in range(n_bins):
+            n, s = per_bin.get(b, (0, 0))
+            if n > 0:
+                last = b
+            fn, fs = per_bin.get(last, (0, 0)) if last >= 0 else (0, 0)
+            rows["cell_ix"].append(ix)
+            rows["cell_iy"].append(iy)
+            rows["row_off"].append(ro)
+            rows["col_off"].append(co)
+            rows["bin"].append(b)
+            rows["n_obs"].append(n)
+            rows["sum_b0"].append(s)
+            rows["fill_bin"].append(last)
+            rows["fill_n"].append(fn)
+            rows["fill_sum"].append(fs)
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    pq.write_table(t, str(out / "cube_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 LATEST_VERSION = 1
 
 

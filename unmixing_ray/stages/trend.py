@@ -315,3 +315,107 @@ def epoch_change(tiles, t_split):
             "delta_den": pa.array(nl * ne, pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _cube_partials(n_bins, t_count):
+    nb = int(n_bins)
+    tc = int(t_count)
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        cix, ciy, _lv = cellindex.cell_to_ixiy(cells.astype(np.uint64))
+        ro = batch["row_off"].to_numpy()
+        co = batch["col_off"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        acc = {}
+        for i in range(batch.num_rows):
+            t = int(ids[i][3:])
+            b = t * nb // tc
+            hw = int(hs[i]) * int(ws[i])
+            y = int(values[offsets[i]:offsets[i] + hw]
+                    .astype(np.int64).sum())
+            k = (int(cix[i]), int(ciy[i]), int(ro[i]), int(co[i]), b)
+            a = acc.get(k)
+            if a is None:
+                acc[k] = [1, y]
+            else:
+                a[0] += 1
+                a[1] += y
+        keys = list(acc.keys())
+        cols = np.array([acc[k] for k in keys], dtype=np.int64).reshape(
+            (len(keys), 2))
+        return pd.DataFrame({
+            "cell_ix": pd.Series([k[0] for k in keys], dtype="int64"),
+            "cell_iy": pd.Series([k[1] for k in keys], dtype="int64"),
+            "row_off": pd.Series([k[2] for k in keys], dtype="int64"),
+            "col_off": pd.Series([k[3] for k in keys], dtype="int64"),
+            "bin": pd.Series([k[4] for k in keys], dtype="int64"),
+            "n_obs": cols[:, 0], "sum_b0": cols[:, 1]})
+
+    return partials
+
+
+def composite_cube(tiles, n_bins, t_count, fill=True):
+    """Gap-filled time-series composite cube: per tile position and
+    time bin (``bin = t * n_bins // t_count`` over acquisition index
+    t), the observation count and exact band-0 tile sum — the standard
+    monthly/seasonal Landsat composite product, with optional forward
+    gap fill: a bin with no observations carries the newest earlier
+    bin's composite (``fill_bin`` = source bin, -1 when nothing
+    earlier exists). Mean = fill_sum / fill_n exact rational.
+
+    Output: one row per (position, bin) for EVERY bin 0..n_bins-1 of
+    every observed position (empty bins are materialized rows — that's
+    the product contract: a dense cube).
+
+    Scale shape: same associative-partials reduce as temporal_trend
+    (one 2-int row per (batch, position, bin) through the exchange —
+    the planted hot stack never ships payloads), then ONE
+    groupby(position) pass over the n_bins-row groups does the dense
+    expansion and forward fill (n_bins is a constant; the group is
+    never large). Bit-identical at any batching/partitioning.
+    """
+    nb = int(n_bins)
+    agg = tiles.select_columns(
+        ["image_id", "cell", "row_off", "col_off", "h", "w",
+         "pixels"]) \
+        .map_batches(_cube_partials(nb, t_count),
+                     batch_format="pyarrow") \
+        .groupby(["cell_ix", "cell_iy", "row_off", "col_off", "bin"]) \
+        .aggregate(Sum("n_obs", alias_name="n_obs"),
+                   Sum("sum_b0", alias_name="sum_b0"))
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        n = np.zeros(nb, np.int64)
+        s = np.zeros(nb, np.int64)
+        bins = g["bin"].to_numpy(np.int64)
+        n[bins] = g["n_obs"].to_numpy(np.int64)
+        s[bins] = g["sum_b0"].to_numpy(np.int64)
+        fb = np.full(nb, -1, np.int64)
+        fn = np.zeros(nb, np.int64)
+        fs = np.zeros(nb, np.int64)
+        last = -1
+        for b in range(nb):
+            if n[b] > 0:
+                last = b
+            fb[b] = last
+            if last >= 0:
+                fn[b] = n[last]
+                fs[b] = s[last]
+        if not fill:
+            fb = np.where(n > 0, np.arange(nb, dtype=np.int64), -1)
+            fn, fs = n.copy(), s.copy()
+        return pd.DataFrame({
+            "cell_ix": np.full(nb, int(g["cell_ix"].iloc[0]), np.int64),
+            "cell_iy": np.full(nb, int(g["cell_iy"].iloc[0]), np.int64),
+            "row_off": np.full(nb, int(g["row_off"].iloc[0]), np.int64),
+            "col_off": np.full(nb, int(g["col_off"].iloc[0]), np.int64),
+            "bin": np.arange(nb, dtype=np.int64),
+            "n_obs": n, "sum_b0": s,
+            "fill_bin": fb, "fill_n": fn, "fill_sum": fs})
+
+    return agg.groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
+        .map_groups(densify, batch_format="pandas")
