@@ -1689,6 +1689,19 @@ def q_orders_rank(sf_dir):
         order_col="o_custkey", id_col="o_orderkey", n_buckets=32)
 
 
+def q_compression_filter(sf_dir):
+    """Deflate-compressibility curation gate (stages/text.py:
+    compression_signal — the Gopher repetitiveness/noise filter):
+    per-doc zlib ratio + keep verdict, no exchange. Oracle: the SQL
+    recomputes ratio and verdict from a raw-fact sidecar (only the
+    deterministic deflate byte count is replayed)."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import text as tstage
+    synth.generate_compression_expected(sf_dir)
+    return tstage.compression_signal(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_line_dedup(sf_dir):
     """CCNet-style cross-corpus duplicate-line removal with ordered
     document reconstruction (stages/text.py:line_dedup): 8-token chunks
@@ -2000,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_trend_expected(sf)
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
+                _synth.generate_compression_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2108,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup": q_substring_dup,
         "line_dedup": q_line_dedup,
         "orders_rank": q_orders_rank,
+        "compression_filter": q_compression_filter,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2183,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_trend_expected(sf)
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
+                _synth.generate_compression_expected(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2626,6 +2642,16 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": text.substring_dup_sql(8),
         "orders_rank": relational.global_rank_sql(
             "orders", "o_custkey", "o_orderkey"),
+        "compression_filter": f"""
+            SELECT doc_id, n_raw, n_comp,
+                   CAST(CASE WHEN n_raw > 0
+                        THEN n_comp * 1000000 // n_raw
+                        ELSE 1000000 END AS BIGINT) AS ratio_u6,
+                   (CASE WHEN n_raw > 0
+                         THEN n_comp * 1000000 // n_raw
+                         ELSE 1000000 END) BETWEEN 430000 AND 650000
+                     AS keep
+            FROM read_parquet('{C}/compression_expected.parquet')""",
         "line_dedup": text.line_dedup_sql(
             8, 2, base_sql=(
                 "SELECT doc_id, text FROM documents UNION ALL "

@@ -136,6 +136,8 @@ def registry(ray_session):
     "orders_rank",
     # gap-filled N-bin time-series composite cube (dense product)
     "composite_cube",
+    # deflate-compressibility curation gate (verdict recomputed in SQL)
+    "compression_filter",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

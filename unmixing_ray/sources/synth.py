@@ -1941,6 +1941,44 @@ def generate_change_expected(sf_dir):
     return str(out)
 
 
+COMPRESS_VERSION = 1
+
+
+def generate_compression_expected(sf_dir, level=6):
+    """Write ``compression_expected.parquet`` into the corpus dir:
+    per-doc UTF-8 and ``zlib.compress(..., level)`` byte counts over
+    documents.parquet, replayed single-machine (zlib at a fixed level
+    is deterministic). The oracle SQL recomputes ratio and verdict
+    from these raw facts — only the deflate byte count itself is
+    replayed."""
+    import zlib
+
+    import pyarrow.dataset as pads
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_COMPRESS_DONE"
+    stamp = "compress v%d l%d" % (COMPRESS_VERSION, level)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    docs_path = os.path.join(str(sf_dir), "documents.parquet")
+    tbl = pads.dataset(docs_path, format="parquet").to_table(
+        columns=["doc_id", "text"])
+    ids = [int(i) for i in tbl["doc_id"].to_pylist()]
+    raws, comps = [], []
+    for s in tbl["text"].to_pylist():
+        b = s.encode("utf-8")
+        raws.append(len(b))
+        comps.append(len(zlib.compress(b, level)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_raw": pa.array(raws, pa.int64()),
+        "n_comp": pa.array(comps, pa.int64())}),
+        str(out / "compression_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 CUBE_VERSION = 1
 
 

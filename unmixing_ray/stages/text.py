@@ -1248,3 +1248,49 @@ def line_dedup_sql(chunk=8, min_docs=2,
         FROM base b
         LEFT JOIN nc ON nc.doc_id = b.doc_id
         LEFT JOIN agg ON agg.doc_id = b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Compressibility quality signal (the Gopher-family repetitiveness
+# gate — Rae et al. 2021 "Scaling Language Models: ... Gopher",
+# arXiv:2112.11446, filters documents by how well they deflate:
+# too-compressible = boilerplate/repetition, too-incompressible =
+# binary junk/noise). stdlib zlib at a fixed level is deterministic,
+# so the per-doc ratio is hash-exact.
+
+def compression_signal(docs, level=6, lo_u6=430_000, hi_u6=650_000,
+                       text_col="text"):
+    """Per-document deflate-compressibility gate.
+
+    Returns (doc_id, n_raw, n_comp, ratio_u6, keep): UTF-8 byte count,
+    ``zlib.compress(..., level)`` byte count, the integer ratio
+    ``n_comp * 1e6 // n_raw`` (1e6 for empty docs), and the verdict
+    ``lo_u6 <= ratio_u6 <= hi_u6``.
+
+    Scale shape: embarrassingly parallel map_batches — no exchange at
+    all; the compressor object is per-call stdlib (no actor state
+    needed). This is the cheapest of the curation gates and typically
+    runs fused with tokenize/langid passes.
+    """
+    import zlib
+
+    lv = int(level)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, raws, comps = [], [], []
+        for doc_id, s in zip(df["doc_id"], df[text_col]):
+            b = s.encode("utf-8")
+            ids.append(int(doc_id))
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, lv)))
+        raws = np.array(raws, np.int64)
+        comps = np.array(comps, np.int64)
+        ratio = np.where(raws > 0,
+                         comps * 1_000_000 // np.maximum(raws, 1),
+                         np.int64(1_000_000)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64),
+            "n_raw": raws, "n_comp": comps, "ratio_u6": ratio,
+            "keep": (ratio >= lo_u6) & (ratio <= hi_u6)})
+
+    return docs.map_batches(fn, batch_format="pandas")
