@@ -1689,6 +1689,19 @@ def q_orders_rank(sf_dir):
         order_col="o_custkey", id_col="o_orderkey", n_buckets=32)
 
 
+def q_jsonl_quality(sf_dir):
+    """Source-format coverage: the documents corpus ingested from a
+    sharded JSONL mirror via ``ray.data.read_json``
+    (sources/images.py:read_documents_jsonl) and run through the
+    quality-score stage unchanged — operators are source-agnostic.
+    Oracle: DuckDB read_json_auto over the SAME JSONL files (both
+    engines parse the JSON independently; the parquet never enters)."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages import text as tstage
+    ds = images.read_documents_jsonl(sf_dir)
+    return tstage.quality_score(ds)
+
+
 def q_compression_filter(sf_dir):
     """Deflate-compressibility curation gate (stages/text.py:
     compression_signal — the Gopher repetitiveness/noise filter):
@@ -2014,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
                 _synth.generate_compression_expected(sf)
+                __import__('unmixing_ray.sources.images', fromlist=['x']).ensure_documents_jsonl(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2123,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "orders_rank": q_orders_rank,
         "compression_filter": q_compression_filter,
+        "jsonl_quality": q_jsonl_quality,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2199,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
                 _synth.generate_compression_expected(sf)
+                __import__('unmixing_ray.sources.images', fromlist=['x']).ensure_documents_jsonl(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2642,6 +2658,9 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": text.substring_dup_sql(8),
         "orders_rank": relational.global_rank_sql(
             "orders", "o_custkey", "o_orderkey"),
+        "jsonl_quality": text.quality_score_sql().replace(
+            "FROM documents",
+            f"FROM read_json_auto('{C}/documents_jsonl/*.jsonl')"),
         "compression_filter": f"""
             SELECT doc_id, n_raw, n_comp,
                    CAST(CASE WHEN n_raw > 0

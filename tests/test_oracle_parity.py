@@ -138,6 +138,8 @@ def registry(ray_session):
     "composite_cube",
     # deflate-compressibility curation gate (verdict recomputed in SQL)
     "compression_filter",
+    # JSONL ingest path (ray.data.read_json vs DuckDB read_json_auto)
+    "jsonl_quality",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

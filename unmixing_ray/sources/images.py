@@ -40,3 +40,42 @@ def read_images(corpus_dir, columns=None, **kwargs):
 def read_polygons(corpus_dir, columns=None, **kwargs):
     path = os.path.join(corpus_dir, "polygons.parquet")
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def ensure_documents_jsonl(sf_dir, cache_root="/tmp/ray_unmix_data"):
+    """Materialize documents.parquet as sharded JSONL (newline-delimited
+    JSON — the wire format text corpora actually arrive in) under the
+    corpus cache, once. Deterministic: rows in doc_id order, 4 shards
+    by doc_id ranges, compact separators."""
+    import json
+    import pathlib
+
+    import pyarrow.dataset as pads
+
+    sf = os.path.basename(str(sf_dir).rstrip("/"))
+    out = pathlib.Path(cache_root) / sf / "documents_jsonl"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    tbl = pads.dataset(os.path.join(str(sf_dir), "documents.parquet"),
+                       format="parquet").to_table()
+    rows = tbl.sort_by("doc_id").to_pylist()
+    n_shards = 4
+    per = (len(rows) + n_shards - 1) // max(1, n_shards)
+    for s in range(n_shards):
+        with open(out / ("part-%02d.jsonl" % s), "w") as f:
+            for r in rows[s * per:(s + 1) * per]:
+                f.write(json.dumps(r, separators=(",", ":"),
+                                   sort_keys=True) + "\n")
+    done.write_text("jsonl v1")
+    return str(out)
+
+
+def read_documents_jsonl(sf_dir, **kwargs):
+    """Documents via ``ray.data.read_json`` over the sharded JSONL
+    mirror — the ingest path for corpora that arrive as JSONL dumps
+    (Common Crawl derivatives, API exports). Downstream operators are
+    source-agnostic: the Dataset is schema-identical to the parquet
+    read."""
+    return ray.data.read_json(ensure_documents_jsonl(sf_dir), **kwargs)
