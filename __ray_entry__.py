@@ -1689,6 +1689,46 @@ def q_orders_rank(sf_dir):
         order_col="o_custkey", id_col="o_orderkey", n_buckets=32)
 
 
+def q_csv_window(sf_dir):
+    """Source-format coverage: the events log ingested from a sharded
+    CSV mirror via ``ray.data.read_csv``
+    (sources/images.py:read_events_csv) and windowed into tumbling
+    1-hour per-type aggregates. Oracle: DuckDB read_csv_auto over the
+    SAME CSV files (both engines parse the CSV independently;
+    timestamps travel as int64 microseconds so inference cannot
+    diverge)."""
+    import pandas as pd
+    from unmixing_ray.sources import images
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = (df["ts_us"].astype("int64") // 3_600_000_000) \
+            .astype("int64")
+        g = pd.DataFrame({
+            "event_type": df["event_type"], "hour_bucket": bucket,
+            "value": df["value"]})
+        out = g.groupby(["event_type", "hour_bucket"]).agg(
+            n=("value", "size"), min_value=("value", "min"),
+            max_value=("value", "max")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = images.read_events_csv(sf_dir) \
+        .map_batches(agg, batch_format="pandas").to_pandas()
+    return partials.groupby(["event_type", "hour_bucket"],
+                            as_index=False).agg(
+        n=("n", "sum"), min_value=("min_value", "min"),
+        max_value=("max_value", "max"))
+
+
+def q_user_anomalies(sf_dir):
+    """Per-user daily-count anomaly flags (stages/events.py:
+    user_anomalies): exact integer z-score cross-multiplication, count
+    partials bound the exchange to one row per (batch, user, day)."""
+    from unmixing_ray.stages import events as estage
+    return estage.user_anomalies(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
 def q_jsonl_quality(sf_dir):
     """Source-format coverage: the documents corpus ingested from a
     sharded JSONL mirror via ``ray.data.read_json``
@@ -2027,7 +2067,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
                 _synth.generate_compression_expected(sf)
-                __import__('unmixing_ray.sources.images', fromlist=['x']).ensure_documents_jsonl(sf)
+                _im = __import__('unmixing_ray.sources.images', fromlist=['x'])
+                _im.ensure_documents_jsonl(sf)
+                _im.ensure_events_csv(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2138,6 +2180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank": q_orders_rank,
         "compression_filter": q_compression_filter,
         "jsonl_quality": q_jsonl_quality,
+        "user_anomalies": q_user_anomalies,
+        "csv_window": q_csv_window,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2214,7 +2258,9 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_change_expected(sf)
                 _synth.generate_cube_expected(sf)
                 _synth.generate_compression_expected(sf)
-                __import__('unmixing_ray.sources.images', fromlist=['x']).ensure_documents_jsonl(sf)
+                _im = __import__('unmixing_ray.sources.images', fromlist=['x'])
+                _im.ensure_documents_jsonl(sf)
+                _im.ensure_events_csv(sf)
                 _synth.generate_latest_expected(sf)
                 _synth.ensure_media(sf)
                 _synth.generate_neardup_expected(sf)
@@ -2658,6 +2704,14 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": text.substring_dup_sql(8),
         "orders_rank": relational.global_rank_sql(
             "orders", "o_custkey", "o_orderkey"),
+        "user_anomalies": events.user_anomalies_sql(),
+        "csv_window": f"""
+            SELECT event_type,
+                   ts_us // 3600000000 AS hour_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM read_csv_auto('{C}/events_csv/*.csv')
+            GROUP BY event_type, hour_bucket""",
         "jsonl_quality": text.quality_score_sql().replace(
             "FROM documents",
             f"FROM read_json_auto('{C}/documents_jsonl/*.jsonl')"),

@@ -140,6 +140,10 @@ def registry(ray_session):
     "compression_filter",
     # JSONL ingest path (ray.data.read_json vs DuckDB read_json_auto)
     "jsonl_quality",
+    # per-user daily-count anomaly flags (integer z-score)
+    "user_anomalies",
+    # CSV ingest path (ray.data.read_csv vs DuckDB read_csv_auto)
+    "csv_window",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

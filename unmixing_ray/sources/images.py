@@ -78,4 +78,45 @@ def read_documents_jsonl(sf_dir, **kwargs):
     (Common Crawl derivatives, API exports). Downstream operators are
     source-agnostic: the Dataset is schema-identical to the parquet
     read."""
+    kwargs.setdefault("file_extensions", ["jsonl"])
     return ray.data.read_json(ensure_documents_jsonl(sf_dir), **kwargs)
+
+
+def ensure_events_csv(sf_dir, cache_root="/tmp/ray_unmix_data"):
+    """Materialize the events table as sharded CSV (timestamps as
+    int64 microseconds — string timestamp inference differs between
+    readers; integers parse identically everywhere), once."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.dataset as pads
+
+    sf = os.path.basename(str(sf_dir).rstrip("/"))
+    out = pathlib.Path(cache_root) / sf / "events_csv"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    tbl = pads.dataset(os.path.join(str(sf_dir), "events.parquet"),
+                       format="parquet").to_table(
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    tbl = tbl.sort_by("event_id")
+    ts_us = tbl["ts"].cast(pa.int64())
+    tbl = tbl.set_column(tbl.column_names.index("ts"), "ts_us", ts_us)
+    n_shards = 4
+    per = (tbl.num_rows + n_shards - 1) // max(1, n_shards)
+    for s in range(n_shards):
+        pacsv.write_csv(tbl.slice(s * per, per),
+                        str(out / ("part-%02d.csv" % s)))
+    done.write_text("csv v1")
+    return str(out)
+
+
+def read_events_csv(sf_dir, **kwargs):
+    """Events via ``ray.data.read_csv`` over the sharded CSV mirror —
+    the ingest path for log dumps that arrive as CSV. Downstream
+    operators see (event_id, ts_us:int64, user_id, event_type,
+    value)."""
+    kwargs.setdefault("file_extensions", ["csv"])
+    return ray.data.read_csv(ensure_events_csv(sf_dir), **kwargs)

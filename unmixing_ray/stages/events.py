@@ -644,3 +644,88 @@ def rolling_active_users_sql(window_days=7):
               (SELECT min(day) FROM ud) + {window_days - 1}
           AND (SELECT max(day) FROM ud)
         GROUP BY window_end"""
+
+
+# ---------------------------------------------------------------------------
+# per-user daily-count anomaly flags (ops-analytics / abuse-detection
+# staple): a user's day is anomalous when its event count deviates
+# from that user's mean daily count by more than z population standard
+# deviations. The comparison is EXACT integer cross-multiplication —
+# (n_d·N − S)² > z²·(N·Q − S²) with N = active days, S = Σn, Q = Σn² —
+# so the verdict is hash-identical to the SQL replay (no float sigma).
+
+def user_anomalies(events, z=2, min_days=5):
+    """Per (user, active day): event count + anomaly verdict.
+
+    Returns (user_id, day, n_events, is_anomaly); ``day`` is exact
+    int64 days-since-epoch. Users with fewer than ``min_days`` active
+    days never flag (not enough baseline).
+
+    Scale shape: per-batch (user, day, n) count partials bound the
+    exchange to one row per (batch, user, active day) — never one row
+    per event; one ``groupby(user_id)`` merges each user's day
+    profile and computes the flags inside the group (a user's active
+    days are bounded by the calendar, so groups stay small even at
+    10^12 events). Guard: raises on int64 overflow of the cross
+    products rather than wrapping (multi-year hyperactive keys need
+    the two-word accumulation documented in stages/trend.py).
+    """
+    US_PER_DAY = 86_400_000_000
+    z2 = int(z) * int(z)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].astype("datetime64[us]").astype("int64")
+                // US_PER_DAY)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": days.to_numpy(np.int64)}) \
+            .groupby(["user_id", "day"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["user_id", "day", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        per_day = g.groupby("day", sort=False)["n"].sum()
+        nd = np.int64(len(per_day))
+        n = per_day.to_numpy(np.int64)
+        days = per_day.index.to_numpy(np.int64)
+        s = np.int64(int(n.sum()))
+        q = np.int64(int((n * n).sum()))
+        lhs_f = (n.astype(np.float64) * float(nd) - float(s)) ** 2
+        rhs_f = z2 * (float(nd) * float(q) - float(s) ** 2)
+        if lhs_f.max(initial=0.0) > 2 ** 62 or abs(rhs_f) > 2 ** 62:
+            raise OverflowError(
+                "user_anomalies: day profile too deep for int64 "
+                "cross products")
+        d = n * nd - s
+        anom = (d * d > z2 * (nd * q - s * s)) & (nd >= min_days)
+        return pd.DataFrame({
+            "user_id": np.full(len(n), int(g["user_id"].iloc[0]),
+                               np.int64),
+            "day": days, "n_events": n, "is_anomaly": anom})
+
+    return events.map_batches(partials, batch_format="pandas") \
+        .groupby("user_id").map_groups(flag, batch_format="pandas")
+
+
+def user_anomalies_sql(z=2, min_days=5):
+    """DuckDB oracle for :func:`user_anomalies` (same integer
+    cross-multiplication)."""
+    z2 = int(z) * int(z)
+    return f"""
+        WITH ud AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(n) AS BIGINT) AS s,
+                 CAST(sum(n * n) AS BIGINT) AS q
+          FROM ud GROUP BY 1)
+        SELECT ud.user_id, ud.day, ud.n_events,
+               (st.nd >= {int(min_days)} AND
+                (ud.n * st.nd - st.s) * (ud.n * st.nd - st.s)
+                  > {z2} * (st.nd * st.q - st.s * st.s)) AS is_anomaly
+        FROM (SELECT user_id, day, n, n AS n_events FROM ud) ud
+        JOIN st USING (user_id)"""
