@@ -364,6 +364,21 @@ def q_polygon_cover(sf_dir):
     return jstage.polygon_cover(polys, level=synth.CELL_LEVEL)
 
 
+def q_box_join(sf_dir):
+    """Rectangle-intersection self-join (grid-partitioned range join,
+    stages/join.py:box_intersection_join): every overlapping polygon
+    pair with its exact intersection area — replicate-to-cover,
+    groupby(cell), local vectorized all-pairs, reference-point dedup.
+    Oracle: DuckDB self-join with least/greatest overlap arithmetic."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.box_intersection_join(polys, level=synth.CELL_LEVEL)
+
+
 def q_cell_density(sf_dir):
     """3x3 neighborhood tile density per cell
     (stages/rollup.py:cell_density) — the hot-spot statistic behind
@@ -972,6 +987,86 @@ def q_orders_join_lineitem(sf_dir):
         Count(alias_name="n_rows")).map_batches(
         lambda df: df.astype({"sum_qty_c": "int64", "n_rows": "int64"}),
         batch_format="pandas")
+
+
+def q_tpch_q3(sf_dir):
+    """TPC-H Q3 shape — a THREE-table distributed plan composed from
+    the engine's relational operators: semi_join (customer segment
+    gate, keys-only exchange) → hash_join (orders ⨝ lineitem, both
+    sides large, partitioned tag-union) → exact-cents groupby →
+    global top-10 by revenue (sort+limit on the already-aggregated
+    per-order rows). Date filters pushed into the per-batch maps."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    cutoff = pd.Timestamp("1995-03-15")
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])\
+        .filter(expr="c_mktsegment == 'BUILDING'").map_batches(
+        lambda df: pd.DataFrame({"ckey": df["c_custkey"]}),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"], "ckey": df["o_custkey"],
+        })[df["o_orderdate"].to_numpy() < cutoff.to_numpy()],
+        batch_format="pandas")
+    orders = relational.semi_join(orders, cust, "ckey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"],
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64)),
+        })[df["l_shipdate"].to_numpy() > cutoff.to_numpy()],
+        batch_format="pandas")
+    joined = relational.hash_join(
+        orders.map_batches(lambda df: df[["okey"]],
+                           batch_format="pandas"),
+        li, "okey", how="inner")
+    per_order = joined.groupby("okey").aggregate(
+        Sum("rev_c2", alias_name="revenue_c2"))
+    return per_order.map_batches(
+        lambda df: df.astype({"revenue_c2": "int64"}),
+        batch_format="pandas")\
+        .sort(["revenue_c2", "okey"], descending=[True, False])\
+        .limit(10).to_pandas()
+
+
+def q_orders_running_total(sf_dir):
+    """Ordered window function SUM OVER (PARTITION BY customer ORDER BY
+    date, key): per-customer cumulative exact-cents order spend
+    (stages/relational.py:running_total — one groupby(key) shuffle,
+    per-group mergesort + vectorized cumsum)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+    out = relational.running_total(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice",
+        scale=100, alias="running_c")
+    return out.map_batches(
+        lambda df: df[["o_custkey", "o_orderkey", "running_c"]],
+        batch_format="pandas")
+
+
+def q_lineitem_moments(sf_dir):
+    """Exact grouped second moments (the sufficient statistics of
+    Pearson corr / covariance / OLS slope) per return flag, via
+    associative integer partials (stages/relational.py:grouped_moments;
+    six int64 per key·batch through the exchange). y = extendedprice
+    coarsened cents→floor-dollars (exact integer floor-div, no
+    half-rounding ambiguity) so Σy² holds to ~sf100."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return relational.grouped_moments(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice",
+        x_scale=1, y_scale=100, y_div=100)
 
 
 def q_customer_orders_outer(sf_dir):
@@ -2138,6 +2233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
+        "tpch_q3": q_tpch_q3,
+        "orders_running_total": q_orders_running_total,
+        "lineitem_moments": q_lineitem_moments,
         "customer_orders_outer": q_customer_orders_outer,
         "suppliers_with_returns": q_suppliers_with_returns,
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
@@ -2156,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_latest": q_composite_latest,
         "polygon_metrics": q_polygon_metrics,
         "polygon_cover": q_polygon_cover,
+        "box_join": q_box_join,
         "cell_density": q_cell_density,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
@@ -2370,6 +2469,24 @@ def oracle_sql() -> dict[str, str]:
                      greatest(0, CAST(floor(ymin / 1024.0) AS BIGINT)),
                      least(4095, CAST(floor(ymax / 1024.0) AS BIGINT))))
                    AS ty(iy)""",
+        "box_join": f"""
+            SELECT a.poly_id AS poly_a, b.poly_id AS poly_b,
+                   CAST(round((least(a.xmax, b.xmax)
+                               - greatest(a.xmin, b.xmin)) * 2)
+                        AS BIGINT) AS w_x2,
+                   CAST(round((least(a.ymax, b.ymax)
+                               - greatest(a.ymin, b.ymin)) * 2)
+                        AS BIGINT) AS h_x2,
+                   CAST(round((least(a.xmax, b.xmax)
+                               - greatest(a.xmin, b.xmin)) * 2)
+                        * round((least(a.ymax, b.ymax)
+                                 - greatest(a.ymin, b.ymin)) * 2)
+                        AS BIGINT) AS area_x4
+            FROM read_parquet('{C}/polygons.parquet') a
+            JOIN read_parquet('{C}/polygons.parquet') b
+              ON a.poly_id < b.poly_id
+             AND a.xmin < b.xmax AND b.xmin < a.xmax
+             AND a.ymin < b.ymax AND b.ymin < a.ymax""",
         "cell_density": f"""
             WITH c AS (
               SELECT cell_ix, cell_iy, count(*) AS n
@@ -2624,6 +2741,49 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l
               ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority""",
+        "tpch_q3": """
+            SELECT l.l_orderkey AS okey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c2
+            FROM customer c, orders o, lineitem l
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_c2 DESC, okey
+            LIMIT 10""",
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) AS running_c
+            FROM orders""",
+        "lineitem_moments": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_x,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            // 100) AS BIGINT) AS sum_y,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_xx,
+                   CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                             // 100)
+                            * (CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) // 100))
+                        AS BIGINT) AS sum_yy,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                            * (CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) // 100))
+                        AS BIGINT) AS sum_xy
+            FROM lineitem GROUP BY l_returnflag""",
         "suppliers_with_returns": """
             SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT)
                      AS s_nationkey

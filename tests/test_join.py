@@ -116,3 +116,38 @@ def test_partitioned_join_knn_exact_ring1(tiles_and_polygons):
     pk = p[p["kind"] == "knn"].sort_values(["tile_id", "rank"])\
         .reset_index(drop=True)
     assert bk["poly_id"].tolist() == pk["poly_id"].tolist()
+
+
+def _brute_box_pairs(polys):
+    """Driver-side O(n²) oracle for the box-intersection join."""
+    df = polys.to_pandas() if hasattr(polys, "to_pandas") else polys
+    x0 = df["xmin"].to_numpy(); x1 = df["xmax"].to_numpy()
+    y0 = df["ymin"].to_numpy(); y1 = df["ymax"].to_numpy()
+    pid = df["poly_id"].to_numpy()
+    ii, jj = np.triu_indices(len(df), 1)
+    iw = np.minimum(x1[ii], x1[jj]) - np.maximum(x0[ii], x0[jj])
+    ih = np.minimum(y1[ii], y1[jj]) - np.maximum(y0[ii], y0[jj])
+    keep = (iw > 0) & (ih > 0)
+    rows = []
+    for i, j, w, h in zip(ii[keep], jj[keep], iw[keep], ih[keep]):
+        a, b = sorted((pid[i], pid[j]))
+        rows.append((a, b, int(round(w * 2)) * int(round(h * 2))))
+    return sorted(rows)
+
+
+def test_box_intersection_join_matches_brute_force(tiles_and_polygons):
+    """Grid-partitioned pair set == driver all-pairs, at THREE grid
+    levels (coarser/default/finer): the reference-point dedup must make
+    the answer independent of the partitioning granularity."""
+    import ray.data
+    corpus, _tiles, polygons = tiles_and_polygons
+    want = _brute_box_pairs(polygons)
+    assert len(want) > 0
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    for level in (10, synth.CELL_LEVEL, 13):
+        got = jstage.box_intersection_join(polys, level=level)\
+            .to_pandas()
+        rows = sorted(zip(got["poly_a"], got["poly_b"],
+                          got["area_x4"].astype(int)))
+        assert rows == want, level

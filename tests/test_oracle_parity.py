@@ -144,6 +144,14 @@ def registry(ray_session):
     "user_anomalies",
     # CSV ingest path (ray.data.read_csv vs DuckDB read_csv_auto)
     "csv_window",
+    # grid-partitioned rectangle-intersection self-join (range join)
+    "box_join",
+    # three-table TPC-H Q3 plan composed from semi_join + hash_join
+    "tpch_q3",
+    # ordered window SUM OVER (PARTITION BY ... ORDER BY ...)
+    "orders_running_total",
+    # exact grouped second moments (corr/cov sufficient statistics)
+    "lineitem_moments",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -606,3 +606,58 @@ def test_decontaminate_empty_bench(ray_session):
     got = tstage.decontaminate(docs, empty, window=2).to_pandas()
     assert got["n_contam"].tolist() == [0]
     assert got["n_windows"].tolist() == [4]
+
+
+def test_running_total_partitioning_invariant(ray_session):
+    """Per-key cumulative sums must be identical at any block layout
+    (the per-group sort owns all ordering; nothing depends on block
+    arrival order)."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "t": rng.permutation(n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(1, 100, n), 2)})
+    outs = []
+    for nb in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        got = relational.running_total(
+            ds, "k", ["t", "id"], "v", scale=100).to_pandas()
+        outs.append(got.sort_values(["k", "t", "id"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    # spot-check one key against a plain pandas replay
+    k0 = df[df["k"] == 3].sort_values(["t", "id"])
+    want = np.cumsum(np.rint(k0["v"].to_numpy() * 100).astype(np.int64))
+    got0 = outs[0][outs[0]["k"] == 3]["running_c"].to_numpy()
+    assert (got0 == want).all()
+
+
+def test_grouped_moments_exact_vs_pandas(ray_session):
+    rng = np.random.default_rng(12)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(list("abc"), n),
+        "x": rng.integers(1, 51, n).astype(np.float64),
+        "y": np.round(rng.uniform(900, 105000, n), 2)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = relational.grouped_moments(
+        ds, "k", "x", "y", y_scale=100, y_div=100).to_pandas()\
+        .sort_values("k").reset_index(drop=True)
+    xi = np.rint(df["x"]).astype(np.int64)
+    yi = (np.rint(df["y"] * 100).astype(np.int64) // 100)
+    ref = pd.DataFrame({
+        "k": df["k"], "n": 1, "sum_x": xi, "sum_y": yi,
+        "sum_xx": xi * xi, "sum_yy": yi * yi, "sum_xy": xi * yi})\
+        .groupby("k", as_index=False).sum().sort_values("k")\
+        .reset_index(drop=True)
+    for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+        assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # the derived correlation is a pure function of the six integers
+    for _, r in got.iterrows():
+        cov = r.n * r.sum_xy - r.sum_x * r.sum_y
+        vx = r.n * r.sum_xx - r.sum_x ** 2
+        vy = r.n * r.sum_yy - r.sum_y ** 2
+        corr = cov / math.sqrt(vx * vy)
+        assert -1.0 <= corr <= 1.0

@@ -593,3 +593,104 @@ def polygon_cover(polygons_ds, level):
             "cell_iy": pd.Series(oys, dtype="int64")})
 
     return polygons_ds.map_batches(fn, batch_format="pandas")
+
+
+def box_intersection_join(polygons_ds, level):
+    """Distributed rectangle-intersection self-join (range join on two
+    dimensions): every unordered polygon pair whose bboxes overlap with
+    positive area, plus the exact intersection area. The reference has
+    no polygon-polygon overlay at all (its only vector op GENERATES
+    pixel polygons, lsma.py:695-741); this is the engine-new overlay
+    join a vector layer needs at scale.
+
+    Scale design (the classic grid spatial join):
+
+    1. one stateless pass replicates each box to its covering grid
+       cells at ``level`` (bounded: ceil(w/E)·ceil(h/E) cells per box);
+    2. ``groupby(cell)`` co-locates boxes that could possibly touch —
+       the only shuffle, and it moves (poly_id, 4 doubles) per replica,
+       never geometry payloads;
+    3. within each cell a vectorized triangular all-pairs overlap test
+       runs over LOCAL rows only (cost bounded by local density², not
+       corpus²);
+    4. a pair overlapping in several shared cells is emitted exactly
+       once, by the cell containing the intersection's min corner —
+       the standard reference-point dedup, so no second distinct
+       shuffle is needed.
+
+    Exactness: corpus bounds are .5-quantized, so doubled widths/
+    heights are exact int64 and ``area_x4 = (2w)·(2h)`` replays in SQL
+    with no float hazard. The group key is the Morton index (level
+    stripped) as int64 < 2^53 — safe through any pandas hop.
+    """
+    edge = cellindex.cell_edge(level)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids, keys = [], []
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for pid, xmin, ymin, xmax, ymax in zip(
+                df["poly_id"], df["xmin"], df["ymin"], df["xmax"],
+                df["ymax"]):
+            cells = cellindex.cover_bbox(float(xmin), float(ymin),
+                                         float(xmax), float(ymax),
+                                         level)
+            for c in cells:
+                keys.append(int(c) & cellindex._MORTON_MASK)
+            ids.extend([pid] * len(cells))
+            xs0.extend([float(xmin)] * len(cells))
+            ys0.extend([float(ymin)] * len(cells))
+            xs1.extend([float(xmax)] * len(cells))
+            ys1.extend([float(ymax)] * len(cells))
+        return pd.DataFrame({
+            "pcell": pd.Series(keys, dtype="int64"), "poly_id": ids,
+            "xmin": xs0, "ymin": ys0, "xmax": xs1, "ymax": ys1})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        empty = pd.DataFrame({
+            "poly_a": pd.Series([], dtype="object"),
+            "poly_b": pd.Series([], dtype="object"),
+            "w_x2": pd.Series([], dtype="int64"),
+            "h_x2": pd.Series([], dtype="int64"),
+            "area_x4": pd.Series([], dtype="int64")})
+        if n < 2:
+            return empty
+        pid = group["poly_id"].to_numpy()
+        x0 = group["xmin"].to_numpy()
+        y0 = group["ymin"].to_numpy()
+        x1 = group["xmax"].to_numpy()
+        y1 = group["ymax"].to_numpy()
+        ii, jj = np.triu_indices(n, 1)
+        # identical poly_id replicas cannot co-occur in one cell (cover
+        # emits each cell once per box), so ii/jj are distinct boxes.
+        iw = np.minimum(x1[ii], x1[jj]) - np.maximum(x0[ii], x0[jj])
+        ih = np.minimum(y1[ii], y1[jj]) - np.maximum(y0[ii], y0[jj])
+        keep = (iw > 0) & (ih > 0)
+        if not keep.any():
+            return empty
+        ii, jj, iw, ih = ii[keep], jj[keep], iw[keep], ih[keep]
+        # reference-point dedup: only the cell containing the
+        # intersection's min corner reports the pair.
+        rx = np.maximum(x0[ii], x0[jj])
+        ry = np.maximum(y0[ii], y0[jj])
+        ref = (cellindex.cell_of_xy(rx, ry, level).astype(np.uint64)
+               & np.uint64(cellindex._MORTON_MASK)).astype(np.int64)
+        here = int(group["pcell"].iloc[0])
+        keep2 = ref == here
+        if not keep2.any():
+            return empty
+        ii, jj, iw, ih = ii[keep2], jj[keep2], iw[keep2], ih[keep2]
+        a, b = pid[ii], pid[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        w2 = np.rint(iw * 2).astype(np.int64)
+        h2 = np.rint(ih * 2).astype(np.int64)
+        return pd.DataFrame({
+            "poly_a": a2, "poly_b": b2,
+            "w_x2": pd.Series(w2, dtype="int64"),
+            "h_x2": pd.Series(h2, dtype="int64"),
+            "area_x4": pd.Series(w2 * h2, dtype="int64")})
+
+    rep = polygons_ds.map_batches(replicate, batch_format="pandas")
+    return rep.groupby("pcell").map_groups(pairs, batch_format="pandas")

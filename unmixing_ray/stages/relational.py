@@ -1017,3 +1017,94 @@ def global_rank_sql(table, order_col, id_col):
                CAST(row_number() OVER (ORDER BY {order_col}, {id_col})
                     AS BIGINT) AS rank
         FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered running total (window SUM OVER PARTITION BY ... ORDER BY)
+
+def running_total(ds, key, order_cols, val, scale=100,
+                  alias="running_c", keep=()):
+    """Cumulative per-key sum ordered within the key — the SQL window
+    function ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols)``
+    as a distributed operator (engine-new; the reference has no
+    ordered-window analytics at all).
+
+    Scale shape: one ``groupby(key)`` shuffle co-locates each key's
+    rows; the per-group kernel sorts ONLY its own rows and does one
+    vectorized cumsum. This is the partition-key window idiom — cost
+    per group is O(rows-in-group · log), never a global sort, and the
+    exchange carries only the projected columns. Keys whose history
+    exceeds a worker (a different regime) would use the range-bucket
+    prefix-sum machinery of ``global_rank`` instead.
+
+    Exactness: values are fixed-pointed (``round(val·scale)`` → int64)
+    before summation, so the cumulative sums are exact integers and
+    the SQL replay cannot diverge by float summation order.
+    """
+    order_cols = list(order_cols)
+    cols = [key, *order_cols, val, *keep]
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(order_cols, kind="mergesort")
+        cents = np.rint(g[val].to_numpy(np.float64) * scale)\
+            .astype(np.int64)
+        out = {key: g[key].to_numpy()}
+        for c in (*order_cols, *keep):
+            out[c] = g[c].to_numpy()
+        out[alias] = np.cumsum(cents)
+        return pd.DataFrame(out)
+
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact grouped second moments (covariance / correlation ingredients)
+
+def grouped_moments(ds, key, x, y, x_scale=1, y_scale=1,
+                    x_div=1, y_div=1):
+    """Per-key exact second-moment sufficient statistics for Pearson
+    correlation / covariance / regression: n, Σx, Σy, Σx², Σy², Σxy —
+    the associative-partials pattern (combine inside ``map_batches``,
+    then a tiny ``groupby().sum()``), so the exchange carries six int64
+    per (key, batch) regardless of input size.
+
+    Both columns are fixed-pointed (``round(col·scale)`` → int64) so
+    every sum is exact integer arithmetic; corr/cov/slope are then pure
+    functions of the six integers (computable identically anywhere,
+    including in SQL) with no float-summation-order hazard. Caller
+    picks scales so Σx² stays under 2^63 at the target corpus size;
+    ``x_div``/``y_div`` floor-divide AFTER the exact fixed-pointing
+    (e.g. scale=100, div=100 → exact floor dollars from cents) so wide
+    columns can be coarsened without reintroducing half-rounding
+    ambiguity.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xi = np.rint(df[x].to_numpy(np.float64) * x_scale)\
+            .astype(np.int64) // x_div
+        yi = np.rint(df[y].to_numpy(np.float64) * y_scale)\
+            .astype(np.int64) // y_div
+        g = pd.DataFrame({
+            key: df[key].to_numpy(), "n": 1,
+            "sum_x": xi, "sum_y": yi,
+            "sum_xx": xi * xi, "sum_yy": yi * yi, "sum_xy": xi * yi,
+        }).groupby(key, as_index=False).sum()
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = ds.select_columns([key, x, y]).map_batches(
+        partial, batch_format="pandas")
+    agg = parts.groupby(key).sum(
+        ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        # aggregate output names are "sum(col)"; strip the wrapper
+        # (Dataset.rename_columns on aggregate output is broken in
+        # Ray 2.49 — rename via a pyarrow map instead, see NOTES.md)
+        return t.rename_columns(
+            [c[4:-1] if c.startswith("sum(") and c.endswith(")") else c
+             for c in t.column_names])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
