@@ -1234,6 +1234,26 @@ def q_events_quantiles(sf_dir):
     return res
 
 
+def q_events_quantiles_cont(sf_dir):
+    """ANSI percentile_cont (interpolated quantiles) per event type via
+    the same distributed-selection core: floor/ceil order statistics +
+    the exact rational fraction (stages/relational.py:
+    grouped_quantile_cont). The query emits the exact INGREDIENTS
+    (lo/hi data elements micro-floored, frac as int rational) so the
+    SQL replay is hash-exact; the float interpolation is a pure
+    function of these and is pinned separately in pytest."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = relational.grouped_quantile_cont(
+        ds, "event_type", "value", qs=((1, 2), (9, 10)))
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "qn": out["qn"], "qd": out["qd"], "n": out["n"],
+        "lo_u6": np.floor(out["lo"].to_numpy() * 1e6).astype(np.int64),
+        "hi_u6": np.floor(out["hi"].to_numpy() * 1e6).astype(np.int64),
+        "frac_num": out["frac_num"], "frac_den": out["frac_den"]})
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2231,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_distinct_parts": q_supplier_distinct_parts,
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
+        "events_quantiles_cont": q_events_quantiles_cont,
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
@@ -2722,6 +2743,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(quantile_disc(value, 0.99)*1e6) AS BIGINT)
                      AS p99_u6
             FROM events GROUP BY event_type""",
+        "events_quantiles_cont": """
+            WITH s AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) - 1 AS r,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            q(qn, qd) AS (VALUES (1, 2), (9, 10))
+            SELECT s.event_type,
+                   CAST(q.qn AS BIGINT) AS qn,
+                   CAST(q.qd AS BIGINT) AS qd,
+                   CAST(s.n AS BIGINT) AS n,
+                   CAST(max(CASE WHEN s.r = ((s.n - 1) * q.qn) // q.qd
+                            THEN floor(s.value * 1e6) END)
+                        AS BIGINT) AS lo_u6,
+                   CAST(max(CASE WHEN s.r =
+                              ((s.n - 1) * q.qn + q.qd - 1) // q.qd
+                            THEN floor(s.value * 1e6) END)
+                        AS BIGINT) AS hi_u6,
+                   CAST(((s.n - 1) * q.qn) % q.qd AS BIGINT)
+                     AS frac_num,
+                   CAST(q.qd AS BIGINT) AS frac_den
+            FROM s, q
+            GROUP BY s.event_type, q.qn, q.qd, s.n""",
         "events_pivot": relational.pivot_count_sql(
             "events", "user_id", "event_type", EVENT_TYPES),
         "customer_orders_outer": """

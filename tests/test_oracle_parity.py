@@ -152,6 +152,8 @@ def registry(ray_session):
     "orders_running_total",
     # exact grouped second moments (corr/cov sufficient statistics)
     "lineitem_moments",
+    # ANSI percentile_cont via floor/ceil order stats + exact rational
+    "events_quantiles_cont",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -661,3 +661,27 @@ def test_grouped_moments_exact_vs_pandas(ray_session):
         vy = r.n * r.sum_yy - r.sum_y ** 2
         corr = cov / math.sqrt(vx * vy)
         assert -1.0 <= corr <= 1.0
+
+
+def test_grouped_quantile_cont_matches_numpy_linear(ray_session):
+    """percentile_cont == numpy's method='linear' (both are the ANSI
+    interpolated definition); the returned rational fraction must
+    reproduce the interpolation exactly."""
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.choice(list("xy"), 3001),
+        "v": rng.normal(0, 10, 3001)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = relational.grouped_quantile_cont(
+        ds, "k", "v", qs=((1, 2), (9, 10), (99, 100)))
+    for kv, g in df.groupby("k"):
+        v = g["v"].to_numpy()
+        for (qn, qd) in ((1, 2), (9, 10), (99, 100)):
+            row = got[(got["k"] == kv) & (got["qn"] == qn)
+                      & (got["qd"] == qd)].iloc[0]
+            want = np.quantile(v, qn / qd, method="linear")
+            assert abs(row["interp"] - want) < 1e-9, (kv, qn, qd)
+            redo = row["lo"] + (row["frac_num"] / row["frac_den"]) \
+                * (row["hi"] - row["lo"])
+            assert redo == row["interp"]
+            assert row["n"] == len(v)

@@ -159,10 +159,13 @@ def _disc_rank(n, q):
     return min(max(int(math.ceil(n * q)) - 1, 0), n - 1)
 
 
-def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
-                          band_pad=2, max_refine=40, band_cap=2_000_000):
-    """Exact per-key discrete quantiles of ``col`` (the returned values
-    are actual data elements, bit-identical to ``quantile_disc``).
+def _grouped_order_stats(ds, key, col, ranks_of_n, grid=65,
+                         band_pad=2, max_refine=40, band_cap=2_000_000):
+    """Exact per-key order statistics of ``col`` at arbitrary 0-indexed
+    ranks (``ranks_of_n(n) -> list[int]`` picks them per key from the
+    key's row count) via distributed selection — the shared core of
+    ``grouped_quantile_disc`` (percentile_disc ranks) and
+    ``grouped_quantile_cont`` (floor/ceil rank pairs + interpolation).
 
     Passes over the (pruned to key+col) input:
     1. sampling: per batch per key → count + ``grid`` equi-spaced order
@@ -178,7 +181,8 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
        construction of the padded bracket; loud error rather than a
        silent giant collect); driver sorts each band and indexes the
        exact order statistic.
-    Returns a pandas DataFrame: key, one ``p<percent>`` column per q.
+    Returns ``(sorted_keys, n_by_key, values)`` where ``values[kv]`` is
+    the list of order statistics in ``ranks_of_n`` order.
     """
     lean = ds.map_batches(
         lambda t: t.select([key, col]), batch_format="pyarrow")
@@ -207,7 +211,7 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
         order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], np.cumsum(wts[order])
         info[kv] = {"n": n, "vals": vals, "cum": wts,
-                    "ranks": [_disc_rank(n, q) for q in qs]}
+                    "ranks": list(ranks_of_n(n))}
 
     def bracket(kv, rank, pad):
         st = info[kv]
@@ -242,7 +246,7 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
     # geometric widening converges to the full pooled range (guaranteed
     # bracket) in O(log) cheap counting passes, zero in practice
     pads = {(kv, ri): band_pad for kv in info
-            for ri in range(len(qs))}
+            for ri in range(len(info[kv]["ranks"]))}
     for _ in range(max_refine):
         counts = count_pass(bands)
         bad = False
@@ -285,18 +289,89 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
         return pd.DataFrame(rows)
 
     got = lean.map_batches(collect, batch_format="pandas").to_pandas()
-    out = {key: sorted(info)}
-    for ri, q in enumerate(qs):
-        colname = "p%g" % (q * 100)
-        res = []
-        for kv in sorted(info):
+    keys_sorted = sorted(info)
+    values = {}
+    for kv in keys_sorted:
+        vals_k = []
+        for ri in range(len(info[kv]["ranks"])):
             sub = got[(got["k"] == kv) & (got["ri"] == ri)]
             band = np.sort(np.concatenate(
                 [np.asarray(v) for v in sub["vals"]]))
             idx = info[kv]["ranks"][ri] - below[(kv, ri)]
-            res.append(float(band[idx]))
-        out[colname] = res
+            vals_k.append(float(band[idx]))
+        values[kv] = vals_k
+    n_by_key = {kv: info[kv]["n"] for kv in keys_sorted}
+    return keys_sorted, n_by_key, values
+
+
+def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
+                          band_pad=2, max_refine=40, band_cap=2_000_000):
+    """Exact per-key discrete quantiles of ``col`` (the returned values
+    are actual data elements, bit-identical to ``quantile_disc``) —
+    percentile_disc rank = ceil(n·q)−1 fed to the distributed-selection
+    core ``_grouped_order_stats``. Returns a pandas DataFrame: key, one
+    ``p<percent>`` column per q."""
+    keys_sorted, _n, values = _grouped_order_stats(
+        ds, key, col, lambda n: [_disc_rank(n, q) for q in qs],
+        grid=grid, band_pad=band_pad, max_refine=max_refine,
+        band_cap=band_cap)
+    out = {key: keys_sorted}
+    for ri, q in enumerate(qs):
+        out["p%g" % (q * 100)] = [values[kv][ri] for kv in keys_sorted]
     return pd.DataFrame(out)
+
+
+def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
+                          band_pad=2, max_refine=40,
+                          band_cap=2_000_000):
+    """Exact per-key INTERPOLATED quantiles (ANSI ``percentile_cont``):
+    for rational q = qn/qd the target sits at fractional rank
+    (n−1)·q — value = lo + frac·(hi − lo) where lo/hi are the order
+    statistics at floor/ceil of that rank. Both order statistics come
+    from the same distributed-selection core as the disc variant (the
+    floor and ceil ranks are just two entries in the rank list, so the
+    extra order statistic costs no extra pass).
+
+    ``qs`` are exact rationals ``(qn, qd)``; the fraction is returned
+    as an exact rational (``frac_num = ((n−1)·qn) mod qd`` over
+    ``frac_den = qd``) alongside the two float order statistics, so a
+    SQL replay can reproduce every column hash-exactly (the convenience
+    float interpolation is also returned, for library callers, as
+    ``p<percent>``). Returns one row per (key, q): key, qn, qd, n,
+    lo, hi, frac_num, frac_den, p<...> columns wide by q would force
+    float compare — long form keeps the oracle exact."""
+
+    def ranks_of_n(n):
+        ranks = []
+        for qn, qd in qs:
+            r = (n - 1) * qn
+            ranks.append(r // qd)          # floor rank
+            ranks.append(min(n - 1, r // qd + (1 if r % qd else 0)))
+        return ranks
+
+    keys_sorted, n_by_key, values = _grouped_order_stats(
+        ds, key, col, ranks_of_n, grid=grid, band_pad=band_pad,
+        max_refine=max_refine, band_cap=band_cap)
+    rows = {key: [], "qn": [], "qd": [], "n": [], "lo": [], "hi": [],
+            "frac_num": [], "frac_den": [], "interp": []}
+    for kv in keys_sorted:
+        n = n_by_key[kv]
+        for qi, (qn, qd) in enumerate(qs):
+            lo, hi = values[kv][2 * qi], values[kv][2 * qi + 1]
+            fn_, fd = ((n - 1) * qn) % qd, qd
+            rows[key].append(kv)
+            rows["qn"].append(qn)
+            rows["qd"].append(qd)
+            rows["n"].append(n)
+            rows["lo"].append(lo)
+            rows["hi"].append(hi)
+            rows["frac_num"].append(fn_)
+            rows["frac_den"].append(fd)
+            rows["interp"].append(lo + (fn_ / fd) * (hi - lo))
+    df = pd.DataFrame(rows)
+    for c in ("qn", "qd", "n", "frac_num", "frac_den"):
+        df[c] = df[c].astype("int64")
+    return df
 
 
 # ---------------------------------------------------------------------------
