@@ -1683,6 +1683,26 @@ def q_audio_features(sf_dir):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_audio_goertzel(sf_dir):
+    """Single-bin DFT band energy (Goertzel tone detector) per clip at
+    1 kHz over REAL RIFF/PCM16 WAV payloads (stages/media.py:
+    GoertzelActor — basis built once per sample rate in actor state;
+    pairwise-summed products, never BLAS, so the generation-time
+    sidecar's identical expression is bit-reproducible)."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    corpus = synth.ensure_media(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_audio.parquet"))
+    out = media.audio_goertzel(
+        ds, freq_hz=synth.GOERTZEL_HZ, decoder="wav").to_pandas()
+    out["n_windows"] = out["n_windows"].astype("int64")
+    return out[["media_id", "n_windows", "g_head_u6", "g_sum_u6",
+                "caption"]].sort_values("media_id")\
+        .reset_index(drop=True)
+
+
 def q_video_frame_sample(sf_dir):
     """Actor-pool video frame sampling + resize over an opaque-binary
     media table (deterministic synthetic decode per the documented spec).
@@ -2315,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "audio_features": q_audio_features,
+        "audio_goertzel": q_audio_goertzel,
         "video_frame_sample": q_video_frame_sample,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -3045,6 +3066,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": f"""
             SELECT media_id, CAST(n_windows AS BIGINT) AS n_windows,
                    rms_head_u6, zcr_head_u6, rms_sum_u6, caption
+            FROM read_parquet('{C}/media_audio_expected.parquet')""",
+        "audio_goertzel": f"""
+            SELECT media_id, CAST(n_windows AS BIGINT) AS n_windows,
+                   g_head_u6, g_sum_u6, caption
             FROM read_parquet('{C}/media_audio_expected.parquet')""",
         "video_frame_sample": f"""
             SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,

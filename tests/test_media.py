@@ -3,6 +3,8 @@ binary media columns with a pluggable decode (deterministic synthetic
 fake here; NotImplementedError stub when decoder=None)."""
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -151,3 +153,48 @@ def test_wav_pcm16_strict_rejects_stereo_and_8bit():
         decode_wav_pcm16(stereo)
     with _pytest.raises(ValueError):
         decode_wav_pcm16(eight)
+
+
+def test_goertzel_detects_planted_tone(ray_session):
+    """A pure tone at the probed frequency must put (nearly) all its
+    window energy in the Goertzel bin, and an off-frequency tone must
+    put (nearly) none — the detector really detects."""
+    import ray.data
+    from unmixing_ray.stages import media as m
+    sr, n = 16000, 8192
+    t = np.arange(n) / sr
+    on = 0.5 * np.sin(2 * np.pi * 1000.0 * t)     # k=64 exactly
+    off = 0.5 * np.sin(2 * np.pi * 3000.0 * t)    # k=192
+    rows = pd.DataFrame({
+        "media_id": ["on", "off"],
+        "bytes": [m.encode_wav_pcm16(on, sr), m.encode_wav_pcm16(off, sr)],
+        "sr": np.array([sr, sr], dtype=np.int32),
+        "n_samples": np.array([n, n], dtype=np.int32),
+        "caption": ["on", "off"]})
+    out = m.audio_goertzel(ray.data.from_pandas(rows), freq_hz=1000.0,
+                           decoder="wav", concurrency=1).to_pandas()
+    got = dict(zip(out["media_id"], out["g_sum_u6"]))
+    # full-window tone energy: |sum|^2 ≈ (A*window/2)^2 = (0.5*512)^2
+    assert got["on"] > 1000 * got["off"] + 1
+    assert (out["k_bin"] == 64).all()
+
+
+def test_goertzel_matches_sidecar_inline(ray_session):
+    """The engine actor and the generation-time inline replication must
+    agree bit-for-bit on PCM-quantized random audio."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media as m
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.standard_normal(9000) * 0.3, -1, 1)
+    pcm = np.rint(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+    x_dec = pcm.astype(np.float64) / 32767.0
+    gh, gs = synth._goertzel_expected_inline(x_dec, 16000)
+    actor = m.GoertzelActor(freq_hz=synth.GOERTZEL_HZ, decoder="wav")
+    tbl = pa.table({
+        "media_id": ["a"], "bytes": [m.encode_wav_pcm16(x, 16000)],
+        "sr": pa.array([16000], pa.int32()),
+        "n_samples": pa.array([9000], pa.int32()),
+        "caption": ["a"]})
+    out = actor(tbl).to_pandas()
+    assert int(out["g_head_u6"][0]) == gh
+    assert int(out["g_sum_u6"][0]) == gs

@@ -154,6 +154,8 @@ def registry(ray_session):
     "lineitem_moments",
     # ANSI percentile_cont via floor/ceil order stats + exact rational
     "events_quantiles_cont",
+    # Goertzel single-bin band energy over real WAV payloads
+    "audio_goertzel",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -928,9 +928,10 @@ def generate_embeddings_planted(sf_dir, n_plant=10, noise=0.03, seed=55,
 # expected-feature sidecars so the driver's DuckDB oracle can hash-check
 # the actor-pool media stages (VERDICT r02 items 1 and 6).
 
-MEDIA_VERSION = 2
+MEDIA_VERSION = 3
 AUDIO_WINDOW = 1024
 AUDIO_HOP = 512
+GOERTZEL_HZ = 1000.0
 VIDEO_EVERY = 12
 VIDEO_OUT = 32
 
@@ -954,6 +955,28 @@ def _audio_expected_inline(x_dec, window=AUDIO_WINDOW, hop=AUDIO_HOP):
     rms_u6 = np.floor(rms * 1e6).astype(np.int64)
     zcr_u6 = np.floor(zcr * 1e6).astype(np.int64)
     return (n_win, int(rms_u6[0]), int(zcr_u6[0]), int(rms_u6.sum()))
+
+
+def _goertzel_expected_inline(x_dec, sr, window=AUDIO_WINDOW,
+                              hop=AUDIO_HOP, freq=GOERTZEL_HZ):
+    """Inline replication of the documented Goertzel band-energy spec
+    (stages/media.py GoertzelActor): pairwise-summed (frames*basis)
+    products in float64 — the SAME reduction expression as the engine,
+    deliberately not a BLAS matmul. Returns (g_head_u6, g_sum_u6)."""
+    x = np.asarray(x_dec, dtype=np.float64)
+    n_win = max(0, 1 + (len(x) - window) // hop)
+    if not n_win:
+        return -1, 0
+    k = int(round(freq * window / sr))
+    wv = 2.0 * np.pi * k / window
+    t = np.arange(window, dtype=np.float64)
+    cosv, sinv = np.cos(wv * t), np.sin(wv * t)
+    idx = np.arange(n_win)[:, None] * hop + np.arange(window)[None, :]
+    frames = x[idx]
+    c = (frames * cosv).sum(axis=1)
+    s = (frames * sinv).sum(axis=1)
+    g_u6 = np.floor((c * c + s * s) * 1e6).astype(np.int64)
+    return int(g_u6[0]), int(g_u6.sum())
 
 
 def _video_frame_inline(buf, idx, h, w, out_h=VIDEO_OUT, out_w=VIDEO_OUT):
@@ -986,7 +1009,8 @@ def generate_media(out_dir, n_images, seed=7, force=False):
     a_rows = {k: [] for k in ("media_id", "bytes", "kind", "sr",
                               "n_samples", "caption")}
     a_exp = {k: [] for k in ("media_id", "n_windows", "rms_head_u6",
-                             "zcr_head_u6", "rms_sum_u6", "caption")}
+                             "zcr_head_u6", "rms_sum_u6", "g_head_u6",
+                             "g_sum_u6", "caption")}
     for i in range(n_audio):
         rng = np.random.default_rng(np.random.SeedSequence([seed, 41, i]))
         n_samples = 8192 + 512 * int(rng.integers(8))
@@ -1007,11 +1031,14 @@ def generate_media(out_dir, n_images, seed=7, force=False):
         pcm = np.rint(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
         x_dec = pcm.astype(np.float64) / 32767.0
         nw, rh, zh, rs = _audio_expected_inline(x_dec)
+        gh, gs = _goertzel_expected_inline(x_dec, sr)
         a_exp["media_id"].append("aud%05d" % i)
         a_exp["n_windows"].append(nw)
         a_exp["rms_head_u6"].append(rh)
         a_exp["zcr_head_u6"].append(zh)
         a_exp["rms_sum_u6"].append(rs)
+        a_exp["g_head_u6"].append(gh)
+        a_exp["g_sum_u6"].append(gs)
         a_exp["caption"].append(cap)
     pq.write_table(
         pa.table({

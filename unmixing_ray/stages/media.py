@@ -155,6 +155,25 @@ def decode_wav_pcm16(buf):
     return x[:, 0], sr
 
 
+def _resolve_audio_decoder(decoder):
+    """Decoder resolution shared by the audio actor stages: 'synthetic'
+    (deterministic fake), 'wav' (real stdlib RIFF/PCM16), None (loud
+    documented stub), or a callable(buf, n, sr) -> float samples."""
+    if decoder == "synthetic":
+        return lambda buf, n, sr: _synthetic_samples(buf, n, b"audio")
+    if decoder == "wav":
+        # real stdlib RIFF/PCM16 decode (metadata columns ignored —
+        # the payload is self-describing)
+        return lambda buf, n, sr: decode_wav_pcm16(buf)[0]
+    if decoder is None:
+        def _missing(buf, n, sr):
+            raise NotImplementedError(
+                "no audio decoder in this environment; install "
+                "soundfile/ffmpeg and pass decoder=<callable>")
+        return _missing
+    return decoder
+
+
 class AudioFeatureActor:
     """Actor-pool stage: audio bytes → per-window RMS + zero-crossing
     features (the classic cheap audio-quality signals). Window/hop are
@@ -163,21 +182,7 @@ class AudioFeatureActor:
     def __init__(self, window=1024, hop=512, decoder="synthetic"):
         self.window = int(window)
         self.hop = int(hop)
-        if decoder == "synthetic":
-            self.decode = lambda buf, n, sr: _synthetic_samples(
-                buf, n, b"audio")
-        elif decoder == "wav":
-            # real stdlib RIFF/PCM16 decode (metadata columns ignored —
-            # the payload is self-describing)
-            self.decode = lambda buf, n, sr: decode_wav_pcm16(buf)[0]
-        elif decoder is None:
-            def _missing(buf, n, sr):
-                raise NotImplementedError(
-                    "no audio decoder in this environment; install "
-                    "soundfile/ffmpeg and pass decoder=<callable>")
-            self.decode = _missing
-        else:
-            self.decode = decoder
+        self.decode = _resolve_audio_decoder(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_id": [], "n_windows": [], "rms_u6": [],
@@ -299,6 +304,100 @@ def audio_features(media_ds, window=1024, hop=512, decoder="synthetic",
         AudioFeatureActor,
         fn_constructor_kwargs={"window": window, "hop": hop,
                                "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+GOERTZEL_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_windows", pa.int32()),
+    ("k_bin", pa.int32()),
+    ("g_head_u6", pa.int64()),
+    ("g_sum_u6", pa.int64()),
+    ("caption", pa.string()),
+])
+
+
+class GoertzelActor:
+    """Actor-pool stage: audio bytes → single-bin DFT band energy per
+    window at a target frequency (the Goertzel detector — tone /
+    voice-band presence, the classic O(n)-per-bin alternative to a
+    full FFT; Goertzel 1958). The bin index k = round(f·window/sr) and
+    the cos/sin basis vectors are built ONCE PER SAMPLE RATE in actor
+    state; per window the energy is |Σ x·cos|² + |Σ x·sin|².
+
+    Determinism contract: the basis product is reduced with numpy's
+    own pairwise ``(frames * basis).sum(axis=1)`` — never a BLAS
+    matmul, whose thread-dependent summation order could flip
+    ``floor(energy·1e6)`` against the generation-time sidecar that
+    replicates this exact expression."""
+
+    def __init__(self, freq_hz=1000.0, window=1024, hop=512,
+                 decoder="synthetic"):
+        self.freq_hz = float(freq_hz)
+        self.window = int(window)
+        self.hop = int(hop)
+        self.decode = _resolve_audio_decoder(decoder)
+        self._basis = {}      # sr -> (k, cos_vec, sin_vec)
+
+    def basis(self, sr):
+        got = self._basis.get(sr)
+        if got is None:
+            k = int(round(self.freq_hz * self.window / sr))
+            w = 2.0 * np.pi * k / self.window
+            t = np.arange(self.window, dtype=np.float64)
+            got = (k, np.cos(w * t), np.sin(w * t))
+            self._basis[sr] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "n_windows": [], "k_bin": [],
+               "g_head_u6": [], "g_sum_u6": [], "caption": []}
+        bufs = batch["bytes"].to_pylist()
+        ns = batch["n_samples"].to_numpy()
+        srs = batch["sr"].to_numpy()
+        ids = batch["media_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        for i in range(batch.num_rows):
+            x = np.asarray(self.decode(bufs[i], int(ns[i]), int(srs[i])),
+                           dtype=np.float64)
+            k, cosv, sinv = self.basis(int(srs[i]))
+            n_win = max(0, 1 + (len(x) - self.window) // self.hop)
+            if n_win:
+                idx = (np.arange(n_win)[:, None] * self.hop
+                       + np.arange(self.window)[None, :])
+                frames = x[idx]
+                c = (frames * cosv).sum(axis=1)
+                s = (frames * sinv).sum(axis=1)
+                g_u6 = np.floor((c * c + s * s) * 1e6).astype(np.int64)
+                head, total = int(g_u6[0]), int(g_u6.sum())
+            else:
+                head, total = -1, 0
+            out["media_id"].append(ids[i])
+            out["n_windows"].append(n_win)
+            out["k_bin"].append(k)
+            out["g_head_u6"].append(head)
+            out["g_sum_u6"].append(total)
+            out["caption"].append(caps[i])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_windows": pa.array(out["n_windows"], pa.int32()),
+            "k_bin": pa.array(out["k_bin"], pa.int32()),
+            "g_head_u6": pa.array(out["g_head_u6"], pa.int64()),
+            "g_sum_u6": pa.array(out["g_sum_u6"], pa.int64()),
+            "caption": pa.array(out["caption"], pa.string()),
+        }, schema=GOERTZEL_SCHEMA)
+
+
+def audio_goertzel(media_ds, freq_hz=1000.0, window=1024, hop=512,
+                   decoder="synthetic", concurrency=None,
+                   batch_size=16):
+    """Audio rows → per-clip Goertzel band-energy summary (actor pool)."""
+    concurrency = _media_pool_size(concurrency)
+    return media_ds.map_batches(
+        GoertzelActor,
+        fn_constructor_kwargs={"freq_hz": freq_hz, "window": window,
+                               "hop": hop, "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
