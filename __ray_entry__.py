@@ -1683,6 +1683,33 @@ def q_audio_features(sf_dir):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_audio_downmix(sf_dir):
+    """Multi-channel / multi-depth audio ingest: stereo-16, stereo-8
+    and mono-8 PCM payloads decoded by the generic RIFF codec
+    (stages/media.py decode_wav), downmixed to mono by the channel
+    mean, then the standard window features — decoder='wav_any' on the
+    same actor stage. Oracle: sidecar replicating per-depth
+    quantization + downmix + feature arithmetic inline."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    corpus = synth.ensure_media(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_audio_mc.parquet"))
+    out = media.audio_features(ds, decoder="wav_any").to_pandas()
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["rms_head_u6"] = out["rms_u6"].map(
+        lambda v: int(v[0]) if len(v) else -1).astype("int64")
+    out["zcr_head_u6"] = out["zcr_u6"].map(
+        lambda v: int(v[0]) if len(v) else -1).astype("int64")
+    out["rms_sum_u6"] = out["rms_u6"].map(
+        lambda v: int(np.sum(np.asarray(v, dtype=np.int64)))
+        if len(v) else 0).astype("int64")
+    return out[["media_id", "n_windows", "rms_head_u6", "zcr_head_u6",
+                "rms_sum_u6", "caption"]]\
+        .sort_values("media_id").reset_index(drop=True)
+
+
 def q_audio_goertzel(sf_dir):
     """Single-bin DFT band energy (Goertzel tone detector) per clip at
     1 kHz over REAL RIFF/PCM16 WAV payloads (stages/media.py:
@@ -2336,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "audio_features": q_audio_features,
         "audio_goertzel": q_audio_goertzel,
+        "audio_downmix": q_audio_downmix,
         "video_frame_sample": q_video_frame_sample,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -3071,6 +3099,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(n_windows AS BIGINT) AS n_windows,
                    g_head_u6, g_sum_u6, caption
             FROM read_parquet('{C}/media_audio_expected.parquet')""",
+        "audio_downmix": f"""
+            SELECT media_id, CAST(n_windows AS BIGINT) AS n_windows,
+                   rms_head_u6, zcr_head_u6, rms_sum_u6, caption
+            FROM read_parquet('{C}/media_audio_mc_expected.parquet')""",
         "video_frame_sample": f"""
             SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                    CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w,

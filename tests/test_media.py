@@ -198,3 +198,19 @@ def test_goertzel_matches_sidecar_inline(ray_session):
     out = actor(tbl).to_pandas()
     assert int(out["g_head_u6"][0]) == gh
     assert int(out["g_sum_u6"][0]) == gs
+
+
+def test_wav_any_roundtrip_all_variants(ray_session):
+    """The generic RIFF path must round-trip stereo-16, stereo-8 and
+    mono-8 within their quantization error, and the downmix decoder
+    must equal the channel mean of the decoded array."""
+    rng = np.random.default_rng(9)
+    for ch, bits, tol in ((2, 16, 1.1 / 32767), (2, 8, 1.1 / 127),
+                          (1, 8, 1.1 / 127)):
+        x = np.clip(rng.standard_normal((4096, ch)) * 0.4, -1, 1)
+        buf = media.encode_wav(x, 16000, bits=bits)
+        dec, sr = media.decode_wav(buf)
+        assert sr == 16000 and dec.shape == (4096, ch)
+        assert np.abs(dec - x).max() <= tol, (ch, bits)
+        mono = media._resolve_audio_decoder("wav_any")(buf, 0, 0)
+        assert np.array_equal(mono, dec.mean(axis=1))

@@ -156,6 +156,8 @@ def registry(ray_session):
     "events_quantiles_cont",
     # Goertzel single-bin band energy over real WAV payloads
     "audio_goertzel",
+    # stereo/8-bit PCM ingest downmixed through the generic RIFF codec
+    "audio_downmix",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -928,7 +928,7 @@ def generate_embeddings_planted(sf_dir, n_plant=10, noise=0.03, seed=55,
 # expected-feature sidecars so the driver's DuckDB oracle can hash-check
 # the actor-pool media stages (VERDICT r02 items 1 and 6).
 
-MEDIA_VERSION = 3
+MEDIA_VERSION = 4
 AUDIO_WINDOW = 1024
 AUDIO_HOP = 512
 GOERTZEL_HZ = 1000.0
@@ -1051,6 +1051,59 @@ def generate_media(out_dir, n_images, seed=7, force=False):
         str(out / "media_audio.parquet"))
     pq.write_table(pa.table({k: pa.array(v) for k, v in a_exp.items()}),
                    str(out / "media_audio_expected.parquet"))
+
+    # multi-channel / multi-depth audio: stereo-16, stereo-8, mono-8
+    # payloads through the generic RIFF codec; expected features over
+    # the channel-mean DOWNMIX (quantization replicated per bit depth)
+    from ..stages.media import encode_wav
+    mc_rows = {k: [] for k in ("media_id", "bytes", "kind", "channels",
+                               "bits", "sr", "n_samples", "caption")}
+    mc_exp = {k: [] for k in ("media_id", "n_windows", "rms_head_u6",
+                              "zcr_head_u6", "rms_sum_u6", "caption")}
+    variants = ((2, 16), (2, 8), (1, 8))
+    for i in range(max(6, n_audio // 2)):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 47, i]))
+        ch, bits = variants[i % len(variants)]
+        n_samples = 8192 + 512 * int(rng.integers(8))
+        x = np.clip(rng.standard_normal((n_samples, ch)) * 0.3,
+                    -1.0, 1.0)
+        sr = 16000
+        buf = encode_wav(x, sr, bits=bits)
+        cap = "mc clip %05d" % i
+        mc_rows["media_id"].append("mc%05d" % i)
+        mc_rows["bytes"].append(buf)
+        mc_rows["kind"].append("audio")
+        mc_rows["channels"].append(ch)
+        mc_rows["bits"].append(bits)
+        mc_rows["sr"].append(sr)
+        mc_rows["n_samples"].append(n_samples)
+        mc_rows["caption"].append(cap)
+        if bits == 16:
+            dec = np.rint(x * 32767.0).astype(np.int16)\
+                .astype(np.float64) / 32767.0
+        else:
+            dec = np.rint(x * 127.0).astype(np.float64) / 127.0
+        x_mono = dec.mean(axis=1)
+        nw, rh, zh, rs = _audio_expected_inline(x_mono)
+        mc_exp["media_id"].append("mc%05d" % i)
+        mc_exp["n_windows"].append(nw)
+        mc_exp["rms_head_u6"].append(rh)
+        mc_exp["zcr_head_u6"].append(zh)
+        mc_exp["rms_sum_u6"].append(rs)
+        mc_exp["caption"].append(cap)
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array(mc_rows["media_id"], pa.string()),
+            "bytes": pa.array(mc_rows["bytes"], pa.binary()),
+            "kind": pa.array(mc_rows["kind"], pa.string()),
+            "channels": pa.array(mc_rows["channels"], pa.int32()),
+            "bits": pa.array(mc_rows["bits"], pa.int32()),
+            "sr": pa.array(mc_rows["sr"], pa.int32()),
+            "n_samples": pa.array(mc_rows["n_samples"], pa.int32()),
+            "caption": pa.array(mc_rows["caption"], pa.string())}),
+        str(out / "media_audio_mc.parquet"))
+    pq.write_table(pa.table({k: pa.array(v) for k, v in mc_exp.items()}),
+                   str(out / "media_audio_mc_expected.parquet"))
 
     v_rows = {k: [] for k in ("media_id", "bytes", "kind", "fps",
                               "n_frames", "h", "w", "caption")}

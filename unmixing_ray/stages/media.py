@@ -165,6 +165,11 @@ def _resolve_audio_decoder(decoder):
         # real stdlib RIFF/PCM16 decode (metadata columns ignored —
         # the payload is self-describing)
         return lambda buf, n, sr: decode_wav_pcm16(buf)[0]
+    if decoder == "wav_any":
+        # any integer-PCM RIFF payload (8/16-bit, any channel count),
+        # downmixed to mono by the channel mean — the multi-channel
+        # ingest path (float64 mean, replicated by the sidecar oracle)
+        return lambda buf, n, sr: decode_wav(buf)[0].mean(axis=1)
     if decoder is None:
         def _missing(buf, n, sr):
             raise NotImplementedError(
