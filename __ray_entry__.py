@@ -1752,6 +1752,24 @@ def q_video_frame_sample(sf_dir):
         .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_video_scene_cuts(sf_dir):
+    """Scene-cut detection over scene-structured synthetic videos
+    (stages/media.py:SceneCutActor): integer-exact abs-diff-sum
+    threshold between consecutive downsampled frames; the sidecar runs
+    the detector arithmetic inline and generation ASSERTS it equals the
+    planted scene boundaries, so a match proves real detection."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    corpus = synth.ensure_media(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_video_scenes.parquet"))
+    out = media.video_scene_cuts(ds).to_pandas()
+    for c in ("n_frames", "n_cuts"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ANN queries
 
@@ -2364,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "audio_goertzel": q_audio_goertzel,
         "audio_downmix": q_audio_downmix,
+        "video_scene_cuts": q_video_scene_cuts,
         "video_frame_sample": q_video_frame_sample,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -3103,6 +3122,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(n_windows AS BIGINT) AS n_windows,
                    rms_head_u6, zcr_head_u6, rms_sum_u6, caption
             FROM read_parquet('{C}/media_audio_mc_expected.parquet')""",
+        "video_scene_cuts": f"""
+            SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_cuts AS BIGINT) AS n_cuts, cut_head, cut_sum,
+                   caption
+            FROM read_parquet('{C}/media_video_cuts_expected.parquet')""",
         "video_frame_sample": f"""
             SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                    CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w,

@@ -214,3 +214,20 @@ def test_wav_any_roundtrip_all_variants(ray_session):
         assert np.abs(dec - x).max() <= tol, (ch, bits)
         mono = media._resolve_audio_decoder("wav_any")(buf, 0, 0)
         assert np.array_equal(mono, dec.mean(axis=1))
+
+
+def test_scene_cut_detector_nonvacuous_and_invariant(ray_session):
+    """Cut indices must be identical at any batch size, every clip with
+    >= 2 scenes must report at least one cut, and n_cuts must vary
+    across clips (payload-derived scene lengths)."""
+    from unmixing_ray.sources import synth
+    corpus = synth.generate_media("/tmp/media_test_corpus2",
+                                  n_images=60, seed=7)
+    ds = ray.data.read_parquet(corpus + "/media_video_scenes.parquet")
+    a = media.video_scene_cuts(ds, batch_size=2).to_pandas()\
+        .sort_values("media_id").reset_index(drop=True)
+    b = media.video_scene_cuts(ds, batch_size=32, concurrency=1)\
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["n_cuts"] >= 1).all()      # 24+ frames, scene_len <= 12
+    assert a["n_cuts"].nunique() > 1

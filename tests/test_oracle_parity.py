@@ -158,6 +158,8 @@ def registry(ray_session):
     "audio_goertzel",
     # stereo/8-bit PCM ingest downmixed through the generic RIFF codec
     "audio_downmix",
+    # integer-exact scene-cut detection (planted boundaries asserted)
+    "video_scene_cuts",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -928,7 +928,7 @@ def generate_embeddings_planted(sf_dir, n_plant=10, noise=0.03, seed=55,
 # expected-feature sidecars so the driver's DuckDB oracle can hash-check
 # the actor-pool media stages (VERDICT r02 items 1 and 6).
 
-MEDIA_VERSION = 4
+MEDIA_VERSION = 5
 AUDIO_WINDOW = 1024
 AUDIO_HOP = 512
 GOERTZEL_HZ = 1000.0
@@ -1143,6 +1143,65 @@ def generate_media(out_dir, n_images, seed=7, force=False):
         str(out / "media_video.parquet"))
     pq.write_table(pa.table({k: pa.array(v) for k, v in v_exp.items()}),
                    str(out / "media_video_expected.parquet"))
+    # scene-structured videos for the cut detector: the sidecar runs the
+    # DETECTOR's integer arithmetic inline (downsample lattice, abs-diff
+    # sum, threshold) and generation asserts the detected cuts equal the
+    # planted scene boundaries — non-vacuity proven at write time
+    from ..stages.media import synthetic_scene_frame
+    sc_rows = {k: [] for k in ("media_id", "bytes", "kind", "fps",
+                               "n_frames", "h", "w", "caption")}
+    sc_exp = {k: [] for k in ("media_id", "n_frames", "n_cuts",
+                              "cut_head", "cut_sum", "caption")}
+    ds_h = ds_w = 16
+    thr_lim = 10 * ds_h * ds_w
+    for i in range(n_video):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 53, i]))
+        buf = rng.bytes(256)
+        n_frames = 24 + int(rng.integers(48))
+        h, w = 48, 64
+        cap = "scene clip %05d" % i
+        sc_rows["media_id"].append("scn%05d" % i)
+        sc_rows["bytes"].append(buf)
+        sc_rows["kind"].append("video")
+        sc_rows["fps"].append(24.0)
+        sc_rows["n_frames"].append(n_frames)
+        sc_rows["h"].append(h)
+        sc_rows["w"].append(w)
+        sc_rows["caption"].append(cap)
+        ys = (np.arange(ds_h) * h // ds_h)[:, None]
+        xs = (np.arange(ds_w) * w // ds_w)[None, :]
+        prev, cuts = None, []
+        for f in range(n_frames):
+            small = synthetic_scene_frame(buf, f, h, w)[ys, xs]\
+                .astype(np.int64)
+            if prev is not None and \
+                    int(np.abs(small - prev).sum()) > thr_lim:
+                cuts.append(f)
+            prev = small
+        scene_len = 6 + hashlib.blake2b(
+            buf, digest_size=1, person=b"slen").digest()[0] % 7
+        planted = [f for f in range(1, n_frames) if f % scene_len == 0]
+        assert cuts == planted, ("scene-cut detector disagrees with "
+                                 "planted boundaries", i, cuts, planted)
+        sc_exp["media_id"].append("scn%05d" % i)
+        sc_exp["n_frames"].append(n_frames)
+        sc_exp["n_cuts"].append(len(cuts))
+        sc_exp["cut_head"].append(cuts[0] if cuts else -1)
+        sc_exp["cut_sum"].append(int(sum(cuts)))
+        sc_exp["caption"].append(cap)
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array(sc_rows["media_id"], pa.string()),
+            "bytes": pa.array(sc_rows["bytes"], pa.binary()),
+            "kind": pa.array(sc_rows["kind"], pa.string()),
+            "fps": pa.array(sc_rows["fps"], pa.float32()),
+            "n_frames": pa.array(sc_rows["n_frames"], pa.int32()),
+            "h": pa.array(sc_rows["h"], pa.int32()),
+            "w": pa.array(sc_rows["w"], pa.int32()),
+            "caption": pa.array(sc_rows["caption"], pa.string())}),
+        str(out / "media_video_scenes.parquet"))
+    pq.write_table(pa.table({k: pa.array(v) for k, v in sc_exp.items()}),
+                   str(out / "media_video_cuts_expected.parquet"))
     done.write_text(stamp)
     return str(out)
 

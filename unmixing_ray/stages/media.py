@@ -394,6 +394,122 @@ class GoertzelActor:
         }, schema=GOERTZEL_SCHEMA)
 
 
+def synthetic_scene_frame(buf, idx, h, w):
+    """Deterministic scene-structured synthetic video decode: the clip
+    is a sequence of scenes of payload-derived length; frames within a
+    scene share a base image plus small per-frame jitter, so consecutive
+    same-scene frames differ little and scene boundaries differ a lot.
+    Pure function of (payload, frame index) — the documented spec the
+    generation-time sidecar replicates."""
+    scene_len = 6 + hashlib.blake2b(
+        buf, digest_size=1, person=b"slen").digest()[0] % 7
+    sid = idx // scene_len
+    hb = hashlib.blake2b(buf + sid.to_bytes(4, "little"), digest_size=8,
+                         person=b"scene").digest()
+    base = np.random.default_rng(int.from_bytes(hb, "little"))\
+        .standard_normal(h * w).astype(np.float32) * 40 + 128
+    hj = hashlib.blake2b(buf + idx.to_bytes(4, "little"), digest_size=8,
+                         person=b"jit").digest()
+    jit = np.random.default_rng(int.from_bytes(hj, "little"))\
+        .standard_normal(h * w).astype(np.float32) * 2
+    return np.clip(base + jit, 0, 255).astype(np.uint8).reshape(h, w)
+
+
+SCENE_CUT_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_frames", pa.int32()),
+    ("n_cuts", pa.int32()),
+    ("cut_head", pa.int64()),
+    ("cut_sum", pa.int64()),
+    ("caption", pa.string()),
+])
+
+
+class SceneCutActor:
+    """Actor-pool stage: video bytes → scene-cut frame indices by
+    thresholding the SUM of absolute pixel differences between
+    consecutive downsampled frames (integer-exact: uint8 frames, int64
+    sums — no float in the decision, so the sidecar replay cannot
+    drift). The downsample lattice is precomputed per (h, w) in actor
+    state; the threshold is in mean-per-pixel units and scaled by the
+    downsample size once."""
+
+    def __init__(self, threshold=10, ds_h=16, ds_w=16,
+                 decoder="synthetic"):
+        self.threshold = int(threshold)
+        self.ds_h, self.ds_w = int(ds_h), int(ds_w)
+        if decoder == "synthetic":
+            self.decode = synthetic_scene_frame
+        elif decoder is None:
+            def _missing(buf, idx, h, w):
+                raise NotImplementedError(
+                    "no video decoder in this environment; install "
+                    "ffmpeg/av and pass decoder=<callable>")
+            self.decode = _missing
+        else:
+            self.decode = decoder
+        self._lattice = {}
+
+    def lattice(self, h, w):
+        got = self._lattice.get((h, w))
+        if got is None:
+            ys = np.arange(self.ds_h) * h // self.ds_h
+            xs = np.arange(self.ds_w) * w // self.ds_w
+            got = (ys[:, None], xs[None, :])
+            self._lattice[(h, w)] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "n_frames", "n_cuts",
+                               "cut_head", "cut_sum", "caption")}
+        bufs = batch["bytes"].to_pylist()
+        nfs = batch["n_frames"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        ids = batch["media_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        lim = self.threshold * self.ds_h * self.ds_w
+        for i in range(batch.num_rows):
+            h, w, nf = int(hs[i]), int(ws[i]), int(nfs[i])
+            ys, xs = self.lattice(h, w)
+            prev = None
+            cuts = []
+            for f in range(nf):
+                small = self.decode(bufs[i], f, h, w)[ys, xs]\
+                    .astype(np.int64)
+                if prev is not None and \
+                        int(np.abs(small - prev).sum()) > lim:
+                    cuts.append(f)
+                prev = small
+            out["media_id"].append(ids[i])
+            out["n_frames"].append(nf)
+            out["n_cuts"].append(len(cuts))
+            out["cut_head"].append(cuts[0] if cuts else -1)
+            out["cut_sum"].append(int(sum(cuts)))
+            out["caption"].append(caps[i])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_frames": pa.array(out["n_frames"], pa.int32()),
+            "n_cuts": pa.array(out["n_cuts"], pa.int32()),
+            "cut_head": pa.array(out["cut_head"], pa.int64()),
+            "cut_sum": pa.array(out["cut_sum"], pa.int64()),
+            "caption": pa.array(out["caption"], pa.string()),
+        }, schema=SCENE_CUT_SCHEMA)
+
+
+def video_scene_cuts(media_ds, threshold=10, ds_h=16, ds_w=16,
+                     decoder="synthetic", concurrency=None,
+                     batch_size=8):
+    """Video rows → per-clip scene-cut summary (actor pool)."""
+    concurrency = _media_pool_size(concurrency)
+    return media_ds.map_batches(
+        SceneCutActor,
+        fn_constructor_kwargs={"threshold": threshold, "ds_h": ds_h,
+                               "ds_w": ds_w, "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def audio_goertzel(media_ds, freq_hz=1000.0, window=1024, hop=512,
                    decoder="synthetic", concurrency=None,
                    batch_size=16):
