@@ -379,6 +379,64 @@ def q_box_join(sf_dir):
     return jstage.box_intersection_join(polys, level=synth.CELL_LEVEL)
 
 
+def q_tile_poly_overlap(sf_dir):
+    """Two-table grid-partitioned spatial overlay (stages/join.py:
+    box_overlap_join): every (tile extent × polygon) pair with its
+    exact intersection area — the area-weighted zonal join, through
+    the real decode path (tile bboxes from each tile's gt via the
+    bit-for-bit pixel_to_xy transform). One groupby(cell) shuffle over
+    the tagged union; reference-point dedup. Oracle: DuckDB join of the
+    tile-lattice sidecar with the polygon table, least/greatest
+    overlap arithmetic."""
+    import pyarrow as pa
+    import ray.data
+    from unmixing_ray import geo
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+
+    def to_bbox(batch: pa.Table) -> pa.Table:
+        gts = batch["gt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        n = len(gts)
+        x0 = np.empty(n)
+        y0 = np.empty(n)
+        x1 = np.empty(n)
+        y1 = np.empty(n)
+        for i, gt in enumerate(gts):
+            (a, b), (c, d) = geo.pixel_to_xy(
+                [(0, 0), (int(ws[i]), int(hs[i]))], gt)
+            # gt5 < 0: (0,0) is the top-left corner, so b is ymax
+            x0[i], y1[i], x1[i], y0[i] = a, b, c, d
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "xmin": pa.array(x0), "ymin": pa.array(y0),
+            "xmax": pa.array(x1), "ymax": pa.array(y1)})
+
+    boxes = tiles.select_columns(["tile_id", "gt", "w", "h"])\
+        .map_batches(to_bbox, batch_format="pyarrow")
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.box_overlap_join(boxes, polys, level=synth.CELL_LEVEL)
+
+
+def q_polygon_union_area(sf_dir):
+    """The measure problem (union-of-rectangles area) distributed
+    (stages/join.py:box_union_area): boxes pre-clipped to covering
+    cells (cells partition the plane, so per-cell slab-sweep unions sum
+    to the exact global union — no dedup pass), doubled-integer sweep
+    arithmetic. Oracle: a pure-SQL Bentley sweep (y slabs via lead(),
+    per-slab 1D x-union via a running-max window)."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.box_union_area(polys, level=synth.CELL_LEVEL)
+
+
 def q_cell_density(sf_dir):
     """3x3 neighborhood tile density per cell
     (stages/rollup.py:cell_density) — the hot-spot statistic behind
@@ -823,6 +881,16 @@ def q_events_sessions(sf_dir):
     from unmixing_ray.stages import events as ev
     return ev.sessionize(
         _read(sf_dir, "events", columns=["user_id", "event_id", "ts"]))
+
+
+def q_events_asof_forward(sf_dir):
+    """Forward as-of join with tolerance (next-click attribution within
+    one hour): the direction/tolerance variants of the key-partitioned
+    sorted-merge join (stages/events.py:asof_join). The 1-hour bound is
+    non-vacuous — matches beyond it exist and are dropped."""
+    from unmixing_ray.stages import events as ev
+    return ev.asof_join(_read(sf_dir, "events"), direction="forward",
+                        tolerance_us=3_600_000_000)
 
 
 def q_events_asof(sf_dir):
@@ -2304,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": q_user_top_event,
         "value_histogram": q_value_histogram,
         "events_asof": q_events_asof,
+        "events_asof_forward": q_events_asof_forward,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
         "events_session_join": q_events_session_join,
@@ -2341,6 +2410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_metrics": q_polygon_metrics,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
+        "tile_poly_overlap": q_tile_poly_overlap,
+        "polygon_union_area": q_polygon_union_area,
         "cell_density": q_cell_density,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
@@ -2402,6 +2473,11 @@ def _events_sessions_sql():
 def _events_asof_sql():
     from unmixing_ray.stages.events import asof_join_sql
     return asof_join_sql()
+
+
+def _events_asof_forward_sql():
+    from unmixing_ray.stages.events import asof_join_forward_sql
+    return asof_join_forward_sql(tolerance_us=3_600_000_000)
 
 
 def _events_sliding_sql():
@@ -2576,6 +2652,56 @@ def oracle_sql() -> dict[str, str]:
               ON a.poly_id < b.poly_id
              AND a.xmin < b.xmax AND b.xmin < a.xmax
              AND a.ymin < b.ymax AND b.ymin < a.ymax""",
+        "polygon_union_area": f"""
+            WITH p AS (
+              SELECT CAST(round(xmin * 2) AS BIGINT) AS x0,
+                     CAST(round(ymin * 2) AS BIGINT) AS y0,
+                     CAST(round(xmax * 2) AS BIGINT) AS x1,
+                     CAST(round(ymax * 2) AS BIGINT) AS y1
+              FROM read_parquet('{C}/polygons.parquet')),
+            ys AS (SELECT DISTINCT y FROM
+                   (SELECT y0 AS y FROM p
+                    UNION SELECT y1 AS y FROM p)),
+            slab AS (SELECT y AS s0,
+                            lead(y) OVER (ORDER BY y) AS s1
+                     FROM ys),
+            act AS (SELECT s.s0, s.s1, p.x0, p.x1
+                    FROM slab s JOIN p
+                      ON p.y0 <= s.s0 AND p.y1 >= s.s1
+                    WHERE s.s1 IS NOT NULL),
+            seg AS (SELECT s0, s1, x0, x1,
+                           max(x1) OVER (PARTITION BY s0, s1
+                                         ORDER BY x0, x1
+                                         ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND 1 PRECEDING)
+                             AS rm
+                    FROM act)
+            SELECT CAST(sum((s1 - s0)
+                            * greatest(0, x1 - greatest(
+                                x0, coalesce(rm, x0)))) AS BIGINT)
+                     AS union_area_x4
+            FROM seg""",
+        "tile_poly_overlap": f"""
+            WITH t AS (
+              SELECT tile_id,
+                     0*gt1 + gt0 AS xmin, 32*gt1 + gt0 AS xmax,
+                     32*gt5 + gt3 AS ymin, 0*gt5 + gt3 AS ymax
+              FROM read_parquet('{C}/tiles_expected.parquet'))
+            SELECT t.tile_id, p.poly_id,
+                   CAST(round((least(t.xmax, p.xmax)
+                               - greatest(t.xmin, p.xmin)) * 2)
+                        AS BIGINT) AS w_x2,
+                   CAST(round((least(t.ymax, p.ymax)
+                               - greatest(t.ymin, p.ymin)) * 2)
+                        AS BIGINT) AS h_x2,
+                   CAST(round((least(t.xmax, p.xmax)
+                               - greatest(t.xmin, p.xmin)) * 2)
+                        * round((least(t.ymax, p.ymax)
+                                 - greatest(t.ymin, p.ymin)) * 2)
+                        AS BIGINT) AS area_x4
+            FROM t JOIN read_parquet('{C}/polygons.parquet') p
+              ON t.xmin < p.xmax AND p.xmin < t.xmax
+             AND t.ymin < p.ymax AND p.ymin < t.ymax""",
         "cell_density": f"""
             WITH c AS (
               SELECT cell_ix, cell_iy, count(*) AS n
@@ -2761,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_c DESC, o_orderkey LIMIT 10""",
         "events_sessions": _events_sessions_sql(),
         "events_asof": _events_asof_sql(),
+        "events_asof_forward": _events_asof_forward_sql(),
         "events_sliding": _events_sliding_sql(),
         "events_lag": _events_lag_sql(),
         "events_session_join": _events_session_join_sql(),

@@ -151,3 +151,107 @@ def test_box_intersection_join_matches_brute_force(tiles_and_polygons):
         rows = sorted(zip(got["poly_a"], got["poly_b"],
                           got["area_x4"].astype(int)))
         assert rows == want, level
+
+
+def test_box_overlap_join_two_tables(tiles_and_polygons):
+    """tiles × polygons overlap pairs == driver brute force, at two
+    grid levels (dedup must make the answer level-independent); the
+    total overlap area per polygon can never exceed the polygon area."""
+    import ray.data
+    corpus, tiles, polygons = tiles_and_polygons
+    # tile extents from the lattice sidecar (driver-side truth)
+    exp = pq.read_table(os.path.join(corpus, "tiles_expected.parquet"))\
+        .to_pandas()
+    t = {
+        "id": exp["tile_id"].to_numpy(),
+        "x0": exp["gt0"].to_numpy(),
+        "x1": (exp["gt0"] + 32 * exp["gt1"]).to_numpy(),
+        "y0": (exp["gt3"] + 32 * exp["gt5"]).to_numpy(),
+        "y1": exp["gt3"].to_numpy()}
+    p = polygons.to_pandas()
+    want = set()
+    for i in range(len(p)):
+        iw = np.minimum(t["x1"], p["xmax"][i]) \
+            - np.maximum(t["x0"], p["xmin"][i])
+        ih = np.minimum(t["y1"], p["ymax"][i]) \
+            - np.maximum(t["y0"], p["ymin"][i])
+        hit = (iw > 0) & (ih > 0)
+        for j in np.flatnonzero(hit):
+            want.add((t["id"][j], p["poly_id"][i],
+                      int(round(iw[j] * 2)) * int(round(ih[j] * 2))))
+    assert len(want) > 0
+    import pandas as _pd
+    boxes = ray.data.from_pandas(_pd.DataFrame({
+        "tile_id": t["id"], "xmin": t["x0"], "ymin": t["y0"],
+        "xmax": t["x1"], "ymax": t["y1"]}))
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    for level in (11, 13):
+        got = jstage.box_overlap_join(boxes, polys, level=level)\
+            .to_pandas()
+        rows = set(zip(got["tile_id"], got["poly_id"],
+                       got["area_x4"].astype(int)))
+        assert rows == want, level
+    # per-polygon conservation: overlap sum <= polygon area (x4 units)
+    per = got.groupby("poly_id")["area_x4"].sum()
+    parea = {r["poly_id"]: int(round((r["xmax"] - r["xmin"]) * 2))
+             * int(round((r["ymax"] - r["ymin"]) * 2))
+             for _, r in p.iterrows()}
+    for pid, s in per.items():
+        assert s <= parea[pid]
+
+
+def _union_area_brute(p):
+    """Independent driver-side sweep: interval MERGING per slab (a
+    different 1D-union algorithm than the engine's running max)."""
+    x0 = np.rint(p["xmin"].to_numpy() * 2).astype(np.int64)
+    y0 = np.rint(p["ymin"].to_numpy() * 2).astype(np.int64)
+    x1 = np.rint(p["xmax"].to_numpy() * 2).astype(np.int64)
+    y1 = np.rint(p["ymax"].to_numpy() * 2).astype(np.int64)
+    ys = np.unique(np.concatenate([y0, y1]))
+    total = 0
+    for s0, s1 in zip(ys[:-1], ys[1:]):
+        act = (y0 <= s0) & (y1 >= s1)
+        if not act.any():
+            continue
+        ivals = sorted(zip(x0[act], x1[act]))
+        merged = []
+        for a, b in ivals:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        total += sum(b - a for a, b in merged) * int(s1 - s0)
+    return total
+
+
+def test_box_union_area_matches_independent_sweep(tiles_and_polygons):
+    import ray.data
+    corpus, _tiles, polygons = tiles_and_polygons
+    p = polygons.to_pandas()
+    want = _union_area_brute(p)
+    assert want > 0
+    # sanity: union < sum of areas (overlaps exist in this corpus)
+    sum_areas = int(np.sum(
+        np.rint((p["xmax"] - p["xmin"]) * 2)
+        * np.rint((p["ymax"] - p["ymin"]) * 2)))
+    assert want < sum_areas
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    for level in (10, 12):
+        got = jstage.box_union_area(polys, level=level)
+        assert int(got["union_area_x4"][0]) == want, level
+
+
+def test_box_union_area_hand_case(ray_session):
+    """Three overlapping unit-ish rectangles with a hand-computed
+    union: [0,2]x[0,2] ∪ [1,3]x[1,3] ∪ [2,4]x[0,1] →
+    4 + 4 - 1 + 2 = 9 map-units² = 144 in x4 (doubled) units."""
+    import pandas as _pd
+    import ray.data
+    df = _pd.DataFrame({
+        "poly_id": ["a", "b", "c"],
+        "xmin": [0.0, 1.0, 2.0], "ymin": [0.0, 1.0, 0.0],
+        "xmax": [2.0, 3.0, 4.0], "ymax": [2.0, 3.0, 1.0]})
+    got = jstage.box_union_area(ray.data.from_pandas(df), level=4)
+    assert int(got["union_area_x4"][0]) == 9 * 4

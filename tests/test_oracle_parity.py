@@ -160,6 +160,12 @@ def registry(ray_session):
     "audio_downmix",
     # integer-exact scene-cut detection (planted boundaries asserted)
     "video_scene_cuts",
+    # two-table grid-partitioned overlap join (area-weighted zonal)
+    "tile_poly_overlap",
+    # union-of-rectangles area via per-cell clip + slab sweep
+    "polygon_union_area",
+    # forward as-of join with tolerance (next-action attribution)
+    "events_asof_forward",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -685,3 +685,31 @@ def test_grouped_quantile_cont_matches_numpy_linear(ray_session):
                 * (row["hi"] - row["lo"])
             assert redo == row["interp"]
             assert row["n"] == len(v)
+
+
+def test_cm_sketch_bounds_and_partitioning_invariance(ray_session):
+    """Count-Min estimates are one-sided (never undercount) with error
+    ≤ e/w · N on the heavy keys, and the merged sketch is identical at
+    any block layout (elementwise-sum mergeability)."""
+    rng = np.random.default_rng(21)
+    # zipf-ish: a few heavy tokens + a long tail
+    vals = np.concatenate([
+        np.repeat(["alpha", "beta", "gamma"], [3000, 1500, 700]),
+        rng.choice([f"t{i}" for i in range(2000)], 4000)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"tok": vals})
+    d, w = 4, 1 << 12
+    sketches = []
+    for nb in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        sketches.append(relational.cm_sketch(ds, "tok", d=d, w=w))
+    assert np.array_equal(sketches[0], sketches[1])
+    truth = pd.Series(vals).value_counts()
+    probe = ["alpha", "beta", "gamma", "t0", "t1"]
+    est = relational.cm_query(sketches[0], probe)
+    n = len(vals)
+    eps = np.e / w
+    for p, e_ in zip(probe, est):
+        t = int(truth.get(p, 0))
+        assert e_ >= t, p                      # one-sided
+        assert e_ - t <= eps * n * 3, p        # loose 3x margin

@@ -70,11 +70,16 @@ def sessionize_sql(gap_s=1800):
         FROM s GROUP BY user_id, session_id"""
 
 
-def asof_join(events, left_type="purchase", right_type="click"):
+def asof_join(events, left_type="purchase", right_type="click",
+              direction="backward", tolerance_us=None):
     """Distributed as-of join over the partitioned event log: for each
     ``left_type`` event, the most recent ``right_type`` event by the
     same user at or before its timestamp (inner semantics: lefts with no
-    prior right are dropped).
+    prior right are dropped). ``direction="forward"`` matches the
+    EARLIEST right event strictly after instead (next-action
+    attribution); ``tolerance_us`` bounds |lag| in either direction
+    (matches beyond it are dropped, ANSI/pandas merge_asof tolerance
+    semantics).
 
     Plan: column-pruned filter to the two event types inside
     ``map_batches`` (nothing else enters the shuffle), one
@@ -113,18 +118,27 @@ def asof_join(events, left_type="purchase", right_type="click"):
                 "ts_us": pd.Series([], dtype="int64"),
                 "matched_ts_us": pd.Series([], dtype="int64"),
                 "lag_us": pd.Series([], dtype="int64")})
-        # index of the last right ts <= each left ts
-        pos = np.searchsorted(rt, lt, side="right") - 1
-        ok = pos >= 0
+        if direction == "backward":
+            # index of the last right ts <= each left ts
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            ok = pos >= 0
+        else:
+            # index of the first right ts > each left ts
+            pos = np.searchsorted(rt, lt, side="right")
+            ok = pos < len(rt)
+        matched = rt[np.clip(pos, 0, len(rt) - 1)]
+        lag = (lt - matched) if direction == "backward" \
+            else (matched - lt)
+        if tolerance_us is not None:
+            ok &= lag <= int(tolerance_us)
         lids = g["event_id"].to_numpy()[is_left][ok]
-        matched = rt[pos[ok]]
         return pd.DataFrame({
             "user_id": pd.Series(
                 g["user_id"].to_numpy()[is_left][ok], dtype="int64"),
             "event_id": pd.Series(lids, dtype="int64"),
             "ts_us": pd.Series(lt[ok], dtype="int64"),
-            "matched_ts_us": pd.Series(matched, dtype="int64"),
-            "lag_us": pd.Series(lt[ok] - matched, dtype="int64")})
+            "matched_ts_us": pd.Series(matched[ok], dtype="int64"),
+            "lag_us": pd.Series(lag[ok], dtype="int64")})
 
     return pruned.groupby("user_id").map_groups(per_user,
                                                 batch_format="pandas")
@@ -144,6 +158,26 @@ def asof_join_sql(left_type="purchase", right_type="click"):
           FROM events r
           WHERE r.user_id = l.user_id AND r.event_type = '{right_type}'
             AND r.ts <= l.ts) m ON m.matched_ts_us IS NOT NULL
+        WHERE l.event_type = '{left_type}'"""
+
+
+def asof_join_forward_sql(left_type="purchase", right_type="click",
+                          tolerance_us=None):
+    tol = "" if tolerance_us is None else (
+        " AND epoch_us(r.ts) - epoch_us(l.ts) <= %d" % int(tolerance_us))
+    return f"""
+        SELECT CAST(l.user_id AS BIGINT) AS user_id,
+               CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+               m.matched_ts_us,
+               m.matched_ts_us - CAST(epoch_us(l.ts) AS BIGINT)
+                 AS lag_us
+        FROM events l
+        JOIN LATERAL (
+          SELECT CAST(min(epoch_us(r.ts)) AS BIGINT) AS matched_ts_us
+          FROM events r
+          WHERE r.user_id = l.user_id AND r.event_type = '{right_type}'
+            AND r.ts > l.ts{tol}) m ON m.matched_ts_us IS NOT NULL
         WHERE l.event_type = '{left_type}'"""
 
 

@@ -694,3 +694,158 @@ def box_intersection_join(polygons_ds, level):
 
     rep = polygons_ds.map_batches(replicate, batch_format="pandas")
     return rep.groupby("pcell").map_groups(pairs, batch_format="pandas")
+
+
+def box_overlap_join(left_ds, right_ds, level, left_id="tile_id",
+                     right_id="poly_id"):
+    """Two-table grid-partitioned rectangle-overlap join (the general
+    form of ``box_intersection_join``): every (left, right) pair whose
+    boxes intersect with positive area, plus the exact intersection
+    area — the canonical distributed spatial overlay (area-weighted
+    zonal statistics, coverage accounting). Same scale shape: replicate
+    both sides to covering cells, ONE ``groupby(cell)`` shuffle over the
+    tagged union, vectorized left×right overlap test per cell, and
+    reference-point dedup (only the cell containing the intersection's
+    min corner emits the pair). Both inputs need columns
+    (``id``, xmin, ymin, xmax, ymax); .5-quantized bounds make the
+    doubled widths/heights exact int64 (``area_x4 = (2w)·(2h)``)."""
+
+    def make_replicate(id_col, side):
+        def replicate(df: pd.DataFrame) -> pd.DataFrame:
+            ids, keys = [], []
+            xs0, ys0, xs1, ys1 = [], [], [], []
+            for rid, xmin, ymin, xmax, ymax in zip(
+                    df[id_col], df["xmin"], df["ymin"], df["xmax"],
+                    df["ymax"]):
+                cells = cellindex.cover_bbox(float(xmin), float(ymin),
+                                             float(xmax), float(ymax),
+                                             level)
+                for c in cells:
+                    keys.append(int(c) & cellindex._MORTON_MASK)
+                ids.extend([rid] * len(cells))
+                xs0.extend([float(xmin)] * len(cells))
+                ys0.extend([float(ymin)] * len(cells))
+                xs1.extend([float(xmax)] * len(cells))
+                ys1.extend([float(ymax)] * len(cells))
+            return pd.DataFrame({
+                "pcell": pd.Series(keys, dtype="int64"), "rid": ids,
+                "side": pd.Series([side] * len(ids), dtype="int8"),
+                "xmin": xs0, "ymin": ys0, "xmax": xs1, "ymax": ys1})
+        return replicate
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            left_id: pd.Series([], dtype="object"),
+            right_id: pd.Series([], dtype="object"),
+            "w_x2": pd.Series([], dtype="int64"),
+            "h_x2": pd.Series([], dtype="int64"),
+            "area_x4": pd.Series([], dtype="int64")})
+        side = group["side"].to_numpy()
+        li = np.flatnonzero(side == 0)
+        rj = np.flatnonzero(side == 1)
+        if not len(li) or not len(rj):
+            return empty
+        x0 = group["xmin"].to_numpy()
+        y0 = group["ymin"].to_numpy()
+        x1 = group["xmax"].to_numpy()
+        y1 = group["ymax"].to_numpy()
+        rid = group["rid"].to_numpy()
+        ii = np.repeat(li, len(rj))
+        jj = np.tile(rj, len(li))
+        iw = np.minimum(x1[ii], x1[jj]) - np.maximum(x0[ii], x0[jj])
+        ih = np.minimum(y1[ii], y1[jj]) - np.maximum(y0[ii], y0[jj])
+        keep = (iw > 0) & (ih > 0)
+        if not keep.any():
+            return empty
+        ii, jj, iw, ih = ii[keep], jj[keep], iw[keep], ih[keep]
+        rx = np.maximum(x0[ii], x0[jj])
+        ry = np.maximum(y0[ii], y0[jj])
+        ref = (cellindex.cell_of_xy(rx, ry, level).astype(np.uint64)
+               & np.uint64(cellindex._MORTON_MASK)).astype(np.int64)
+        here = int(group["pcell"].iloc[0])
+        keep2 = ref == here
+        if not keep2.any():
+            return empty
+        ii, jj, iw, ih = ii[keep2], jj[keep2], iw[keep2], ih[keep2]
+        w2 = np.rint(iw * 2).astype(np.int64)
+        h2 = np.rint(ih * 2).astype(np.int64)
+        return pd.DataFrame({
+            left_id: rid[ii], right_id: rid[jj],
+            "w_x2": pd.Series(w2, dtype="int64"),
+            "h_x2": pd.Series(h2, dtype="int64"),
+            "area_x4": pd.Series(w2 * h2, dtype="int64")})
+
+    lrep = left_ds.map_batches(make_replicate(left_id, 0),
+                               batch_format="pandas")
+    rrep = right_ds.map_batches(make_replicate(right_id, 1),
+                                batch_format="pandas")
+    return lrep.union(rrep).groupby("pcell").map_groups(
+        pairs, batch_format="pandas")
+
+
+def box_union_area(polygons_ds, level):
+    """Total area covered by the UNION of all rectangles — the measure
+    problem (Bentley's sweep) as a distributed operator. Grid cells
+    partition the plane, so clipping each box to its covering cells and
+    summing per-cell union areas gives the exact global union with NO
+    pair dedup at all: one replicate pass (boxes pre-clipped to each
+    cell), one ``groupby(cell)`` shuffle, a per-cell slab sweep
+    (y coordinate compression → 1D x-union per slab via sorted running
+    max), then a tiny scalar sum. Per-cell cost is O(local² log) in the
+    worst case but bounded by local density, never corpus size.
+
+    All sweep arithmetic runs on doubled integer coordinates
+    (.5-quantized bounds → exact int64), so ``union_area_x4`` replays
+    exactly in SQL with a window-function sweep."""
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for xmin, ymin, xmax, ymax in zip(
+                df["xmin"], df["ymin"], df["xmax"], df["ymax"]):
+            for c in cellindex.cover_bbox(float(xmin), float(ymin),
+                                          float(xmax), float(ymax),
+                                          level):
+                cx0, cy0, cx1, cy1 = cellindex.cell_bounds(np.uint64(c))
+                keys.append(int(c) & cellindex._MORTON_MASK)
+                # clip to the cell: per-cell unions are disjoint pieces
+                # of the global union (no double counting by design)
+                xs0.append(int(np.rint(max(float(xmin), cx0) * 2)))
+                ys0.append(int(np.rint(max(float(ymin), cy0) * 2)))
+                xs1.append(int(np.rint(min(float(xmax), cx1) * 2)))
+                ys1.append(int(np.rint(min(float(ymax), cy1) * 2)))
+        return pd.DataFrame({
+            "pcell": pd.Series(keys, dtype="int64"),
+            "x0": pd.Series(xs0, dtype="int64"),
+            "y0": pd.Series(ys0, dtype="int64"),
+            "x1": pd.Series(xs1, dtype="int64"),
+            "y1": pd.Series(ys1, dtype="int64")})
+
+    def cell_union(group: pd.DataFrame) -> pd.DataFrame:
+        x0 = group["x0"].to_numpy()
+        y0 = group["y0"].to_numpy()
+        x1 = group["x1"].to_numpy()
+        y1 = group["y1"].to_numpy()
+        ys = np.unique(np.concatenate([y0, y1]))
+        total = 0
+        for s0, s1 in zip(ys[:-1], ys[1:]):
+            act = (y0 <= s0) & (y1 >= s1)
+            if not act.any():
+                continue
+            ax0, ax1 = x0[act], x1[act]
+            order = np.lexsort((ax1, ax0))
+            ax0, ax1 = ax0[order], ax1[order]
+            run = np.maximum.accumulate(ax1)
+            prev = np.concatenate(([np.int64(-2 ** 62)], run[:-1]))
+            seg = np.maximum(
+                0, ax1 - np.maximum(ax0, prev)).sum()
+            total += int(seg) * int(s1 - s0)
+        return pd.DataFrame({"area_x4": pd.Series([total],
+                                                  dtype="int64")})
+
+    rep = polygons_ds.map_batches(replicate, batch_format="pandas")
+    parts = rep.groupby("pcell").map_groups(cell_union,
+                                            batch_format="pandas")
+    total = parts.sum("area_x4")
+    return pd.DataFrame({"union_area_x4": pd.Series(
+        [int(total or 0)], dtype="int64")})

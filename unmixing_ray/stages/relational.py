@@ -1183,3 +1183,64 @@ def grouped_moments(ds, key, x, y, x_scale=1, y_scale=1,
              for c in t.column_names])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies, mergeable by elementwise sum)
+
+def _cm_rows(vals, d, w):
+    """(d, w) Count-Min increments for a value array: row r uses an
+    independent keyed blake2 hash. Deterministic, partitioning-blind."""
+    import hashlib
+    out = np.zeros((d, w), dtype=np.int64)
+    for v in vals:
+        bv = str(v).encode()
+        for r in range(d):
+            h = int.from_bytes(
+                hashlib.blake2b(bv, digest_size=8,
+                                person=b"cm%02d" % r).digest(), "big")
+            out[r, h % w] += 1
+    return out
+
+
+def cm_sketch(ds, col, d=4, w=1 << 12):
+    """Build a Count-Min sketch of ``col``'s value frequencies — the
+    classic mergeable frequency summary (Cormode & Muthukrishnan 2005):
+    per-batch (d, w) count grids are ASSOCIATIVE (elementwise sum), so
+    the exchange carries d·w int64 per batch regardless of input size,
+    and the merged sketch answers point frequency queries with
+    one-sided error ≤ εN (ε = e/w) at confidence 1 − e^{−d}.
+
+    Complements the exact `heavy_hitters` operator: the sketch path
+    when the candidate-restricted exact pass is too expensive and a
+    bounded overestimate is acceptable."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grid = _cm_rows(df[col].to_numpy(), d, w)
+        return pd.DataFrame({"one": pd.Series([1], dtype="int64"),
+                             "grid": [grid.ravel().tolist()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    merged = np.zeros(d * w, dtype=np.int64)
+    for g in parts["grid"]:
+        merged += np.asarray(g, dtype=np.int64)
+    return merged.reshape(d, w)
+
+
+def cm_query(sketch, values):
+    """Point-frequency estimates (min over rows) for ``values``."""
+    import hashlib
+    d, w = sketch.shape
+    out = []
+    for v in values:
+        bv = str(v).encode()
+        est = None
+        for r in range(d):
+            h = int.from_bytes(
+                hashlib.blake2b(bv, digest_size=8,
+                                person=b"cm%02d" % r).digest(), "big")
+            c = int(sketch[r, h % w])
+            est = c if est is None else min(est, c)
+        out.append(est)
+    return np.asarray(out, dtype=np.int64)
