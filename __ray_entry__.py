@@ -1122,6 +1122,23 @@ def q_orders_running_total(sf_dir):
         batch_format="pandas")
 
 
+def q_orders_moving_window(sf_dir):
+    """ROWS-frame window aggregate — trailing 5-order spend sum per
+    customer (SUM OVER ... ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    via cumsum difference inside the per-key group
+    (stages/relational.py:moving_window)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+    out = relational.moving_window(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice",
+        k=5, scale=100)
+    return out.map_batches(
+        lambda df: df[["o_custkey", "o_orderkey", "win_sum_c",
+                       "win_n"]], batch_format="pandas")
+
+
 def q_lineitem_moments(sf_dir):
     """Exact grouped second moments (the sufficient statistics of
     Pearson corr / covariance / OLS slope) per return flag, via
@@ -1871,6 +1888,43 @@ def q_fingerprint(sf_dir):
                                   columns=["doc_id", "text"]))
 
 
+URL_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' see https://site'"
+    " || CAST(doc_id % 20 AS VARCHAR)"
+    " || '.example.org/page now' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' via http://cdn'"
+    " || CAST(doc_id % 10 AS VARCHAR) || '.example.net/x'"
+    " ELSE '' END")
+
+
+def q_url_domains(sf_dir):
+    """Compiled-regex URL-domain extraction + per-domain counts
+    (stages/text.py:UrlDomainCounter — pattern compiled ONCE per actor;
+    per-batch count partials before the tiny groupby). The corpus
+    carries no URLs, so both sides plant them inline as the SAME pure
+    function of doc_id (URL_AUG_SQL); oracle extracts with DuckDB's
+    regexp_extract_all over the identical augmented text."""
+    from unmixing_ray.stages import text as tstage
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        s = df["text"].astype(str).to_numpy()
+        ds_ = did.astype(str)
+        a = np.where(did % 4 == 0,
+                     " see https://site" + (did % 20).astype(str)
+                     + ".example.org/page now", "")
+        b = np.where(did % 6 == 0,
+                     " via http://cdn" + (did % 10).astype(str)
+                     + ".example.net/x", "")
+        del ds_
+        return pd.DataFrame({"doc_id": did, "text": s + a + b})
+
+    return tstage.url_domains(
+        ds.map_batches(aug, batch_format="pandas"))
+
+
 PII_AUG_SQL = (
     "text"
     " || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
@@ -2390,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
         "orders_running_total": q_orders_running_total,
+        "orders_moving_window": q_orders_moving_window,
         "lineitem_moments": q_lineitem_moments,
         "customer_orders_outer": q_customer_orders_outer,
         "suppliers_with_returns": q_suppliers_with_returns,
@@ -2430,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "label_centroids": q_label_centroids,
         "pii_scrub": q_pii_scrub,
+        "url_domains": q_url_domains,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
         "line_dedup": q_line_dedup,
@@ -3004,6 +3060,21 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderdate, o_orderkey)
                         AS BIGINT) AS running_c
             FROM orders""",
+        "orders_moving_window": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 4 PRECEDING
+                              AND CURRENT ROW)
+                        AS BIGINT) AS win_sum_c,
+                   CAST(count(*)
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 4 PRECEDING
+                              AND CURRENT ROW)
+                        AS BIGINT) AS win_n
+            FROM orders""",
         "lineitem_moments": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,
@@ -3100,6 +3171,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'duplicate' END AS verdict
             FROM v""",
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
+        "url_domains": f"""
+            WITH aug AS (
+              SELECT doc_id, {URL_AUG_SQL} AS text FROM documents),
+            hits AS (
+              SELECT unnest(regexp_extract_all(
+                         text, 'https?://([A-Za-z0-9.-]+)', 1))
+                       AS domain
+              FROM aug)
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_urls
+            FROM hits GROUP BY domain""",
         "repetition_filter": text.gopher_repetition_sql(3),
         "substring_dup": text.substring_dup_sql(8),
         "orders_rank": relational.global_rank_sql(

@@ -166,6 +166,10 @@ def registry(ray_session):
     "polygon_union_area",
     # forward as-of join with tolerance (next-action attribution)
     "events_asof_forward",
+    # trailing ROWS-frame window aggregate via cumsum difference
+    "orders_moving_window",
+    # compiled-regex URL-domain extraction (planted inline both sides)
+    "url_domains",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

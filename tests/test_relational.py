@@ -713,3 +713,26 @@ def test_cm_sketch_bounds_and_partitioning_invariance(ray_session):
         t = int(truth.get(p, 0))
         assert e_ >= t, p                      # one-sided
         assert e_ - t <= eps * n * 3, p        # loose 3x margin
+
+
+def test_moving_window_matches_pandas_rolling(ray_session):
+    rng = np.random.default_rng(14)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype(np.int64),
+        "t": rng.permutation(n).astype(np.int64),
+        "v": np.round(rng.uniform(1, 500, n), 2)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = relational.moving_window(ds, "k", ["t"], "v", k=4)\
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "t"]).copy()
+    cents = np.rint(ref["v"].to_numpy() * 100).astype(np.int64)
+    ref["c"] = cents
+    roll = ref.groupby("k")["c"].rolling(4, min_periods=1).sum()\
+        .reset_index(drop=True)
+    cnt = ref.groupby("k")["c"].rolling(4, min_periods=1).count()\
+        .reset_index(drop=True)
+    assert (got["win_sum_c"].to_numpy()
+            == roll.to_numpy().astype(np.int64)).all()
+    assert (got["win_n"].to_numpy()
+            == cnt.to_numpy().astype(np.int64)).all()

@@ -1244,3 +1244,34 @@ def cm_query(sketch, values):
             est = c if est is None else min(est, c)
         out.append(est)
     return np.asarray(out, dtype=np.int64)
+
+
+def moving_window(ds, key, order_cols, val, k, scale=100,
+                  sum_alias="win_sum_c", cnt_alias="win_n"):
+    """Per-key trailing ROWS-frame aggregate — SQL's
+    ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` plus the frame row
+    count. Same partition-key window idiom as :func:`running_total`
+    (one key shuffle, per-group sort), with the frame sum computed as a
+    cumsum difference — O(rows) per group at any ``k``, exact int64
+    fixed-point cents."""
+    order_cols = list(order_cols)
+    cols = [key, *order_cols, val]
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(order_cols, kind="mergesort")
+        cents = np.rint(g[val].to_numpy(np.float64) * scale)\
+            .astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        n = len(cents)
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - k + 1)
+        out = {key: g[key].to_numpy()}
+        for c in order_cols:
+            out[c] = g[c].to_numpy()
+        out[sum_alias] = cs[idx + 1] - cs[lo]
+        out[cnt_alias] = (idx - lo + 1).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_group, batch_format="pandas")

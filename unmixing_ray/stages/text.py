@@ -1294,3 +1294,51 @@ def compression_signal(docs, level=6, lo_u6=430_000, hi_u6=650_000,
             "keep": (ratio >= lo_u6) & (ratio <= hi_u6)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+URL_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+class UrlDomainCounter:
+    """Actor-pool regex-extraction stage: the compiled pattern is built
+    ONCE per actor in ``__init__`` (the stateful-setup contract — a
+    plain function would re-enter `re` per batch; a per-row compile
+    would be the classic hot-loop bug). Emits per-batch (domain, n)
+    partials — the combiner before the tiny groupby(domain) merge."""
+
+    def __init__(self, pattern=URL_RE):
+        import re
+        self.rx = re.compile(pattern)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for s in df["text"]:
+            c.update(self.rx.findall(s))
+        if not c:
+            return pd.DataFrame({
+                "domain": pd.Series([], dtype=object),
+                "n_urls": pd.Series([], dtype="int64")})
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "domain": pd.Series(ks, dtype=object),
+            "n_urls": pd.Series([c[k] for k in ks], dtype="int64")})
+
+
+def url_domains(docs, pattern=URL_RE, concurrency=None, batch_size=256):
+    """Per-domain URL occurrence counts over the corpus (link-graph /
+    source-attribution front of a crawl pipeline). One actor-pool
+    extraction pass with per-batch count partials, then one
+    groupby(domain) merge of tiny rows."""
+    from ray.data.aggregate import Sum
+    if concurrency is None:
+        from .unmix import default_pool_size
+        concurrency = default_pool_size(reserve=2, cap=8)
+    parts = docs.map_batches(
+        UrlDomainCounter, fn_constructor_kwargs={"pattern": pattern},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+    return parts.groupby("domain").aggregate(
+        Sum("n_urls", alias_name="n_urls")).map_batches(
+        lambda df: df.astype({"n_urls": "int64"}),
+        batch_format="pandas")
