@@ -220,6 +220,18 @@ def q_intersect_resample(sf_dir):
     return aligned.map_batches(summarize, batch_format="pandas")
 
 
+def q_histogram_match(sf_dir):
+    """Per-image histogram MATCHING to the corpus-global distribution
+    (stages/enhance.py:match_histogram_tiles): tiny global-histogram
+    pass, then ONE groupby(image_id) — each image's inclusive CDF rank
+    mapped to the global CDF by exact integer cross-multiplication.
+    Oracle: single-machine full replay sidecar
+    (synth.generate_match_expected)."""
+    from unmixing_ray.stages import enhance
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return enhance.match_histogram_tiles(tiles)
+
+
 def q_histogram_equalize(sf_dir):
     """Corpus-GLOBAL histogram equalization (stages/enhance.py) — the
     two-pass global-statistics transform family (reference BCI/RNDSI
@@ -1119,6 +1131,19 @@ def q_orders_running_total(sf_dir):
         scale=100, alias="running_c")
     return out.map_batches(
         lambda df: df[["o_custkey", "o_orderkey", "running_c"]],
+        batch_format="pandas")
+
+
+def q_nations_agg(sf_dir):
+    """Deterministic ordered string_agg per region
+    (stages/relational.py:grouped_string_agg): the within-group ORDER
+    BY makes a distributed concat reproducible and oracle-checkable."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    out = relational.grouped_string_agg(
+        ds, "n_regionkey", "n_name", ["n_name"])
+    return out.map_batches(
+        lambda df: df.astype({"n_regionkey": "int64"}),
         batch_format="pandas")
 
 
@@ -2383,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
                 _synth.generate_equalize_expected(sf)
+                _synth.generate_match_expected(sf)
                 _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
@@ -2398,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_bilinear": q_warp_bilinear,
         "distance_transform": q_distance_transform,
         "histogram_equalize": q_histogram_equalize,
+        "histogram_match": q_histogram_match,
         "augment_images": q_augment_images,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
@@ -2445,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "orders_running_total": q_orders_running_total,
         "orders_moving_window": q_orders_moving_window,
+        "nations_agg": q_nations_agg,
         "lineitem_moments": q_lineitem_moments,
         "customer_orders_outer": q_customer_orders_outer,
         "suppliers_with_returns": q_suppliers_with_returns,
@@ -2592,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
                 _synth.generate_equalize_expected(sf)
+                _synth.generate_match_expected(sf)
                 _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
@@ -2631,6 +2660,9 @@ def oracle_sql() -> dict[str, str]:
         "histogram_equalize": f"""
             SELECT tile_id, band, eq_sum, n_valid
             FROM read_parquet('{C}/equalize_expected.parquet')""",
+        "histogram_match": f"""
+            SELECT tile_id, band, match_sum, n_valid
+            FROM read_parquet('{C}/match_expected.parquet')""",
         "augment_images": f"""
             SELECT image_id, flip_h, flip_v, oy, ox, n_px,
                    aug_checksum, caption
@@ -3075,6 +3107,11 @@ def oracle_sql() -> dict[str, str]:
                               AND CURRENT ROW)
                         AS BIGINT) AS win_n
             FROM orders""",
+        "nations_agg": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS agg_str,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM nation GROUP BY n_regionkey""",
         "lineitem_moments": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,

@@ -170,6 +170,10 @@ def registry(ray_session):
     "orders_moving_window",
     # compiled-regex URL-domain extraction (planted inline both sides)
     "url_domains",
+    # deterministic ordered string_agg per key
+    "nations_agg",
+    # per-image histogram matching to the corpus-global CDF
+    "histogram_match",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

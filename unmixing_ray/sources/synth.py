@@ -1940,6 +1940,90 @@ def generate_equalize_expected(sf_dir, bins=256, lo=0, hi=10000,
     return str(out)
 
 
+MATCH_VERSION = 1
+
+
+def generate_match_expected(sf_dir, bins=256, lo=0, hi=10000):
+    """Write ``match_expected.parquet``: per-(tile, band) sums of each
+    image's pixels histogram-MATCHED to the corpus-global distribution
+    (inclusive image-CDF rank mapped by exact integer
+    cross-multiplication — the single-machine replay of
+    stages/enhance.py:match_histogram_tiles). NODATA excluded from both
+    histograms and from n_valid."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_MATCH_DONE"
+    stamp = "match v%d b%d lo%d hi%d" % (MATCH_VERSION, bins, lo, hi)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    def bin_of(vals):
+        v = np.clip(vals, lo, hi).astype(np.int64)
+        return (v - lo) * bins // (hi - lo + 1)
+
+    arrays = []
+    ghist = None
+    for i in range(tbl.num_rows):
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        arrays.append(arr)
+        if ghist is None:
+            ghist = np.zeros((arr.shape[0], bins), dtype=np.int64)
+        for b in range(arr.shape[0]):
+            row = arr[b].ravel()
+            row = row[row != NODATA]
+            ghist[b] += np.bincount(bin_of(row), minlength=bins)
+    gcdf = np.cumsum(ghist, axis=1)
+    n_g = gcdf[:, -1]
+    rows = {"tile_id": [], "band": [], "match_sum": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = arrays[i]
+        p, H, W = arr.shape
+        ihist = np.zeros((p, bins), dtype=np.int64)
+        for b in range(p):
+            row = arr[b].ravel()
+            row = row[row != NODATA]
+            ihist[b] = np.bincount(bin_of(row), minlength=bins)
+        icdf = np.cumsum(ihist, axis=1)
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = arr[:, ty * TILE:(ty + 1) * TILE,
+                          tx * TILE:(tx + 1) * TILE]
+                for b in range(p):
+                    row = blk[b].ravel()
+                    valid = row != NODATA
+                    n_img = int(icdf[b, -1])
+                    if n_img and valid.any():
+                        cv = icdf[b][bin_of(row[valid])]
+                        j = np.searchsorted(gcdf[b] * n_img,
+                                            cv * int(n_g[b]),
+                                            side="left")
+                        ms = int(j.sum())
+                    else:
+                        ms = 0
+                    rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                    rows["band"].append(b)
+                    rows["match_sum"].append(ms)
+                    rows["n_valid"].append(int(valid.sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "match_sum": pa.array(rows["match_sum"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "match_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 TREND_VERSION = 1
 
 

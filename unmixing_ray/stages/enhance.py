@@ -138,3 +138,124 @@ def equalize_tiles(tiles, bins=256, lo=0, hi=10000, levels=256):
     return tiles.select_columns(["tile_id", "pixels", "bands", "h",
                                  "w"]) \
         .map_batches(apply, batch_format="pyarrow")
+
+
+def fit_global_hist(tiles, bins=256, lo=0, hi=10000):
+    """Pass 1 of histogram matching: the corpus-global per-band
+    histogram (same combiner-before-shuffle partials as equalization;
+    driver memory = bands·bins)."""
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bd = batch["bands"].to_numpy()
+        out_band, out_bin, out_n = [], [], []
+        for i in range(batch.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            for b in range(arr.shape[0]):
+                row = arr[b].ravel()
+                valid = row != NODATA
+                if not valid.any():
+                    continue
+                h = np.bincount(_bin_of(row[valid], lo, hi, bins),
+                                minlength=bins)
+                nz = np.flatnonzero(h)
+                out_band.extend([b] * len(nz))
+                out_bin.extend(int(x) for x in nz)
+                out_n.extend(int(h[x]) for x in nz)
+        return pa.table({
+            "band": pa.array(out_band, pa.int64()),
+            "bin": pa.array(out_bin, pa.int64()),
+            "n": pa.array(out_n, pa.int64())})
+
+    rows = tiles.select_columns(["pixels", "bands", "h", "w"]) \
+        .map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["band", "bin"]) \
+        .aggregate(Sum("n", alias_name="n_total")).take_all()
+    n_bands = 1 + max(int(r["band"]) for r in rows)
+    hist = np.zeros((n_bands, bins), dtype=np.int64)
+    for r in rows:
+        hist[int(r["band"]), int(r["bin"])] = int(r["n_total"])
+    return hist
+
+
+def match_histogram_tiles(tiles, bins=256, lo=0, hi=10000):
+    """Per-image histogram MATCHING to the corpus-global distribution —
+    the radiometric-normalization family of the reference's
+    `hall_rectification` (lsma.py:523-584, per-image linear gain from
+    control sets) upgraded to full CDF matching: every image's per-band
+    value distribution is remapped so its CDF tracks the global CDF.
+
+    Plan: pass 1 = the tiny global histogram; pass 2 = ONE
+    ``groupby(image_id)`` shuffle (the reference's own working extent,
+    as in SASMA) — each group holds all of one image's tiles, builds
+    the image histogram locally, and maps each pixel's inclusive
+    image-CDF rank to the global CDF by exact integer
+    cross-multiplication:
+
+        matched_bin(v) = min { j : cdf_g[b][j]·n_img ≥ c_img(v)·N_b }
+
+    (a searchsorted over ``cdf_g[b]·n_img`` — no float ranks, so the
+    single-machine sidecar replay is bit-identical). int64 envelope:
+    N_b·n_img must stay below 2^63 — at larger corpora scale the global
+    CDF down by a common factor first (floor division on both sides of
+    the inequality preserves the argmin).
+
+    Returns per-(tile, band) ``match_sum`` (Σ matched bin over valid
+    pixels) and ``n_valid``.
+    """
+    ghist = fit_global_hist(tiles, bins=bins, lo=lo, hi=hi)
+    gcdf = np.cumsum(ghist, axis=1)          # (bands, bins)
+    n_g = gcdf[:, -1].copy()                 # valid px per band
+
+    def per_image(group: pa.Table) -> pa.Table:
+        values, offsets = binary_views(group["pixels"], np.int16)
+        hs = group["h"].to_numpy()
+        ws = group["w"].to_numpy()
+        bd = group["bands"].to_numpy()
+        tids = group["tile_id"].to_pylist()
+        n_bands = int(bd[0]) if len(bd) else 0
+        # image histogram per band over ALL the group's tiles
+        ihist = np.zeros((n_bands, bins), dtype=np.int64)
+        arrs = []
+        for i in range(group.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            arrs.append(arr)
+            for b in range(arr.shape[0]):
+                row = arr[b].ravel()
+                row = row[row != NODATA]
+                if len(row):
+                    ihist[b] += np.bincount(
+                        _bin_of(row, lo, hi, bins), minlength=bins)
+        icdf = np.cumsum(ihist, axis=1)
+        out = {"tile_id": [], "band": [], "match_sum": [],
+               "n_valid": []}
+        for i, arr in enumerate(arrs):
+            for b in range(arr.shape[0]):
+                row = arr[b].ravel()
+                valid = row != NODATA
+                n_img = int(icdf[b, -1])
+                if n_img and valid.any():
+                    cv = icdf[b][_bin_of(row[valid], lo, hi, bins)]
+                    j = np.searchsorted(gcdf[b] * n_img,
+                                        cv * int(n_g[b]), side="left")
+                    ms = int(j.sum())
+                else:
+                    ms = 0
+                out["tile_id"].append(tids[i])
+                out["band"].append(b)
+                out["match_sum"].append(ms)
+                out["n_valid"].append(int(valid.sum()))
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.string()),
+            "band": pa.array(out["band"], pa.int64()),
+            "match_sum": pa.array(out["match_sum"], pa.int64()),
+            "n_valid": pa.array(out["n_valid"], pa.int64())})
+
+    lean = tiles.select_columns(["tile_id", "image_id", "pixels",
+                                 "bands", "h", "w"])
+    return lean.groupby("image_id").map_groups(per_image,
+                                               batch_format="pyarrow")

@@ -1275,3 +1275,25 @@ def moving_window(ds, key, order_cols, val, k, scale=100,
 
     return ds.select_columns(cols).groupby(key).map_groups(
         per_group, batch_format="pandas")
+
+
+def grouped_string_agg(ds, key, val, order_cols, sep=",",
+                       alias="agg_str"):
+    """Deterministic per-key ordered string concatenation — SQL's
+    ``string_agg(val, sep ORDER BY order_cols)`` distributed: one
+    ``groupby(key)`` shuffle, per-group mergesort, one join. The
+    within-group ORDER BY is what makes a distributed string_agg
+    deterministic at all — an unordered concat varies with block
+    arrival and can never be oracle-checked."""
+    order_cols = list(order_cols)
+    cols = list(dict.fromkeys([key, val, *order_cols]))
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(order_cols, kind="mergesort")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            alias: [sep.join(str(v) for v in g[val])],
+            "n_items": pd.Series([len(g)], dtype="int64")})
+
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_group, batch_format="pandas")
