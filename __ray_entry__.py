@@ -1117,6 +1117,87 @@ def q_tpch_q3(sf_dir):
         .limit(10).to_pandas()
 
 
+def q_tpch_q5(sf_dir):
+    """TPC-H Q5 shape — a SIX-table plan mixing both join strategies:
+    region→nation (driver-tiny) prunes to one region's nations;
+    customer (filtered to those nations) hash-joins orders (both sides
+    large); lineitem hash-joins in; supplier (small) is a BROADCAST
+    dict; the local-supplier condition c_nationkey = s_nationkey is an
+    equality side-condition applied vectorized after the broadcast
+    lookup; exact-cents groupby by nation name."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    lo = pd.Timestamp("1996-01-01").to_numpy()
+    hi = pd.Timestamp("1997-01-01").to_numpy()
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia_rk = int(region[region["r_name"] == "ASIA"]
+                  ["r_regionkey"].iloc[0])
+    asia = nation[nation["n_regionkey"] == asia_rk]
+    nkeys = set(int(k) for k in asia["n_nationkey"])
+    nname = dict(zip(asia["n_nationkey"].astype(int),
+                     asia["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp["s_suppkey"].astype(int),
+                     supp["s_nationkey"].astype(int)))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame({
+            "ckey": df["c_custkey"],
+            "c_nat": df["c_nationkey"].astype("int64"),
+        })[df["c_nationkey"].astype(int).isin(nkeys).to_numpy()],
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"], "ckey": df["o_custkey"],
+        })[((df["o_orderdate"].to_numpy() >= lo)
+            & (df["o_orderdate"].to_numpy() < hi))],
+        batch_format="pandas")
+    ord_cn = relational.hash_join(orders, cust, "ckey", how="inner")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"],
+            "skey": df["l_suppkey"].astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64))}), batch_format="pandas")
+    def proj(df: pd.DataFrame) -> pa.Table:
+        # declared Arrow schema: empty blocks keep their column names,
+        # so the downstream hash_join can read schema() without hitting
+        # a nameless empty-pandas block first
+        return pa.table({
+            "okey": pa.array(df["okey"].astype("int64"), pa.int64()),
+            "c_nat": pa.array(df["c_nat"].astype("int64"),
+                              pa.int64())})
+
+    joined = relational.hash_join(
+        ord_cn.map_batches(proj, batch_format="pandas"),
+        li, "okey", how="inner", left_cols=["okey", "c_nat"])
+
+    def local_supplier(df: pd.DataFrame) -> pd.DataFrame:
+        s_n = df["skey"].map(s_nat).astype("int64")
+        keep = (s_n.to_numpy() == df["c_nat"].to_numpy())
+        out = df[keep].copy()
+        out["n_name"] = out["c_nat"].map(nname)
+        return out[["n_name", "rev_c2"]]
+
+    per_nation = joined.map_batches(local_supplier,
+                                    batch_format="pandas")\
+        .groupby("n_name").aggregate(
+        Sum("rev_c2", alias_name="revenue_c2"))
+    return per_nation.map_batches(
+        lambda df: df.astype({"revenue_c2": "int64"}),
+        batch_format="pandas")
+
+
 def q_orders_running_total(sf_dir):
     """Ordered window function SUM OVER (PARTITION BY customer ORDER BY
     date, key): per-customer cumulative exact-cents order spend
@@ -2470,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "orders_running_total": q_orders_running_total,
         "orders_moving_window": q_orders_moving_window,
         "nations_agg": q_nations_agg,
@@ -3085,6 +3167,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey
             ORDER BY revenue_c2 DESC, okey
             LIMIT 10""",
+        "tpch_q5": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c2
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation n, region r
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name""",
         "orders_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

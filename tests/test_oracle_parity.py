@@ -174,6 +174,8 @@ def registry(ray_session):
     "nations_agg",
     # per-image histogram matching to the corpus-global CDF
     "histogram_match",
+    # six-table TPC-H Q5 plan mixing hash joins + broadcasts
+    "tpch_q5",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

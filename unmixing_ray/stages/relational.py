@@ -652,7 +652,7 @@ def bloom_contains(bitmap, vals, bits=None):
 
 
 def hash_join(left, right, key, how="inner", bloom_prune=None,
-              bloom_bits=1 << 23):
+              bloom_bits=1 << 23, left_cols=None, right_cols=None):
     """Distributed equi-join with BOTH sides large: the canonical
     partitioned hash join. Each side's rows are tagged and unioned, the
     single ``groupby(key)`` exchange co-locates matching keys, and each
@@ -701,8 +701,16 @@ def hash_join(left, right, key, how="inner", bloom_prune=None,
             left = left.map_batches(prune, batch_format="pandas")
         else:
             right = right.map_batches(prune, batch_format="pandas")
-    lcols = [c for c in left.schema().names if c != key]
-    rcols = [c for c in right.schema().names if c != key]
+    # Ray cannot infer a schema through union + all-to-all chains (a
+    # hash_join-of-hash_join returns schema()=None even with
+    # fetch_if_missing); callers composing joins pass the non-key
+    # column lists explicitly.
+    lcols = [c for c in (left_cols if left_cols is not None else
+                         left.schema(fetch_if_missing=True).names)
+             if c != key]
+    rcols = [c for c in (right_cols if right_cols is not None else
+                         right.schema(fetch_if_missing=True).names)
+             if c != key]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(
