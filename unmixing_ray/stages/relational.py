@@ -1221,19 +1221,24 @@ def cm_sketch(ds, col, d=4, w=1 << 12):
 
     Complements the exact `heavy_hitters` operator: the sketch path
     when the candidate-restricted exact pass is too expensive and a
-    bounded overestimate is acceptable."""
+    bounded overestimate is acceptable. Per-block grids are merged by
+    Ray's aggregate tree (the bloom-bitmap pattern) — the driver only
+    ever sees the single final (d, w) grid, never one grid per batch."""
+    from ray.data.aggregate import AggregateFn
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        grid = _cm_rows(df[col].to_numpy(), d, w)
-        return pd.DataFrame({"one": pd.Series([1], dtype="int64"),
-                             "grid": [grid.ravel().tolist()]})
+    def acc(state, block):
+        vals = block[col]
+        vals = vals.to_pylist() if hasattr(vals, "to_pylist") \
+            else list(vals)
+        state += _cm_rows(vals, d, w)
+        return state
 
-    parts = ds.select_columns([col]).map_batches(
-        partial, batch_format="pandas").to_pandas()
-    merged = np.zeros(d * w, dtype=np.int64)
-    for g in parts["grid"]:
-        merged += np.asarray(g, dtype=np.int64)
-    return merged.reshape(d, w)
+    agg = AggregateFn(
+        init=lambda k: np.zeros((d, w), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc,
+        name="cm")
+    return ds.select_columns([col]).aggregate(agg)["cm"]
 
 
 def cm_query(sketch, values):
