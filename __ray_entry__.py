@@ -1198,6 +1198,48 @@ def q_tpch_q5(sf_dir):
         batch_format="pandas")
 
 
+def q_big_orders(sf_dir):
+    """TPC-H Q18 shape (HAVING + join back): per-order quantity sums
+    with a combiner before the groupby, HAVING-filtered to the heavy
+    tail, then the small qualifying set broadcast back onto orders
+    (aggregate → broadcast-back — the result of a selective HAVING is
+    small BY CONSTRUCTION, so the join-back needs no second shuffle)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"],
+            "qty_c": np.rint(df["l_quantity"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("okey", as_index=False).sum(),
+        batch_format="pandas")
+    per_order = li.groupby("okey").aggregate(
+        Sum("qty_c", alias_name="qty_c")).map_batches(
+        lambda df: df.astype({"qty_c": "int64"})
+        [df["qty_c"].to_numpy() > 25_000], batch_format="pandas")
+    qual = per_order.to_pandas()
+    qmap = dict(zip(qual["okey"].astype(int),
+                    qual["qty_c"].astype(int)))
+    qref = _ray.put(qmap)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        qm = _ray.get(qref)
+        keep = df["o_orderkey"].astype(int).isin(qm.keys()).to_numpy()
+        out = df[keep]
+        return pd.DataFrame({
+            "okey": out["o_orderkey"].astype("int64"),
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "total_c": np.rint(out["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "qty_c": out["o_orderkey"].astype(int).map(qm)
+            .astype("int64")})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(attach, batch_format="pandas")
+
+
 def q_orders_running_total(sf_dir):
     """Ordered window function SUM OVER (PARTITION BY customer ORDER BY
     date, key): per-customer cumulative exact-cents order spend
@@ -2552,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "big_orders": q_big_orders,
         "orders_running_total": q_orders_running_total,
         "orders_moving_window": q_orders_moving_window,
         "nations_agg": q_nations_agg,
@@ -3186,6 +3229,19 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name""",
+        "big_orders": """
+            WITH q AS (
+              SELECT l_orderkey AS okey,
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS qty_c
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     > 25000)
+            SELECT q.okey, o.o_custkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS total_c,
+                   q.qty_c
+            FROM q JOIN orders o ON o.o_orderkey = q.okey""",
         "orders_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -176,6 +176,8 @@ def registry(ray_session):
     "histogram_match",
     # six-table TPC-H Q5 plan mixing hash joins + broadcasts
     "tpch_q5",
+    # HAVING + broadcast-back join (TPC-H Q18 shape)
+    "big_orders",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
