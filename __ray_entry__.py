@@ -1198,6 +1198,28 @@ def q_tpch_q5(sf_dir):
         batch_format="pandas")
 
 
+def q_lineitem_rank(sf_dir):
+    """Full per-key ANSI ranking with ties — rank() (gaps) and
+    dense_rank() (no gaps) per return flag ordered by quantity desc
+    (stages/relational.py:grouped_rank: vectorized searchsorted rank
+    assignment, deterministic WITHOUT a tiebreak because ties share
+    ranks by definition). Quantities are small integers, so tie groups
+    are huge — the tie semantics are genuinely exercised."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_quantity"]).map_batches(
+        lambda df: pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_orderkey": df["l_orderkey"],
+            "l_linenumber": df["l_linenumber"].astype("int64"),
+            "qty": np.rint(df["l_quantity"].to_numpy())
+            .astype(np.int64)}), batch_format="pandas")
+    return relational.grouped_rank(
+        ds, "l_returnflag", "qty", descending=True,
+        keep=["l_orderkey", "l_linenumber"])
+
+
 def q_big_orders(sf_dir):
     """TPC-H Q18 shape (HAVING + join back): per-order quantity sums
     with a combiner before the groupby, HAVING-filtered to the heavy
@@ -2595,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "big_orders": q_big_orders,
+        "lineitem_rank": q_lineitem_rank,
         "orders_running_total": q_orders_running_total,
         "orders_moving_window": q_orders_moving_window,
         "nations_agg": q_nations_agg,
@@ -3229,6 +3252,18 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name""",
+        "lineitem_rank": """
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS qty,
+                   l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(rank() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity DESC)
+                        AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_quantity DESC)
+                        AS BIGINT) AS drnk
+            FROM lineitem""",
         "big_orders": """
             WITH q AS (
               SELECT l_orderkey AS okey,

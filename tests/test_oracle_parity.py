@@ -178,6 +178,8 @@ def registry(ray_session):
     "tpch_q5",
     # HAVING + broadcast-back join (TPC-H Q18 shape)
     "big_orders",
+    # full per-key ANSI rank()/dense_rank() with real tie groups
+    "lineitem_rank",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -736,3 +736,25 @@ def test_moving_window_matches_pandas_rolling(ray_session):
             == roll.to_numpy().astype(np.int64)).all()
     assert (got["win_n"].to_numpy()
             == cnt.to_numpy().astype(np.int64)).all()
+
+
+def test_grouped_rank_matches_pandas(ray_session):
+    rng = np.random.default_rng(15)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(list("ab"), n),
+        "v": rng.integers(0, 12, n).astype(np.int64),   # heavy ties
+        "id": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    for desc in (True, False):
+        got = relational.grouped_rank(ds, "k", "v", descending=desc,
+                                      keep=["id"]).to_pandas()\
+            .sort_values("id").reset_index(drop=True)
+        ref = df.sort_values("id").reset_index(drop=True)
+        meth = ref.groupby("k")["v"]
+        rnk = meth.rank(method="min", ascending=not desc)
+        drk = meth.rank(method="dense", ascending=not desc)
+        assert (got["rnk"].to_numpy()
+                == rnk.to_numpy().astype(np.int64)).all(), desc
+        assert (got["drnk"].to_numpy()
+                == drk.to_numpy().astype(np.int64)).all(), desc

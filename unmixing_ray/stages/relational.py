@@ -1310,3 +1310,37 @@ def grouped_string_agg(ds, key, val, order_cols, sep=",",
 
     return ds.select_columns(cols).groupby(key).map_groups(
         per_group, batch_format="pandas")
+
+
+def grouped_rank(ds, key, order_col, descending=True, keep=()):
+    """Full per-key ranking with ANSI tie semantics — ``rank()`` (gaps
+    after ties) and ``dense_rank()`` (no gaps) OVER (PARTITION BY key
+    ORDER BY order_col): one ``groupby(key)`` shuffle, then vectorized
+    rank assignment inside each group (sort + searchsorted against the
+    distinct order values — no Python loop). Ties get identical ranks
+    by definition, so the output is deterministic with NO tiebreak
+    column, unlike top-k truncation."""
+    keep = list(keep)
+    cols = list(dict.fromkeys([key, order_col, *keep]))
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[order_col].to_numpy()
+        sv = np.sort(v)
+        if descending:
+            # rank 1 = largest: count of values strictly greater, +1
+            rnk = len(v) - np.searchsorted(sv, v, side="right") + 1
+            uniq = np.unique(v)
+            drk = len(uniq) - np.searchsorted(uniq, v, side="left")
+        else:
+            rnk = np.searchsorted(sv, v, side="left") + 1
+            uniq = np.unique(v)
+            drk = np.searchsorted(uniq, v, side="left") + 1
+        out = {key: df[key].to_numpy(), order_col: v}
+        for c in keep:
+            out[c] = df[c].to_numpy()
+        out["rnk"] = rnk.astype(np.int64)
+        out["drnk"] = drk.astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_group, batch_format="pandas")
