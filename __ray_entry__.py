@@ -1279,6 +1279,181 @@ def q_orders_running_total(sf_dir):
         batch_format="pandas")
 
 
+def q_orders_ntile(sf_dir):
+    """ANSI distribution window functions — ntile(7), percent_rank()
+    and cume_dist() per order priority
+    (stages/relational.py:grouped_ntile): ntile on the TOTAL order
+    (coarsened price DESC, key ASC) with the ANSI first-r-buckets-
+    larger rule; percent_rank/cume_dist on the coarsened price alone,
+    whose $1000 buckets create real tie groups. The two ratios are
+    float64 divisions of exact int64 counts, so the DuckDB window
+    replay is bit-identical."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderkey",
+                        "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "okey": df["o_orderkey"].astype("int64"),
+            "val_i": np.rint(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64) // 100_000}), batch_format="pandas")
+    return relational.grouped_ntile(
+        ds, "o_orderpriority", "val_i", ["okey"], n=7)
+
+
+def q_lineitem_setops(sf_dir):
+    """Distributed multiset EXCEPT ALL / INTERSECT ALL
+    (stages/relational.py:multiset_ops): the 1996 vs 1997 shipment
+    multisets of (returnflag, quantity) rows compared with exact
+    multiset arithmetic — per-batch count combiners bound the exchange
+    to two int64 per distinct key per batch; the oracle runs DuckDB's
+    real EXCEPT ALL / INTERSECT ALL and groups the surviving rows."""
+    from unmixing_ray.stages import relational
+
+    def year_rows(y):
+        lo = pd.Timestamp(f"{y}-01-01").to_numpy()
+        hi = pd.Timestamp(f"{y + 1}-01-01").to_numpy()
+        return _read(sf_dir, "lineitem",
+                     columns=["l_returnflag", "l_quantity",
+                              "l_shipdate"]).map_batches(
+            lambda df: pd.DataFrame({
+                "flag": df["l_returnflag"],
+                "qty": np.rint(df["l_quantity"].to_numpy())
+                .astype(np.int64),
+            })[((df["l_shipdate"].to_numpy() >= lo)
+                & (df["l_shipdate"].to_numpy() < hi))],
+            batch_format="pandas")
+
+    return relational.multiset_ops(
+        year_rows(1996), year_rows(1997), ["flag", "qty"])
+
+
+def q_tpch_q17(sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery decorrelated):
+    small-quantity revenue for one brand's small parts. The part
+    filter is driver-tiny and broadcast; pass 1 computes per-part
+    (n, Σqty) with a combiner before a groupby bounded by the part
+    count; the per-part thresholds broadcast back onto pass 2, whose
+    predicate qty < avg/5 is evaluated as the EXACT integer
+    cross-multiplication 5·qty·n < Σqty (no float division anywhere);
+    the qualifying rows reduce to one exact-cents row."""
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])\
+        .filter(expr="p_brand == 'Brand#23' and p_size < 15")\
+        .to_pandas()
+    pkeys = (set() if part.empty
+             else set(int(k) for k in part["p_partkey"]))
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_partkey"].astype(int).isin(pkeys).to_numpy()
+        g = df[keep]
+        return pd.DataFrame({
+            "pkey": g["l_partkey"].astype("int64"),
+            "n": np.int64(1),
+            "sum_qty": np.rint(g["l_quantity"].to_numpy())
+            .astype(np.int64),
+        }).groupby("pkey", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+    th = _read(sf_dir, "lineitem", columns=li_cols)\
+        .map_batches(pass1, batch_format="pandas")\
+        .groupby("pkey").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))\
+        .to_pandas()
+    n_map = dict(zip(th["pkey"].astype(int), th["n"].astype(int)))
+    s_map = dict(zip(th["pkey"].astype(int), th["sum_qty"].astype(int)))
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_partkey"].astype(int).isin(pkeys).to_numpy()
+        g = df[keep]
+        qty = np.rint(g["l_quantity"].to_numpy()).astype(np.int64)
+        n = g["l_partkey"].astype(int).map(n_map)\
+            .to_numpy(dtype=np.int64)
+        s = g["l_partkey"].astype(int).map(s_map)\
+            .to_numpy(dtype=np.int64)
+        small = 5 * qty * n < s
+        ep_c = np.rint(g["l_extendedprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        return pd.DataFrame({
+            "n_small_lines": [np.int64(small.sum())],
+            "total_c": [np.int64(ep_c[small].sum())]})
+
+    agg = _read(sf_dir, "lineitem", columns=li_cols)\
+        .map_batches(pass2, batch_format="pandas")\
+        .map_batches(lambda df: df.assign(one=np.int64(1)),
+                     batch_format="pandas")\
+        .groupby("one").aggregate(
+        Sum("n_small_lines", alias_name="n_small_lines"),
+        Sum("total_c", alias_name="total_c")).to_pandas()
+    if agg.empty:
+        agg = pd.DataFrame({"n_small_lines": [0], "total_c": [0]})
+    return pd.DataFrame({
+        "n_parts": [np.int64(len(pkeys))],
+        "n_small_lines": agg["n_small_lines"].astype("int64"),
+        "total_c": agg["total_c"].astype("int64")})
+
+
+def q_tpch_q10(sf_dir):
+    """TPC-H Q10 shape (returned-item top customers): a four-table
+    plan — per-order R-flag revenue combiner → hash_join with the
+    quarter's orders (both sides large) → exact-cents groupby per
+    customer → global top-20 (sort+limit on the aggregated rows) →
+    the 20 winners' attributes gathered by a driver-tiny broadcast
+    lookup against customer and nation."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    lo = pd.Timestamp("1995-10-01").to_numpy()
+    hi = pd.Timestamp("1996-01-01").to_numpy()
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "ckey": df["o_custkey"].astype("int64"),
+        })[((df["o_orderdate"].to_numpy() >= lo)
+            & (df["o_orderdate"].to_numpy() < hi))],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64)),
+        })[(df["l_returnflag"] == "R").to_numpy()]
+        .groupby("okey", as_index=False).sum(), batch_format="pandas")
+    joined = relational.hash_join(orders, li, "okey", how="inner",
+                                  left_cols=["okey", "ckey"])
+    top = joined.groupby("ckey").aggregate(
+        Sum("rev_c2", alias_name="revenue_c2")).map_batches(
+        lambda df: df.astype({"revenue_c2": "int64",
+                              "ckey": "int64"}),
+        batch_format="pandas")\
+        .sort(["revenue_c2", "ckey"], descending=[True, False])\
+        .limit(20).to_pandas()
+
+    ckeys = set(int(k) for k in top["ckey"])
+    cust = _read(sf_dir, "customer").map_batches(
+        lambda df: df[df["c_custkey"].astype(int).isin(ckeys)
+                      .to_numpy()], batch_format="pandas").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"]))
+    cust = cust.set_index(cust["c_custkey"].astype(int))
+    out = top.copy()
+    out["c_name"] = [cust.loc[k, "c_name"] for k in out["ckey"]]
+    out["n_name"] = [nname[int(cust.loc[k, "c_nationkey"])]
+                     for k in out["ckey"]]
+    out["acctbal_c"] = [
+        np.int64(np.rint(cust.loc[k, "c_acctbal"] * 100))
+        for k in out["ckey"]]
+    return out[["ckey", "c_name", "n_name", "acctbal_c", "revenue_c2"]]
+
+
 def q_nations_agg(sf_dir):
     """Deterministic ordered string_agg per region
     (stages/relational.py:grouped_string_agg): the within-group ORDER
@@ -2616,6 +2791,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q17": q_tpch_q17,
+        "orders_ntile": q_orders_ntile,
+        "lineitem_setops": q_lineitem_setops,
         "big_orders": q_big_orders,
         "lineitem_rank": q_lineitem_rank,
         "orders_running_total": q_orders_running_total,
@@ -3252,6 +3431,106 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name""",
+        "tpch_q10": """
+            WITH rev AS (
+              SELECT o.o_custkey AS ckey,
+                     CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue_c2
+              FROM orders o, lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+                AND o.o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY o.o_custkey
+              ORDER BY revenue_c2 DESC, ckey
+              LIMIT 20)
+            SELECT rev.ckey, c.c_name, n.n_name,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT)
+                     AS acctbal_c,
+                   rev.revenue_c2
+            FROM rev
+            JOIN customer c ON c.c_custkey = rev.ckey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey""",
+        "tpch_q17": """
+            WITH pk AS (
+              SELECT p_partkey FROM part
+              WHERE p_brand = 'Brand#23' AND p_size < 15),
+            li AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS ep_c
+              FROM lineitem JOIN pk ON l_partkey = p_partkey),
+            th AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qty) AS BIGINT) AS s
+              FROM li GROUP BY l_partkey)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM pk)
+                     AS n_parts,
+                   CAST(count(*) AS BIGINT) AS n_small_lines,
+                   CAST(COALESCE(sum(li.ep_c), 0) AS BIGINT)
+                     AS total_c
+            FROM li JOIN th ON li.l_partkey = th.l_partkey
+            WHERE 5 * li.qty * th.n < th.s""",
+        "orders_ntile": """
+            WITH base AS (
+              SELECT o_orderpriority,
+                     CAST(o_orderkey AS BIGINT) AS okey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       // 100000 AS val_i
+              FROM orders)
+            SELECT o_orderpriority, okey, val_i,
+                   CAST(ntile(7) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY val_i DESC, okey)
+                        AS BIGINT) AS bucket,
+                   percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY val_i DESC)
+                     AS pct_rank,
+                   cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY val_i DESC)
+                     AS cume_dist
+            FROM base""",
+        "lineitem_setops": """
+            WITH l AS (
+              SELECT l_returnflag AS flag,
+                     CAST(round(l_quantity) AS BIGINT) AS qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'),
+            r AS (
+              SELECT l_returnflag AS flag,
+                     CAST(round(l_quantity) AS BIGINT) AS qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'),
+            ex AS (
+              SELECT flag, qty, CAST(count(*) AS BIGINT) AS n_except
+              FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
+              GROUP BY flag, qty),
+            ix AS (
+              SELECT flag, qty,
+                     CAST(count(*) AS BIGINT) AS n_intersect
+              FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM r)
+              GROUP BY flag, qty),
+            lc AS (
+              SELECT flag, qty, CAST(count(*) AS BIGINT) AS n_left
+              FROM l GROUP BY flag, qty),
+            rc AS (
+              SELECT flag, qty, CAST(count(*) AS BIGINT) AS n_right
+              FROM r GROUP BY flag, qty)
+            SELECT lc.flag, lc.qty, lc.n_left,
+                   CAST(COALESCE(rc.n_right, 0) AS BIGINT) AS n_right,
+                   CAST(COALESCE(ex.n_except, 0) AS BIGINT)
+                     AS n_except,
+                   CAST(COALESCE(ix.n_intersect, 0) AS BIGINT)
+                     AS n_intersect
+            FROM lc
+            LEFT JOIN rc ON lc.flag = rc.flag AND lc.qty = rc.qty
+            LEFT JOIN ex ON lc.flag = ex.flag AND lc.qty = ex.qty
+            LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
         "lineitem_rank": """
             SELECT l_returnflag,
                    CAST(round(l_quantity) AS BIGINT) AS qty,

@@ -180,6 +180,14 @@ def registry(ray_session):
     "big_orders",
     # full per-key ANSI rank()/dense_rank() with real tie groups
     "lineitem_rank",
+    # four-table TPC-H Q10 plan (returned-item top customers)
+    "tpch_q10",
+    # decorrelated scalar subquery (TPC-H Q17, integer cross-mult)
+    "tpch_q17",
+    # ANSI ntile/percent_rank/cume_dist distribution window family
+    "orders_ntile",
+    # distributed multiset EXCEPT ALL / INTERSECT ALL
+    "lineitem_setops",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

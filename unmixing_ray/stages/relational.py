@@ -1344,3 +1344,129 @@ def grouped_rank(ds, key, order_col, descending=True, keep=()):
 
     return ds.select_columns(cols).groupby(key).map_groups(
         per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ANSI bucket/distribution window functions: ntile, percent_rank, cume_dist
+
+def grouped_ntile(ds, key, val_col, tiebreaks, n, keep=()):
+    """The ANSI distribution window-function family per key —
+    ``ntile(n)``, ``percent_rank()`` and ``cume_dist()`` OVER
+    (PARTITION BY key ...) — as one distributed operator (engine-new;
+    no reference analogue).
+
+    Ordering contracts (mirroring the SQL standard exactly):
+    - ``ntile`` requires a TOTAL order to be deterministic (the
+      standard lets ties land in either bucket), so its ORDER BY is
+      (val_col DESC, *tiebreaks ASC); bucket sizes follow the ANSI
+      rule — with n_rows = q·n + r, the first r buckets get q+1 rows.
+    - ``percent_rank`` = (rank−1)/(n_rows−1) and ``cume_dist`` =
+      n_peers_le/n_rows are computed on val_col ALONE with tie
+      semantics (tied rows share the value), so they are deterministic
+      without any tiebreak — and the huge tie groups of a
+      low-cardinality value genuinely exercise that.
+
+    Scale shape: one ``groupby(key)`` shuffle of the projected columns,
+    then vectorized sort + searchsorted inside each group (same regime
+    as ``running_total`` — per-key history fits a worker; beyond that
+    the range-bucket machinery of ``global_rank`` applies).
+
+    The two ratios are emitted as float64 divisions of exact int64
+    counts — IEEE division is exactly rounded, so any engine computing
+    the same two integers (e.g. the DuckDB replay) produces the
+    bit-identical double.
+    """
+    tiebreaks = list(tiebreaks)
+    cols = list(dict.fromkeys([key, val_col, *tiebreaks, *keep]))
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([val_col, *tiebreaks],
+                           ascending=[False] + [True] * len(tiebreaks),
+                           kind="mergesort")
+        n_rows = len(g)
+        idx = np.arange(n_rows, dtype=np.int64)
+        q, r = divmod(n_rows, n)
+        if q == 0:
+            bucket = idx + 1
+        else:
+            cut = (q + 1) * r
+            bucket = np.where(idx < cut, idx // (q + 1),
+                              r + (idx - cut) // q) + 1
+        v = g[val_col].to_numpy()
+        neg = -v  # v is sorted desc -> -v asc for searchsorted
+        first = np.searchsorted(neg, neg, side="left")
+        peers_le = np.searchsorted(neg, neg, side="right")
+        rnk = first + 1
+        pct = ((rnk - 1) / float(n_rows - 1) if n_rows > 1
+               else np.zeros(n_rows))
+        out = {key: g[key].to_numpy(), val_col: v}
+        for c in (*tiebreaks, *keep):
+            if c not in out:
+                out[c] = g[c].to_numpy()
+        out["bucket"] = bucket.astype(np.int64)
+        out["pct_rank"] = np.asarray(pct, np.float64)
+        out["cume_dist"] = peers_le / float(n_rows)
+        return pd.DataFrame(out)
+
+    return ds.select_columns(cols).groupby(key).map_groups(
+        per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# multiset set operations: EXCEPT ALL / INTERSECT ALL
+
+def multiset_ops(left, right, cols):
+    """Distributed EXCEPT ALL / INTERSECT ALL over the row-multisets of
+    two datasets projected to ``cols`` (engine-new). Returns one row
+    per distinct key appearing on the LEFT side with exact multiset
+    arithmetic: ``n_left``, ``n_right``, ``n_except`` =
+    max(n_left − n_right, 0) (the EXCEPT ALL multiplicity) and
+    ``n_intersect`` = min(n_left, n_right) (the INTERSECT ALL
+    multiplicity). Keys present only on the right are dropped, exactly
+    as EXCEPT ALL/INTERSECT ALL output no such rows.
+
+    Scale shape: the combiner-before-shuffle pattern — each batch
+    collapses to per-key (count_left, count_right) partials, so the
+    single ``groupby(cols)`` exchange carries two int64 per distinct
+    key per batch regardless of row count; the set arithmetic is then
+    pure integer math on the merged counts. This is the same exchange
+    a distributed EXCEPT/INTERSECT (DISTINCT) needs — those are the
+    special case clamping counts to 1 before the arithmetic.
+    """
+    from ray.data.aggregate import Sum
+    cols = list(cols)
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[cols].copy()
+            g["__n"] = np.int64(1)
+            g = g.groupby(cols, as_index=False).sum()
+            out = g[cols].copy()
+            out["n_left"] = (g["__n"].to_numpy(np.int64)
+                             if side == 0 else
+                             np.zeros(len(g), np.int64))
+            out["n_right"] = (g["__n"].to_numpy(np.int64)
+                              if side == 1 else
+                              np.zeros(len(g), np.int64))
+            return out
+        return fn
+
+    both = left.select_columns(cols)\
+        .map_batches(tag(0), batch_format="pandas")\
+        .union(right.select_columns(cols)
+               .map_batches(tag(1), batch_format="pandas"))
+    merged = both.groupby(cols).aggregate(
+        Sum("n_left", alias_name="n_left"),
+        Sum("n_right", alias_name="n_right"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nl = df["n_left"].to_numpy(np.int64)
+        nr = df["n_right"].to_numpy(np.int64)
+        out = df[[*cols]].copy()
+        out["n_left"] = nl
+        out["n_right"] = nr
+        out["n_except"] = np.maximum(nl - nr, 0)
+        out["n_intersect"] = np.minimum(nl, nr)
+        return out[nl > 0]
+
+    return merged.map_batches(finish, batch_format="pandas")
