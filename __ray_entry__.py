@@ -149,6 +149,30 @@ def q_hillshade(sf_dir):
                                    azimuth_deg=315.0, altitude_deg=45.0)
 
 
+def q_focal_majority(sf_dir):
+    """Majority-filter smoothing of a band-0 classification — the
+    classic post-classification cleanup — via the cross-tile halo
+    exchange (stages/focal.py stat="majority": window values sorted,
+    exhaustive count of the 9 layers, smallest-value tiebreak; the
+    classification runs BEFORE the exchange so one small band
+    travels). Oracle: the full-image replay sidecar — a match proves
+    the halo plumbing and the exact tie rule end to end."""
+    from unmixing_ray.stages import focal
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return focal.focal_class_counts(focal.focal_majority_tiles(tiles))
+
+
+def q_flow_direction(sf_dir):
+    """D8 steepest-descent flow direction over band 0 via the
+    cross-tile halo exchange (stages/terrain.py:flow_direction_tiles):
+    exact integer slope surrogate (2·d² cardinal vs d² diagonal — no
+    √2 ever enters), deterministic E,SE,S,SW,W,NW,N,NE tie precedence,
+    per-(tile, code) counts. Oracle: the full-image replay sidecar."""
+    from unmixing_ray.stages import terrain
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return terrain.flow_direction_tiles(tiles)
+
+
 def q_intersect_resample(sf_dir):
     """Raster intersection/alignment (the reference's
     intersect_rasters, utils.py:676-731, as a co-grouped exchange —
@@ -2732,6 +2756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
+                _synth.generate_majority_expected(sf)
+                _synth.generate_flow_expected(sf)
             except Exception:
                 pass
     return {
@@ -2739,6 +2765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_mean": q_focal_mean,
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
+        "focal_majority": q_focal_majority,
+        "flow_direction": q_flow_direction,
         "hillshade": q_hillshade,
         "retile": q_retile,
         "warp_bilinear": q_warp_bilinear,
@@ -2951,6 +2979,8 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_augment_expected(sf)
                 _synth.generate_warp_expected(sf)
                 _synth.generate_components_expected(sf)
+                _synth.generate_majority_expected(sf)
+                _synth.generate_flow_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -2978,6 +3008,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
                    n_valid
             FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "focal_majority": f"""
+            SELECT tile_id, cls, n
+            FROM read_parquet('{C}/majority_expected.parquet')""",
+        "flow_direction": f"""
+            SELECT tile_id, code, n
+            FROM read_parquet('{C}/flow_expected.parquet')""",
         "intersect_resample": f"""
             SELECT tile_id, b0_sum, n_valid
             FROM read_parquet('{C}/intersect_expected.parquet')""",

@@ -188,6 +188,10 @@ def registry(ray_session):
     "orders_ntile",
     # distributed multiset EXCEPT ALL / INTERSECT ALL
     "lineitem_setops",
+    # majority-filter smoothing of a band-0 classification (halo)
+    "focal_majority",
+    # D8 steepest-descent flow direction (exact integer slopes, halo)
+    "flow_direction",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2343,3 +2343,141 @@ def generate_latest_expected(sf_dir, valid_max=2600):
     pq.write_table(t, str(out / "latest_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+MAJORITY_VERSION = 1
+
+
+def generate_majority_expected(sf_dir, radius=1, div=800, n_classes=8):
+    """Write the ``majority_expected.parquet`` sidecar: per-(tile,
+    class) counts of the radius-``radius`` focal MAJORITY filter over
+    the band-0 classification ``clip(b0 // div, 0, n_classes-1)`` of
+    every corpus image, computed FULL-IMAGE (the engine computes the
+    same raster tile-wise via the halo exchange — stages/focal.py
+    ``stat="majority"`` — so a match proves the cross-tile plumbing).
+    Tie rule replicated exactly: smallest value among the max-count
+    window values; windows shrink at image borders.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_MAJORITY_DONE"
+    stamp = "majority v%d r%d d%d c%d" % (
+        MAJORITY_VERSION, radius, div, n_classes)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    r = radius
+    k = 2 * r + 1
+    sentinel = np.int64(np.iinfo(np.int64).max)
+    rows = {"tile_id": [], "cls": [], "n": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        c = np.clip(arr[0].astype(np.int64) // div, 0, n_classes - 1)
+        H, W = c.shape
+        padded = np.full((H + 2 * r, W + 2 * r), sentinel, np.int64)
+        padded[r:r + H, r:r + W] = c
+        layers = [padded[di:di + H, dj:dj + W]
+                  for di in range(k) for dj in range(k)]
+        stack = np.sort(np.stack(layers, axis=0), axis=0)
+        counts = np.zeros(stack.shape, dtype=np.int64)
+        for j in range(k * k):
+            counts[j] = (stack == stack[j:j + 1]).sum(axis=0)
+        counts[stack == sentinel] = 0
+        idx = counts.argmax(axis=0)
+        mode = np.take_along_axis(stack, idx[None], axis=0)[0]
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = mode[ty * TILE:(ty + 1) * TILE,
+                           tx * TILE:(tx + 1) * TILE]
+                uniq, cnt = np.unique(blk, return_counts=True)
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * len(uniq))
+                rows["cls"].extend(int(u) for u in uniq)
+                rows["n"].extend(int(v) for v in cnt)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "cls": pa.array(rows["cls"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64())})
+    pq.write_table(t, str(out / "majority_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
+FLOW_VERSION = 1
+
+
+def generate_flow_expected(sf_dir):
+    """Write the ``flow_expected.parquet`` sidecar: per-(tile, D8 code)
+    counts of the steepest-descent flow direction over band 0 of every
+    corpus image, computed FULL-IMAGE (the engine computes the same
+    raster tile-wise via the halo exchange — stages/terrain.py
+    ``flow_direction_tiles`` — so a match proves the cross-tile
+    plumbing). Rule replicated exactly: positive drops only, exact
+    integer slope surrogate (2·d² cardinal vs d² diagonal), neighbors
+    outside the image excluded, ties keep the first code in the
+    E,SE,S,SW,W,NW,N,NE order, pits/flats code 0.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_FLOW_DONE"
+    stamp = "flow v%d" % FLOW_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    d8 = ((0, 1, 1, False), (1, 1, 2, True), (1, 0, 4, False),
+          (1, -1, 8, True), (0, -1, 16, False), (-1, -1, 32, True),
+          (-1, 0, 64, False), (-1, 1, 128, True))
+    rows = {"tile_id": [], "code": [], "n": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[0].astype(np.int64)
+        H, W = z.shape
+        dem = np.zeros((H + 2, W + 2), np.int64)
+        valid = np.zeros((H + 2, W + 2), np.int64)
+        dem[1:1 + H, 1:1 + W] = z
+        valid[1:1 + H, 1:1 + W] = 1
+        best_score = np.zeros((H, W), np.int64)
+        best_code = np.zeros((H, W), np.int64)
+        for dr, dc, code, diag in d8:
+            zn = dem[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            vn = valid[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            drop = z - zn
+            pos = (drop > 0) & (vn > 0)
+            score = np.where(pos, drop * drop * (1 if diag else 2), 0)
+            upd = score > best_score
+            best_code = np.where(upd, code, best_code)
+            best_score = np.where(upd, score, best_score)
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = best_code[ty * TILE:(ty + 1) * TILE,
+                                tx * TILE:(tx + 1) * TILE]
+                uniq, cnt = np.unique(blk, return_counts=True)
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * len(uniq))
+                rows["code"].extend(int(u) for u in uniq)
+                rows["n"].extend(int(v) for v in cnt)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "code": pa.array(rows["code"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64())})
+    pq.write_table(t, str(out / "flow_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -176,9 +176,10 @@ def make_focal_assemble(radius=1, scale=1000, stat="mean"):
     """Stage B: one tile + its halo strips → focal-stat tile.
 
     ``stat``: "mean" (floor(Σ·scale/c)), "var" (floor(popvar·scale)),
-    "max", "min" — all exact int64, batching/partitioning-invariant.
+    "max", "min", "majority" (focal mode, smallest-value tiebreak) —
+    all exact int64, batching/partitioning-invariant.
     """
-    if stat not in ("mean", "var", "max", "min"):
+    if stat not in ("mean", "var", "max", "min", "majority"):
         raise ValueError(f"unknown focal stat {stat!r}")
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -219,6 +220,8 @@ def make_focal_assemble(radius=1, scale=1000, stat="mean"):
             focal = _box_filter_u(vals, valid, r, scale)
         elif stat == "var":
             focal = _box_var_u(vals, valid, r, scale)
+        elif stat == "majority":
+            focal = _box_mode(vals, valid, r)
         else:
             focal = _box_extreme(vals, valid, r, stat == "max")
         return pd.DataFrame({
@@ -273,3 +276,80 @@ def focal_band_sums(focal_tiles):
             {"band": "int64", "focal_sum_u": "int64"})
 
     return focal_tiles.map_batches(sums, batch_format="pandas")
+
+
+def _box_mode(vals, valid, r):
+    """Focal MAJORITY (mode) over the valid (2r+1)² window — exact and
+    deterministic: the window's values are sorted, per-value counts are
+    computed by exhaustive comparison of the k² sorted layers (k²·k²
+    integer compares per pixel — trivial for r=1), and ties pick the
+    SMALLEST value with the maximal count (argmax hits the first sorted
+    layer attaining the max, and equal values are contiguous after the
+    sort). Cells outside the image carry a sentinel that sorts last and
+    counts zero, so shrunken border windows are handled exactly."""
+    p, hp, wp = vals.shape
+    H, W = hp - 2 * r, wp - 2 * r
+    k = 2 * r + 1
+    sentinel = np.int64(np.iinfo(np.int64).max)
+    masked = np.where(valid[None, :, :] > 0, vals, sentinel)
+    layers = [masked[:, di:di + H, dj:dj + W]
+              for di in range(k) for dj in range(k)]
+    stack = np.sort(np.stack(layers, axis=0), axis=0)
+    counts = np.zeros(stack.shape, dtype=np.int64)
+    for i in range(k * k):
+        counts[i] = (stack == stack[i:i + 1]).sum(axis=0)
+    counts[stack == sentinel] = 0
+    idx = counts.argmax(axis=0)
+    return np.take_along_axis(stack, idx[None], axis=0)[0]
+
+
+def classify_band0(tiles, div=800, n_classes=8):
+    """Map each tile to a single-band CLASSIFICATION payload
+    (``clip(band0 // div, 0, n_classes-1)`` as int16) — the upstream of
+    a majority-filter smoothing pass. Runs before the halo exchange so
+    the exchange carries one small band, not the spectral payload."""
+
+    def cls(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bands = batch["bands"].to_numpy()
+        payloads = []
+        for i in range(batch.num_rows):
+            n = int(hs[i]) * int(ws[i])
+            b0 = values[offsets[i]:offsets[i] + n].astype(np.int64)
+            c = np.clip(b0 // div, 0, n_classes - 1).astype(np.int16)
+            payloads.append(c.tobytes())
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("pixels", "bands")}
+        cols["bands"] = pa.array(np.ones(batch.num_rows, np.int32))
+        cols["pixels"] = pa.array(payloads, pa.binary())
+        return pa.table(cols)
+
+    return tiles.map_batches(cls, batch_format="pyarrow")
+
+
+def focal_majority_tiles(tiles, radius=1, div=800, n_classes=8):
+    """Majority-filter smoothing of a band-0 classification — the
+    classic post-classification cleanup — distributed via the same
+    halo exchange as every focal stat (see module docstring). The
+    classification happens BEFORE the exchange (1 band travels)."""
+    return focal_stat_tiles(classify_band0(tiles, div, n_classes),
+                            stat="majority", radius=radius)
+
+
+def focal_class_counts(focal_tiles):
+    """Per-(tile, class) histogram of the majority raster — the compact
+    hash-checkable summary used by the oracle query."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"tile_id": [], "cls": [], "n": []}
+        for _, t in df.iterrows():
+            arr = np.frombuffer(t["focal"], dtype=np.int64)
+            uniq, cnt = np.unique(arr, return_counts=True)
+            rows["tile_id"].extend([t["tile_id"]] * len(uniq))
+            rows["cls"].extend(int(u) for u in uniq)
+            rows["n"].extend(int(c) for c in cnt)
+        return pd.DataFrame(rows).astype({"cls": "int64", "n": "int64"})
+
+    return focal_tiles.map_batches(counts, batch_format="pandas")

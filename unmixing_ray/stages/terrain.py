@@ -225,3 +225,84 @@ def terrain_slope_tiles(tiles):
         .map_batches(make_halo_explode(1), batch_format="pyarrow")
     return exploded.groupby(["image_id", "key_row", "key_col"]) \
         .map_groups(make_terrain_assemble(), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction (steepest descent), exact integer slope comparison
+
+# neighbor precedence order with ESRI D8 codes: E, SE, S, SW, W, NW, N,
+# NE — ties keep the EARLIER code (strict-greater update)
+_D8 = ((0, 1, 1, False), (1, 1, 2, True), (1, 0, 4, False),
+       (1, -1, 8, True), (0, -1, 16, False), (-1, -1, 32, True),
+       (-1, 0, 64, False), (-1, 1, 128, True))
+
+
+def d8_flow(dem, valid):
+    """Per-pixel D8 steepest-descent code over a padded DEM.
+
+    dem: (H+2, W+2) int64 (invalid cells zero); valid: same-shape 0/1.
+    For each existing (valid) neighbor with a POSITIVE drop d = z−zₙ,
+    the slope is d/1 (cardinal) or d/√2 (diagonal); the steepest is
+    chosen by the EXACT integer surrogate score = 2·d² (cardinal) vs
+    d² (diagonal) — slope_c > slope_d ⟺ 2·d_c² > d_d² for positive
+    drops, and same-type comparisons reduce to comparing drops, so no
+    float (or √2) ever enters. Neighbors outside the image are
+    excluded (the window is intersected with the image, matching the
+    focal-stat edge rule); pits/flats (no positive drop) get code 0.
+    Ties keep the first code in the fixed E,SE,S,SW,W,NW,N,NE order.
+    Returns (H, W) int64 codes.
+    """
+    hp, wp = dem.shape
+    H, W = hp - 2, wp - 2
+    z = dem[1:1 + H, 1:1 + W]
+    best_score = np.zeros((H, W), dtype=np.int64)
+    best_code = np.zeros((H, W), dtype=np.int64)
+    for dr, dc, code, diag in _D8:
+        zn = dem[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        vn = valid[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        drop = z - zn
+        pos = (drop > 0) & (vn > 0)
+        score = np.where(pos, drop * drop * (1 if diag else 2), 0)
+        upd = score > best_score
+        best_code = np.where(upd, code, best_code)
+        best_score = np.where(upd, score, best_score)
+    return best_code
+
+
+def make_flow_assemble():
+    """Stage B: one DEM tile + halo strips → per-(tile, code) counts of
+    the D8 flow-direction raster (the compact hash-checkable summary).
+    Group layout contract is make_halo_explode's."""
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "tile_id": pd.Series([], dtype=object),
+            "code": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64")}
+        got = _padded_dem(g)
+        if got is None:
+            return pd.DataFrame(empty)
+        m, dem, valid = got
+        codes = d8_flow(dem, valid)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pd.DataFrame({
+            "tile_id": [m["tile_id"]] * len(uniq),
+            "code": pd.Series(uniq, dtype="int64"),
+            "n": pd.Series(cnt, dtype="int64")})
+
+    return assemble
+
+
+def flow_direction_tiles(tiles):
+    """Distributed D8 flow direction over tiled DEMs: band 0 pruned
+    out of the payload BEFORE the radius-1 halo exchange (the same
+    byte discipline as terrain_slope_tiles), then a vectorized exact
+    integer steepest-descent kernel per assembled tile."""
+    exploded = tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
+         "bands", "pixels"]).map_batches(
+        dem_only, batch_format="pyarrow").map_batches(
+        make_halo_explode(1), batch_format="pyarrow")
+    return exploded.groupby(
+        ["image_id", "key_row", "key_col"]).map_groups(
+        make_flow_assemble(), batch_format="pandas")
