@@ -2330,6 +2330,46 @@ def q_pii_scrub(sf_dir):
     return tstage.pii_scrub(ds.map_batches(aug, batch_format="pandas"))
 
 
+MISSP_WORDS = ("table", "value", "batch", "merge",
+               "window", "spark", "scan", "hash")
+MISSP_AUG_SQL = (
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' ' || "
+    "substr(w, 1, CAST((doc_id // 32) % 4 AS INTEGER)) || "
+    "substr(w, CAST((doc_id // 32) % 4 AS INTEGER) + 2) ELSE '' END"
+    .replace("w", "(CASE CAST((doc_id // 4) % 8 AS INTEGER) "
+             + " ".join("WHEN %d THEN '%s'" % (i, w)
+                        for i, w in enumerate(MISSP_WORDS))
+             + " END)"))
+
+
+def q_token_edit_join(sf_dir):
+    """Edit-distance-1 token similarity join
+    (stages/text.py:edit_distance_join — deletion-neighborhood
+    blocking over the distinct-token table, exhaustive for lev-1 by
+    construction, exact verify). The corpus vocabulary is clean, so
+    both sides plant misspellings inline as the SAME pure function of
+    doc_id (every 4th doc drops char (doc_id//32)%4 of word
+    (doc_id//4)%8 — selectors decoupled from the %4 gate so all 32
+    word×position variants occur); the oracle is DuckDB's exhaustive
+    levenshtein()=1 self-join."""
+    from unmixing_ray.stages import text as tstage
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    words = np.array(MISSP_WORDS)
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        w = words[((did // 4) % 8).to_numpy()]
+        p = ((did // 32) % 4).to_numpy()
+        missp = np.array([wi[:pi] + wi[pi + 1:]
+                          for wi, pi in zip(w, p)], dtype=object)
+        s = df["text"].astype(str).to_numpy()
+        extra = np.where((did % 4 == 0).to_numpy(), " " + missp, "")
+        return pd.DataFrame({"doc_id": did, "text": s + extra})
+
+    return tstage.edit_distance_join(
+        ds.map_batches(aug, batch_format="pandas"))
+
+
 def q_repetition_filter(sf_dir):
     """Gopher-style duplicate-3-gram fraction per document
     (stages/text.py:gopher_repetition) — integer-exact dup_u6."""
@@ -2868,6 +2908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "label_centroids": q_label_centroids,
         "pii_scrub": q_pii_scrub,
+        "token_edit_join": q_token_edit_join,
         "url_domains": q_url_domains,
         "repetition_filter": q_repetition_filter,
         "substring_dup": q_substring_dup,
@@ -3715,6 +3756,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'duplicate' END AS verdict
             FROM v""",
         "pii_scrub": text.pii_scrub_sql(PII_AUG_SQL),
+        "token_edit_join": text.edit_distance_join_sql(MISSP_AUG_SQL),
         "url_domains": f"""
             WITH aug AS (
               SELECT doc_id, {URL_AUG_SQL} AS text FROM documents),

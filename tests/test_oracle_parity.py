@@ -192,6 +192,8 @@ def registry(ray_session):
     "focal_majority",
     # D8 steepest-descent flow direction (exact integer slopes, halo)
     "flow_direction",
+    # lev-1 token join via deletion-neighborhood blocking
+    "token_edit_join",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1342,3 +1342,139 @@ def url_domains(docs, pattern=URL_RE, concurrency=None, batch_size=256):
         Sum("n_urls", alias_name="n_urls")).map_batches(
         lambda df: df.astype({"n_urls": "int64"}),
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 token similarity join via deletion-neighborhood
+# blocking (the spell-check / fuzzy-vocabulary join; Norvig's deletion
+# trick as a distributed blocking key)
+
+def _lev_le1(x, y):
+    """Exact check lev(x, y) == 1 for x != y (candidates are lev <= 2
+    by construction, so this is the final verify)."""
+    lx, ly = len(x), len(y)
+    if lx == ly:
+        return sum(a != b for a, b in zip(x, y)) == 1
+    if abs(lx - ly) != 1:
+        return False
+    if lx > ly:
+        x, y, lx, ly = y, x, ly, lx
+    # x is shorter by one: subsequence check with one skip
+    i = j = skipped = 0
+    while i < lx and j < ly:
+        if x[i] == y[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = 1
+            j += 1
+    return True
+
+
+def edit_distance_join(docs, text_col="text"):
+    """All pairs of DISTINCT corpus tokens at Levenshtein distance
+    exactly 1, with their corpus frequencies — the fuzzy-vocabulary
+    self-join behind spell-normalization and OCR-noise linking
+    (engine-new; no reference analogue).
+
+    Scale shape — three bounded exchanges, none corpus-sized:
+    1. token counts: per-batch split + dedup combiner, then one
+       ``groupby(token)`` merge — the exchange carries one (token, n)
+       row per distinct token per batch, never per occurrence;
+    2. deletion-neighborhood blocking over the DISTINCT-token table
+       (vocabulary-sized, corpus-size-independent): each token emits
+       itself plus its len(token) single-character-deletion variants as
+       blocking keys. Any lev-1 pair shares a key (substitution: both
+       delete the differing position; insertion/deletion: the shorter
+       token IS a deletion variant of the longer and is its own key),
+       so the blocking is EXHAUSTIVE — no lev-1 pair can be missed;
+    3. per-key all-pairs candidates (bucket size is an alphabet
+       property of the vocabulary, not a corpus property) verified by
+       the exact ``_lev_le1`` predicate (candidates are lev<=2; e.g.
+       transposed middles share two keys at lev 2 and are rejected),
+       then one pair-key groupby dedups pairs that share several keys.
+
+    Output: tok_a < tok_b, n_a, n_b (corpus occurrence counts).
+    """
+    from ray.data.aggregate import Sum
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[toks.astype(bool)]
+        g = toks.value_counts()
+        return pd.DataFrame({"token": g.index.astype(str),
+                             "n": g.to_numpy(np.int64)})
+
+    vocab = docs.select_columns([text_col]).map_batches(
+        tok_counts, batch_format="pandas").groupby("token").aggregate(
+        Sum("n", alias_name="n"))
+
+    def explode_deletions(df: pd.DataFrame) -> pd.DataFrame:
+        keys, toks, ns = [], [], []
+        for t, n in zip(df["token"].astype(str),
+                        df["n"].to_numpy(np.int64)):
+            keys.append(t)
+            toks.append(t)
+            ns.append(n)
+            # len-1 tokens emit the "" variant: that bucket is what
+            # blocks single-character substitution pairs ('a' vs 'b'),
+            # and its size is bounded by the alphabet
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                toks.append(t)
+                ns.append(n)
+        return pd.DataFrame({"bkey": keys, "token": toks,
+                             "n": pd.Series(ns, dtype="int64")})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g["token"].astype(str).to_numpy()
+        ns = g["n"].to_numpy(np.int64)
+        order = np.argsort(toks, kind="stable")
+        toks, ns = toks[order], ns[order]
+        rows = {"tok_a": [], "tok_b": [], "n_a": [], "n_b": []}
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                if toks[i] == toks[j]:
+                    continue
+                if _lev_le1(toks[i], toks[j]):
+                    rows["tok_a"].append(toks[i])
+                    rows["tok_b"].append(toks[j])
+                    rows["n_a"].append(int(ns[i]))
+                    rows["n_b"].append(int(ns[j]))
+        out = pd.DataFrame(rows)
+        return out.astype({"n_a": "int64", "n_b": "int64"}) if len(out) \
+            else pd.DataFrame({
+                "tok_a": pd.Series([], dtype=object),
+                "tok_b": pd.Series([], dtype=object),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64")})
+
+    cand = vocab.map_batches(explode_deletions, batch_format="pandas")\
+        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return cand.groupby(["tok_a", "tok_b"]).map_groups(
+        first, batch_format="pandas")
+
+
+def edit_distance_join_sql(aug_text_expr="text"):
+    """DuckDB oracle for :func:`edit_distance_join`: exhaustive
+    vocabulary self-join under ``levenshtein() = 1`` (the engine's
+    deletion-neighborhood blocking must reproduce it exactly).
+    ``aug_text_expr`` lets callers plant misspellings inline as a pure
+    SQL function of doc_id, matching the engine side's construction."""
+    return f"""
+        WITH aug AS (SELECT doc_id, {aug_text_expr} AS t
+                     FROM documents),
+        tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM aug),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                FROM tok WHERE token <> '' GROUP BY token)
+        SELECT a.token AS tok_a, b.token AS tok_b,
+               a.n AS n_a, b.n AS n_b
+        FROM cnt a JOIN cnt b
+          ON a.token < b.token
+         AND levenshtein(a.token, b.token) = 1"""
