@@ -1478,6 +1478,38 @@ def q_tpch_q10(sf_dir):
     return out[["ckey", "c_name", "n_name", "acctbal_c", "revenue_c2"]]
 
 
+def q_basket_pairs(sf_dir):
+    """Market-basket pair mining over orders
+    (stages/relational.py:basket_pairs): per-order distinct part pairs
+    with exact support/confidence integer ingredients — dedup
+    combiner → one groupby(order) pair expansion → narrow pair-count
+    groupby → item supports attached by two partitioned hash joins."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    out = relational.basket_pairs(ds, "l_orderkey", "l_partkey",
+                                  min_support=2)
+    return out.map_batches(
+        lambda df: df.astype({c: "int64" for c in
+                              ("a", "b", "n_ab", "n_a", "n_b")}),
+        batch_format="pandas")
+
+
+def q_triangle_count(sf_dir):
+    """EXACT distributed triangle count of the part co-purchase graph
+    (stages/relational.py:triangle_count — degree-ordered wedge
+    closure: count combiner degrees, hash-join orientation, per-source
+    C(outdeg,2) wedges, semi-join closure on a packed pair key). The
+    edge set is every distinct co-purchased part pair (min_support=1
+    basket_pairs)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = relational.basket_pairs(
+        ds, "l_orderkey", "l_partkey", min_support=1).map_batches(
+        lambda df: df[["a", "b"]].astype("int64"),
+        batch_format="pandas")
+    return relational.triangle_count(edges)
+
+
 def q_nations_agg(sf_dir):
     """Deterministic ordered string_agg per region
     (stages/relational.py:grouped_string_agg): the within-group ORDER
@@ -2863,6 +2895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "orders_ntile": q_orders_ntile,
         "lineitem_setops": q_lineitem_setops,
+        "basket_pairs": q_basket_pairs,
+        "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
         "lineitem_rank": q_lineitem_rank,
         "orders_running_total": q_orders_running_total,
@@ -3608,6 +3642,34 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rc ON lc.flag = rc.flag AND lc.qty = rc.qty
             LEFT JOIN ex ON lc.flag = ex.flag AND lc.qty = ex.qty
             LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
+        "basket_pairs": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o,
+                              CAST(l_partkey AS BIGINT) AS i
+                       FROM lineitem),
+            e AS (SELECT x.i AS a, y.i AS b,
+                         CAST(count(*) AS BIGINT) AS n_ab
+                  FROM p x JOIN p y ON x.o = y.o AND x.i < y.i
+                  GROUP BY x.i, y.i
+                  HAVING count(*) >= 2),
+            s AS (SELECT i, CAST(count(DISTINCT o) AS BIGINT) AS n
+                  FROM p GROUP BY i)
+            SELECT e.a, e.b, e.n_ab, sa.n AS n_a, sb.n AS n_b
+            FROM e JOIN s sa ON sa.i = e.a JOIN s sb ON sb.i = e.b""",
+        "triangle_count": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o,
+                              CAST(l_partkey AS BIGINT) AS i
+                       FROM lineitem),
+            e AS (SELECT DISTINCT x.i AS a, y.i AS b
+                  FROM p x JOIN p y ON x.o = y.o AND x.i < y.i)
+            SELECT (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+                      (SELECT a AS v FROM e
+                       UNION ALL SELECT b FROM e)) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+                     AS n_triangles""",
         "lineitem_rank": """
             SELECT l_returnflag,
                    CAST(round(l_quantity) AS BIGINT) AS qty,

@@ -194,6 +194,10 @@ def registry(ray_session):
     "flow_direction",
     # lev-1 token join via deletion-neighborhood blocking
     "token_edit_join",
+    # market-basket pair mining (support/confidence ingredients)
+    "basket_pairs",
+    # exact triangle count via degree-ordered wedge closure
+    "triangle_count",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1470,3 +1470,145 @@ def multiset_ops(left, right, cols):
         return out[nl > 0]
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair mining (frequent itemset pairs) and distributed
+# triangle counting over the co-occurrence graph
+
+def basket_pairs(ds, basket_col, item_col, min_support=2):
+    """Frequent co-occurring item PAIRS across baskets — the support
+    table behind association rules (engine-new; no reference
+    analogue). Output per surviving pair: ``a < b``, ``n_ab`` (baskets
+    containing both), ``n_a``/``n_b`` (baskets containing each) — the
+    exact integer ingredients of support and confidence.
+
+    Scale shape: per-batch (basket, item) dedup is the combiner before
+    ONE ``groupby(basket)`` co-location; the per-basket kernel emits
+    each basket's C(k,2) distinct pairs (fan-out bounded by basket
+    size, a domain property — salt a pathological mega-basket
+    upstream); pair counts then merge through a second narrow
+    ``groupby(a, b)`` bounded by one row per distinct pair per batch.
+    Item supports are exact COUNT(DISTINCT basket) via the existing
+    pair-dedup combiner (``count_distinct``) and are attached with two
+    partitioned hash joins — no driver-side materialization anywhere.
+    """
+    from ray.data.aggregate import Sum
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[basket_col, item_col]].drop_duplicates()
+
+    bi = ds.select_columns([basket_col, item_col]).map_batches(
+        dedup, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g[item_col].to_numpy(np.int64))
+        if len(items) < 2:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "n_ab": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(items), k=1)
+        return pd.DataFrame({"a": items[iu], "b": items[ju],
+                             "n_ab": np.int64(1)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False).sum()
+
+    pair_counts = bi.groupby(basket_col).map_groups(
+        pairs, batch_format="pandas").map_batches(
+        combine, batch_format="pandas").groupby(["a", "b"]).aggregate(
+        Sum("n_ab", alias_name="n_ab")).map_batches(
+        lambda df: df.astype({"a": "int64", "b": "int64",
+                              "n_ab": "int64"})
+        [df["n_ab"].to_numpy() >= min_support], batch_format="pandas")
+
+    support = count_distinct(bi, item_col, basket_col, alias="n_item")
+    sup_a = support.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df[item_col].astype("int64"),
+            "n_a": df["n_item"].astype("int64")}), batch_format="pandas")
+    sup_b = support.map_batches(
+        lambda df: pd.DataFrame({
+            "b": df[item_col].astype("int64"),
+            "n_b": df["n_item"].astype("int64")}), batch_format="pandas")
+    j1 = hash_join(pair_counts, sup_a, "a",
+                   left_cols=["b", "n_ab"], right_cols=["n_a"])
+    return hash_join(j1, sup_b, "b",
+                     left_cols=["a", "n_ab", "n_a"],
+                     right_cols=["n_b"])
+
+
+def triangle_count(edges, a="a", b="b"):
+    """EXACT distributed triangle count over an undirected graph given
+    as distinct edges ``a < b`` (int64 node ids) — the classic
+    degree-ordered wedge-closure algorithm (engine-new):
+
+    1. degrees via a count combiner + one ``groupby(node)``;
+    2. each edge oriented from its (degree, id)-smaller endpoint
+       (attached by two partitioned hash joins — both sides stay
+       distributed), which bounds every out-adjacency by O(√m);
+    3. wedges: per-source C(outdeg, 2) candidate closing pairs — the
+       Σ outdeg² ≤ m^1.5 bound is exactly why the orientation exists;
+    4. closure: a semi-join of the wedge pairs against the edge set on
+       a packed (lo·2³¹+hi) key. Every triangle has exactly one vertex
+       with two out-edges in a total-order orientation, so each is
+       counted once.
+
+    Returns a one-row DataFrame: n_nodes, n_edges, n_triangles.
+    The edge table is materialized once (it is the reduced working
+    set, far smaller than the corpus that produced it) because three
+    passes read it: degrees, orientation, closure.
+    """
+    from ray.data.aggregate import Sum
+    edges = edges.materialize()
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.concatenate([df[a].to_numpy(np.int64),
+                                 df[b].to_numpy(np.int64)]),
+            "deg": np.int64(1)}).groupby("v", as_index=False).sum()
+
+    deg = edges.map_batches(ends, batch_format="pandas")\
+        .groupby("v").aggregate(Sum("deg", alias_name="deg"))
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    deg_a = deg.map_batches(
+        lambda df: pd.DataFrame({a: df["v"].astype("int64"),
+                                 "deg_a": df["deg"].astype("int64")}),
+        batch_format="pandas")
+    deg_b = deg.map_batches(
+        lambda df: pd.DataFrame({b: df["v"].astype("int64"),
+                                 "deg_b": df["deg"].astype("int64")}),
+        batch_format="pandas")
+    e1 = hash_join(edges, deg_a, a, left_cols=[b], right_cols=["deg_a"])
+    e2 = hash_join(e1, deg_b, b, left_cols=[a, "deg_a"],
+                   right_cols=["deg_b"])
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[a].to_numpy(np.int64)
+        bv = df[b].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (av < bv))
+        return pd.DataFrame({"src": np.where(a_first, av, bv),
+                             "dst": np.where(a_first, bv, av)})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["dst"].to_numpy(np.int64))
+        if len(d) < 2:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"pk": d[iu] * (np.int64(1) << 31) + d[ju]})
+
+    w = e2.map_batches(orient, batch_format="pandas")\
+        .groupby("src").map_groups(wedges, batch_format="pandas")
+    ek = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "pk": df[a].to_numpy(np.int64) * (np.int64(1) << 31)
+            + df[b].to_numpy(np.int64)}), batch_format="pandas")
+    n_tri = semi_join(w, ek, "pk").count()
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_triangles": pd.Series([n_tri], dtype="int64")})
