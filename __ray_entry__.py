@@ -1478,6 +1478,44 @@ def q_tpch_q10(sf_dir):
     return out[["ckey", "c_name", "n_name", "acctbal_c", "revenue_c2"]]
 
 
+def q_user_streaks(sf_dir):
+    """Gaps-and-islands: per-user consecutive-day activity streaks
+    (stages/events.py:user_streaks — (user, day) dedup combiner, one
+    user-key shuffle, vectorized sorted-diff island split). Oracle:
+    DuckDB's day − row_number() islands trick."""
+    from unmixing_ray.stages import events as estage
+    return estage.user_streaks(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def q_orders_snapshot_diff(sf_dir):
+    """Keyed snapshot diff (CDC between two table versions —
+    stages/relational.py:snapshot_diff, tag-union with a loud
+    key-uniqueness contract): per-customer 1995 vs 1996 order COUNTS,
+    so all four statuses are non-vacuous (equal counts → same)."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+
+    def year_counts(y):
+        lo = pd.Timestamp(f"{y}-01-01").to_numpy()
+        hi = pd.Timestamp(f"{y + 1}-01-01").to_numpy()
+        return _read(sf_dir, "orders",
+                     columns=["o_custkey", "o_orderdate"]).map_batches(
+            lambda df: pd.DataFrame({
+                "ckey": df["o_custkey"].astype("int64"),
+                "n": np.int64(1),
+            })[((df["o_orderdate"].to_numpy() >= lo)
+                & (df["o_orderdate"].to_numpy() < hi))]
+            .groupby("ckey", as_index=False).sum(),
+            batch_format="pandas").groupby("ckey").aggregate(
+            Sum("n", alias_name="n")).map_batches(
+            lambda df: df.astype({"ckey": "int64", "n": "int64"}),
+            batch_format="pandas")
+
+    return relational.snapshot_diff(
+        year_counts(1995), year_counts(1996), "ckey", "n")
+
+
 def q_basket_pairs(sf_dir):
     """Market-basket pair mining over orders
     (stages/relational.py:basket_pairs): per-order distinct part pairs
@@ -2896,6 +2934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ntile": q_orders_ntile,
         "lineitem_setops": q_lineitem_setops,
         "basket_pairs": q_basket_pairs,
+        "user_streaks": q_user_streaks,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
         "lineitem_rank": q_lineitem_rank,
@@ -3642,6 +3682,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rc ON lc.flag = rc.flag AND lc.qty = rc.qty
             LEFT JOIN ex ON lc.flag = ex.flag AND lc.qty = ex.qty
             LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
+        "user_streaks": events.user_streaks_sql(),
+        "orders_snapshot_diff": """
+            WITH o AS (
+              SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY o_custkey),
+            n AS (
+              SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o_custkey)
+            SELECT COALESCE(o.ck, n.ck) AS ckey,
+                   CASE WHEN n.ck IS NULL THEN 'removed'
+                        WHEN o.ck IS NULL THEN 'added'
+                        WHEN o.v = n.v THEN 'same'
+                        ELSE 'changed' END AS status,
+                   CAST(COALESCE(o.v, 0) AS BIGINT) AS old_v,
+                   CAST(COALESCE(n.v, 0) AS BIGINT) AS new_v
+            FROM o FULL JOIN n ON o.ck = n.ck""",
         "basket_pairs": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o,
                               CAST(l_partkey AS BIGINT) AS i

@@ -198,6 +198,10 @@ def registry(ray_session):
     "basket_pairs",
     # exact triangle count via degree-ordered wedge closure
     "triangle_count",
+    # gaps-and-islands consecutive-day activity streaks
+    "user_streaks",
+    # keyed snapshot diff (CDC statuses between table versions)
+    "orders_snapshot_diff",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

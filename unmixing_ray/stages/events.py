@@ -763,3 +763,63 @@ def user_anomalies_sql(z=2, min_days=5):
                   > {z2} * (st.nd * st.q - st.s * st.s)) AS is_anomaly
         FROM (SELECT user_id, day, n, n AS n_events FROM ud) ud
         JOIN st USING (user_id)"""
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user consecutive-day activity streaks
+
+def user_streaks(events, user_col="user_id", ts_col="ts"):
+    """Per-user consecutive-day activity streaks — the classic
+    gaps-and-islands analysis (engine-new; SQL needs the
+    day − row_number() trick, here it is a vectorized diff inside the
+    per-user group). Output per user: ``n_days`` (distinct active
+    days), ``n_islands`` (maximal consecutive-day runs) and
+    ``max_streak`` (longest run, in days).
+
+    Scale shape: per-batch (user, day) dedup is the combiner, then ONE
+    ``groupby(user)`` shuffle of the deduped day set (bounded by
+    calendar days per user per batch, never by event count); the
+    island arithmetic is a sorted-diff split inside the group.
+    """
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        day = df[ts_col].to_numpy().astype("datetime64[D]")\
+            .astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df[user_col].astype(np.int64), "day": day,
+        }).drop_duplicates()
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy(np.int64))
+        cuts = np.nonzero(np.diff(days) > 1)[0]
+        starts = np.concatenate([[0], cuts + 1])
+        ends = np.concatenate([cuts, [len(days) - 1]])
+        lens = ends - starts + 1
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_days": pd.Series([len(days)], dtype="int64"),
+            "n_islands": pd.Series([len(lens)], dtype="int64"),
+            "max_streak": pd.Series([int(lens.max())], dtype="int64")})
+
+    return events.select_columns([user_col, ts_col]).map_batches(
+        dedup, batch_format="pandas").groupby("user_id").map_groups(
+        streaks, batch_format="pandas")
+
+
+def user_streaks_sql():
+    """DuckDB oracle: the day − row_number() islands trick."""
+    return """
+        WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        i AS (SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day)
+                       * INTERVAL 1 DAY AS grp
+              FROM d),
+        s AS (SELECT user_id, grp, count(*) AS len
+              FROM i GROUP BY user_id, grp)
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(max(len) AS BIGINT) AS max_streak
+        FROM s GROUP BY user_id"""

@@ -1612,3 +1612,53 @@ def triangle_count(edges, a="a", b="b"):
         "n_nodes": pd.Series([n_nodes], dtype="int64"),
         "n_edges": pd.Series([n_edges], dtype="int64"),
         "n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# keyed snapshot diff (change-data-capture between two table versions)
+
+def snapshot_diff(old, new, key, val):
+    """Change detection between two KEY-UNIQUE snapshots of a table —
+    the CDC / SCD primitive: per key, status ``added`` (new only),
+    ``removed`` (old only), ``changed`` or ``same``, with both values
+    (0 where the side is absent, disambiguated by the status).
+
+    Scale shape: the tag-union pattern — each side ships its (key,
+    val) rows once through a single ``groupby(key)`` exchange; the
+    per-key kernel sees at most one row per side (asserted loudly:
+    key-unique snapshots are the contract; aggregate upstream if not).
+    """
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                key: df[key].astype(np.int64),
+                "_side": np.int8(side),
+                "_v": df[val].astype(np.int64)})
+        return fn
+
+    both = old.select_columns([key, val]).map_batches(
+        tag(0), batch_format="pandas").union(
+        new.select_columns([key, val]).map_batches(
+            tag(1), batch_format="pandas"))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0]["_v"].to_numpy(np.int64)
+        n = g[g["_side"] == 1]["_v"].to_numpy(np.int64)
+        if len(o) > 1 or len(n) > 1:
+            raise ValueError(
+                "snapshot_diff: inputs must be key-unique; key %r has "
+                "%d old / %d new rows" % (g[key].iloc[0], len(o),
+                                          len(n)))
+        ov = int(o[0]) if len(o) else 0
+        nv = int(n[0]) if len(n) else 0
+        status = ("removed" if not len(n) else
+                  "added" if not len(o) else
+                  "same" if ov == nv else "changed")
+        return pd.DataFrame({
+            key: [np.int64(g[key].iloc[0])],
+            "status": [status],
+            "old_v": pd.Series([ov], dtype="int64"),
+            "new_v": pd.Series([nv], dtype="int64")})
+
+    return both.groupby(key).map_groups(diff, batch_format="pandas")
