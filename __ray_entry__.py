@@ -320,6 +320,18 @@ def q_raster_components(sf_dir):
     return label.raster_components(tiles, threshold=1300)
 
 
+def q_region_props(sf_dir):
+    """Per-image region properties (area / centroid numerators / bbox)
+    of the largest connected component (stages/label.py:region_props —
+    the local-label + border-halo + global-merge chain with spatial
+    partials merged associatively per canonical component; the output
+    IS the deterministic ordering tuple). Oracle: the full-image
+    union-find replay sidecar."""
+    from unmixing_ray.stages import label
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return label.region_props(tiles, threshold=1300)
+
+
 def q_pixel_to_xy(sf_dir):
     """The bit-for-bit affine transform: per-tile origin and far-corner
     map coordinates computed from the tile gt through pixel_to_xy."""
@@ -2868,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_components_expected(sf)
                 _synth.generate_majority_expected(sf)
                 _synth.generate_flow_expected(sf)
+                _synth.generate_regionprops_expected(sf)
             except Exception:
                 pass
     return {
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images": q_augment_images,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
+        "region_props": q_region_props,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -3096,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_components_expected(sf)
                 _synth.generate_majority_expected(sf)
                 _synth.generate_flow_expected(sf)
+                _synth.generate_regionprops_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -3123,6 +3138,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
                    n_valid
             FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "region_props": f"""
+            SELECT image_id, px, sr, sc, r0, c0, r1, c1
+            FROM read_parquet('{C}/regionprops_expected.parquet')""",
         "focal_majority": f"""
             SELECT tile_id, cls, n
             FROM read_parquet('{C}/majority_expected.parquet')""",

@@ -202,6 +202,8 @@ def registry(ray_session):
     "user_streaks",
     # keyed snapshot diff (CDC statuses between table versions)
     "orders_snapshot_diff",
+    # largest-component region properties (area/centroid/bbox)
+    "region_props",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2481,3 +2481,85 @@ def generate_flow_expected(sf_dir):
     pq.write_table(t, str(out / "flow_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+REGIONPROPS_VERSION = 1
+
+
+def generate_regionprops_expected(sf_dir, threshold=1300):
+    """Write the ``regionprops_expected.parquet`` sidecar: per-image
+    properties of the LARGEST 4-connected component of the mask
+    ``band 0 > threshold`` — area, centroid numerators (Σrow, Σcol)
+    and bounding box — computed FULL-IMAGE with an independent
+    union-find (the engine labels tile-wise and merges spatial
+    partials across borders via the halo exchange —
+    stages/label.py:region_props). Winner = lexicographic max of
+    (px, sr, sc, r0, c0, r1, c1), replicated exactly; empty-mask
+    images omitted."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_REGIONPROPS_DONE"
+    stamp = "regionprops v%d t%d" % (REGIONPROPS_VERSION, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {k: [] for k in ("image_id", "px", "sr", "sc",
+                            "r0", "c0", "r1", "c1")}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        mask = arr[0] > threshold
+        if not mask.any():
+            continue
+        H, W = mask.shape
+        parent = np.arange(H * W, dtype=np.int64)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        hm = mask[:, :-1] & mask[:, 1:]
+        vm = mask[:-1, :] & mask[1:, :]
+        idx = np.arange(H * W).reshape(H, W)
+        for a, b in zip(idx[:, :-1][hm], idx[:, 1:][hm]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in zip(idx[:-1, :][vm], idx[1:, :][vm]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        flat_idx = np.flatnonzero(mask.ravel())
+        roots = np.array([find(x) for x in flat_idx])
+        rr = (flat_idx // W).astype(np.int64)
+        cc = (flat_idx % W).astype(np.int64)
+        best = None
+        for root in np.unique(roots):
+            sel = roots == root
+            tup = (int(sel.sum()), int(rr[sel].sum()),
+                   int(cc[sel].sum()), int(rr[sel].min()),
+                   int(cc[sel].min()), int(rr[sel].max()),
+                   int(cc[sel].max()))
+            key = (tup[0], tup[1], tup[2], tup[3], tup[4],
+                   tup[5], tup[6])
+            if best is None or key > best:
+                best = key
+        rows["image_id"].append(img)
+        for k, v in zip(("px", "sr", "sc", "r0", "c0", "r1", "c1"),
+                        best):
+            rows[k].append(int(v))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        **{k: pa.array(rows[k], pa.int64())
+           for k in ("px", "sr", "sc", "r0", "c0", "r1", "c1")}})
+    pq.write_table(t, str(out / "regionprops_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

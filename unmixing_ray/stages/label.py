@@ -108,7 +108,10 @@ def label_components_stack(mask: np.ndarray) -> np.ndarray:
 def make_local_label(threshold):
     """Stage 1: tiles -> union table of node rows (kind 0) and int16
     label-grid tiles (kind 1, schema-compatible with the halo
-    exchange's input)."""
+    exchange's input). Node rows also carry the component's spatial
+    partials in GLOBAL image coordinates (sr/sc coordinate sums,
+    r0/c0/r1/c1 bbox) — associative under the same border merge as
+    ``px``, and ignored by callers that only need counts."""
     thr = int(threshold)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -123,13 +126,18 @@ def make_local_label(threshold):
         cell = batch["cell"].to_numpy(zero_copy_only=False)
 
         out = {k: [] for k in (
-            "kind", "node", "px", "tile_id", "image_id", "cell",
+            "kind", "node", "px", "sr", "sc", "r0", "c0", "r1", "c1",
+            "tile_id", "image_id", "cell",
             "row_off", "col_off", "h", "w", "bands", "pixels")}
 
-        def emit(kind, node, px, tid, img, cl, ro, co, h, w, payload):
+        def emit(kind, node, px, tid, img, cl, ro, co, h, w, payload,
+                 props=(0, 0, 0, 0, 0, 0)):
             out["kind"].append(kind)
             out["node"].append(int(node))
             out["px"].append(int(px))
+            for k, v in zip(("sr", "sc", "r0", "c0", "r1", "c1"),
+                            props):
+                out[k].append(int(v))
             out["tile_id"].append(tid)
             out["image_id"].append(img)
             out["cell"].append(int(cl))
@@ -166,9 +174,28 @@ def make_local_label(threshold):
                             "budget")
                     grid[m] = inv.astype(np.int16)
                     counts = np.bincount(inv, minlength=len(roots))
+                    rs, cs = np.nonzero(m)
+                    gr = rs.astype(np.int64) + int(row_off[i])
+                    gc = cs.astype(np.int64) + int(col_off[i])
+                    k = len(roots)
+                    sr = np.bincount(inv, weights=gr,
+                                     minlength=k).astype(np.int64)
+                    sc = np.bincount(inv, weights=gc,
+                                     minlength=k).astype(np.int64)
+                    big = np.int64(1) << 40
+                    r0 = np.full(k, big)
+                    c0 = np.full(k, big)
+                    r1 = np.full(k, -1, np.int64)
+                    c1 = np.full(k, -1, np.int64)
+                    np.minimum.at(r0, inv, gr)
+                    np.minimum.at(c0, inv, gc)
+                    np.maximum.at(r1, inv, gr)
+                    np.maximum.at(c1, inv, gc)
                     for lbl, c in enumerate(counts):
                         emit(0, node_id(img, ty, tx, lbl), c, "", img,
-                             0, 0, 0, 0, 0, b"")
+                             0, 0, 0, 0, 0, b"",
+                             (sr[lbl], sc[lbl], r0[lbl], c0[lbl],
+                              r1[lbl], c1[lbl]))
                 emit(1, 0, 0, tile_id[i], img, cell[i], row_off[i],
                      col_off[i], h, w, grid.tobytes())
 
@@ -176,6 +203,12 @@ def make_local_label(threshold):
             "kind": pa.array(out["kind"], pa.int8()),
             "node": pa.array(out["node"], pa.int64()),
             "px": pa.array(out["px"], pa.int64()),
+            "sr": pa.array(out["sr"], pa.int64()),
+            "sc": pa.array(out["sc"], pa.int64()),
+            "r0": pa.array(out["r0"], pa.int64()),
+            "c0": pa.array(out["c0"], pa.int64()),
+            "r1": pa.array(out["r1"], pa.int64()),
+            "c1": pa.array(out["c1"], pa.int64()),
             "tile_id": pa.array(out["tile_id"], pa.string()),
             "image_id": pa.array(out["image_id"], pa.string()),
             "cell": pa.array(out["cell"], pa.uint64()),
@@ -389,6 +422,130 @@ def raster_components(tiles, threshold=1300, driver_edge_cap=1_000_000):
             "n_components": pd.Series([n], dtype="int64"),
             "n_masked": pd.Series([masked], dtype="int64"),
             "max_size": pd.Series([mx], dtype="int64")})
+
+    return nodes.map_batches(partial, batch_format="pandas") \
+        .groupby("image_id").map_groups(per_image, batch_format="pandas")
+
+
+def region_props(tiles, threshold=1300, driver_edge_cap=1_000_000):
+    """Per-image REGION PROPERTIES of the largest connected component
+    of the mask ``band 0 > threshold`` — area, centroid numerators
+    (Σrow, Σcol) and bounding box, all exact int64 in global image
+    coordinates (the raster analogue of skimage regionprops, engine-new
+    for the tiled-at-scale regime).
+
+    Same three-phase shape as :func:`raster_components` (local label →
+    border-adjacency halo exchange → global merge); the spatial
+    partials ride the node rows and merge associatively per canonical
+    component (sums add, bbox mins/maxes combine). The winner per
+    image is the lexicographic max of (px, sr, sc, r0, c0, r1, c1) —
+    the OUTPUT IS the ordering tuple, so even a full tie is
+    deterministic and oracle-stable.
+    """
+    import ray.data
+
+    from .dedup import resolve_duplicate_clusters
+
+    PROPS = ["px", "sr", "sc", "r0", "c0", "r1", "c1"]
+    union = tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
+         "bands", "pixels"]) \
+        .map_batches(make_local_label(threshold), batch_format="pyarrow") \
+        .materialize()
+    nodes = union.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 0)).select(
+            ["node", "image_id"] + PROPS),
+        batch_format="pyarrow")
+    labtiles = union.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 1)).select(
+            ["tile_id", "image_id", "cell", "row_off", "col_off",
+             "h", "w", "bands", "pixels"]),
+        batch_format="pyarrow")
+
+    def prune_strips(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["kind"] == 0) | \
+            ((df["pos_r"] == -1) & (df["pos_c"] == 0)) | \
+            ((df["pos_r"] == 0) & (df["pos_c"] == -1))
+        return df[keep]
+
+    edges = labtiles.map_batches(
+        make_halo_explode(1), batch_format="pyarrow") \
+        .map_batches(prune_strips, batch_format="pandas") \
+        .groupby(["image_id", "key_row", "key_col"]) \
+        .map_groups(make_edge_assemble(), batch_format="pandas") \
+        .materialize()
+
+    n_edges = edges.count()
+    if not n_edges:
+        canon_pd = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "canon_id": pd.Series([], dtype="int64")})
+    elif n_edges <= driver_edge_cap:
+        canon_pd = _driver_components(edges.to_pandas())
+    else:
+        canon_pd = resolve_duplicate_clusters(edges)
+    ck = canon_pd["doc_id"].to_numpy(np.int64)
+    cv = canon_pd["canon_id"].to_numpy(np.int64)
+    order = np.argsort(ck)
+    canon_ref = ray.put((ck[order], cv[order]))
+
+    _MAXK = ("px", "sr", "sc", "r1", "c1")   # combine by max/sum
+    _SUMK = ("px", "sr", "sc")
+    _MINK = ("r0", "c0")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck_s, cv_s = ray.get(canon_ref)
+        nv = df["node"].to_numpy(np.int64)
+        if len(ck_s):
+            pos = np.searchsorted(ck_s, nv)
+            safe = np.minimum(pos, len(ck_s) - 1)
+            hit = ck_s[safe] == nv
+        else:
+            safe = np.zeros(len(nv), np.int64)
+            hit = np.zeros(len(nv), bool)
+        # whole (non-border) components: reduce per image to the local
+        # best tuple NOW — the exchange carries one candidate row per
+        # (batch, image) plus the border rows
+        sing = df[~hit]
+        best_rows = []
+        for img, g in sing.groupby("image_id", sort=False):
+            t = g[PROPS].astype("int64")
+            win = t.sort_values(PROPS, ascending=False).iloc[0]
+            best_rows.append({"image_id": img, "canon": np.int64(-1),
+                              **{k: np.int64(win[k]) for k in PROPS}})
+        bord = df[hit]
+        out = pd.DataFrame(best_rows + [
+            {"image_id": r["image_id"],
+             "canon": np.int64(cv_s[safe[i]]),
+             **{k: np.int64(r[k]) for k in PROPS}}
+            for i, (_, r) in zip(np.nonzero(hit)[0],
+                                 bord.iterrows())])
+        if not len(out):
+            out = pd.DataFrame({k: pd.Series([], dtype=(
+                "object" if k == "image_id" else "int64"))
+                for k in ["image_id", "canon"] + PROPS})
+        return out.astype({k: "int64" for k in ["canon"] + PROPS})
+
+    def per_image(g: pd.DataFrame) -> pd.DataFrame:
+        cands = [g[g["canon"] < 0]]
+        bord = g[g["canon"] >= 0]
+        if len(bord):
+            agg = bord.groupby("canon", sort=False).agg(
+                {**{k: "sum" for k in _SUMK},
+                 **{k: "min" for k in _MINK},
+                 "r1": "max", "c1": "max"}).reset_index()
+            cands.append(agg)
+        allc = pd.concat(cands, ignore_index=True)
+        if not len(allc):
+            return pd.DataFrame({k: pd.Series([], dtype=(
+                "object" if k == "image_id" else "int64"))
+                for k in ["image_id"] + PROPS})
+        win = allc[PROPS].astype("int64")\
+            .sort_values(PROPS, ascending=False).iloc[0]
+        return pd.DataFrame({
+            "image_id": g["image_id"].iloc[:1],
+            **{k: pd.Series([np.int64(win[k])], dtype="int64")
+               for k in PROPS}})
 
     return nodes.map_batches(partial, batch_format="pandas") \
         .groupby("image_id").map_groups(per_image, batch_format="pandas")
