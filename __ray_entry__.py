@@ -1528,6 +1528,32 @@ def q_orders_snapshot_diff(sf_dir):
         year_counts(1995), year_counts(1996), "ckey", "n")
 
 
+def q_events_twap(sf_dir):
+    """Per-user time-weighted average (TWAP) ingredients
+    (stages/events.py:time_weighted_avg — value held until the next
+    event, exact cents·µs integers). Oracle: DuckDB lead() window
+    with identical integer math."""
+    from unmixing_ray.stages import events as estage
+    return estage.time_weighted_avg(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "value", "event_id"]))
+
+
+def q_pagerank(sf_dir):
+    """Fixed-point PageRank, 3 exact integer iterations over the part
+    co-purchase graph (stages/relational.py:pagerank_iters — one
+    partitioned hash join + one groupby sum per message-passing
+    round; no float ever enters, so the DuckDB replay of the
+    iterations as stacked CTEs hash-matches bit for bit)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = relational.basket_pairs(
+        ds, "l_orderkey", "l_partkey", min_support=1).map_batches(
+        lambda df: df[["a", "b"]].astype("int64"),
+        batch_format="pandas")
+    return relational.pagerank_iters(edges, iters=3)
+
+
 def q_basket_pairs(sf_dir):
     """Market-basket pair mining over orders
     (stages/relational.py:basket_pairs): per-order distinct part pairs
@@ -2949,6 +2975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_setops": q_lineitem_setops,
         "basket_pairs": q_basket_pairs,
         "user_streaks": q_user_streaks,
+        "events_twap": q_events_twap,
+        "pagerank": q_pagerank,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
@@ -3701,6 +3729,45 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ex ON lc.flag = ex.flag AND lc.qty = ex.qty
             LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
         "user_streaks": events.user_streaks_sql(),
+        "events_twap": events.time_weighted_avg_sql(),
+        "pagerank": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o,
+                              CAST(l_partkey AS BIGINT) AS i
+                       FROM lineitem),
+            e AS (SELECT DISTINCT x.i AS a, y.i AS b
+                  FROM p x JOIN p y ON x.o = y.o AND x.i < y.i),
+            d AS (SELECT a AS s, b AS t FROM e
+                  UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg
+                    FROM d GROUP BY s),
+            it0 AS (SELECT s AS v, CAST(1048576 AS BIGINT) AS r
+                    FROM deg),
+            it1 AS (
+              SELECT d.t AS v,
+                     CAST(157286 + (85 * sum(it0.r // dg.dg)) // 100
+                          AS BIGINT) AS r
+              FROM d
+              JOIN it0 ON it0.v = d.s
+              JOIN deg dg ON dg.s = d.s
+              GROUP BY d.t),
+            it2 AS (
+              SELECT d.t AS v,
+                     CAST(157286 + (85 * sum(it1.r // dg.dg)) // 100
+                          AS BIGINT) AS r
+              FROM d
+              JOIN it1 ON it1.v = d.s
+              JOIN deg dg ON dg.s = d.s
+              GROUP BY d.t),
+            it3 AS (
+              SELECT d.t AS v,
+                     CAST(157286 + (85 * sum(it2.r // dg.dg)) // 100
+                          AS BIGINT) AS r
+              FROM d
+              JOIN it2 ON it2.v = d.s
+              JOIN deg dg ON dg.s = d.s
+              GROUP BY d.t),
+            fin AS (SELECT v, r FROM it3)
+            SELECT v, r FROM fin""",
         "orders_snapshot_diff": """
             WITH o AS (
               SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v

@@ -204,6 +204,10 @@ def registry(ray_session):
     "orders_snapshot_diff",
     # largest-component region properties (area/centroid/bbox)
     "region_props",
+    # per-user time-weighted average (exact cents-microseconds)
+    "events_twap",
+    # fixed-point PageRank, 3 exact integer message-passing rounds
+    "pagerank",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

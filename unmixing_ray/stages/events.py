@@ -823,3 +823,63 @@ def user_streaks_sql():
                CAST(count(*) AS BIGINT) AS n_islands,
                CAST(max(len) AS BIGINT) AS max_streak
         FROM s GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP): value held until the next observation
+
+def time_weighted_avg(events, user_col="user_id", ts_col="ts",
+                      val_col="value", id_col="event_id"):
+    """Per-user time-weighted average ingredients — each observation's
+    value is held until the user's next event (the standard TWAP /
+    sensor-resample rule). Output per user: ``twap_num`` =
+    Σ value_cents·Δt_µs, ``twap_den`` = Σ Δt_µs, ``n_intervals`` — all
+    exact int64 (value fixed-pointed to cents, time in µs; Σ v·Δt is
+    bounded by max_cents · user-activity-span, ~1e18 at 1e5-cent
+    values over months, inside int64), so the SQL window replay (lead
+    over (user ORDER BY ts, id)) hash-matches exactly. Users with a
+    single event emit (0, 0, 0).
+
+    Scale shape: one ``groupby(user)`` shuffle of the projected
+    columns; per-group mergesort + vectorized diff/product.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        t = g[ts_col].to_numpy().astype("datetime64[us]")\
+            .astype(np.int64)
+        cents = np.rint(g[val_col].to_numpy(np.float64) * 100)\
+            .astype(np.int64)
+        dt = np.diff(t)
+        num = int((cents[:-1] * dt).sum())
+        den = int(dt.sum())
+        return pd.DataFrame({
+            "user_id": [np.int64(g[user_col].iloc[0])],
+            "twap_num": pd.Series([num], dtype="int64"),
+            "twap_den": pd.Series([den], dtype="int64"),
+            "n_intervals": pd.Series([max(len(t) - 1, 0)],
+                                     dtype="int64")})
+
+    return events.select_columns(
+        [user_col, ts_col, val_col, id_col]).groupby(user_col)\
+        .map_groups(per_group, batch_format="pandas")
+
+
+def time_weighted_avg_sql():
+    """DuckDB oracle: lead() window with the identical integer math."""
+    return """
+        WITH w AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 epoch_us(ts) AS t,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                   AS t_next
+          FROM events)
+        SELECT user_id,
+               CAST(COALESCE(sum(cents * (t_next - t)), 0) AS BIGINT)
+                 AS twap_num,
+               CAST(COALESCE(sum(t_next - t), 0) AS BIGINT)
+                 AS twap_den,
+               CAST(count(t_next) AS BIGINT) AS n_intervals
+        FROM w GROUP BY user_id"""

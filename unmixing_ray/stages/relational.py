@@ -1662,3 +1662,87 @@ def snapshot_diff(old, new, key, val):
             "new_v": pd.Series([nv], dtype="int64")})
 
     return both.groupby(key).map_groups(diff, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank (fixed iteration count) over an undirected graph
+
+PR_SCALE = 1 << 20
+
+
+def pagerank_iters(edges, a="a", b="b", iters=3, scale=PR_SCALE,
+                   damping_num=85, damping_den=100):
+    """PageRank with a FIXED iteration count in EXACT fixed-point
+    integer arithmetic (engine-new) — every operation is an int64
+    floor: r₀ = scale; rₖ₊₁ = (scale·(den−num))//den +
+    (num·Σ_{in} (rₖ//outdeg))//den. Because no float ever enters, the
+    result is bit-identical at any partitioning AND expressible as a
+    chain of plain SQL aggregates — the DuckDB oracle replays the
+    iterations as stacked CTEs, which is what makes a distributed
+    PageRank hash-checkable at all.
+
+    Scale shape per iteration: ONE partitioned hash join (ranks ⨝
+    directed edges on source) and ONE groupby(dst) sum — the classic
+    message-passing round; rank state is a (node, r) table that never
+    leaves the cluster. The directed edge table (both orientations of
+    each undirected edge) and the degree table are built once and
+    materialized (they are the reduced working set, re-read every
+    round).
+    """
+    from ray.data.aggregate import Sum
+
+    def direct(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[a].to_numpy(np.int64)
+        bv = df[b].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s": np.concatenate([av, bv]),
+            "t": np.concatenate([bv, av])})
+
+    d = edges.map_batches(direct, batch_format="pandas").materialize()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", as_index=False).size()
+        return pd.DataFrame({"s": g["s"].to_numpy(np.int64),
+                             "dg": g["size"].to_numpy(np.int64)})
+
+    deg = d.map_batches(deg_part, batch_format="pandas")\
+        .groupby("s").aggregate(Sum("dg", alias_name="dg"))\
+        .map_batches(lambda df: df.astype({"s": "int64", "dg": "int64"}),
+                     batch_format="pandas").materialize()
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = deg.map_batches(
+        lambda df: pd.DataFrame({"v": df["s"].astype("int64"),
+                                 "r": np.int64(scale)}),
+        batch_format="pandas")
+
+    for _ in range(iters):
+        # contributions: rank and degree co-keyed on the SOURCE node
+        rd = hash_join(ranks, deg.map_batches(
+            lambda df: pd.DataFrame({"v": df["s"].astype("int64"),
+                                     "dg": df["dg"].astype("int64")}),
+            batch_format="pandas"), "v",
+            left_cols=["r"], right_cols=["dg"])
+        contrib_src = rd.map_batches(
+            lambda df: pd.DataFrame({
+                "s": df["v"].astype("int64"),
+                "c": df["r"].astype("int64").to_numpy()
+                // df["dg"].astype("int64").to_numpy()}),
+            batch_format="pandas")
+        per_dst = hash_join(d, contrib_src, "s",
+                            left_cols=["t"], right_cols=["c"])\
+            .map_batches(
+            lambda df: pd.DataFrame({
+                "v": df["t"].astype("int64"),
+                "c": df["c"].astype("int64")})
+            .groupby("v", as_index=False).sum(),
+            batch_format="pandas").groupby("v").aggregate(
+            Sum("c", alias_name="c"))
+        ranks = per_dst.map_batches(
+            lambda df: pd.DataFrame({
+                "v": df["v"].astype("int64"),
+                "r": np.int64(base)
+                + (damping_num * df["c"].astype("int64").to_numpy())
+                // damping_den}), batch_format="pandas")
+
+    return ranks
