@@ -1554,6 +1554,46 @@ def q_pagerank(sf_dir):
     return relational.pagerank_iters(edges, iters=3)
 
 
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
+def q_parts_skyline(sf_dir):
+    """Skyline / Pareto frontier of parts — cheapest-for-their-size
+    (minimize p_retailprice, maximize p_size) via the local-skyline
+    combiner (stages/relational.py:skyline — dominated rows dropped
+    per batch BEFORE anything moves; dominance is transitive so the
+    combiner is lossless). Oracle: the SQL NOT EXISTS dominance
+    query."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+    out = relational.skyline(
+        ds, ["p_retailprice", "p_size"], ["min", "max"],
+        keep=["p_partkey"])
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "price_c": np.rint(df["p_retailprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "p_size": df["p_size"].astype("int64")}),
+        batch_format="pandas")
+
+
+def q_mixture_sample(sf_dir):
+    """Training-data mixture construction: per-source deterministic
+    Bernoulli rates (stages/relational.py:mixture_sample — md5
+    threshold per row, growth-stable, zero exchange); sources beyond
+    the spec drop to the default rate 0.1."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = relational.mixture_sample(
+        ds, "source", "doc_id", MIXTURE_RATES, default_rate=0.1)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"]}), batch_format="pandas")
+
+
 def q_basket_pairs(sf_dir):
     """Market-basket pair mining over orders
     (stages/relational.py:basket_pairs): per-order distinct part pairs
@@ -2976,6 +3016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": q_basket_pairs,
         "user_streaks": q_user_streaks,
         "events_twap": q_events_twap,
+        "parts_skyline": q_parts_skyline,
+        "mixture_sample": q_mixture_sample,
         "pagerank": q_pagerank,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
@@ -3730,6 +3772,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
         "user_streaks": events.user_streaks_sql(),
         "events_twap": events.time_weighted_avg_sql(),
+        "parts_skyline": """
+            SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+                   CAST(round(p.p_retailprice * 100) AS BIGINT)
+                     AS price_c,
+                   CAST(p.p_size AS BIGINT) AS p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))""",
+        "mixture_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+            FROM documents
+            WHERE """ + relational.mixture_sample_sql_pred(
+            "source", "doc_id", MIXTURE_RATES, default_rate=0.1),
         "pagerank": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o,
                               CAST(l_partkey AS BIGINT) AS i

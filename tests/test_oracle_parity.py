@@ -208,6 +208,10 @@ def registry(ray_session):
     "events_twap",
     # fixed-point PageRank, 3 exact integer message-passing rounds
     "pagerank",
+    # skyline / Pareto frontier via the local-skyline combiner
+    "parts_skyline",
+    # per-source mixture sampling (deterministic md5 rates)
+    "mixture_sample",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1746,3 +1746,106 @@ def pagerank_iters(edges, a="a", b="b", iters=3, scale=PR_SCALE,
                 // damping_den}), batch_format="pandas")
 
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier) via the local-skyline combiner
+
+def _pareto_mask(vals):
+    """Boolean mask of non-dominated rows. ``vals`` is (n, d) float64
+    already oriented so SMALLER IS BETTER in every column. x dominates
+    y iff x <= y everywhere and x < y somewhere. O(n²) vectorized in
+    d·n² comparisons — callers bound n (a batch, or the union of local
+    skylines)."""
+    n = len(vals)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    le = np.ones((n, n), dtype=bool)
+    lt = np.zeros((n, n), dtype=bool)
+    for j in range(vals.shape[1]):
+        c = vals[:, j]
+        le &= c[:, None] <= c[None, :]
+        lt |= c[:, None] < c[None, :]
+    dominated = (le & lt).any(axis=0)
+    return ~dominated
+
+
+def skyline(ds, cols, directions, keep=()):
+    """The SKYLINE / Pareto-frontier operator (preference queries;
+    Börzsönyi et al. 2001; engine-new): rows not dominated by any
+    other row, ``directions[i]`` ∈ {"min", "max"} per column.
+
+    Scale shape: the local-skyline COMBINER — dominance is transitive,
+    so every batch can drop its dominated rows before anything moves
+    (a batch's skyline is a superset of its contribution to the global
+    one); only the local survivors travel to a single final merge
+    group. The exchange is bounded by Σ per-batch skyline sizes —
+    small for correlated data, and the worst case (anti-correlated
+    columns, skyline ≈ everything) is a property of the QUERY, not of
+    the operator. Duplicated points dominate nothing strictly, so all
+    copies survive — same as SQL NOT EXISTS dominance.
+    """
+    if len(cols) != len(directions) or \
+            any(d not in ("min", "max") for d in directions):
+        raise ValueError("skyline: directions must be min/max per col")
+    keep = list(keep)
+    sign = np.array([1.0 if d == "min" else -1.0 for d in directions])
+
+    def oriented(df):
+        return df[list(cols)].to_numpy(np.float64) * sign
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[list(cols) + keep]
+        out = out[_pareto_mask(oriented(df))].copy()
+        out["_one"] = np.int8(0)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[_pareto_mask(oriented(g))]
+        return out.drop(columns=["_one"])
+
+    return ds.select_columns(list(cols) + keep).map_batches(
+        local, batch_format="pandas").groupby("_one").map_groups(
+        final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling: per-group deterministic Bernoulli rates
+
+def mixture_sample(ds, group_col, id_col, rates, default_rate=0.0,
+                   seed=0):
+    """Training-data MIXTURE construction: sample each group (source /
+    domain / language) at its own rate, deterministically by md5 of
+    the row id — the standard way LLM corpora reweight sources. Rows
+    never migrate as the corpus grows (same md5-threshold contract as
+    ``bernoulli_sample``); one stateless pass, no exchange.
+    """
+
+    def thresh(g):
+        r = rates.get(g, default_rate)
+        # rate >= 1 must keep EVERY row: "%08x" of 2^32 is NINE chars
+        # ("100000000") and loses the lexicographic compare to almost
+        # every 8-char digest — 'g' sorts above all hex instead
+        return "g" if r >= 1.0 else "%08x" % int(r * (1 << 32))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_hex8(df[id_col], seed)
+        th = df[group_col].map(thresh).to_numpy(dtype=str)
+        return df[h < th]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def mixture_sample_sql_pred(group_expr, id_expr, rates,
+                            default_rate=0.0, seed=0):
+    """The matching DuckDB predicate: a CASE over per-group hex
+    thresholds with the same lexicographic md5 comparison."""
+    def hx(r):
+        return "g" if r >= 1.0 else "%08x" % int(r * (1 << 32))
+
+    cases = " ".join("WHEN '%s' THEN '%s'" % (g, hx(r))
+                     for g, r in sorted(rates.items()))
+    default = hx(default_rate)
+    return ("substr(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 8) < "
+            "(CASE %s %s ELSE '%s' END)"
+            % (id_expr, seed, group_expr, cases, default))
