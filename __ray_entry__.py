@@ -320,6 +320,85 @@ def q_raster_components(sf_dir):
     return label.raster_components(tiles, threshold=1300)
 
 
+def q_areal_interp(sf_dir):
+    """AREAL INTERPOLATION — the GIS reweighting that moves a value
+    surface from one zonal system to another: per polygon,
+    Σ over overlapping tiles of (exact intersection area ×
+    tile band-0 sum). A pure COMPOSITION of engine operators: the
+    grid-partitioned overlay join (box_overlap_join, one
+    groupby(cell) shuffle) → partitioned hash_join with the per-tile
+    value sums (combiner-computed, never a pixel payload) → exact
+    int64 groupby(poly). Oracle: the overlay SQL joined to the
+    tile-sums sidecar."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from unmixing_ray import geo
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage, relational
+    from unmixing_ray.stages.decode import binary_views
+    corpus, tiles = _tiles_ds(sf_dir)
+
+    def to_bbox(batch: pa.Table) -> pa.Table:
+        gts = batch["gt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        n = len(gts)
+        x0 = np.empty(n)
+        y0 = np.empty(n)
+        x1 = np.empty(n)
+        y1 = np.empty(n)
+        for i, gt in enumerate(gts):
+            (a, b), (c, d) = geo.pixel_to_xy(
+                [(0, 0), (int(ws[i]), int(hs[i]))], gt)
+            x0[i], y1[i], x1[i], y0[i] = a, b, c, d
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "xmin": pa.array(x0), "ymin": pa.array(y0),
+            "xmax": pa.array(x1), "ymax": pa.array(y1)})
+
+    boxes = tiles.select_columns(["tile_id", "gt", "w", "h"])        .map_batches(to_bbox, batch_format="pyarrow")
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    overlay = jstage.box_overlap_join(boxes, polys,
+                                      level=synth.CELL_LEVEL)
+
+    def b0_sums(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        sums = []
+        for i in range(batch.num_rows):
+            n = int(hs[i]) * int(ws[i])
+            sums.append(int(values[offsets[i]:offsets[i] + n]
+                            .astype(np.int64).sum()))
+        return pa.table({"tile_id": batch["tile_id"],
+                         "b0_sum": pa.array(sums, pa.int64())})
+
+    tsums = tiles.select_columns(
+        ["tile_id", "h", "w", "bands", "pixels"]).map_batches(
+        b0_sums, batch_format="pyarrow")
+    joined = relational.hash_join(
+        overlay, tsums, "tile_id",
+        left_cols=["poly_id", "area_x4"], right_cols=["b0_sum"])
+    out = joined.map_batches(
+        lambda df: pd.DataFrame({
+            "poly_id": df["poly_id"].astype(str),
+            "n_tiles": np.int64(1),
+            "area_x4_sum": df["area_x4"].astype("int64"),
+            "wsum": df["area_x4"].astype("int64").to_numpy()
+            * df["b0_sum"].astype("int64").to_numpy()})
+        .groupby("poly_id", as_index=False).sum(),
+        batch_format="pandas").groupby("poly_id").aggregate(
+        Sum("n_tiles", alias_name="n_tiles"),
+        Sum("area_x4_sum", alias_name="area_x4_sum"),
+        Sum("wsum", alias_name="wsum"))
+    return out.map_batches(
+        lambda df: df.astype({"n_tiles": "int64",
+                              "area_x4_sum": "int64",
+                              "wsum": "int64"}), batch_format="pandas")
+
+
 def q_region_props(sf_dir):
     """Per-image region properties (area / centroid numerators / bbox)
     of the largest connected component (stages/label.py:region_props —
@@ -2947,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_majority_expected(sf)
                 _synth.generate_flow_expected(sf)
                 _synth.generate_regionprops_expected(sf)
+                _synth.generate_tilesums_expected(sf)
             except Exception:
                 pass
     return {
@@ -2966,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
+        "areal_interp": q_areal_interp,
         "pixel_to_xy": q_pixel_to_xy,
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
@@ -3181,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_majority_expected(sf)
                 _synth.generate_flow_expected(sf)
                 _synth.generate_regionprops_expected(sf)
+                _synth.generate_tilesums_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -3208,6 +3290,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
                    n_valid
             FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "areal_interp": f"""
+            WITH t AS (
+              SELECT tile_id,
+                     0*gt1 + gt0 AS xmin, 32*gt1 + gt0 AS xmax,
+                     32*gt5 + gt3 AS ymin, 0*gt5 + gt3 AS ymax
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            ov AS (
+              SELECT t.tile_id, p.poly_id,
+                     CAST(round((least(t.xmax, p.xmax)
+                                 - greatest(t.xmin, p.xmin)) * 2)
+                          * round((least(t.ymax, p.ymax)
+                                   - greatest(t.ymin, p.ymin)) * 2)
+                          AS BIGINT) AS area_x4
+              FROM t JOIN read_parquet('{C}/polygons.parquet') p
+                ON t.xmin < p.xmax AND p.xmin < t.xmax
+               AND t.ymin < p.ymax AND p.ymin < t.ymax)
+            SELECT ov.poly_id,
+                   CAST(count(*) AS BIGINT) AS n_tiles,
+                   CAST(sum(ov.area_x4) AS BIGINT) AS area_x4_sum,
+                   CAST(sum(ov.area_x4 * s.b0_sum) AS BIGINT) AS wsum
+            FROM ov
+            JOIN read_parquet('{C}/tilesums_expected.parquet') s
+              ON s.tile_id = ov.tile_id
+            GROUP BY ov.poly_id""",
         "region_props": f"""
             SELECT image_id, px, sr, sc, r0, c0, r1, c1
             FROM read_parquet('{C}/regionprops_expected.parquet')""",

@@ -212,6 +212,8 @@ def registry(ray_session):
     "parts_skyline",
     # per-source mixture sampling (deterministic md5 rates)
     "mixture_sample",
+    # areal interpolation: overlay join x value sums -> per-polygon
+    "areal_interp",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2563,3 +2563,44 @@ def generate_regionprops_expected(sf_dir, threshold=1300):
     pq.write_table(t, str(out / "regionprops_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+TILESUMS_VERSION = 1
+
+
+def generate_tilesums_expected(sf_dir):
+    """Write the ``tilesums_expected.parquet`` sidecar: per-tile band-0
+    pixel sums (exact int64), the value side of areal-interpolation
+    oracles — computed full-image and tiled the same way the engine's
+    decode path tiles."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_TILESUMS_DONE"
+    stamp = "tilesums v%d" % TILESUMS_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "b0_sum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        b0 = arr[0].astype(np.int64)
+        H, W = b0.shape
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                blk = b0[ty * TILE:(ty + 1) * TILE,
+                         tx * TILE:(tx + 1) * TILE]
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["b0_sum"].append(int(blk.sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "b0_sum": pa.array(rows["b0_sum"], pa.int64())})
+    pq.write_table(t, str(out / "tilesums_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
