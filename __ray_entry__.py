@@ -1607,6 +1607,20 @@ def q_orders_snapshot_diff(sf_dir):
         year_counts(1995), year_counts(1996), "ckey", "n")
 
 
+def q_sequence_match(sf_dir):
+    """Ordered 3-step sequence match (MATCH_RECOGNIZE-lite) — sessions
+    containing view -> click -> purchase as a strict-time subsequence,
+    with the greedy earliest-feasible step timestamps
+    (stages/events.py:sequence_match — one user-key shuffle,
+    vectorized per-session scan). Oracle: sessionize-and-chain
+    min-pick SQL with identical greedy semantics."""
+    from unmixing_ray.stages import events as estage
+    return estage.sequence_match(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]),
+        gap_s=86400)
+
+
 def q_events_twap(sf_dir):
     """Per-user time-weighted average (TWAP) ingredients
     (stages/events.py:time_weighted_avg — value held until the next
@@ -3097,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": q_basket_pairs,
         "user_streaks": q_user_streaks,
         "events_twap": q_events_twap,
+        "sequence_match": q_sequence_match,
         "parts_skyline": q_parts_skyline,
         "mixture_sample": q_mixture_sample,
         "pagerank": q_pagerank,
@@ -3878,6 +3893,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ix ON lc.flag = ix.flag AND lc.qty = ix.qty""",
         "user_streaks": events.user_streaks_sql(),
         "events_twap": events.time_weighted_avg_sql(),
+        "sequence_match": events.sequence_match_sql(gap_s=86400),
         "parts_skyline": """
             SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
                    CAST(round(p.p_retailprice * 100) AS BIGINT)

@@ -214,6 +214,8 @@ def registry(ray_session):
     "mixture_sample",
     # areal interpolation: overlay join x value sums -> per-polygon
     "areal_interp",
+    # 3-step ordered sequence match (MATCH_RECOGNIZE-lite)
+    "sequence_match",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

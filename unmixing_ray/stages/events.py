@@ -883,3 +883,129 @@ def time_weighted_avg_sql():
                  AS twap_den,
                CAST(count(t_next) AS BIGINT) AS n_intervals
         FROM w GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# ordered sequence matching (MATCH_RECOGNIZE-lite): does a session
+# contain the steps as a subsequence?
+
+def sequence_match(events, steps=("view", "click", "purchase"),
+                   gap_s=1800):
+    """Per-session ordered funnel over ANY number of steps — the
+    strict-subsequence pattern match (each step strictly after the
+    previous one, other events may interleave; the
+    MATCH_RECOGNIZE-lite every funnel tool implements). Output one row
+    per session that contains the FULL sequence: user, session index,
+    and the microsecond timestamp of each matched step under the
+    GREEDY (earliest-feasible) strategy — leftmost match of step 1,
+    then earliest later step 2, etc. Greedy is the unique minimal
+    match, so the output is deterministic and SQL-replayable (chained
+    min-over-window subqueries).
+
+    Scale shape: one ``groupby(user)`` shuffle of the projected
+    columns (type + µs only); sessionization and the subsequence scan
+    are vectorized per group — one ``searchsorted`` pass per step, no
+    Python loop over events.
+    """
+    steps = list(steps)
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        sess = np.concatenate(
+            [[0], (np.diff(t) > gap_us).cumsum()]).astype(np.int64)
+        out = {"user_id": [], "session_idx": []}
+        for si in range(len(steps)):
+            out["t_step%d" % si] = []
+        for s in np.unique(sess):
+            m = sess == s
+            ts_s = t[m]
+            et_s = et[m]
+            # greedy subsequence scan, one step at a time; the "after"
+            # relation is STRICT TIME (not position), matching the SQL
+            # replay's x.t > t_prev under timestamp ties
+            last_t = None
+            hits = []
+            ok = True
+            for step in steps:
+                cand = (et_s == step) if last_t is None else \
+                    ((et_s == step) & (ts_s > last_t))
+                idx = np.nonzero(cand)[0]
+                if not len(idx):
+                    ok = False
+                    break
+                last_t = int(ts_s[idx[0]])
+                hits.append(last_t)
+            if ok:
+                out["user_id"].append(
+                    np.int64(g["user_id"].iloc[0]))
+                out["session_idx"].append(np.int64(s))
+                for si, hv in enumerate(hits):
+                    out["t_step%d" % si].append(hv)
+        df = pd.DataFrame(out)
+        cast = {"user_id": "int64", "session_idx": "int64",
+                **{"t_step%d" % si: "int64"
+                   for si in range(len(steps))}}
+        return df.astype(cast) if len(df) else pd.DataFrame(
+            {k: pd.Series([], dtype="int64") for k in cast})
+
+    return events.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]).groupby("user_id")\
+        .map_groups(per_group, batch_format="pandas")
+
+
+def sequence_match_sql(steps=("view", "click", "purchase"),
+                       gap_s=1800):
+    """DuckDB oracle: sessionize with the islands trick, then chain
+    greedy earliest-feasible picks as correlated min() subqueries."""
+    steps = list(steps)
+    sess = f"""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+                 CASE WHEN epoch_us(ts)
+                           - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                           > {int(gap_s) * 1_000_000}
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, event_type, t,
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS session_idx
+          FROM o)"""
+    if len(steps) != 3:
+        raise ValueError("oracle emitted for exactly 3 steps")
+    a, b, c = steps
+    return sess + f""",
+        p0 AS (
+          SELECT user_id, session_idx,
+                 min(CASE WHEN event_type = '{a}' THEN t END)
+                   AS t_step0
+          FROM s GROUP BY user_id, session_idx),
+        p1 AS (
+          SELECT s.user_id, s.session_idx, p0.t_step0,
+                 min(CASE WHEN s.event_type = '{b}'
+                          AND s.t > p0.t_step0 THEN s.t END)
+                   AS t_step1
+          FROM s JOIN p0 ON p0.user_id = s.user_id
+                        AND p0.session_idx = s.session_idx
+          WHERE p0.t_step0 IS NOT NULL
+          GROUP BY s.user_id, s.session_idx, p0.t_step0),
+        p2 AS (
+          SELECT s.user_id, s.session_idx, p1.t_step0, p1.t_step1,
+                 min(CASE WHEN s.event_type = '{c}'
+                          AND s.t > p1.t_step1 THEN s.t END)
+                   AS t_step2
+          FROM s JOIN p1 ON p1.user_id = s.user_id
+                        AND p1.session_idx = s.session_idx
+          WHERE p1.t_step1 IS NOT NULL
+          GROUP BY s.user_id, s.session_idx, p1.t_step0, p1.t_step1)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(t_step0 AS BIGINT) AS t_step0,
+               CAST(t_step1 AS BIGINT) AS t_step1,
+               CAST(t_step2 AS BIGINT) AS t_step2
+        FROM p2 WHERE t_step2 IS NOT NULL"""
