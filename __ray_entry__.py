@@ -1687,6 +1687,66 @@ def q_mixture_sample(sf_dir):
             "source": df["source"]}), batch_format="pandas")
 
 
+# 8 bands: totals above $400k fall outside every band -> label -1,
+# keeping the miss path non-vacuous
+PRICE_BANDS = [(i * 5_000_000, (i + 1) * 5_000_000, i)
+               for i in range(8)]
+
+
+def q_merge_aggregate(sf_dir):
+    """Incremental view maintenance
+    (stages/relational.py:merge_aggregate): the 1995-96 per-customer
+    spend state folded with the 1997 delta WITHOUT recomputation —
+    delta pre-aggregated per batch, one tag-union groupby. Oracle:
+    the full recomputation over 1995-97."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+
+    def spend(lo_y, hi_y, aggregated):
+        lo = pd.Timestamp(f"{lo_y}-01-01").to_numpy()
+        hi = pd.Timestamp(f"{hi_y}-01-01").to_numpy()
+        ds = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate",
+                            "o_totalprice"]).map_batches(
+            lambda df: pd.DataFrame({
+                "ckey": df["o_custkey"].astype("int64"),
+                "spend_c": np.rint(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64),
+            })[((df["o_orderdate"].to_numpy() >= lo)
+                & (df["o_orderdate"].to_numpy() < hi))],
+            batch_format="pandas")
+        if not aggregated:
+            return ds
+        return ds.map_batches(
+            lambda df: df.groupby("ckey", as_index=False).sum(),
+            batch_format="pandas").groupby("ckey").aggregate(
+            Sum("spend_c", alias_name="spend_c")).map_batches(
+            lambda df: df.astype({"ckey": "int64",
+                                  "spend_c": "int64"}),
+            batch_format="pandas")
+
+    return relational.merge_aggregate(
+        spend(1995, 1997, aggregated=True),
+        spend(1997, 1998, aggregated=False), "ckey", "spend_c")
+
+
+def q_orders_price_band(sf_dir):
+    """Non-equi BETWEEN lookup against a broadcast band table
+    (stages/relational.py:range_lookup — one searchsorted per batch,
+    zero exchange where a naive plan shuffles a theta-join): order
+    totals bucketed into $50k price bands, out-of-range -> -1.
+    Oracle: the SQL BETWEEN join against an inline VALUES table."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "price_c": np.rint(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}), batch_format="pandas")
+    return relational.range_lookup(ds, "price_c", PRICE_BANDS,
+                                   keep=["okey"])
+
+
 def q_basket_pairs(sf_dir):
     """Market-basket pair mining over orders
     (stages/relational.py:basket_pairs): per-order distinct part pairs
@@ -3113,6 +3173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twap": q_events_twap,
         "sequence_match": q_sequence_match,
         "parts_skyline": q_parts_skyline,
+        "merge_aggregate": q_merge_aggregate,
+        "orders_price_band": q_orders_price_band,
         "mixture_sample": q_mixture_sample,
         "pagerank": q_pagerank,
         "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -3894,6 +3956,24 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": events.user_streaks_sql(),
         "events_twap": events.time_weighted_avg_sql(),
         "sequence_match": events.sequence_match_sql(gap_s=86400),
+        "merge_aggregate": """
+            SELECT CAST(o_custkey AS BIGINT) AS ckey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_c
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey""",
+        "orders_price_band": """
+            WITH bands(lo, hi, label) AS (VALUES (0, 5000000, 0), (5000000, 10000000, 1), (10000000, 15000000, 2), (15000000, 20000000, 3), (20000000, 25000000, 4), (25000000, 30000000, 5), (30000000, 35000000, 6), (35000000, 40000000, 7)),
+            o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+                         CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS price_c
+                  FROM orders)
+            SELECT o.price_c, o.okey,
+                   CAST(COALESCE(b.label, -1) AS BIGINT) AS band
+            FROM o LEFT JOIN bands b
+              ON o.price_c >= b.lo AND o.price_c < b.hi""",
         "parts_skyline": """
             SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
                    CAST(round(p.p_retailprice * 100) AS BIGINT)

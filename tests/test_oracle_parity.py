@@ -216,6 +216,10 @@ def registry(ray_session):
     "areal_interp",
     # 3-step ordered sequence match (MATCH_RECOGNIZE-lite)
     "sequence_match",
+    # incremental aggregate maintenance (state + delta upsert)
+    "merge_aggregate",
+    # broadcast non-equi BETWEEN range lookup
+    "orders_price_band",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

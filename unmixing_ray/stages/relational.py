@@ -1849,3 +1849,78 @@ def mixture_sample_sql_pred(group_expr, id_expr, rates,
     return ("substr(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 8) < "
             "(CASE %s %s ELSE '%s' END)"
             % (id_expr, seed, group_expr, cases, default))
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (IVM): fold a delta into a state
+
+def merge_aggregate(state, delta, key, val):
+    """Incremental view maintenance for a SUM/COUNT aggregate: fold a
+    DELTA (raw keyed rows, possibly many per key) into an existing
+    aggregated STATE (key-unique) without recomputing from scratch —
+    the nightly-batch upsert every warehouse pipeline runs. Output is
+    the new key-unique state: state value + sum(delta values), keys
+    from either side.
+
+    Scale shape: the delta side pre-aggregates per batch (combiner),
+    then both sides ride ONE tag-union ``groupby(key)`` — the
+    exchange carries the state rows plus one row per (key, delta
+    batch), never the raw delta multiplicity.
+    """
+    from ray.data.aggregate import Sum
+
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: df[key].astype(np.int64),
+                             "_v": df[val].astype(np.int64)})
+
+    def tag_delta(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({key: df[key].astype(np.int64),
+                          "_v": df[val].astype(np.int64)})
+        return g.groupby(key, as_index=False).sum()
+
+    both = state.select_columns([key, val]).map_batches(
+        tag_state, batch_format="pandas").union(
+        delta.select_columns([key, val]).map_batches(
+            tag_delta, batch_format="pandas"))
+    out = both.groupby(key).aggregate(Sum("_v", alias_name=val))
+    return out.map_batches(
+        lambda df: df.astype({key: "int64", val: "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast range lookup (non-equi BETWEEN join against a small table)
+
+def range_lookup(ds, val_col, bands, label_col="band", keep=()):
+    """Non-equi BETWEEN lookup against a SMALL sorted band table — the
+    IP-to-geo / price-band / rating-bucket pattern: each row's value
+    is assigned the label of the band whose [lo, hi) interval contains
+    it. ``bands`` is a list of (lo, hi, label) with lo sorted
+    ascending; intervals must not overlap (asserted once). Rows
+    outside every band get label -1.
+
+    Scale shape: the band table broadcasts by value in the closure
+    (small by contract); the lookup is one ``searchsorted`` per batch
+    — a stateless map, zero exchange, where a naive plan would shuffle
+    for a theta-join.
+    """
+    bands = sorted(bands)
+    lows = np.array([b[0] for b in bands], dtype=np.int64)
+    highs = np.array([b[1] for b in bands], dtype=np.int64)
+    labels = np.array([b[2] for b in bands], dtype=np.int64)
+    if not ((highs[:-1] <= lows[1:]).all() and (lows < highs).all()):
+        raise ValueError("range_lookup: bands must be disjoint, "
+                         "lo-sorted, and non-empty")
+    keep = list(keep)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.int64)
+        pos = np.searchsorted(lows, v, side="right") - 1
+        safe = np.maximum(pos, 0)
+        hit = (pos >= 0) & (v < highs[safe])
+        out = df[[val_col, *keep]].copy()
+        out[label_col] = np.where(hit, labels[safe], -1).astype(np.int64)
+        return out
+
+    return ds.select_columns([val_col, *keep]).map_batches(
+        fn, batch_format="pandas")
