@@ -576,6 +576,32 @@ def q_cell_density(sf_dir):
     return rollup.cell_density(tiles)
 
 
+def q_zonal_majority(sf_dir):
+    """Zonal MAJORITY — the categorical sibling of zonal_stats
+    (land-cover share per polygon): per-tile class-count vectors
+    (combiner), broadcast STRtree PIP probe, (poly, class) partials,
+    argmax with smallest-class tiebreak
+    (stages/join.py:zonal_majority). Oracle: SQL over the per-tile
+    class sidecar joined to the polygon bboxes with a window argmax."""
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    return jstage.zonal_majority(tiles, polygons)
+
+
+def q_lineitem_cube(sf_dir):
+    """GROUP BY CUBE(returnflag, linestatus) — all four grouping sets
+    in one shuffle via the subset combiner
+    (stages/relational.py:cube_sums); exact cents."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice"])
+    return relational.cube_sums(
+        ds, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+
+
 def q_zonal_stats(sf_dir):
     """Zonal statistics (raster×vector classic): per polygon, sum +
     valid-pixel count of band 0 over tiles whose center is inside.
@@ -3101,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_flow_expected(sf)
                 _synth.generate_regionprops_expected(sf)
                 _synth.generate_tilesums_expected(sf)
+                _synth.generate_tileclass_expected(sf)
             except Exception:
                 pass
     return {
@@ -3125,6 +3152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_knn": q_spatial_join_knn,
         "zonal_stats": q_zonal_stats,
+        "zonal_majority": q_zonal_majority,
+        "lineitem_cube": q_lineitem_cube,
         "rasterize_count": q_rasterize_count,
         "mask_counts": q_mask_counts,
         "band_stats": q_band_stats,
@@ -3340,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_flow_expected(sf)
                 _synth.generate_regionprops_expected(sf)
                 _synth.generate_tilesums_expected(sf)
+                _synth.generate_tileclass_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -3594,6 +3624,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{C}/polygons.parquet') p
               ON t.cx BETWEEN p.xmin AND p.xmax
              AND t.cy BETWEEN p.ymin AND p.ymax""",
+        "zonal_majority": f"""
+            WITH pc AS (
+              SELECT p.poly_id, c.cls, CAST(sum(c.n) AS BIGINT) AS n
+              FROM read_parquet('{C}/tiles_expected.parquet') t
+              JOIN read_parquet('{C}/tileclass_expected.parquet') c
+                USING (tile_id)
+              JOIN read_parquet('{C}/polygons.parquet') p
+                ON t.cx BETWEEN p.xmin AND p.xmax
+               AND t.cy BETWEEN p.ymin AND p.ymax
+              GROUP BY p.poly_id, c.cls),
+            r AS (
+              SELECT poly_id, cls, n,
+                     sum(n) OVER (PARTITION BY poly_id) AS n_px,
+                     row_number() OVER (PARTITION BY poly_id
+                                        ORDER BY n DESC, cls) AS rn
+              FROM pc)
+            SELECT poly_id, CAST(cls AS BIGINT) AS maj_cls,
+                   CAST(n AS BIGINT) AS maj_n,
+                   CAST(n_px AS BIGINT) AS n_px
+            FROM r WHERE rn = 1""",
+        "lineitem_cube": relational.cube_sums_sql(
+            "lineitem", ["l_returnflag", "l_linestatus"],
+            "l_extendedprice"),
         "zonal_stats": f"""
             SELECT p.poly_id,
                    CAST(count(*) AS BIGINT) AS n_tiles,

@@ -220,6 +220,10 @@ def registry(ray_session):
     "merge_aggregate",
     # broadcast non-equi BETWEEN range lookup
     "orders_price_band",
+    # zonal majority (categorical land-cover share per polygon)
+    "zonal_majority",
+    # GROUP BY CUBE via the subset combiner
+    "lineitem_cube",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2604,3 +2604,54 @@ def generate_tilesums_expected(sf_dir):
     pq.write_table(t, str(out / "tilesums_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+TILECLASS_VERSION = 1
+
+
+def generate_tileclass_expected(sf_dir, div=800, n_classes=8):
+    """Write the ``tileclass_expected.parquet`` sidecar: per-(tile,
+    class) pixel counts of the band-0 classification
+    ``clip(b0 // div, 0, n_classes-1)`` with NODATA excluded — the
+    value side of zonal-majority oracles."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..constants import NODATA
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_TILECLASS_DONE"
+    stamp = "tileclass v%d d%d c%d" % (TILECLASS_VERSION, div,
+                                       n_classes)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "cls": [], "n": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        b0 = arr[0].astype(np.int64)
+        H, W = b0.shape
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                blk = b0[ty * TILE:(ty + 1) * TILE,
+                         tx * TILE:(tx + 1) * TILE]
+                v = blk[blk != NODATA]
+                cls = np.clip(v // div, 0, n_classes - 1)
+                cnt = np.bincount(cls, minlength=n_classes)
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                for c in range(n_classes):
+                    if cnt[c]:
+                        rows["tile_id"].append(tid)
+                        rows["cls"].append(c)
+                        rows["n"].append(int(cnt[c]))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "cls": pa.array(rows["cls"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64())})
+    pq.write_table(t, str(out / "tileclass_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -849,3 +849,62 @@ def box_union_area(polygons_ds, level):
     total = parts.sum("area_x4")
     return pd.DataFrame({"union_area_x4": pd.Series(
         [int(total or 0)], dtype="int64")})
+
+
+def zonal_majority(tiles, polygons, div=800, n_classes=8):
+    """Zonal MAJORITY — per polygon, the most frequent band-0 class
+    (``clip(b0 // div, 0, n_classes−1)``, NODATA excluded) over tiles
+    whose center falls inside the polygon; deterministic tiebreak =
+    smallest class. The categorical sibling of :func:`zonal_stats`
+    (land-cover share reporting).
+
+    Combiner-before-shuffle: each batch reduces its tiles to
+    n_classes-long count vectors, probes the broadcast polygon STRtree
+    (built once per worker), and pre-aggregates (poly, class) counts
+    locally — the exchange carries ≤ |polygons|·n_classes rows per
+    batch; pixels never shuffle. Output: poly_id, maj_cls, maj_n,
+    n_px (total classified pixels in the zone).
+    """
+    from ..constants import NODATA
+    from .decode import binary_views
+
+    ref = ray.put(polygons)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        n = batch.num_rows
+        counts = np.zeros((n, n_classes), dtype=np.int64)
+        for i in range(n):
+            npx = int(hs[i]) * int(ws[i])
+            b0 = values[offsets[i]:offsets[i] + npx].astype(np.int64)
+            b0 = b0[b0 != NODATA]
+            cls = np.clip(b0 // div, 0, n_classes - 1)
+            counts[i] = np.bincount(cls, minlength=n_classes)
+        pip = cached_probe_actor(ref, 0)(
+            batch.select(["tile_id", "cell", "cx", "cy"])).to_pandas()
+        pip = pip[pip["kind"] == "pip"][["tile_id", "poly_id"]]
+        stats = pd.DataFrame({
+            "tile_id": batch["tile_id"].to_pylist(),
+            **{"c%d" % c: counts[:, c] for c in range(n_classes)}})
+        m = pip.merge(stats, on="tile_id")
+        agg = m.groupby("poly_id", as_index=False)[
+            ["c%d" % c for c in range(n_classes)]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["c%d" % c for c in range(n_classes)]
+        tot = g[cols].sum(axis=0).to_numpy(np.int64)
+        maj = int(np.argmax(tot))          # first max = smallest class
+        return pd.DataFrame({
+            "poly_id": g["poly_id"].iloc[:1].reset_index(drop=True),
+            "maj_cls": pd.Series([maj], dtype="int64"),
+            "maj_n": pd.Series([int(tot[maj])], dtype="int64"),
+            "n_px": pd.Series([int(tot.sum())], dtype="int64")})
+
+    parts = tiles.select_columns(
+        ["tile_id", "cell", "cx", "cy", "h", "w", "bands", "pixels"])\
+        .map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("poly_id").map_groups(
+        merge, batch_format="pandas")

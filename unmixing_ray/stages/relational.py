@@ -1924,3 +1924,69 @@ def range_lookup(ds, val_col, bands, label_col="band", keep=()):
 
     return ds.select_columns([val_col, *keep]).map_batches(
         fn, batch_format="pandas")
+
+
+def cube_sums(ds, keys, val, scale=100, marker=ROLLUP_ALL):
+    """GROUP BY CUBE(*keys): exact scaled-integer sum + count for
+    EVERY subset of ``keys`` (2^k grouping sets) in ONE shuffle —
+    the same combiner idea as :func:`rollup_sums`, but iterating all
+    subsets instead of prefixes. The exchange carries at most
+    Σ_subsets |groups| rows per batch (2^k is small by contract — a
+    CUBE over many columns is a query smell, not an operator
+    problem); rolled-away positions carry ``marker``.
+    """
+    import itertools
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df[val].to_numpy() * scale).astype(np.int64)
+        work = df[keys].copy()
+        for k in keys:
+            if (work[k] == marker).any():
+                raise ValueError("cube marker collides with data")
+        work["__v"] = v
+        outs = []
+        for r in range(len(keys), -1, -1):
+            for sub in itertools.combinations(keys, r):
+                gcols = [k for k in keys if k in sub]
+                if gcols:
+                    agg = work.groupby(gcols, as_index=False).agg(
+                        sum_c=("__v", "sum"), n=("__v", "size"))
+                else:
+                    agg = pd.DataFrame({"sum_c": [int(v.sum())],
+                                        "n": [len(v)]})
+                for k in keys:
+                    if k not in sub:
+                        agg[k] = marker
+                outs.append(agg[keys + ["sum_c", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_c"] = out["sum_c"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][keys].copy().reset_index(drop=True)
+        out["sum_c"] = np.int64(g["sum_c"].sum())
+        out["n"] = np.int64(g["n"].sum())
+        return out
+
+    parts = ds.select_columns(keys + [val]).map_batches(
+        partial, batch_format="pandas")
+    return parts.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
+def cube_sums_sql(table, keys, val, scale=100, marker=ROLLUP_ALL):
+    """DuckDB oracle for :func:`cube_sums` (key columns NULL-free)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    sel = ",\n               ".join(
+        f"coalesce({k}, '{marker}') AS {k}" for k in keys)
+    return f"""
+        SELECT {sel},
+               CAST(sum(CAST(round({val} * {scale}) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table}
+        GROUP BY CUBE ({", ".join(keys)})"""
