@@ -113,6 +113,20 @@ def q_focal_mean(sf_dir):
         focal.focal_mean_tiles(tiles, radius=1, scale=1000))
 
 
+def q_convolve_gaussian(sf_dir):
+    """5x5 binomial (Gaussian) kernel convolution via a RADIUS-2
+    cross-tile halo exchange (stages/focal.py:convolve_tiles) — the one
+    query exercising 2-deep halo strips (corner strips are 2x2, edge
+    strips 2xT). Full-window border rule: pixels whose 5x5 window
+    leaves the image contribute 0 and drop out of n_valid. Oracle: the
+    full-image shift-sum sidecar."""
+    import numpy as np
+    from unmixing_ray.stages import focal
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    k1 = np.array([1, 4, 6, 4, 1], dtype=np.int64)
+    return focal.convolve_tiles(tiles, np.outer(k1, k1))
+
+
 def q_pyramid_overview(sf_dir):
     """Level-1 image overview via the spatial reduction tree
     (stages/pyramid.py: local factor-2 block-sum decimation, then a
@@ -3113,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_conv_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
@@ -3133,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assignment": q_tile_assignment,
         "focal_mean": q_focal_mean,
+        "convolve_gaussian": q_convolve_gaussian,
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
         "focal_majority": q_focal_majority,
@@ -3355,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_conv_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
@@ -3390,6 +3407,9 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": f"""
             SELECT tile_id, band, focal_sum_u
             FROM read_parquet('{C}/focal_expected.parquet')""",
+        "convolve_gaussian": f"""
+            SELECT tile_id, band, conv_sum, n_valid
+            FROM read_parquet('{C}/conv_expected.parquet')""",
         "pyramid_overview": f"""
             SELECT ov_id, band, ov_sum_u
             FROM read_parquet('{C}/pyramid_expected.parquet')""",

@@ -174,6 +174,62 @@ def test_focal_stat_variants(ray_session, stat):
             got, want[:, ro:ro + 16, co:co + 16], err_msg=row["tile_id"])
 
 
+def _brute_conv_sums(arr, kernel):
+    """Per-band brute-force kernel-response sums with the full-window
+    border rule (window must lie entirely inside the image)."""
+    p, H, W = arr.shape
+    k = kernel.shape[0]
+    r = k // 2
+    a = arr.astype(np.int64)
+    sums = {}
+    n_valid = 0
+    per_tile = {}
+    for i in range(H):
+        for j in range(W):
+            if i < r or j < r or i >= H - r or j >= W - r:
+                continue
+            n_valid += 1
+            for b in range(p):
+                v = 0
+                for di in range(k):
+                    for dj in range(k):
+                        v += int(kernel[di, dj]) * int(
+                            a[b, i + di - r, j + dj - r])
+                key = (i // 16, j // 16, b)
+                per_tile[key] = per_tile.get(key, 0) + v
+    return per_tile
+
+
+def test_convolve_tiles_matches_brute(ray_session):
+    from unmixing_ray.stages.focal import convolve_tiles
+    rng = np.random.default_rng(31)
+    k1 = np.array([1, 4, 6, 4, 1], dtype=np.int64)
+    kernel = np.outer(k1, k1)
+    images = {
+        "cvA": rng.integers(-300, 4000, (2, 32, 48)).astype(np.int16),
+        "cvB": rng.integers(-300, 4000, (2, 16, 16)).astype(np.int16),
+    }
+    t = _tiles_table(images, 16)
+    out = convolve_tiles(ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2),
+        kernel).to_pandas()
+    assert len(out) == t.num_rows * 2   # one row per (tile, band)
+    for img, arr in images.items():
+        want = _brute_conv_sums(arr, kernel)
+        p, H, W = arr.shape
+        for ty in range(H // 16):
+            for tx in range(W // 16):
+                for b in range(p):
+                    row = out[(out["tile_id"] == "%s_t%d_%d"
+                               % (img, ty, tx)) & (out["band"] == b)]
+                    assert len(row) == 1
+                    assert int(row["conv_sum"].iloc[0]) == \
+                        want.get((ty, tx, b), 0), (img, ty, tx, b)
+    # cvB is a single 16x16 tile: only the interior (16-4)^2 px valid
+    nb = out[out["tile_id"] == "cvB_t0_0"]
+    assert (nb["n_valid"] == 144).all()
+
+
 def _mk_tiles(img, arr, tile):
     """Split (p,H,W) into lattice tile rows."""
     import pandas as pd

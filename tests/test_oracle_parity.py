@@ -224,6 +224,8 @@ def registry(ray_session):
     "zonal_majority",
     # GROUP BY CUBE via the subset combiner
     "lineitem_cube",
+    # 5x5 binomial kernel convolution (radius-2 halo exchange)
+    "convolve_gaussian",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

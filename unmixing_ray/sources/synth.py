@@ -1301,6 +1301,79 @@ def generate_focal_expected(sf_dir, radius=1, scale=1000):
     return str(out)
 
 
+CONV_VERSION = 1
+
+# 5x5 binomial (Gaussian-approximating) kernel — the convolution
+# query's spec, replicated inline on the engine side (__ray_entry__)
+_CONV_K1D = np.array([1, 4, 6, 4, 1], dtype=np.int64)
+
+
+def generate_conv_expected(sf_dir):
+    """Write the ``conv_expected.parquet`` sidecar: per-(tile, band)
+    response sums of the 5x5 binomial kernel over every corpus image,
+    computed FULL-IMAGE with an independent shift-sum formulation (the
+    engine runs the same kernel tile-wise via a radius-2 halo exchange,
+    stages/focal.py:convolve_tiles, so a match proves the 2-deep halo
+    plumbing). Border rule replicated: pixels whose full 5x5 window
+    leaves the image contribute 0 and are excluded from ``n_valid``.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_CONV_DONE"
+    stamp = "conv v%d" % CONV_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    kernel = np.outer(_CONV_K1D, _CONV_K1D)
+    r = kernel.shape[0] // 2
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "band": [], "conv_sum": [], "n_valid": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        a = arr.astype(np.int64)
+        p, H, W = a.shape
+        acc = np.zeros((p, H, W), dtype=np.int64)
+        for di in range(-r, r + 1):
+            for dj in range(-r, r + 1):
+                dst_r = slice(max(0, -di), H - max(0, di))
+                src_r = slice(max(0, di), H - max(0, -di))
+                dst_c = slice(max(0, -dj), W - max(0, dj))
+                src_c = slice(max(0, dj), W - max(0, -dj))
+                acc[:, dst_r, dst_c] += (kernel[di + r, dj + r]
+                                         * a[:, src_r, src_c])
+        ok = np.zeros((H, W), dtype=np.int64)
+        ok[r:H - r, r:W - r] = 1
+        acc *= ok[None, :, :]
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = acc[:, ty * TILE:(ty + 1) * TILE,
+                          tx * TILE:(tx + 1) * TILE]
+                nv = int(ok[ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE].sum())
+                s = blk.sum(axis=(1, 2))
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * p)
+                rows["band"].extend(range(p))
+                rows["conv_sum"].extend(int(v) for v in s)
+                rows["n_valid"].extend([nv] * p)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "conv_sum": pa.array(rows["conv_sum"], pa.int64()),
+        "n_valid": pa.array(rows["n_valid"], pa.int64())})
+    pq.write_table(t, str(out / "conv_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 PYRAMID_VERSION = 1
 
 

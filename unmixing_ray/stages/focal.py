@@ -353,3 +353,79 @@ def focal_class_counts(focal_tiles):
         return pd.DataFrame(rows).astype({"cls": "int64", "n": "int64"})
 
     return focal_tiles.map_batches(counts, batch_format="pandas")
+
+
+def make_conv_assemble(kernel):
+    """Stage B for general integer CONVOLUTION: one tile + its halo
+    strips → per-(tile, band) sums of the kernel response. ``kernel``
+    is a (2r+1, 2r+1) int64 array; the radius is derived from it and
+    must match the explode stage's. Border rule: pixels whose full
+    window leaves the IMAGE contribute 0 and are excluded from
+    ``n_valid`` (the terrain-stage rule, not the shrinking-window
+    focal-mean rule — a weighted kernel has no natural renormalization
+    for partial windows)."""
+    kernel = np.asarray(kernel, dtype=np.int64)
+    kh, kw = kernel.shape
+    assert kh == kw and kh % 2 == 1, "kernel must be odd square"
+    r = kh // 2
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "tile_id": pd.Series([], dtype=object),
+            "band": pd.Series([], dtype="int64"),
+            "conv_sum": pd.Series([], dtype="int64"),
+            "n_valid": pd.Series([], dtype="int64")}
+        me = g[g["kind"] == 0]
+        if not len(me):
+            return pd.DataFrame(empty)
+        m = me.iloc[0]
+        p, H, W = int(m["bands"]), int(m["h"]), int(m["w"])
+        vals = np.zeros((p, H + 2 * r, W + 2 * r), dtype=np.int64)
+        valid = np.zeros((H + 2 * r, W + 2 * r), dtype=np.int64)
+        self_arr = np.frombuffer(m["payload"], dtype=np.int16).reshape(
+            (p, H, W))
+        vals[:, r:r + H, r:r + W] = self_arr
+        valid[r:r + H, r:r + W] = 1
+        for _, s in g[g["kind"] == 1].iterrows():
+            sh, sw = int(s["h"]), int(s["w"])
+            arr = np.frombuffer(s["payload"], dtype=np.int16).reshape(
+                (int(s["bands"]), sh, sw))
+            pr, pc = int(s["pos_r"]), int(s["pos_c"])
+            rs = slice(0, r) if pr < 0 else (
+                slice(r + H, r + H + r) if pr > 0 else slice(r, r + H))
+            cs = slice(0, r) if pc < 0 else (
+                slice(r + W, r + W + r) if pc > 0 else slice(r, r + W))
+            vals[:, rs, cs] = arr
+            valid[rs, cs] = 1
+        acc = np.zeros((p, H, W), dtype=np.int64)
+        ok = np.ones((H, W), dtype=np.int64)
+        for di in range(kh):
+            for dj in range(kw):
+                acc += kernel[di, dj] * vals[:, di:di + H, dj:dj + W]
+                ok &= valid[di:di + H, dj:dj + W]
+        acc *= ok[None, :, :]
+        sums = acc.sum(axis=(1, 2))
+        return pd.DataFrame({
+            "tile_id": [m["tile_id"]] * p,
+            "band": pd.Series(range(p), dtype="int64"),
+            "conv_sum": pd.Series(sums, dtype="int64"),
+            "n_valid": pd.Series([int(ok.sum())] * p, dtype="int64")})
+
+    return assemble
+
+
+def convolve_tiles(tiles, kernel):
+    """Distributed general integer convolution over tiled rasters —
+    the raster-calculator kernel op (Gaussian blur, sharpen, emboss…)
+    via the same halo exchange as every focal stat; the kernel radius
+    sizes the strips (radius 2 ships ~27% strip bytes on 32-px
+    tiles). Returns per-(tile, band) response sums + n_valid."""
+    kernel = np.asarray(kernel, dtype=np.int64)
+    r = kernel.shape[0] // 2
+    exploded = tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h", "w",
+         "bands", "pixels"]).map_batches(
+        make_halo_explode(r), batch_format="pyarrow")
+    return exploded.groupby(
+        ["image_id", "key_row", "key_col"]).map_groups(
+        make_conv_assemble(kernel), batch_format="pandas")
