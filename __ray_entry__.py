@@ -1687,6 +1687,54 @@ def q_pagerank(sf_dir):
     return relational.pagerank_iters(edges, iters=3)
 
 
+def q_cell_bfs(sf_dir):
+    """Depth-capped BFS hop distance over the occupied tile-cell
+    LATTICE from its min-packed-key corner
+    (stages/relational.py:bfs_levels — driver-sequenced rounds, every
+    round a distributed frontier⨝edges hash join + tag-union
+    anti-join of the visited set). Nodes are distinct occupied cells
+    packed ix·2²¹+iy; arcs connect 4-neighbors that are BOTH occupied
+    (a semi-join against the node set), so holes in the lattice bend
+    the frontier. Oracle: a DuckDB recursive CTE over the
+    tiles_expected sidecar."""
+    import ray.data
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import relational
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def nodes_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        return pd.DataFrame({"v": np.unique(pk)})
+
+    from ray.data.aggregate import Count
+    nodes = tiles.map_batches(nodes_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Count()).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64")}),
+        batch_format="pandas").materialize()
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s": np.concatenate([v, v]),
+            "t": np.concatenate([v + (np.int64(1) << 21), v + 1])})
+
+    half = relational.semi_join(
+        nodes.map_batches(cands, batch_format="pandas"),
+        nodes, "t", right_key="v")
+    edges = half.union(half.map_batches(
+        lambda df: pd.DataFrame({"s": df["t"].astype("int64"),
+                                 "t": df["s"].astype("int64")}),
+        batch_format="pandas"))
+    seed_v = int(nodes.min("v"))
+    seeds = ray.data.from_items([{"v": seed_v}])
+    out = relational.bfs_levels(edges, seeds, max_depth=8)
+    return out.map_batches(
+        lambda df: df.astype({"v": "int64", "level": "int64"}),
+        batch_format="pandas")
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -3222,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band": q_orders_price_band,
         "mixture_sample": q_mixture_sample,
         "pagerank": q_pagerank,
+        "cell_bfs": q_cell_bfs,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
@@ -4102,6 +4151,28 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.t),
             fin AS (SELECT v, r FROM it3)
             SELECT v, r FROM fin""",
+        "cell_bfs": f"""
+            WITH RECURSIVE nn AS (
+              SELECT DISTINCT
+                     CAST(cell_ix AS BIGINT) * 2097152
+                       + CAST(cell_iy AS BIGINT) AS v,
+                     CAST(cell_ix AS BIGINT) AS ix,
+                     CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            e AS (
+              SELECT x.v AS s, y.v AS t
+              FROM nn x JOIN nn y
+                ON (x.ix = y.ix AND abs(x.iy - y.iy) = 1)
+                OR (x.iy = y.iy AND abs(x.ix - y.ix) = 1)),
+            bfs AS (
+              SELECT v, CAST(0 AS BIGINT) AS lvl
+              FROM (SELECT min(v) AS v FROM nn)
+              UNION
+              SELECT e.t AS v, bfs.lvl + 1 AS lvl
+              FROM bfs JOIN e ON e.s = bfs.v
+              WHERE bfs.lvl < 8)
+            SELECT v, CAST(min(lvl) AS BIGINT) AS level
+            FROM bfs GROUP BY v""",
         "orders_snapshot_diff": """
             WITH o AS (
               SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v

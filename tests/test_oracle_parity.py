@@ -226,6 +226,8 @@ def registry(ray_session):
     "lineitem_cube",
     # 5x5 binomial kernel convolution (radius-2 halo exchange)
     "convolve_gaussian",
+    # depth-capped BFS hop levels over the occupied cell lattice
+    "cell_bfs",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

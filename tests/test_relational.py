@@ -758,3 +758,32 @@ def test_grouped_rank_matches_pandas(ray_session):
                 == rnk.to_numpy().astype(np.int64)).all(), desc
         assert (got["drnk"].to_numpy()
                 == drk.to_numpy().astype(np.int64)).all(), desc
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_bfs_levels_matches_reference_bfs(ray_session, nblocks):
+    # Path 0-1-2-3-4 with a branch 2-10-11 and an unreachable island
+    # 20-21; undirected (both arc directions listed).
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 10), (10, 11), (20, 21)]
+    arcs = und + [(b, a) for a, b in und]
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"s": [a for a, _ in arcs], "t": [b for _, b in arcs]}
+    ).astype(np.int64)).repartition(nblocks)
+    seeds = ray.data.from_items([{"v": 0}])
+    got = relational.bfs_levels(edges, seeds, max_depth=3)\
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    want = {0: 0, 1: 1, 2: 2, 3: 3, 10: 3}  # 4, 11 at depth 4; island never
+    assert dict(zip(got["v"], got["level"])) == want
+
+
+def test_bfs_levels_multi_seed_min_distance(ray_session):
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    arcs += [(b, a) for a, b in arcs]
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"s": [a for a, _ in arcs], "t": [b for _, b in arcs]}
+    ).astype(np.int64))
+    seeds = ray.data.from_items([{"v": 0}, {"v": 4}, {"v": 4}])
+    got = relational.bfs_levels(edges, seeds, max_depth=8)\
+        .to_pandas()
+    assert dict(zip(got["v"], got["level"])) == \
+        {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}

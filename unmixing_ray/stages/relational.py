@@ -1990,3 +1990,107 @@ def cube_sums_sql(table, keys, val, scale=100, marker=ROLLUP_ALL):
                CAST(count(*) AS BIGINT) AS n
         FROM {table}
         GROUP BY CUBE ({", ".join(keys)})"""
+
+
+# ---------------------------------------------------------------------------
+# breadth-first search: depth-capped shortest hop distance from a seed set
+
+def bfs_levels(edges, seeds, s="s", t="t", node_col="v", max_depth=4,
+               width=8):
+    """Distributed BFS level assignment — exact hop distance from a
+    seed set, depth-capped — over a directed edge list (engine-new;
+    the iterative-frontier graph primitive complementing the
+    fixed-iteration ``pagerank_iters``). ``edges`` must list every
+    traversable arc (emit both directions for an undirected graph);
+    ``seeds`` holds the level-0 nodes in ``node_col``.
+
+    Scale shape: the driver sequences the (inherently sequential)
+    rounds, but every round's WORK is distributed — the frontier joins
+    the partitioned edge table (``hash_join``, both sides large,
+    frontier rows deduped per batch by a combiner before the
+    exchange), and already-visited nodes are removed with the
+    tag-union ``anti_join``; nothing is broadcast or collected to the
+    driver except the per-round emptiness check. The edge table is
+    materialized once (three+ passes read it); the visited set — the
+    output itself — is re-materialized per round (it is the reduced
+    node working set, far smaller than whatever produced the graph).
+    A drained frontier exits before ``max_depth``.
+
+    Determinism: pure set semantics per level — bit-identical at any
+    partitioning. Returns (``node_col``, ``level``) rows with
+    level = exact hop distance ≤ ``max_depth``.
+    """
+
+    def uniq(col_in, col_out):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                col_out: np.unique(df[col_in].to_numpy(np.int64))})
+        return fn
+
+    def global_dedup(ds, col):
+        from ray.data.aggregate import Count
+        return ds.groupby(col).aggregate(Count()).map_batches(
+            lambda df: pd.DataFrame({col: df[col].astype(np.int64)}),
+            batch_format="pandas")
+
+    # Block-count discipline: every per-round set (and the edge table
+    # itself) is re-bucketed to ``width`` blocks before it feeds the
+    # next round. Without this the shuffle width compounds (union adds
+    # the shuffle-output block count of every prior round, and each
+    # groupby sizes itself off its input block count), so per-round
+    # wall time grows ~4x/round even on a 437-node graph. ``width``
+    # should scale with frontier size on big graphs (blocks of
+    # O(100MB)); the default suits corpus-index-sized node sets.
+
+    def levelled(ds, k):
+        return ds.map_batches(
+            lambda df, kk=k: pd.DataFrame({node_col: df[node_col],
+                                           "level": np.int64(kk)}),
+            batch_format="pandas")
+
+    def anti_keys(cand, seen):
+        # schema-free single-column anti-join (the generic anti_join
+        # introspects left.schema(), which forces an extra execution
+        # of the lazy candidate chain every round)
+        tag0 = cand.map_batches(
+            lambda df: pd.DataFrame({node_col: df[node_col],
+                                     "__src": np.int8(0)}),
+            batch_format="pandas")
+        tag1 = seen.map_batches(
+            lambda df: pd.DataFrame({node_col: df[node_col],
+                                     "__src": np.int8(1)}),
+            batch_format="pandas")
+
+        def keep(g: pd.DataFrame) -> pd.DataFrame:
+            if (g["__src"].to_numpy() == 1).any():
+                return g.iloc[0:0][[node_col]]
+            return g.iloc[:1][[node_col]]
+
+        return tag0.union(tag1).groupby(node_col)\
+            .map_groups(keep, batch_format="pandas")
+
+    edges = edges.repartition(width).materialize()
+    frontier = global_dedup(
+        seeds.map_batches(uniq(node_col, node_col),
+                          batch_format="pandas"),
+        node_col).repartition(width).materialize()
+    # ``visited`` stays a LAZY union over the per-level materialized
+    # frontiers: each round's anti_join re-runs only the trivial
+    # level-tag maps (one execution per round, not two), and the block
+    # count is bounded at width x levels.
+    visited = levelled(frontier, 0)
+    for k in range(1, max_depth + 1):
+        probe = frontier.map_batches(uniq(node_col, s),
+                                     batch_format="pandas")
+        nbr = hash_join(probe, edges, s, left_cols=[s],
+                        right_cols=[t])
+        cand = global_dedup(
+            nbr.map_batches(uniq(t, node_col), batch_format="pandas"),
+            node_col)
+        new = anti_keys(cand, visited)\
+            .repartition(width).materialize()
+        if new.count() == 0:
+            break
+        frontier = new
+        visited = visited.union(levelled(new, k))
+    return visited
