@@ -127,6 +127,19 @@ def q_convolve_gaussian(sf_dir):
     return focal.convolve_tiles(tiles, np.outer(k1, k1))
 
 
+def q_glcm_texture(sf_dir):
+    """Per-image GLCM co-occurrence counts (stages/texture.py):
+    quantized band-0 pairs at displacement (0,1) via anchor-in-tile
+    partitioning + a DIRECTED band-pruned leading-edge halo (~1.6% of
+    corpus bytes through the exchange vs focal's ~113%). Texture
+    aggregates (contrast/energy/homogeneity) are SQL over these rows.
+    Oracle: the full-image shifted-pair sidecar."""
+    from unmixing_ray.stages import texture
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return texture.glcm_counts(tiles, levels=16, vmax=9999, dy=0, dx=1,
+                               band=0)
+
+
 def q_pyramid_overview(sf_dir):
     """Level-1 image overview via the spatial reduction tree
     (stages/pyramid.py: local factor-2 block-sum decimation, then a
@@ -3176,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
                 _synth.generate_conv_expected(sf)
+                _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
@@ -3197,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignment": q_tile_assignment,
         "focal_mean": q_focal_mean,
         "convolve_gaussian": q_convolve_gaussian,
+        "glcm_texture": q_glcm_texture,
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
         "focal_majority": q_focal_majority,
@@ -3421,6 +3436,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
                 _synth.generate_conv_expected(sf)
+                _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_hillshade_expected(sf)
@@ -3459,6 +3475,9 @@ def oracle_sql() -> dict[str, str]:
         "convolve_gaussian": f"""
             SELECT tile_id, band, conv_sum, n_valid
             FROM read_parquet('{C}/conv_expected.parquet')""",
+        "glcm_texture": f"""
+            SELECT image_id, la, lb, n
+            FROM read_parquet('{C}/glcm_expected.parquet')""",
         "pyramid_overview": f"""
             SELECT ov_id, band, ov_sum_u
             FROM read_parquet('{C}/pyramid_expected.parquet')""",

@@ -228,6 +228,8 @@ def registry(ray_session):
     "convolve_gaussian",
     # depth-capped BFS hop levels over the occupied cell lattice
     "cell_bfs",
+    # per-image GLCM via the directed leading-edge halo
+    "glcm_texture",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1374,6 +1374,66 @@ def generate_conv_expected(sf_dir):
     return str(out)
 
 
+GLCM_VERSION = 1
+
+
+def generate_glcm_expected(sf_dir, levels=16, vmax=9999, dy=0, dx=1,
+                           band=0):
+    """Write the ``glcm_expected.parquet`` sidecar: the per-image
+    gray-level co-occurrence matrix (la, lb, n) for displacement
+    (dy, dx) over quantized band ``band``, computed FULL-IMAGE with a
+    direct shifted-pair formulation. The engine computes the same
+    counts tile-wise with anchor-in-tile partitioning plus a directed
+    leading-edge halo (stages/texture.py), so a match proves the
+    border-pair plumbing, not just the quantizer. NODATA pixels drop
+    out of every pair; level = clip(v,0,vmax)·levels // (vmax+1).
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..constants import NODATA as ND
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_GLCM_DONE"
+    stamp = "glcm v%d l%d m%d d%d,%d b%d" % (
+        GLCM_VERSION, levels, vmax, dy, dx, band)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "la": [], "lb": [], "n": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())[band]
+        if dy:
+            a, b = arr[:-1, :].ravel(), arr[1:, :].ravel()
+        else:
+            a, b = arr[:, :-1].ravel(), arr[:, 1:].ravel()
+        ok = (a != ND) & (b != ND)
+
+        def q(v):
+            c = np.clip(v.astype(np.int64), 0, vmax)
+            return (c * np.int64(levels)) // np.int64(vmax + 1)
+
+        code = q(a[ok]) * np.int64(levels) + q(b[ok])
+        cnt = np.bincount(code, minlength=levels * levels)
+        nz = np.flatnonzero(cnt)
+        rows["image_id"].extend([img] * len(nz))
+        rows["la"].extend(int(v) for v in nz // levels)
+        rows["lb"].extend(int(v) for v in nz % levels)
+        rows["n"].extend(int(v) for v in cnt[nz])
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "la": pa.array(rows["la"], pa.int64()),
+        "lb": pa.array(rows["lb"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64())})
+    pq.write_table(t, str(out / "glcm_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 PYRAMID_VERSION = 1
 
 
