@@ -1748,6 +1748,62 @@ def q_cell_bfs(sf_dir):
         batch_format="pandas")
 
 
+def q_cell_sssp(sf_dir):
+    """Capped Bellman-Ford shortest path over the occupied tile-cell
+    lattice (stages/relational.py:sssp_rounds — per round ONE
+    distributed frontier⨝edges hash join + a groupby-min label merge).
+    Arc weight = 1 + (target_ix + target_iy) mod 5 (deterministic,
+    SQL-replayable); after 6 rounds dist = exact min over ≤6-hop
+    walks, which a DuckDB recursive CTE enumerates identically.
+    Oracle: recursive walk enumeration over the tiles_expected
+    sidecar."""
+    import ray.data
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import relational
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def nodes_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        return pd.DataFrame({"v": np.unique(pk)})
+
+    from ray.data.aggregate import Count
+    nodes = tiles.map_batches(nodes_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Count()).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64")}),
+        batch_format="pandas").materialize()
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s": np.concatenate([v, v]),
+            "t": np.concatenate([v + (np.int64(1) << 21), v + 1])})
+
+    half = relational.semi_join(
+        nodes.map_batches(cands, batch_format="pandas"),
+        nodes, "t", right_key="v")
+
+    def weighted(df: pd.DataFrame) -> pd.DataFrame:
+        sv = df["s"].to_numpy(np.int64)
+        tv = df["t"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "s": np.concatenate([sv, tv]),
+            "t": np.concatenate([tv, sv])})
+        tt = out["t"].to_numpy(np.int64)
+        ix, iy = tt >> 21, tt & ((np.int64(1) << 21) - 1)
+        out["w"] = 1 + (ix + iy) % 5
+        return out
+
+    edges = half.map_batches(weighted, batch_format="pandas")
+    seed_v = int(nodes.min("v"))
+    seeds = ray.data.from_items([{"v": seed_v}])
+    out = relational.sssp_rounds(edges, seeds, rounds=6)
+    return out.map_batches(
+        lambda df: df.astype({"v": "int64", "dist": "int64"}),
+        batch_format="pandas")
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -3286,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "pagerank": q_pagerank,
         "cell_bfs": q_cell_bfs,
+        "cell_sssp": q_cell_sssp,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
@@ -4192,6 +4249,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.lvl < 8)
             SELECT v, CAST(min(lvl) AS BIGINT) AS level
             FROM bfs GROUP BY v""",
+        "cell_sssp": f"""
+            WITH RECURSIVE nn AS (
+              SELECT DISTINCT
+                     CAST(cell_ix AS BIGINT) * 2097152
+                       + CAST(cell_iy AS BIGINT) AS v,
+                     CAST(cell_ix AS BIGINT) AS ix,
+                     CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            e AS (
+              SELECT x.v AS s, y.v AS t,
+                     1 + (y.ix + y.iy) % 5 AS w
+              FROM nn x JOIN nn y
+                ON (x.ix = y.ix AND abs(x.iy - y.iy) = 1)
+                OR (x.iy = y.iy AND abs(x.ix - y.ix) = 1)),
+            walk AS (
+              SELECT v, CAST(0 AS BIGINT) AS d, 0 AS k
+              FROM (SELECT min(v) AS v FROM nn)
+              UNION
+              SELECT e.t AS v, walk.d + e.w AS d, walk.k + 1 AS k
+              FROM walk JOIN e ON e.s = walk.v
+              WHERE walk.k < 6)
+            SELECT v, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY v""",
         "orders_snapshot_diff": """
             WITH o AS (
               SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v

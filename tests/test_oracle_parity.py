@@ -230,6 +230,8 @@ def registry(ray_session):
     "cell_bfs",
     # per-image GLCM via the directed leading-edge halo
     "glcm_texture",
+    # capped Bellman-Ford weighted shortest path over the cell lattice
+    "cell_sssp",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

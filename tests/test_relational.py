@@ -787,3 +787,42 @@ def test_bfs_levels_multi_seed_min_distance(ray_session):
         .to_pandas()
     assert dict(zip(got["v"], got["level"])) == \
         {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_sssp_rounds_matches_bellman_ford(ray_session, nblocks):
+    # weighted digraph with a shorter 3-hop path beating a 1-hop arc
+    arcs = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10),
+            (3, 4, 2), (5, 6, 1)]   # 5-6 unreachable from 0
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"s": [a for a, _, _ in arcs], "t": [b for _, b, _ in arcs],
+         "w": [w for _, _, w in arcs]}
+    ).astype(np.int64)).repartition(nblocks)
+    seeds = ray.data.from_items([{"v": 0}])
+
+    def reference(k):
+        INF = 1 << 60
+        dist = {0: 0}
+        for _ in range(k):
+            nd = dict(dist)
+            for a, b, w in arcs:
+                if a in dist and dist[a] + w < nd.get(b, INF):
+                    nd[b] = dist[a] + w
+            dist = nd
+        return dist
+
+    for rounds in (1, 3, 6):
+        got = relational.sssp_rounds(edges, seeds, rounds=rounds)\
+            .to_pandas()
+        assert dict(zip(got["v"], got["dist"])) == reference(rounds), \
+            rounds
+
+
+def test_sssp_rounds_multi_seed(ray_session):
+    arcs = [(0, 1, 5), (2, 1, 1)]
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"s": [a for a, _, _ in arcs], "t": [b for _, b, _ in arcs],
+         "w": [w for _, _, w in arcs]}).astype(np.int64))
+    seeds = ray.data.from_items([{"v": 0}, {"v": 2}])
+    got = relational.sssp_rounds(edges, seeds, rounds=2).to_pandas()
+    assert dict(zip(got["v"], got["dist"])) == {0: 0, 2: 0, 1: 1}

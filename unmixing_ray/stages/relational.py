@@ -2094,3 +2094,67 @@ def bfs_levels(edges, seeds, s="s", t="t", node_col="v", max_depth=4,
         frontier = new
         visited = visited.union(levelled(new, k))
     return visited
+
+
+# ---------------------------------------------------------------------------
+# capped Bellman-Ford: exact min distance over walks of <= `rounds` hops
+
+def sssp_rounds(edges, seeds, s="s", t="t", w_col="w", node_col="v",
+                dist_col="dist", rounds=4, width=8):
+    """Distributed single-source (or multi-source) shortest path over a
+    weighted directed edge list, Bellman-Ford style: after round k,
+    ``dist[v]`` is EXACTLY min over walks from the seed set with <= k
+    edges — the fixed-round contract is what makes a distributed SSSP
+    SQL-replayable (a recursive CTE enumerating <=k-hop walks) and
+    hash-checkable, same discipline as ``pagerank_iters``. Integer
+    weights => exact int64 arithmetic, no float-summation hazard.
+
+    Scale shape: each round is ONE dataset execution — the current
+    distance table joins the partitioned edge table (``hash_join``,
+    both sides large), relaxed candidates union the current table, and
+    one ``groupby(node).min`` keeps the best label. Block-count
+    discipline as in :func:`bfs_levels`: every per-round table is
+    re-bucketed to ``width`` blocks (size it to the node-set scale on
+    big graphs). Nothing is collected to the driver.
+
+    ``seeds`` rows need ``node_col`` (distance 0). Returns
+    (``node_col``, ``dist_col``) for every node reachable in <=
+    ``rounds`` hops.
+    """
+    from ray.data.aggregate import Min
+
+    def as_dist(ds):
+        return ds.map_batches(
+            lambda df: pd.DataFrame({
+                node_col: df[node_col].to_numpy(np.int64),
+                dist_col: np.zeros(len(df), np.int64)}),
+            batch_format="pandas")
+
+    def min_by_node(ds):
+        return ds.groupby(node_col)\
+            .aggregate(Min(dist_col, alias_name=dist_col))\
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    node_col: df[node_col].to_numpy(np.int64),
+                    dist_col: df[dist_col].to_numpy(np.int64)}),
+                batch_format="pandas")
+
+    edges = edges.repartition(width).materialize()
+    dist = min_by_node(as_dist(seeds)).repartition(width).materialize()
+    for _k in range(rounds):
+        probe = dist.map_batches(
+            lambda df: pd.DataFrame({
+                s: df[node_col].to_numpy(np.int64),
+                "__d": df[dist_col].to_numpy(np.int64)}),
+            batch_format="pandas")
+        relaxed = hash_join(probe, edges, s, left_cols=["__d"],
+                            right_cols=[t, w_col])
+        cand = relaxed.map_batches(
+            lambda df: pd.DataFrame({
+                node_col: df[t].to_numpy(np.int64),
+                dist_col: df["__d"].to_numpy(np.int64)
+                + df[w_col].to_numpy(np.int64)}),
+            batch_format="pandas")
+        dist = min_by_node(dist.union(cand))\
+            .repartition(width).materialize()
+    return dist
