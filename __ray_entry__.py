@@ -591,6 +591,29 @@ def q_polygon_union_area(sf_dir):
     return jstage.box_union_area(polys, level=synth.CELL_LEVEL)
 
 
+def q_polygon_dissolve_area(sf_dir):
+    """GIS DISSOLVE: union-of-rectangles area per attribute class
+    (stages/join.py:box_union_area_by) — per-(cell, class) slab sweeps
+    behind ONE groupby; class = numeric suffix of poly_id mod 4
+    (deterministic, SQL-replayable). Oracle: the pure-SQL Bentley
+    sweep partitioned by class."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["poly_id", "xmin", "ymin", "xmax", "ymax"]].copy()
+        df["grp"] = df["poly_id"].str[4:].astype(np.int64) % 4
+        return df
+
+    return jstage.box_union_area_by(
+        polys.map_batches(add_grp, batch_format="pandas"),
+        level=synth.CELL_LEVEL, key_col="grp")
+
+
 def q_cell_density(sf_dir):
     """3x3 neighborhood tile density per cell
     (stages/rollup.py:cell_density) — the hot-spot statistic behind
@@ -3372,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
         "polygon_union_area": q_polygon_union_area,
+        "polygon_dissolve_area": q_polygon_dissolve_area,
         "cell_density": q_cell_density,
         "hall_rectification": q_hall_rectification,
         "sasma_abundance": q_sasma_abundance,
@@ -3693,6 +3717,39 @@ def oracle_sql() -> dict[str, str]:
                                 x0, coalesce(rm, x0)))) AS BIGINT)
                      AS union_area_x4
             FROM seg""",
+        "polygon_dissolve_area": f"""
+            WITH p AS (
+              SELECT CAST(SUBSTR(poly_id, 5) AS BIGINT) % 4 AS grp,
+                     CAST(round(xmin * 2) AS BIGINT) AS x0,
+                     CAST(round(ymin * 2) AS BIGINT) AS y0,
+                     CAST(round(xmax * 2) AS BIGINT) AS x1,
+                     CAST(round(ymax * 2) AS BIGINT) AS y1
+              FROM read_parquet('{C}/polygons.parquet')),
+            ys AS (SELECT DISTINCT grp, y FROM
+                   (SELECT grp, y0 AS y FROM p
+                    UNION SELECT grp, y1 AS y FROM p)),
+            slab AS (SELECT grp, y AS s0,
+                            lead(y) OVER (PARTITION BY grp
+                                          ORDER BY y) AS s1
+                     FROM ys),
+            act AS (SELECT s.grp, s.s0, s.s1, p.x0, p.x1
+                    FROM slab s JOIN p
+                      ON p.grp = s.grp
+                     AND p.y0 <= s.s0 AND p.y1 >= s.s1
+                    WHERE s.s1 IS NOT NULL),
+            seg AS (SELECT grp, s0, s1, x0, x1,
+                           max(x1) OVER (PARTITION BY grp, s0, s1
+                                         ORDER BY x0, x1
+                                         ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND 1 PRECEDING)
+                             AS rm
+                    FROM act)
+            SELECT grp,
+                   CAST(sum((s1 - s0)
+                            * greatest(0, x1 - greatest(
+                                x0, coalesce(rm, x0)))) AS BIGINT)
+                     AS union_area_x4
+            FROM seg GROUP BY grp ORDER BY grp""",
         "tile_poly_overlap": f"""
             WITH t AS (
               SELECT tile_id,

@@ -243,6 +243,32 @@ def test_box_union_area_matches_independent_sweep(tiles_and_polygons):
         assert int(got["union_area_x4"][0]) == want, level
 
 
+def test_box_union_area_by_matches_per_key_sweep(tiles_and_polygons):
+    """DISSOLVE form: per-key union areas must equal the independent
+    driver sweep run separately on each key's rectangles, at two
+    grid levels (level-independence is the partitioning proof)."""
+    import ray.data
+    corpus, _tiles, polygons = tiles_and_polygons
+    p = polygons.to_pandas()
+    grp = p["poly_id"].str[4:].astype(np.int64) % 3
+    want = {g: _union_area_brute(p[grp == g]) for g in range(3)}
+    assert all(v > 0 for v in want.values())
+
+    def add_grp(df):
+        df = df[["poly_id", "xmin", "ymin", "xmax", "ymax"]].copy()
+        df["grp"] = df["poly_id"].str[4:].astype(np.int64) % 3
+        return df
+
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    for level in (10, 12):
+        got = jstage.box_union_area_by(
+            polys.map_batches(add_grp, batch_format="pandas"),
+            level=level, key_col="grp").to_pandas()
+        got = dict(zip(got["grp"], got["union_area_x4"]))
+        assert got == want, level
+
+
 def test_box_union_area_hand_case(ray_session):
     """Three overlapping unit-ish rectangles with a hand-computed
     union: [0,2]x[0,2] ∪ [1,3]x[1,3] ∪ [2,4]x[0,1] →

@@ -164,6 +164,8 @@ def registry(ray_session):
     "tile_poly_overlap",
     # union-of-rectangles area via per-cell clip + slab sweep
     "polygon_union_area",
+    # GIS dissolve: per-attribute-class union area (groupby form)
+    "polygon_dissolve_area",
     # forward as-of join with tolerance (next-action attribution)
     "events_asof_forward",
     # trailing ROWS-frame window aggregate via cumsum difference

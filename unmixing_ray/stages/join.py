@@ -851,6 +851,77 @@ def box_union_area(polygons_ds, level):
         [int(total or 0)], dtype="int64")})
 
 
+def box_union_area_by(polygons_ds, level, key_col):
+    """DISSOLVE: union-of-rectangles area PER ATTRIBUTE KEY — the
+    GROUP BY form of :func:`box_union_area` (GIS "dissolve by
+    attribute" reduced to per-key measure sums). Identical scale
+    shape: boxes pre-clipped to covering cells, ONE
+    ``groupby(cell, key)`` shuffle (cells partition the plane, so
+    per-(cell, key) slab sweeps sum exactly to each key's global
+    union), then a tiny per-key aggregate — rectangles of different
+    keys never co-sweep. Doubled-integer arithmetic throughout; the
+    SQL replay is the same window-function sweep partitioned by key.
+    """
+    from ray.data.aggregate import Sum
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        keys, grps = [], []
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for xmin, ymin, xmax, ymax, grp in zip(
+                df["xmin"], df["ymin"], df["xmax"], df["ymax"],
+                df[key_col]):
+            for c in cellindex.cover_bbox(float(xmin), float(ymin),
+                                          float(xmax), float(ymax),
+                                          level):
+                cx0, cy0, cx1, cy1 = cellindex.cell_bounds(np.uint64(c))
+                keys.append(int(c) & cellindex._MORTON_MASK)
+                grps.append(grp)
+                xs0.append(int(np.rint(max(float(xmin), cx0) * 2)))
+                ys0.append(int(np.rint(max(float(ymin), cy0) * 2)))
+                xs1.append(int(np.rint(min(float(xmax), cx1) * 2)))
+                ys1.append(int(np.rint(min(float(ymax), cy1) * 2)))
+        return pd.DataFrame({
+            "pcell": pd.Series(keys, dtype="int64"),
+            key_col: pd.Series(grps, dtype="int64"),
+            "x0": pd.Series(xs0, dtype="int64"),
+            "y0": pd.Series(ys0, dtype="int64"),
+            "x1": pd.Series(xs1, dtype="int64"),
+            "y1": pd.Series(ys1, dtype="int64")})
+
+    def cell_union(group: pd.DataFrame) -> pd.DataFrame:
+        x0 = group["x0"].to_numpy()
+        y0 = group["y0"].to_numpy()
+        x1 = group["x1"].to_numpy()
+        y1 = group["y1"].to_numpy()
+        ys = np.unique(np.concatenate([y0, y1]))
+        total = 0
+        for s0, s1 in zip(ys[:-1], ys[1:]):
+            act = (y0 <= s0) & (y1 >= s1)
+            if not act.any():
+                continue
+            ax0, ax1 = x0[act], x1[act]
+            order = np.lexsort((ax1, ax0))
+            ax0, ax1 = ax0[order], ax1[order]
+            run = np.maximum.accumulate(ax1)
+            prev = np.concatenate(([np.int64(-2 ** 62)], run[:-1]))
+            seg = np.maximum(
+                0, ax1 - np.maximum(ax0, prev)).sum()
+            total += int(seg) * int(s1 - s0)
+        return pd.DataFrame({
+            key_col: pd.Series([group[key_col].iloc[0]], dtype="int64"),
+            "area_x4": pd.Series([total], dtype="int64")})
+
+    rep = polygons_ds.map_batches(replicate, batch_format="pandas")
+    parts = rep.groupby(["pcell", key_col]).map_groups(
+        cell_union, batch_format="pandas")
+    out = parts.groupby(key_col).aggregate(
+        Sum("area_x4", alias_name="union_area_x4"))
+    return out.map_batches(
+        lambda df: df.astype({key_col: "int64",
+                              "union_area_x4": "int64"}),
+        batch_format="pandas")
+
+
 def zonal_majority(tiles, polygons, div=800, n_classes=8):
     """Zonal MAJORITY — per polygon, the most frequent band-0 class
     (``clip(b0 // div, 0, n_classes−1)``, NODATA excluded) over tiles
