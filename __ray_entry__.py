@@ -1827,6 +1827,267 @@ def q_cell_sssp(sf_dir):
         batch_format="pandas")
 
 
+def q_flow_accumulation(sf_dir):
+    """Flow ACCUMULATION over the occupied tile-cell lattice
+    (stages/terrain.py:flow_accumulation_lattice) — each cell flows
+    to its lowest strictly-lower occupied 4-neighbor under the
+    deterministic synthetic elevation (ix·1000003 + iy·7919) mod
+    104729 (tie-break by direction precedence), then 4 rounds of
+    mass-hop message passing count the upstream cells within ≤4 hops.
+    Per round: ONE frontier⨝edges hash join + ONE groupby sum; the
+    downstream-edge argmin is an associative packed-int64 Min (no
+    per-node map_groups). Oracle: the downstream pick as a
+    row_number() window + the rounds as stacked CTEs."""
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import terrain
+    from ray.data.aggregate import Count
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def nodes_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        return pd.DataFrame({"v": np.unique(pk)})
+
+    nodes = tiles.map_batches(nodes_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Count()).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64")}),
+        batch_format="pandas").materialize()
+    out = terrain.flow_accumulation_lattice(nodes, rounds=4)
+    return out.map_batches(
+        lambda df: df.astype({"ix": "int64", "iy": "int64",
+                              "acc": "int64"}),
+        batch_format="pandas")
+
+
+def q_basin_label(sf_dir):
+    """Watershed basin labels over the occupied tile-cell lattice
+    (stages/terrain.py:basin_label_lattice) — pointer DOUBLING over
+    the downstream functional graph: 4 rounds of ONE partitioned hash
+    join each give every cell its 16-hop downstream pointer (= its
+    basin outlet once converged; pits self-loop). Oracle: the pointer
+    table composed with itself in 4 stacked self-join CTEs."""
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import terrain
+    from ray.data.aggregate import Count
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def nodes_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        return pd.DataFrame({"v": np.unique(pk)})
+
+    nodes = tiles.map_batches(nodes_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Count()).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64")}),
+        batch_format="pandas").materialize()
+    out = terrain.basin_label_lattice(nodes, doublings=4)
+    return out.map_batches(
+        lambda df: df.astype({"ix": "int64", "iy": "int64",
+                              "basin_ix": "int64",
+                              "basin_iy": "int64"}),
+        batch_format="pandas")
+
+
+def q_tpch_q4(sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelated to a semi-join): orders
+    placed in 1996 with at least one returned line, counted per
+    priority. The lineitem side is reduced to bare R-flag order keys
+    (the semi_join combiner dedups them), so the exchange carries
+    order rows + O(distinct returned orders) — never the lineitem
+    payload."""
+    from unmixing_ray.stages import relational
+    from ray.data.aggregate import Sum
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"],
+        })[(df["o_orderdate"].to_numpy() >= lo.to_numpy())
+           & (df["o_orderdate"].to_numpy() < hi.to_numpy())],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+        })[df["l_returnflag"].to_numpy() == "R"],
+        batch_format="pandas")
+    sem = relational.semi_join(orders, li, "okey")
+    out = sem.map_batches(
+        lambda df: df.groupby("o_orderpriority", as_index=False)
+        .size().rename(columns={"size": "n"}),
+        batch_format="pandas").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="order_count"))
+    return out.map_batches(
+        lambda df: df.astype({"order_count": "int64"}),
+        batch_format="pandas")
+
+
+def q_tpch_q12(sf_dir):
+    """TPC-H Q12 shape (join + CASE-bucketed counts): 1997 shipments
+    per line status, split into high-priority (1-URGENT / 2-HIGH)
+    vs low-priority order counts. Lineitem is PRE-AGGREGATED to
+    (orderkey, status, n) per batch BEFORE the join — the
+    combiner-before-join discipline — so the partitioned hash join
+    carries at most one row per (order, status), not per line."""
+    from unmixing_ray.stages import relational
+    from ray.data.aggregate import Sum
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linestatus", "l_shipdate"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "l_linestatus": df["l_linestatus"],
+            "n": np.int64(1),
+        })[(df["l_shipdate"].to_numpy() >= lo.to_numpy())
+           & (df["l_shipdate"].to_numpy() < hi.to_numpy())]
+        .groupby(["okey", "l_linestatus"], as_index=False).sum(),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "pri": df["o_orderpriority"]}),
+        batch_format="pandas")
+    joined = relational.hash_join(
+        li, orders, "okey",
+        left_cols=["l_linestatus", "n"], right_cols=["pri"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        high = df["pri"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame({
+            "l_linestatus": df["l_linestatus"],
+            "high_line_count": np.where(high, n, 0).astype(np.int64),
+            "low_line_count": np.where(high, 0, n).astype(np.int64),
+        }).groupby("l_linestatus", as_index=False).sum()
+
+    out = joined.map_batches(bucket, batch_format="pandas")\
+        .groupby("l_linestatus").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"))
+    return out.map_batches(
+        lambda df: df.astype({"high_line_count": "int64",
+                              "low_line_count": "int64"}),
+        batch_format="pandas")
+
+
+def q_tpch_q14(sf_dir):
+    """TPC-H Q14 shape (promo revenue share): one shipment month
+    joined to part types via a partitioned hash join, reduced to the
+    EXACT integer ratio ingredients (promo cent² revenue, total cent²
+    revenue) — the float percentage is driver postprocessing, never
+    part of the distributed result."""
+    from unmixing_ray.stages import relational
+    from ray.data.aggregate import Sum
+    lo = pd.Timestamp("1996-03-01")
+    hi = pd.Timestamp("1996-04-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "pkey": df["l_partkey"].astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64)),
+        })[(df["l_shipdate"].to_numpy() >= lo.to_numpy())
+           & (df["l_shipdate"].to_numpy() < hi.to_numpy())],
+        batch_format="pandas")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "pkey": df["p_partkey"].astype("int64"),
+            "promo": (df["p_type"].to_numpy() == "PROMO")
+            .astype(np.int64)}),
+        batch_format="pandas")
+    joined = relational.hash_join(li, part, "pkey",
+                                  left_cols=["rev_c2"],
+                                  right_cols=["promo"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_c2"].to_numpy(np.int64)
+        promo = df["promo"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "one": [np.int64(1)],
+            "promo_rev_c2": [np.int64((rev * promo).sum())],
+            "total_rev_c2": [np.int64(rev.sum())]})
+
+    out = joined.map_batches(fold, batch_format="pandas")\
+        .groupby("one").aggregate(
+        Sum("promo_rev_c2", alias_name="promo_rev_c2"),
+        Sum("total_rev_c2", alias_name="total_rev_c2")).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"one": [1], "promo_rev_c2": [0],
+                            "total_rev_c2": [0]})
+    return pd.DataFrame({
+        "promo_rev_c2": out["promo_rev_c2"].astype("int64"),
+        "total_rev_c2": out["total_rev_c2"].astype("int64")})
+
+
+TPCH_Q19_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def q_tpch_q19(sf_dir):
+    """TPC-H Q19 shape (disjunctive multi-branch predicate join):
+    revenue over three (brand, size-range, quantity-range) OR
+    branches. The part side filtered to the three brands is SMALL BY
+    CONSTRUCTION, so it broadcasts as per-branch key sets (the
+    broadcast-small-side discipline, q17 pattern) and the disjunction
+    evaluates vectorized inside one lineitem pass — no shuffle at
+    all; the result is one exact-cent² row."""
+    from ray.data.aggregate import Sum
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])\
+        .filter(expr="p_size >= 1 and p_size <= 15").to_pandas()
+    branch_keys = []
+    for brand, max_size, _qlo, _qhi in TPCH_Q19_BRANCHES:
+        m = (part["p_brand"] == brand) & (part["p_size"] <= max_size)
+        branch_keys.append(
+            set(int(k) for k in part.loc[m, "p_partkey"]))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].astype(int)
+        qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        rev = (np.rint(df["l_extendedprice"].to_numpy() * 100)
+               .astype(np.int64)
+               * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+                  .astype(np.int64)))
+        hit = np.zeros(len(df), dtype=bool)
+        for keys, (_b, _s, qlo, qhi) in zip(branch_keys,
+                                            TPCH_Q19_BRANCHES):
+            hit |= (pk.isin(keys).to_numpy()
+                    & (qty >= qlo) & (qty <= qhi))
+        return pd.DataFrame({
+            "one": [np.int64(1)],
+            "rev_c2": [np.int64(rev[hit].sum())],
+            "n_lines": [np.int64(hit.sum())]})
+
+    out = _read(sf_dir, "lineitem",
+                columns=["l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount"])\
+        .map_batches(fold, batch_format="pandas")\
+        .groupby("one").aggregate(
+        Sum("rev_c2", alias_name="rev_c2"),
+        Sum("n_lines", alias_name="n_lines")).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"one": [1], "rev_c2": [0], "n_lines": [0]})
+    return pd.DataFrame({
+        "rev_c2": out["rev_c2"].astype("int64"),
+        "n_lines": out["n_lines"].astype("int64")})
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -3353,6 +3614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
         "tpch_q17": q_tpch_q17,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
         "orders_ntile": q_orders_ntile,
         "lineitem_setops": q_lineitem_setops,
         "basket_pairs": q_basket_pairs,
@@ -3366,6 +3631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "cell_bfs": q_cell_bfs,
         "cell_sssp": q_cell_sssp,
+        "flow_accumulation": q_flow_accumulation,
+        "basin_label": q_basin_label,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
@@ -4131,6 +4398,70 @@ def oracle_sql() -> dict[str, str]:
             FROM rev
             JOIN customer c ON c.c_custkey = rev.ckey
             JOIN nation n ON n.n_nationkey = c.c_nationkey""",
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
+        "tpch_q12": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_linestatus""",
+        "tpch_q14": """
+            SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(round(l.l_extendedprice
+                                                 * 100) AS BIGINT)
+                                   * (100 - CAST(round(l.l_discount
+                                                       * 100)
+                                                 AS BIGINT))
+                                 ELSE 0 END) AS BIGINT)
+                     AS promo_rev_c2,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS total_rev_c2
+            FROM lineitem l JOIN part p
+              ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'""",
+        "tpch_q19": """
+            WITH j AS (
+              SELECT CAST(round(l.l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100)
+                                     AS BIGINT)) AS rev_c2,
+                     p.p_brand, p.p_size
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey),
+            hits AS (
+              SELECT * FROM j
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                     AND qty BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                     AND qty BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                     AND qty BETWEEN 20 AND 30))
+            SELECT CAST(coalesce(sum(rev_c2), 0) AS BIGINT)
+                     AS rev_c2,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM hits""",
         "tpch_q17": """
             WITH pk AS (
               SELECT p_partkey FROM part
@@ -4329,6 +4660,85 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.k < 6)
             SELECT v, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY v""",
+        "flow_accumulation": f"""
+            WITH nn AS (
+              SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,
+                              CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            el AS (SELECT ix, iy,
+                          (ix * 1000003 + iy * 7919) % 104729 AS e
+                   FROM nn),
+            cand AS (
+              SELECT a.ix AS six, a.iy AS siy,
+                     b.ix AS tix, b.iy AS tiy, b.e AS te, d.prec
+              FROM el a
+              CROSS JOIN (VALUES (0, 1, 0), (1, 0, 1),
+                                 (2, -1, 0), (3, 0, -1))
+                AS d(prec, dx, dy)
+              JOIN el b ON b.ix = a.ix + d.dx AND b.iy = a.iy + d.dy
+              WHERE b.e < a.e),
+            e AS (SELECT six, siy, tix, tiy FROM (
+                    SELECT cand.*,
+                           row_number() OVER (PARTITION BY six, siy
+                                              ORDER BY te, prec) AS rn
+                    FROM cand) WHERE rn = 1),
+            f1 AS (SELECT tix AS ix, tiy AS iy,
+                          CAST(count(*) AS BIGINT) AS m
+                   FROM e GROUP BY 1, 2),
+            f2 AS (SELECT e.tix AS ix, e.tiy AS iy,
+                          CAST(sum(f.m) AS BIGINT) AS m
+                   FROM f1 f JOIN e
+                     ON e.six = f.ix AND e.siy = f.iy GROUP BY 1, 2),
+            f3 AS (SELECT e.tix AS ix, e.tiy AS iy,
+                          CAST(sum(f.m) AS BIGINT) AS m
+                   FROM f2 f JOIN e
+                     ON e.six = f.ix AND e.siy = f.iy GROUP BY 1, 2),
+            f4 AS (SELECT e.tix AS ix, e.tiy AS iy,
+                          CAST(sum(f.m) AS BIGINT) AS m
+                   FROM f3 f JOIN e
+                     ON e.six = f.ix AND e.siy = f.iy GROUP BY 1, 2),
+            u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                  UNION ALL SELECT * FROM f3
+                  UNION ALL SELECT * FROM f4)
+            SELECT ix, iy, CAST(sum(m) AS BIGINT) AS acc
+            FROM u GROUP BY ix, iy""",
+        "basin_label": f"""
+            WITH nn AS (
+              SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,
+                              CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            el AS (SELECT ix, iy,
+                          (ix * 1000003 + iy * 7919) % 104729 AS e
+                   FROM nn),
+            cand AS (
+              SELECT a.ix AS six, a.iy AS siy,
+                     b.ix AS tix, b.iy AS tiy, b.e AS te, d.prec
+              FROM el a
+              CROSS JOIN (VALUES (0, 1, 0), (1, 0, 1),
+                                 (2, -1, 0), (3, 0, -1))
+                AS d(prec, dx, dy)
+              JOIN el b ON b.ix = a.ix + d.dx AND b.iy = a.iy + d.dy
+              WHERE b.e < a.e),
+            e AS (SELECT six, siy, tix, tiy FROM (
+                    SELECT cand.*,
+                           row_number() OVER (PARTITION BY six, siy
+                                              ORDER BY te, prec) AS rn
+                    FROM cand) WHERE rn = 1),
+            p0 AS (SELECT n.ix AS vix, n.iy AS viy,
+                          coalesce(e.tix, n.ix) AS pix,
+                          coalesce(e.tiy, n.iy) AS piy
+                   FROM nn n LEFT JOIN e
+                     ON e.six = n.ix AND e.siy = n.iy),
+            p1 AS (SELECT a.vix, a.viy, b.pix, b.piy FROM p0 a
+                   JOIN p0 b ON b.vix = a.pix AND b.viy = a.piy),
+            p2 AS (SELECT a.vix, a.viy, b.pix, b.piy FROM p1 a
+                   JOIN p1 b ON b.vix = a.pix AND b.viy = a.piy),
+            p3 AS (SELECT a.vix, a.viy, b.pix, b.piy FROM p2 a
+                   JOIN p2 b ON b.vix = a.pix AND b.viy = a.piy),
+            p4 AS (SELECT a.vix, a.viy, b.pix, b.piy FROM p3 a
+                   JOIN p3 b ON b.vix = a.pix AND b.viy = a.piy)
+            SELECT vix AS ix, viy AS iy,
+                   pix AS basin_ix, piy AS basin_iy FROM p4""",
         "orders_snapshot_diff": """
             WITH o AS (
               SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v

@@ -186,6 +186,14 @@ def registry(ray_session):
     "tpch_q10",
     # decorrelated scalar subquery (TPC-H Q17, integer cross-mult)
     "tpch_q17",
+    # EXISTS decorrelated to a semi-join (TPC-H Q4)
+    "tpch_q4",
+    # combiner-before-join + CASE-bucketed counts (TPC-H Q12)
+    "tpch_q12",
+    # hash-join ratio ingredients in exact cents (TPC-H Q14)
+    "tpch_q14",
+    # disjunctive multi-branch predicate join, broadcast (TPC-H Q19)
+    "tpch_q19",
     # ANSI ntile/percent_rank/cume_dist distribution window family
     "orders_ntile",
     # distributed multiset EXCEPT ALL / INTERSECT ALL
@@ -234,6 +242,10 @@ def registry(ray_session):
     "glcm_texture",
     # capped Bellman-Ford weighted shortest path over the cell lattice
     "cell_sssp",
+    # round-capped flow accumulation over the cell lattice
+    "flow_accumulation",
+    # watershed basin labels via pointer doubling (16-hop pointers)
+    "basin_label",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -298,3 +298,116 @@ def test_composite_cube_batching_invariant_and_fill(ray_session):
     # bins before the first observation are unfilled markers
     pre = empty[empty["fill_bin"] < 0]
     assert (pre["fill_n"] == 0).all() and (pre["fill_sum"] == 0).all()
+
+
+def test_flow_accumulation_matches_driver_replay(ray_session):
+    """flow_accumulation_lattice vs an independent driver replay on a
+    random occupied lattice: downstream pick (lowest strictly-lower
+    occupied 4-neighbor, precedence tiebreak) + capped mass hops."""
+    import ray.data
+    from unmixing_ray.stages import terrain
+
+    rng = np.random.default_rng(11)
+    PACK = 1 << 21
+    pts = set()
+    while len(pts) < 300:
+        pts.add((int(rng.integers(0, 24)), int(rng.integers(0, 24))))
+    pts = sorted(pts)
+    v = np.array([ix * PACK + iy for ix, iy in pts], dtype=np.int64)
+
+    def elev(ix, iy):
+        return (ix * 1000003 + iy * 7919) % 104729
+
+    occupied = set(pts)
+    down = {}
+    for ix, iy in pts:
+        e0 = elev(ix, iy)
+        best = None
+        for prec, (dx, dy) in enumerate([(1, 0), (0, 1),
+                                         (-1, 0), (0, -1)]):
+            t = (ix + dx, iy + dy)
+            if t in occupied and elev(*t) < e0:
+                key = (elev(*t), prec)
+                if best is None or key < best[0]:
+                    best = (key, t)
+        if best is not None:
+            down[(ix, iy)] = best[1]
+
+    rounds = 3
+    f = {t: 0 for t in pts}
+    for s, t in down.items():
+        f[t] = f.get(t, 0) + 1
+    acc = dict(f)
+    frontier = f
+    for _ in range(rounds - 1):
+        nxt = {}
+        for node, m in frontier.items():
+            if m and node in down:
+                t = down[node]
+                nxt[t] = nxt.get(t, 0) + m
+        for node, m in nxt.items():
+            acc[node] = acc.get(node, 0) + m
+        frontier = nxt
+    want = {k: m for k, m in acc.items() if m > 0}
+
+    nodes = ray.data.from_pandas(pd.DataFrame({"v": v}))
+    got = terrain.flow_accumulation_lattice(nodes, rounds=rounds)\
+        .to_pandas()
+    got_map = {(int(r.ix), int(r.iy)): int(r.acc)
+               for r in got.itertuples()}
+    assert got_map == want
+    assert len(want) > 50          # non-vacuous
+    assert max(want.values()) >= 3  # multi-hop mass actually flowed
+
+
+def test_basin_label_matches_driver_replay(ray_session):
+    """basin_label_lattice vs an independent driver replay: follow
+    the downstream pointer exactly 2**doublings hops (pits
+    self-loop)."""
+    import ray.data
+    from unmixing_ray.stages import terrain
+
+    rng = np.random.default_rng(23)
+    PACK = 1 << 21
+    pts = set()
+    while len(pts) < 250:
+        pts.add((int(rng.integers(0, 22)), int(rng.integers(0, 22))))
+    pts = sorted(pts)
+
+    def elev(ix, iy):
+        return (ix * 1000003 + iy * 7919) % 104729
+
+    occupied = set(pts)
+    down = {}
+    for ix, iy in pts:
+        e0 = elev(ix, iy)
+        best = None
+        for prec, (dx, dy) in enumerate([(1, 0), (0, 1),
+                                         (-1, 0), (0, -1)]):
+            t = (ix + dx, iy + dy)
+            if t in occupied and elev(*t) < e0:
+                key = (elev(*t), prec)
+                if best is None or key < best[0]:
+                    best = (key, t)
+        down[(ix, iy)] = best[1] if best else (ix, iy)
+
+    doublings = 3
+    want = {}
+    for node in pts:
+        cur = node
+        for _ in range(2 ** doublings):
+            cur = down[cur]
+        want[node] = cur
+
+    v = np.array([ix * PACK + iy for ix, iy in pts], dtype=np.int64)
+    nodes = ray.data.from_pandas(pd.DataFrame({"v": v}))
+    got = terrain.basin_label_lattice(nodes, doublings=doublings)\
+        .to_pandas()
+    got_map = {(int(r.ix), int(r.iy)): (int(r.basin_ix),
+                                        int(r.basin_iy))
+               for r in got.itertuples()}
+    assert got_map == want
+    # non-vacuous: labels actually move mass across multiple hops
+    moved = sum(1 for k, t in want.items() if k != t)
+    assert moved > 150
+    assert len(set(want.values())) < len(pts)

@@ -306,3 +306,219 @@ def flow_direction_tiles(tiles):
     return exploded.groupby(
         ["image_id", "key_row", "key_col"]).map_groups(
         make_flow_assemble(), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# lattice flow accumulation (functional-graph mass propagation)
+
+FLOW_ELEV_MX = 1000003
+FLOW_ELEV_MY = 7919
+FLOW_ELEV_MOD = 104729
+_LAT_PACK = np.int64(1) << 21
+
+
+def lattice_elevation(v):
+    """Deterministic synthetic elevation of a packed lattice node
+    ``v = ix·2²¹ + iy`` — a pure int64 function both the engine and
+    the SQL oracle compute identically (same contract as the
+    cell_sssp arc weights): ``(ix·1000003 + iy·7919) mod 104729``."""
+    v = np.asarray(v, dtype=np.int64)
+    ix = v // _LAT_PACK
+    iy = v % _LAT_PACK
+    return (ix * FLOW_ELEV_MX + iy * FLOW_ELEV_MY) % FLOW_ELEV_MOD
+
+
+def flow_downstream_edges(nodes):
+    """The D8-style downstream edge set over the occupied cell
+    LATTICE: each node flows to its lowest strictly-lower occupied
+    4-neighbor (tie-break by direction precedence E, N, W, S =
+    +ix, +iy, −ix, −iy); nodes with no lower occupied neighbor are
+    pits (no out-edge).
+
+    Scale shape: candidates are generated per batch (4 per node),
+    occupancy-filtered by one :func:`semi_join` against the node set,
+    and the per-source argmin is an ASSOCIATIVE packed-int64 min
+    (``elev_t·4 + precedence``) — one ``groupby(s).min`` exchange, no
+    per-node map_groups (the 0.4 ms/group hazard, see stages/label.py).
+    The winning target is reconstructed from (source, precedence), so
+    only (s, packed) travels through the aggregate."""
+    from ray.data.aggregate import Min
+    from .relational import semi_join
+
+    offs = np.array([_LAT_PACK, 1, -_LAT_PACK, -1], dtype=np.int64)
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        iy = v % _LAT_PACK
+        ix = v // _LAT_PACK
+        parts_s, parts_t, parts_p = [], [], []
+        ok_by_prec = [
+            np.ones(len(v), dtype=bool),          # +ix
+            iy < _LAT_PACK - 1,                   # +iy (no wrap up)
+            ix > 0,                               # -ix (no negative)
+            iy > 0,                               # -iy (no wrap down)
+        ]
+        for prec in range(4):
+            ok = ok_by_prec[prec]
+            parts_s.append(v[ok])
+            parts_t.append(v[ok] + offs[prec])
+            parts_p.append(np.full(int(ok.sum()), prec, dtype=np.int64))
+        return pd.DataFrame({
+            "s": np.concatenate(parts_s),
+            "t": np.concatenate(parts_t),
+            "prec": np.concatenate(parts_p)})
+
+    occ = semi_join(nodes.map_batches(cands, batch_format="pandas"),
+                    nodes, "t", right_key="v")
+
+    def pack_lower(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        prec = df["prec"].to_numpy(np.int64)
+        es = lattice_elevation(s)
+        et = lattice_elevation(t)
+        keep = et < es
+        return pd.DataFrame({
+            "s": s[keep],
+            "packed": et[keep] * 4 + prec[keep]})
+
+    best = occ.map_batches(pack_lower, batch_format="pandas")\
+        .groupby("s").aggregate(Min("packed", alias_name="packed"))
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        prec = df["packed"].to_numpy(np.int64) % 4
+        return pd.DataFrame({"s": s, "t": s + offs[prec]})
+
+    return best.map_batches(unpack, batch_format="pandas")
+
+
+def flow_accumulation_lattice(nodes, rounds=4):
+    """Flow ACCUMULATION over the occupied cell lattice — per node,
+    the number of upstream nodes within ``rounds`` hops along the
+    :func:`flow_downstream_edges` functional graph (engine-new; the
+    hydrology counterpart of the pixel-level D8 kernel in this
+    module, run at the tile-lattice scale where the flow graph spans
+    every partition).
+
+    The fixed-round contract is the SQL-replayability discipline of
+    ``pagerank_iters``/``sssp_rounds``: after round k every node holds
+    the EXACT count of nodes exactly k hops upstream (out-degree ≤ 1
+    makes each round a clean mass hop), so acc = Σₖ fₖ is bit-stable
+    at any partitioning and a DuckDB oracle replays the rounds as
+    stacked CTEs. Scale shape per round: ONE partitioned hash join
+    (frontier ⨝ edges on source) + ONE groupby(dst) sum with a
+    per-batch pandas combiner; the edge table is built once and
+    materialized. Unbounded accumulation (to the basin outlet) is
+    image-diameter many rounds — the cap is the scale design, same as
+    stages/morphology.py's saturated distance transform.
+
+    Returns (ix, iy, acc) for every node with ≥1 upstream neighbor
+    within the cap."""
+    from ray.data.aggregate import Sum
+    from .relational import hash_join
+
+    edges = flow_downstream_edges(nodes).materialize()
+
+    f = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "s": df["t"].astype("int64"),
+            "m": np.ones(len(df), dtype=np.int64)}),
+        batch_format="pandas")
+
+    def combine_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", as_index=False)["m"].sum()
+        return pd.DataFrame({"s": g["s"].to_numpy(np.int64),
+                             "m": g["m"].to_numpy(np.int64)})
+
+    f = f.map_batches(combine_sum, batch_format="pandas")\
+        .groupby("s").aggregate(Sum("m", alias_name="m"))\
+        .map_batches(lambda df: df.astype({"s": "int64", "m": "int64"}),
+                     batch_format="pandas").materialize()
+    acc_parts = [f]
+    for _ in range(rounds - 1):
+        hop = hash_join(f, edges, "s", left_cols=["m"],
+                        right_cols=["t"])
+        f = hop.map_batches(
+            lambda df: pd.DataFrame({
+                "s": df["t"].astype("int64"),
+                "m": df["m"].astype("int64")}),
+            batch_format="pandas")\
+            .map_batches(combine_sum, batch_format="pandas")\
+            .groupby("s").aggregate(Sum("m", alias_name="m"))\
+            .map_batches(
+            lambda df: df.astype({"s": "int64", "m": "int64"}),
+            batch_format="pandas").materialize()
+        acc_parts.append(f)
+
+    acc = acc_parts[0]
+    for part in acc_parts[1:]:
+        acc = acc.union(part)
+    total = acc.groupby("s").aggregate(Sum("m", alias_name="acc"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ix": s // _LAT_PACK,
+            "iy": s % _LAT_PACK,
+            "acc": df["acc"].to_numpy(np.int64)})
+
+    return total.map_batches(finish, batch_format="pandas")
+
+
+def basin_label_lattice(nodes, doublings=4):
+    """Watershed BASIN labeling over the occupied cell lattice —
+    every node labeled with the node its water reaches after
+    ``2**doublings`` downstream hops along
+    :func:`flow_downstream_edges` (pits point at themselves, so a
+    converged node's label IS its basin outlet). Pointer DOUBLING is
+    the scale design: each round composes the pointer table with
+    itself through ONE partitioned hash join, so 2^k-hop reachability
+    costs k exchanges instead of 2^k — the same log-round discipline
+    as stages/label.py's pointer jumping, applied to a functional
+    graph. The fixed cap keeps the operator SQL-replayable (stacked
+    self-join CTEs) and bit-stable at any partitioning.
+
+    Packed node ids are < 2^42, so the float64 hop through the left
+    join's None padding is exact (the stages/label.py > 2^53 hazard
+    does not apply; asserted below).
+
+    Returns (ix, iy, basin_ix, basin_iy) for every node."""
+    from .relational import hash_join
+
+    edges = flow_downstream_edges(nodes)
+
+    base = hash_join(
+        nodes.map_batches(
+            lambda df: pd.DataFrame({"s": df["v"].astype("int64")}),
+            batch_format="pandas"),
+        edges, "s", left_cols=[], right_cols=["t"], how="left")
+
+    def to_ptr(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        assert (s < (1 << 53)).all()
+        t = pd.to_numeric(df["t"]).to_numpy(np.float64)
+        p = np.where(np.isnan(t), s, t).astype(np.int64)
+        return pd.DataFrame({"v": s, "p": p})
+
+    ptr = base.map_batches(to_ptr, batch_format="pandas").materialize()
+
+    for _ in range(doublings):
+        lookup = ptr.map_batches(
+            lambda df: pd.DataFrame({"p": df["v"].astype("int64"),
+                                     "p2": df["p"].astype("int64")}),
+            batch_format="pandas")
+        ptr = hash_join(ptr, lookup, "p", left_cols=["v"],
+                        right_cols=["p2"]).map_batches(
+            lambda df: pd.DataFrame({"v": df["v"].astype("int64"),
+                                     "p": df["p2"].astype("int64")}),
+            batch_format="pandas").materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ix": v // _LAT_PACK, "iy": v % _LAT_PACK,
+            "basin_ix": p // _LAT_PACK, "basin_iy": p % _LAT_PACK})
+
+    return ptr.map_batches(finish, batch_format="pandas")
