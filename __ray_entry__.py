@@ -1890,6 +1890,34 @@ def q_basin_label(sf_dir):
         batch_format="pandas")
 
 
+def q_morans_i(sf_dir):
+    """Global Moran's I over per-cell tile counts on the occupied
+    lattice (stages/rollup.py:morans_ingredients) — rook-contiguity
+    spatial autocorrelation reduced to six exact int64 ingredients
+    (n, Σv, Σv², W, Σdeg·v, Σcross); the float statistic is
+    postprocessing. Pairs are semi-join-bounded (≤4n), values attach
+    via two partitioned hash joins. Oracle: the same directed
+    4-neighbor pair sums in SQL."""
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import rollup
+    from ray.data.aggregate import Sum
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def counts_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        u, c = np.unique(pk, return_counts=True)
+        return pd.DataFrame({"v": u, "val": c.astype(np.int64)})
+
+    cells = tiles.map_batches(counts_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Sum("val", alias_name="val"))\
+        .map_batches(
+        lambda df: df.astype({"v": "int64", "val": "int64"}),
+        batch_format="pandas").materialize()
+    return rollup.morans_ingredients(cells)
+
+
 def q_tpch_q4(sf_dir):
     """TPC-H Q4 shape (EXISTS decorrelated to a semi-join): orders
     placed in 1996 with at least one returned line, counted per
@@ -3633,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_sssp": q_cell_sssp,
         "flow_accumulation": q_flow_accumulation,
         "basin_label": q_basin_label,
+        "morans_i": q_morans_i,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "triangle_count": q_triangle_count,
         "big_orders": q_big_orders,
@@ -4739,6 +4768,27 @@ def oracle_sql() -> dict[str, str]:
                    JOIN p3 b ON b.vix = a.pix AND b.viy = a.piy)
             SELECT vix AS ix, viy AS iy,
                    pix AS basin_ix, piy AS basin_iy FROM p4""",
+        "morans_i": f"""
+            WITH nn AS (
+              SELECT CAST(cell_ix AS BIGINT) AS ix,
+                     CAST(cell_iy AS BIGINT) AS iy,
+                     CAST(count(*) AS BIGINT) AS val
+              FROM read_parquet('{C}/tiles_expected.parquet')
+              GROUP BY 1, 2),
+            pr AS (
+              SELECT a.val AS va, b.val AS vb
+              FROM nn a
+              CROSS JOIN (VALUES (1, 0), (0, 1), (-1, 0), (0, -1))
+                AS d(dx, dy)
+              JOIN nn b ON b.ix = a.ix + d.dx AND b.iy = a.iy + d.dy)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nn) AS n,
+                   (SELECT CAST(sum(val) AS BIGINT) FROM nn) AS sum_v,
+                   (SELECT CAST(sum(val * val) AS BIGINT) FROM nn)
+                     AS sum_v2,
+                   CAST(count(*) AS BIGINT) AS w_pairs,
+                   CAST(sum(va) AS BIGINT) AS sum_deg_v,
+                   CAST(sum(va * vb) AS BIGINT) AS sum_cross
+            FROM pr""",
         "orders_snapshot_diff": """
             WITH o AS (
               SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS v

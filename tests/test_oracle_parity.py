@@ -246,6 +246,8 @@ def registry(ray_session):
     "flow_accumulation",
     # watershed basin labels via pointer doubling (16-hop pointers)
     "basin_label",
+    # global Moran's I exact integer ingredients (rook contiguity)
+    "morans_i",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -411,3 +411,47 @@ def test_basin_label_matches_driver_replay(ray_session):
     moved = sum(1 for k, t in want.items() if k != t)
     assert moved > 150
     assert len(set(want.values())) < len(pts)
+
+
+def test_morans_ingredients_brute_force(ray_session):
+    """morans_ingredients vs a driver all-pairs replay on a random
+    valued lattice, plus the hand case of a 1x2 domino."""
+    import ray.data
+    from unmixing_ray.stages import rollup
+
+    PACK = 1 << 21
+    rng = np.random.default_rng(7)
+    pts = {}
+    while len(pts) < 200:
+        pts[(int(rng.integers(0, 20)),
+             int(rng.integers(0, 20)))] = int(rng.integers(1, 9))
+    v = np.array([ix * PACK + iy for ix, iy in pts], dtype=np.int64)
+    val = np.array(list(pts.values()), dtype=np.int64)
+
+    w = deg_v = cross = 0
+    for (ix, iy), a in pts.items():
+        for dx, dy in [(1, 0), (0, 1), (-1, 0), (0, -1)]:
+            t = (ix + dx, iy + dy)
+            if t in pts:
+                w += 1
+                deg_v += a
+                cross += a * pts[t]
+
+    cells = ray.data.from_pandas(pd.DataFrame({"v": v, "val": val}))
+    got = rollup.morans_ingredients(cells)
+    assert int(got["n"][0]) == len(pts)
+    assert int(got["sum_v"][0]) == int(val.sum())
+    assert int(got["sum_v2"][0]) == int((val * val).sum())
+    assert int(got["w_pairs"][0]) == w
+    assert int(got["sum_deg_v"][0]) == deg_v
+    assert int(got["sum_cross"][0]) == cross
+    assert w > 100  # non-vacuous adjacency
+
+    # domino: two cells (0,0)=2, (0,1)=5 -> W=2, cross=2*5*2=20
+    cells2 = ray.data.from_pandas(pd.DataFrame({
+        "v": np.array([0, 1], dtype=np.int64),
+        "val": np.array([2, 5], dtype=np.int64)}))
+    got2 = rollup.morans_ingredients(cells2)
+    assert got2.iloc[0].to_dict() == {
+        "n": 2, "sum_v": 7, "sum_v2": 29, "w_pairs": 2,
+        "sum_deg_v": 7, "sum_cross": 20}
