@@ -2611,6 +2611,17 @@ def q_simhash_pairs_planted(sf_dir):
                                max_hamming=8)
 
 
+def q_ssjoin_pairs(sf_dir):
+    """EXACT set-similarity join via prefix filtering
+    (stages/dedup.py:ssjoin_prefix, PPJoin/AllPairs family) over
+    documents ∪ planted at Jaccard ≥ 0.4 — exhaustive by the prefix
+    lemma, so the generation-time O(n²) exact-Jaccard sidecar IS the
+    answer (no banding-recall caveat, unlike minhash_pairs)."""
+    from unmixing_ray.stages import dedup
+    return dedup.ssjoin_prefix(_planted_neardup_docs(sf_dir),
+                               threshold=0.4)
+
+
 def q_spectra_at_points(sf_dir):
     """Broadcast point→pixel spectra lookup (spectra_at_xy as a
     distributed join: points broadcast, each tile gathers hits inside
@@ -3725,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "streaming_dedup": q_streaming_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "ssjoin_pairs": q_ssjoin_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -5079,6 +5091,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard_u6
             FROM read_parquet('{C}/minhash_expected.parquet')
             WHERE NOT planted AND jaccard_u6 >= 350000""",
+        "ssjoin_pairs": f"""
+            SELECT doc_a, doc_b, jaccard_u6
+            FROM read_parquet('{C}/minhash_expected.parquet')
+            WHERE jaccard_u6 >= 400000""",
         "dedup_clusters": f"""
             WITH RECURSIVE
             p AS (SELECT doc_a, doc_b

@@ -248,6 +248,8 @@ def registry(ray_session):
     "basin_label",
     # global Moran's I exact integer ingredients (rook contiguity)
     "morans_i",
+    # EXACT set-similarity self-join via df-ordered prefix filtering
+    "ssjoin_pairs",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

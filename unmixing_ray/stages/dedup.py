@@ -191,16 +191,50 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
 
     cand = exploded.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pandas")
+    return verify_jaccard_pairs(docs, dedup_pairs(cand), k, threshold)
+
+
+def dedup_pairs(cand, n_parts=256):
+    """Distributed dedup of a (doc_a, doc_b) pair list → driver pandas.
+
+    A pair can surface from several bands / shared shingles, so the raw
+    candidate stream must be deduped before verification. Grouping BY
+    THE PAIR is the wrong shape: Ray's aggregate costs ~0.4 ms per
+    GROUP (see stages/label.py lesson), so 500k distinct pairs = 200 s
+    regardless of row count. Instead: per-batch drop_duplicates
+    (combiner), hash the pair into ``n_parts`` partitions, and one
+    bounded-group exchange where each partition drops its residents'
+    duplicates locally — same answer, O(n_parts) groups."""
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_a", "doc_b"])
+        key = (df["doc_a"].to_numpy(np.int64).view(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               + df["doc_b"].to_numpy(np.int64).view(np.uint64))
+        return df.assign(
+            part=(key % np.uint64(n_parts)).astype(np.int64))
+
+    def part_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (cand.map_batches(local_dedup, batch_format="pandas")
+            .groupby("part").map_groups(part_dedup, batch_format="pandas")
+            .to_pandas())
+
+
+def verify_jaccard_pairs(docs, cand_ids, k, threshold):
+    """Distributed exact-Jaccard verification of a candidate pair list
+    (shared by the MinHash+LSH and prefix-filtering joins). The driver
+    holds only the candidate ID SET (ints, pair-bounded) to broadcast
+    into the filtered text-gather pass — never the texts. Exchange 1
+    keyed by doc id rendezvouses each candidate doc's text with the
+    pair slots that need it; exchange 2 keyed by pair_id brings the two
+    texts of a pair together and verifies in place. Both exchanges move
+    only candidate-bounded rows, never the corpus."""
     empty = pd.DataFrame({
         "doc_a": pd.Series([], dtype="int64"),
         "doc_b": pd.Series([], dtype="int64"),
         "jaccard_u6": pd.Series([], dtype="int64")})
-    # distributed pair dedup (a pair can surface from several bands)
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("doc_a", alias_name="_a")).select_columns(["doc_a", "doc_b"])
-    # the driver holds only the candidate ID SET (ints, pair-bounded) to
-    # broadcast into the filtered text-gather pass — never the texts
-    cand_ids = cand.to_pandas()
     cand_ids = cand_ids[cand_ids["doc_a"] != cand_ids["doc_b"]]
     if not len(cand_ids):
         return empty
@@ -280,6 +314,153 @@ def minhash_lsh_pairs(docs, num_perm=64, bands=16, k=8, threshold=0.5,
     if not len(out):
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+_CM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                    dtype=np.uint64)   # odd 64-bit multipliers
+
+
+def _cm_hash_u64(ids, r, log2w):
+    """Multiply-shift universal hash row r for uint64 ids → [0, 2^log2w)."""
+    return ((ids * _CM_MULT[r]) >> np.uint64(64 - log2w)).astype(np.int64)
+
+
+def _cm_add_u64(state, ids, log2w):
+    """Vectorized Count-Min increments (one per unique id per doc)."""
+    for r in range(len(_CM_MULT)):
+        np.add.at(state[r], _cm_hash_u64(ids, r, log2w), 1)
+    return state
+
+
+def _cm_est_u64(sketch, ids, log2w):
+    """Point df estimates: min over the d hash rows (pure fn of id)."""
+    est = sketch[0][_cm_hash_u64(ids, 0, log2w)]
+    for r in range(1, len(_CM_MULT)):
+        est = np.minimum(est, sketch[r][_cm_hash_u64(ids, r, log2w)])
+    return est
+
+
+def ssjoin_prefix(docs, threshold=0.4, k=8, log2w=16):
+    """EXACT set-similarity self-join via PREFIX FILTERING (the
+    PPJoin/AllPairs family, Xiao et al. 2008 / Bayardo et al. 2007;
+    engine-new): all document pairs with char-k-gram Jaccard ≥
+    ``threshold`` — EXHAUSTIVE by the prefix lemma, unlike
+    :func:`minhash_lsh_pairs` whose candidate recall is the banding
+    probability. Two documents with J ≥ τ must share at least one
+    token among each one's first ``n − ⌈τ·n⌉ + 1`` tokens under ANY
+    global total order, so only prefix tokens are exploded into the
+    shuffle — |prefix| ≈ (1−τ)·n per doc, never the whole shingle set.
+
+    The total order is df-ASCENDING (rare shingles first), the classic
+    AllPairs ordering — prefixes then hold the corpus's RAREST
+    shingles, so bucket sizes stay near the true duplicate count
+    instead of going quadratic on globally-common shingles (an
+    id-order variant of this join spent 200 s where this one spends
+    seconds, entirely inside common-shingle buckets). Global df comes
+    from a COUNT-MIN SKETCH pass (fixed (4, 2^log2w) int64 grid,
+    associative elementwise-sum merge via Ray's aggregate tree — the
+    exchange is O(1) in corpus size, the driver broadcasts ~2 MB once
+    via ray.put). CMS overestimation cannot break exactness: ANY
+    total order shared by all docs satisfies the prefix lemma, and
+    (cms_df(sid), sid) is a pure function of sid. The LENGTH filter
+    (min·10⁶ ≥ τ_u6·max, exact integers; J ≤ min/max) prunes inside
+    every bucket before pairing. The exchange key is NOT the raw sid
+    (that would make one tiny shuffle group per distinct shingle):
+    sids are hash-partitioned into ``n_parts`` buckets and each
+    partition pairs its resident sids run-by-run, which is equivalent
+    because pairing only ever happens within one sid. Verification
+    reuses the candidate-bounded rendezvous of
+    :func:`verify_jaccard_pairs`. Returns pandas
+    (doc_a, doc_b, jaccard_u6)."""
+    import ray
+    from ray.data.aggregate import Min, AggregateFn
+    tau_u6 = int(np.floor(threshold * 1_000_000))
+    n_parts = 256
+    d = len(_CM_MULT)
+
+    def acc(state, block):
+        texts = block["text"]
+        texts = texts.to_pylist() if hasattr(texts, "to_pylist") \
+            else list(texts)
+        for text in texts:
+            ids = np.unique(_shingle_ids(text, k))
+            if len(ids):
+                _cm_add_u64(state, ids, log2w)
+        return state
+
+    cm = docs.select_columns(["text"]).aggregate(AggregateFn(
+        init=lambda _: np.zeros((d, 1 << log2w), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc,
+        name="cm"))["cm"]
+    cm_ref = ray.put(cm)
+
+    def prefix_stage(df: pd.DataFrame) -> pd.DataFrame:
+        sketch = ray.get(cm_ref)
+        sids, dids, sizes = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ids = np.unique(_shingle_ids(text, k))
+            n = len(ids)
+            if n == 0:
+                continue
+            pref = n - int(np.ceil(threshold * n)) + 1
+            est = _cm_est_u64(sketch, ids, log2w)
+            # df-ascending total order, sid tiebreak (np.unique output
+            # is sid-ascending, so a stable sort on est realises it)
+            order = np.argsort(est, kind="stable")[:pref]
+            sids.append(ids[order].view(np.int64))
+            dids.append(np.full(pref, int(doc_id), dtype=np.int64))
+            sizes.append(np.full(pref, n, dtype=np.int64))
+        if not sids:
+            return pd.DataFrame({
+                "part": pd.Series([], dtype="int64"),
+                "sid": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "size": pd.Series([], dtype="int64")})
+        sid = np.concatenate(sids)
+        return pd.DataFrame({
+            "part": (sid.view(np.uint64)
+                     % np.uint64(n_parts)).astype(np.int64),
+            "sid": sid,
+            "doc_id": np.concatenate(dids),
+            "size": np.concatenate(sizes)})
+
+    exploded = docs.map_batches(prefix_stage, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(["sid", "doc_id"]) \
+             .sort_values(["sid", "doc_id"], kind="mergesort")
+        sid = g["sid"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        sz = g["size"].to_numpy(np.int64)
+        # run boundaries of each sid; only runs of length >= 2 pair up
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        ends = np.r_[starts[1:], len(sid)]
+        outs_a, outs_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            mn = np.minimum(sz[s + ai], sz[s + bi])
+            mx = np.maximum(sz[s + ai], sz[s + bi])
+            keep = mn * 1_000_000 >= tau_u6 * mx     # J <= min/max
+            outs_a.append(ids[s + ai[keep]])
+            outs_b.append(ids[s + bi[keep]])
+        if not outs_a:
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series(np.concatenate(outs_a), dtype="int64"),
+            "doc_b": pd.Series(np.concatenate(outs_b), dtype="int64")})
+
+    cand = exploded.groupby("part").map_groups(
+        bucket_pairs, batch_format="pandas")
+    return verify_jaccard_pairs(docs, dedup_pairs(cand), k, threshold)
 
 
 def simhash64(text, k=2):
