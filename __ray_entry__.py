@@ -2116,6 +2116,330 @@ def q_tpch_q19(sf_dir):
         "n_lines": out["n_lines"].astype("int64")})
 
 
+def q_tpch_q7(sf_dir):
+    """TPC-H Q7 shape (bi-directional nation-pair volume): revenue
+    shipped between NATION_1 and NATION_2 in either direction, grouped
+    by (supp_nation, cust_nation, ship year). Supplier→nation is a
+    broadcast dict (q5 discipline); customer filtered to the two
+    nations hash-joins orders, lineitem hash-joins in, and the
+    DIRECTION predicate ((F,G) or (G,F)) evaluates vectorized after
+    the broadcast lookup — the nation pair is never a shuffle key."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    lo = pd.Timestamp("1995-01-01").to_numpy()
+    hi = pd.Timestamp("1997-01-01").to_numpy()
+    nation = _read(sf_dir, "nation").to_pandas()
+    nk = {n: int(k) for k, n in zip(nation["n_nationkey"],
+                                    nation["n_name"])}
+    pair = (nk["NATION_1"], nk["NATION_2"])
+    nname = {pair[0]: "NATION_1", pair[1]: "NATION_2"}
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp["s_suppkey"].astype(int),
+                     supp["s_nationkey"].astype(int)))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame({
+            "ckey": df["c_custkey"].astype("int64"),
+            "c_nat": df["c_nationkey"].astype("int64"),
+        })[df["c_nationkey"].astype(int).isin(pair).to_numpy()],
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "ckey": df["o_custkey"].astype("int64")}),
+        batch_format="pandas")
+    ord_cn = relational.hash_join(orders, cust, "ckey",
+                                  left_cols=["okey"],
+                                  right_cols=["c_nat"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "skey": df["l_suppkey"].astype("int64"),
+            "l_year": df["l_shipdate"].dt.year.astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64)),
+        })[(df["l_shipdate"].to_numpy() >= lo)
+           & (df["l_shipdate"].to_numpy() < hi)],
+        batch_format="pandas")
+    joined = relational.hash_join(
+        ord_cn.map_batches(lambda df: pa.table({
+            "okey": pa.array(df["okey"].astype("int64"), pa.int64()),
+            "c_nat": pa.array(df["c_nat"].astype("int64"),
+                              pa.int64())}), batch_format="pandas"),
+        li, "okey", how="inner", left_cols=["okey", "c_nat"])
+
+    def direction(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["skey"].map(s_nat).astype("int64").to_numpy()
+        cn = df["c_nat"].to_numpy(np.int64)
+        keep = (((sn == pair[0]) & (cn == pair[1]))
+                | ((sn == pair[1]) & (cn == pair[0])))
+        out = df[keep].copy()
+        out["supp_nation"] = pd.Series(sn[keep]).map(nname).to_numpy()
+        out["cust_nation"] = out["c_nat"].map(nname)
+        return out.groupby(["supp_nation", "cust_nation", "l_year"],
+                           as_index=False)["rev_c2"].sum()
+
+    out = joined.map_batches(direction, batch_format="pandas")\
+        .groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_c2", alias_name="revenue_c2")).to_pandas()
+    if out.empty:
+        # schema-stable empty (tiny corpora may have no qualifying
+        # shipments; an empty Ray aggregate drops its column names)
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue_c2": pd.Series([], dtype="int64")})
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue_c2"] = out["revenue_c2"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_tpch_q8(sf_dir):
+    """TPC-H Q8 shape (market share — the deepest composed plan):
+    PROMO-part lineitems (semi-join against the filtered part side)
+    within 1995–1996 orders of AMERICA-region customers (semi-join
+    against the region-pruned customer side), reduced per order year
+    to the EXACT integer ratio ingredients — NATION_3-supplier cent²
+    revenue vs total. Two partitioned hash joins + two semi-joins +
+    one broadcast dict; the float share is driver postprocessing."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    lo = pd.Timestamp("1995-01-01").to_numpy()
+    hi = pd.Timestamp("1997-01-01").to_numpy()
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    am_rk = int(region[region["r_name"] == "AMERICA"]
+                ["r_regionkey"].iloc[0])
+    am_nk = set(int(k) for k in
+                nation[nation["n_regionkey"] == am_rk]["n_nationkey"])
+    target_nk = int(nation[nation["n_name"] == "NATION_3"]
+                    ["n_nationkey"].iloc[0])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp["s_suppkey"].astype(int),
+                     supp["s_nationkey"].astype(int)))
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])\
+        .map_batches(lambda df: pd.DataFrame({
+            "pkey": df["p_partkey"].astype("int64"),
+        })[(df["p_type"].to_numpy() == "PROMO")],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]).map_batches(
+        lambda df: pd.DataFrame({
+            "pkey": df["l_partkey"].astype("int64"),
+            "okey": df["l_orderkey"].astype("int64"),
+            "skey": df["l_suppkey"].astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64))}), batch_format="pandas")
+    li_promo = relational.semi_join(li, part, "pkey")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "ckey": df["o_custkey"].astype("int64"),
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+        })[(df["o_orderdate"].to_numpy() >= lo)
+           & (df["o_orderdate"].to_numpy() < hi)],
+        batch_format="pandas")
+    joined = relational.hash_join(
+        li_promo.map_batches(lambda df: pa.table({
+            "okey": pa.array(df["okey"].astype("int64"), pa.int64()),
+            "skey": pa.array(df["skey"].astype("int64"), pa.int64()),
+            "rev_c2": pa.array(df["rev_c2"].astype("int64"),
+                               pa.int64())}), batch_format="pandas"),
+        orders, "okey", left_cols=["skey", "rev_c2"],
+        right_cols=["ckey", "o_year"])
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame({
+            "ckey": df["c_custkey"].astype("int64"),
+        })[df["c_nationkey"].astype(int).isin(am_nk).to_numpy()],
+        batch_format="pandas")
+    in_region = relational.semi_join(
+        joined.map_batches(lambda df: pa.table({
+            "ckey": pa.array(df["ckey"].astype("int64"), pa.int64()),
+            "skey": pa.array(df["skey"].astype("int64"), pa.int64()),
+            "o_year": pa.array(df["o_year"].astype("int64"),
+                               pa.int64()),
+            "rev_c2": pa.array(df["rev_c2"].astype("int64"),
+                               pa.int64())}), batch_format="pandas"),
+        cust, "ckey")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_c2"].to_numpy(np.int64)
+        tgt = (df["skey"].map(s_nat).astype("int64").to_numpy()
+               == target_nk)
+        return pd.DataFrame({
+            "o_year": df["o_year"].astype("int64"),
+            "nation_rev_c2": np.where(tgt, rev, 0).astype(np.int64),
+            "total_rev_c2": rev,
+        }).groupby("o_year", as_index=False).sum()
+
+    out = in_region.map_batches(fold, batch_format="pandas")\
+        .groupby("o_year").aggregate(
+        Sum("nation_rev_c2", alias_name="nation_rev_c2"),
+        Sum("total_rev_c2", alias_name="total_rev_c2"))
+    return out.map_batches(
+        lambda df: df.astype({"nation_rev_c2": "int64",
+                              "total_rev_c2": "int64"}),
+        batch_format="pandas")
+
+
+def q_tpch_q13(sf_dir):
+    """TPC-H Q13 shape (distribution of distributions): orders per
+    customer EXCLUDING one priority class, as a histogram of customer
+    counts INCLUDING the zero-order customers. Orders pre-aggregate to
+    (custkey, n) per batch (combiner), one groupby(custkey) merge, a
+    LEFT hash join onto customer fills the zeros, and the
+    count-of-counts reduces through a second (tiny-key) combiner
+    groupby — two exchanges total, both over count rows."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+    cnt = _read(sf_dir, "orders",
+                columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda df: pd.DataFrame({
+            "ckey": df["o_custkey"].astype("int64"),
+            "n": np.int64(1),
+        })[(df["o_orderpriority"].to_numpy() != "1-URGENT")]
+        .groupby("ckey", as_index=False).sum(),
+        batch_format="pandas")\
+        .groupby("ckey").aggregate(Sum("n", alias_name="c_count"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])\
+        .map_batches(lambda df: pd.DataFrame({
+            "ckey": df["c_custkey"].astype("int64")}),
+        batch_format="pandas")
+    joined = relational.hash_join(
+        cust, cnt.map_batches(lambda df: pa.table({
+            "ckey": pa.array(df["ckey"].astype("int64"), pa.int64()),
+            "c_count": pa.array(df["c_count"].astype("int64"),
+                                pa.int64())}), batch_format="pandas"),
+        "ckey", how="left", left_cols=[], right_cols=["c_count"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.to_numeric(df["c_count"], errors="coerce")\
+            .fillna(0).astype("int64")
+        return pd.DataFrame({"c_count": c, "custdist": np.int64(1)})\
+            .groupby("c_count", as_index=False).sum()
+
+    out = joined.map_batches(hist, batch_format="pandas")\
+        .groupby("c_count").aggregate(
+        Sum("custdist", alias_name="custdist"))
+    return out.map_batches(
+        lambda df: df.astype({"c_count": "int64",
+                              "custdist": "int64"}),
+        batch_format="pandas")
+
+
+def q_tpch_q15(sf_dir):
+    """TPC-H Q15 shape (global argmax with ties): per-supplier revenue
+    for 1996Q1 (per-batch combiner → one groupby(suppkey)), the global
+    maximum pulled as ONE scalar (aggregate of a one-row-per-supplier
+    table — never the lineitems), and the equality filter + broadcast
+    name lookup emit every supplier at the max. The max is exact cent²
+    so ties are real ties, not float noise."""
+    from ray.data.aggregate import Sum
+    lo = pd.Timestamp("1996-01-01").to_numpy()
+    hi = pd.Timestamp("1996-04-01").to_numpy()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    s_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    rev = _read(sf_dir, "lineitem",
+                columns=["l_suppkey", "l_extendedprice", "l_discount",
+                         "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "skey": df["l_suppkey"].astype("int64"),
+            "rev_c2": np.rint(df["l_extendedprice"].to_numpy() * 100)
+            .astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100)
+               .astype(np.int64)),
+        })[(df["l_shipdate"].to_numpy() >= lo)
+           & (df["l_shipdate"].to_numpy() < hi)]
+        .groupby("skey", as_index=False).sum(),
+        batch_format="pandas")\
+        .groupby("skey").aggregate(Sum("rev_c2",
+                                       alias_name="total_rev_c2"))
+    rev = rev.map_batches(
+        lambda df: df.astype({"skey": "int64",
+                              "total_rev_c2": "int64"}),
+        batch_format="pandas").materialize()
+    top = int(rev.max("total_rev_c2"))
+    out = rev.filter(expr=f"total_rev_c2 == {top}").to_pandas()
+    out["s_name"] = out["skey"].map(s_name)
+    return out[["skey", "s_name", "total_rev_c2"]]\
+        .sort_values("skey").reset_index(drop=True)
+
+
+def q_tpch_q22(sf_dir):
+    """TPC-H Q22 shape (global scalar threshold + anti-join): positive
+    -balance customers of five nations, kept when acctbal exceeds the
+    global average (exact integer cross-multiplication acctbal_c · N >
+    Σbal_c — no float average anywhere) AND they have no URGENT orders
+    (tag-union anti-join, no broadcast of the orders side; every
+    customer has SOME order in this corpus, so the classic no-orders
+    predicate would be vacuous); per-nation count + exact-cent balance
+    sum."""
+    from ray.data.aggregate import Sum, Count
+    from unmixing_ray.stages import relational
+    codes = (1, 2, 3, 4, 5)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        bal_c = np.rint(df["c_acctbal"].to_numpy() * 100)\
+            .astype(np.int64)
+        keep = (df["c_nationkey"].astype(int).isin(codes).to_numpy()
+                & (bal_c > 0))
+        return pd.DataFrame({
+            "ckey": df["c_custkey"].astype("int64"),
+            "cntrycode": df["c_nationkey"].astype("int64"),
+            "bal_c": bal_c})[keep]
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])\
+        .map_batches(pick, batch_format="pandas")
+    # global scalar (Σbal_c, N) over the positive-balance candidates
+    stats = cust.map_batches(
+        lambda df: pd.DataFrame({
+            "one": [np.int64(1)],
+            "s": [np.int64(df["bal_c"].sum())],
+            "n": [np.int64(len(df))]}), batch_format="pandas")\
+        .groupby("one").aggregate(Sum("s", alias_name="s"),
+                                  Sum("n", alias_name="n")).to_pandas()
+    tot_s, tot_n = int(stats["s"].iloc[0]), int(stats["n"].iloc[0])
+
+    rich = cust.map_batches(
+        lambda df: df[df["bal_c"].to_numpy(np.int64) * tot_n > tot_s],
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])\
+        .map_batches(lambda df: pd.DataFrame({
+            "ckey": df["o_custkey"].astype("int64"),
+        })[(df["o_orderpriority"].to_numpy() == "1-URGENT")]
+        .drop_duplicates("ckey"), batch_format="pandas")
+    noorder = relational.anti_join(rich, orders, "ckey")
+    out = noorder.groupby("cntrycode").aggregate(
+        Count(alias_name="numcust"),
+        Sum("bal_c", alias_name="totacctbal_c"))
+    return out.map_batches(
+        lambda df: df.astype({"cntrycode": "int64",
+                              "numcust": "int64",
+                              "totacctbal_c": "int64"}),
+        batch_format="pandas")
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -3657,6 +3981,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q22": q_tpch_q22,
         "orders_ntile": q_orders_ntile,
         "lineitem_setops": q_lineitem_setops,
         "basket_pairs": q_basket_pairs,
@@ -4524,6 +4853,102 @@ def oracle_sql() -> dict[str, str]:
                      AS total_c
             FROM li JOIN th ON li.l_partkey = th.l_partkey
             WHERE 5 * li.qty * th.n < th.s""",
+        "tpch_q7": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c2
+            FROM supplier s, lineitem l, orders o, customer c,
+                 nation ns, nation nc
+            WHERE s.s_suppkey = l.l_suppkey
+              AND o.o_orderkey = l.l_orderkey
+              AND c.c_custkey = o.o_custkey
+              AND s.s_nationkey = ns.n_nationkey
+              AND c.c_nationkey = nc.n_nationkey
+              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)""",
+        "tpch_q8": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                                 THEN CAST(round(l.l_extendedprice
+                                                 * 100) AS BIGINT)
+                                   * (100 - CAST(round(l.l_discount
+                                                       * 100)
+                                                 AS BIGINT))
+                                 ELSE 0 END) AS BIGINT)
+                     AS nation_rev_c2,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS total_rev_c2
+            FROM part p, supplier s, lineitem l, orders o,
+                 customer c, nation nc, nation ns, region r
+            WHERE p.p_partkey = l.l_partkey
+              AND s.s_suppkey = l.l_suppkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_custkey = c.c_custkey
+              AND c.c_nationkey = nc.n_nationkey
+              AND nc.n_regionkey = r.r_regionkey
+              AND r.r_name = 'AMERICA'
+              AND s.s_nationkey = ns.n_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND p.p_type = 'PROMO'
+            GROUP BY year(o.o_orderdate)""",
+        "tpch_q13": """
+            WITH c_orders AS (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM c_orders GROUP BY c_count""",
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey AS skey,
+                     CAST(sum(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS total_rev_c2
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT rev.skey, s.s_name, rev.total_rev_c2
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.skey
+            WHERE rev.total_rev_c2 = (SELECT max(total_rev_c2)
+                                      FROM rev)
+            ORDER BY rev.skey""",
+        "tpch_q22": """
+            WITH cand AS (
+              SELECT c_custkey AS ckey,
+                     CAST(c_nationkey AS BIGINT) AS cntrycode,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer
+              WHERE c_nationkey IN (1, 2, 3, 4, 5)
+                AND CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+            g AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n FROM cand)
+            SELECT cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            FROM cand, g
+            WHERE cand.bal_c * g.n > g.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = cand.ckey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY cntrycode""",
         "orders_ntile": """
             WITH base AS (
               SELECT o_orderpriority,

@@ -250,6 +250,9 @@ def registry(ray_session):
     "morans_i",
     # EXACT set-similarity self-join via df-ordered prefix filtering
     "ssjoin_pairs",
+    # TPC-H batch 6: nation-pair volume, market share, count-of-counts,
+    # global argmax-with-ties, scalar-threshold + anti-join
+    "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q22",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
