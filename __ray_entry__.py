@@ -2906,6 +2906,22 @@ def q_kmeans_assign(sf_dir):
     return cluster.assign(ds, C)
 
 
+def q_semdedup(sf_dir):
+    """SemDeDup semantic dedup (stages/ann.py:semdedup): cluster-first
+    (broadcast nearest-centroid assign), then keep-min-id cosine
+    verdicts WITHIN each cluster — one groupby(cluster_id) exchange
+    bounds the quadratic to (n/k)² per group. Centroids are the
+    vec_id < 8 vectors (data-defined, kmeans_assign discipline) so the
+    SQL oracle replays assignment + verdicts exactly."""
+    from unmixing_ray.stages import ann, cluster
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = ds.filter(lambda r: r["vec_id"] < 8).to_pandas()\
+        .sort_values("vec_id")
+    C = np.array([np.asarray(v, dtype=np.float64)
+                  for v in head["embedding"]])
+    return ann.semdedup(ds, C, threshold=0.45)
+
+
 def _planted_neardup_docs(sf_dir, n_dups=20, seed=99):
     """documents ∪ token-perturbed copies of the first n_dups docs
     (deterministic, shared construction synth.perturb_docs) — makes the
@@ -4018,6 +4034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
         "lineitem_sample": q_lineitem_sample,
         "orders_sample_per_priority": q_orders_sample_per_priority,
         "spectra_at_points": q_spectra_at_points,
@@ -4086,6 +4103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _cluster_sql():
     from unmixing_ray.stages.cluster import assign_first_k_sql
     return assign_first_k_sql(k=8)
+
+
+def _semdedup_sql():
+    from unmixing_ray.stages.ann import semdedup_first_k_sql
+    return semdedup_first_k_sql(k=8, threshold=0.45)
 
 
 def _events_sessions_sql():
@@ -5376,6 +5398,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.dim, b.dim""",
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),
+        "semdedup": _semdedup_sql(),
         "lineitem_sample": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
                      AS l_linenumber,

@@ -253,6 +253,8 @@ def registry(ray_session):
     # TPC-H batch 6: nation-pair volume, market share, count-of-counts,
     # global argmax-with-ties, scalar-threshold + anti-join
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q22",
+    # SemDeDup: cluster-first semantic dedup, keep-min-id verdicts
+    "semdedup",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

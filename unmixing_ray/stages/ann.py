@@ -437,6 +437,91 @@ def cosine_near_dup_pairs(embeddings_ds, threshold=0.95, nbits=6,
         Min("sim_u6", alias_name="sim_u6"))
 
 
+def semdedup(embeddings_ds, centroids, threshold=0.45,
+             col="embedding", id_col="vec_id"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by CLUSTERING FIRST, then exact cosine dedup only
+    WITHIN clusters — the cluster partition is what bounds the O(n²):
+    each group holds n/k vectors, so the within-group similarity block
+    is (n/k)² and k scales with the corpus to keep groups
+    worker-sized (the production path feeds ``cluster.kmeans_fit``
+    centroids; the oracle query uses data-defined centroids so the
+    assignment replays in SQL).
+
+    One broadcast-assign pass (centroid matrix shipped once) tags each
+    vector; ONE groupby(cluster_id) exchange co-locates each cluster;
+    the verdict is keep-min-id: vector b is dropped iff some a < b in
+    the same cluster has cos(a, b) ≥ threshold, and ``dup_of`` is the
+    smallest such a (deterministic, batching-invariant). Returns a
+    Dataset of (vec_id, cluster_id, keep 0/1, dup_of, -1 when kept).
+    Cross-cluster near-dups are invisible BY DESIGN — that recall loss
+    vs :func:`cosine_near_dup_exact` is the documented SemDeDup
+    trade-off, not a bug."""
+    from .cluster import _emb_matrix, exact_assign
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        X = _emb_matrix(df, col)
+        a, _ = exact_assign(X, C)
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "cluster_id": a.astype(np.int64),
+            col: df[col]})
+
+    assigned = embeddings_ds.map_batches(tag, batch_format="pandas")
+
+    def verdicts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy(np.int64)
+        M = _normalize(_emb_matrix(g, col))
+        sims = M @ M.T
+        dup = np.triu(sims >= threshold, 1)     # dup[i, j]: i < j hits j
+        hit = dup.any(axis=0)
+        first = dup.argmax(axis=0)              # smallest i (row order)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": g["cluster_id"].to_numpy(np.int64),
+            "keep": (~hit).astype(np.int64),
+            "dup_of": np.where(hit, ids[first], -1).astype(np.int64)})
+
+    return assigned.groupby("cluster_id").map_groups(
+        verdicts, batch_format="pandas")
+
+
+def semdedup_first_k_sql(k=8, threshold=0.45):
+    """DuckDB oracle for :func:`semdedup` with the vec_id < k
+    data-defined centroids (assignment replay = the
+    ``assign_first_k_sql`` row_number pattern; verdicts = a
+    same-cluster lower-id similarity join)."""
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < {k}),
+        d AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.cemb), c.cid)
+                   AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cluster_id
+          FROM d WHERE rn = 1),
+        dups AS (
+          SELECT b.vec_id,
+                 CAST(min(a.vec_id) AS BIGINT) AS dup_of
+          FROM asg a JOIN asg b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding)
+                >= {threshold}
+          GROUP BY b.vec_id)
+        SELECT asg.vec_id, asg.cluster_id,
+               CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep,
+               CAST(COALESCE(dup.dup_of, -1) AS BIGINT) AS dup_of
+        FROM asg LEFT JOIN dups dup ON asg.vec_id = dup.vec_id"""
+
+
 def quantize_int8(embeddings_ds):
     """Symmetric per-vector int8 quantization — the embedding
     compression step of a scale ANN index (IVF-PQ-style storage: 4x
