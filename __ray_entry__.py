@@ -2906,6 +2906,20 @@ def q_kmeans_assign(sf_dir):
     return cluster.assign(ds, C)
 
 
+def q_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training (stages/text.py:bpe_train):
+    the corpus is reduced ONCE to the distinct-word table (Counter
+    combiner → groupby(word)); each merge round is a pair-count
+    combiner pass over that Zipf-bounded table + a contains-filtered
+    rewrite. Oracle: an independent single-machine dict replay
+    (synth.generate_bpe_expected) — ties break to the smallest
+    (lhs, rhs) in both."""
+    from unmixing_ray.stages import text
+    return text.bpe_train(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_merges=12)
+
+
 def q_semdedup(sf_dir):
     """SemDeDup semantic dedup (stages/ann.py:semdedup): cluster-first
     (broadcast nearest-centroid assign), then keep-min-id cosine
@@ -3924,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_regionprops_expected(sf)
                 _synth.generate_tilesums_expected(sf)
                 _synth.generate_tileclass_expected(sf)
+                _synth.generate_bpe_expected(sf)
             except Exception:
                 pass
     return {
@@ -4035,6 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
+        "bpe_merges": q_bpe_merges,
         "lineitem_sample": q_lineitem_sample,
         "orders_sample_per_priority": q_orders_sample_per_priority,
         "spectra_at_points": q_spectra_at_points,
@@ -4192,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_regionprops_expected(sf)
                 _synth.generate_tilesums_expected(sf)
                 _synth.generate_tileclass_expected(sf)
+                _synth.generate_bpe_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -5399,6 +5416,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": text.tfidf_topk_sql(k=3),
         "kmeans_assign": _cluster_sql(),
         "semdedup": _semdedup_sql(),
+        "bpe_merges": f"""
+            SELECT step, lhs, rhs, pair_count
+            FROM read_parquet('{C}/bpe_expected.parquet')""",
         "lineitem_sample": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
                      AS l_linenumber,

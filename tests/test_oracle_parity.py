@@ -255,6 +255,8 @@ def registry(ray_session):
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q22",
     # SemDeDup: cluster-first semantic dedup, keep-min-id verdicts
     "semdedup",
+    # distributed BPE tokenizer training vs single-machine dict replay
+    "bpe_merges",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2788,3 +2788,75 @@ def generate_tileclass_expected(sf_dir, div=800, n_classes=8):
     pq.write_table(t, str(out / "tileclass_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+BPE_VERSION = 1
+
+
+def generate_bpe_expected(sf_dir, n_merges=12):
+    """Write the ``bpe_expected.parquet`` sidecar: the (step, lhs,
+    rhs, pair_count) merge table of character-level BPE (Sennrich
+    2016) trained single-machine over the documents table — an
+    INDEPENDENT dict-based replay of stages/text.py:bpe_train (which
+    computes the same merges distributed: word-count combiner →
+    groupby(word), per-round pair-count combiner → groupby(pair),
+    contains-filtered rewrite). Ties on the max pair count break to
+    the lexicographically smallest (lhs, rhs) in both
+    implementations."""
+    import pyarrow.dataset as pads
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_BPE_DONE"
+    stamp = "bpe v%d m%d" % (BPE_VERSION, n_merges)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    docs_path = os.path.join(str(sf_dir), "documents.parquet")
+    tbl = pads.dataset(docs_path, format="parquet").to_table(
+        columns=["text"])
+    out.mkdir(parents=True, exist_ok=True)
+
+    words = {}
+    for t in tbl["text"].to_pylist():
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    # word -> (symbol tuple, count)
+    seqs = {tuple(list(w) + ["</w>"]): n for w, n in words.items()}
+    rows = {"step": [], "lhs": [], "rhs": [], "pair_count": []}
+    for step in range(n_merges):
+        pc = {}
+        for toks, n in seqs.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        # deterministic argmax: max count, then smallest (lhs, rhs)
+        m = max(pc.values())
+        best_pair = min(p for p, c in pc.items() if c == m)
+        rows["step"].append(step)
+        rows["lhs"].append(best_pair[0])
+        rows["rhs"].append(best_pair[1])
+        rows["pair_count"].append(int(m))
+        a, b = best_pair
+        ab = a + b
+        new_seqs = {}
+        for toks, n in seqs.items():
+            lst, i, L = [], 0, len(toks)
+            while i < L:
+                if i + 1 < L and toks[i] == a and toks[i + 1] == b:
+                    lst.append(ab)
+                    i += 2
+                else:
+                    lst.append(toks[i])
+                    i += 1
+            key = tuple(lst)
+            new_seqs[key] = new_seqs.get(key, 0) + n
+        seqs = new_seqs
+    pq.write_table(pa.table({
+        "step": pa.array(rows["step"], pa.int64()),
+        "lhs": pa.array(rows["lhs"], pa.string()),
+        "rhs": pa.array(rows["rhs"], pa.string()),
+        "pair_count": pa.array(rows["pair_count"], pa.int64())}),
+        str(out / "bpe_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -1478,3 +1478,106 @@ def edit_distance_join_sql(aug_text_expr="text"):
         FROM cnt a JOIN cnt b
           ON a.token < b.token
          AND levenshtein(a.token, b.token) = 1"""
+
+
+def bpe_train(docs, n_merges=12, text_col="text"):
+    """Distributed BPE vocabulary training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-fitting step of an LLM data
+    pipeline, run over the corpus instead of a sample.
+
+    The corpus-scale work happens ONCE: a per-batch word-Counter
+    combiner feeds one ``groupby(word)`` exchange, and everything
+    after operates on the DISTINCT-WORD table (Zipf-bounded — the
+    classic BPE working set), never the corpus. Each of the
+    ``n_merges`` rounds is (a) a pair-count pass over the word table
+    (per-batch Counter combiner → ``groupby(pair)`` merge; the
+    aggregated pair table is symbol-vocabulary-sized, so the driver
+    argmax is O(vocab)), and (b) a rewrite pass that re-tokenizes ONLY
+    the words containing the winning pair (vectorized contains
+    pre-filter). Ties on the max count break to the lexicographically
+    smallest (left, right) — deterministic at any partitioning.
+
+    Words are space-joined symbol sequences seeded with characters +
+    a terminal ``</w>`` marker; symbols never contain spaces (words
+    come from a whitespace split), so the join is lossless. Returns
+    pandas (step, lhs, rhs, pair_count) — the merge table IS the
+    trained tokenizer."""
+    from collections import Counter
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df[text_col]:
+            c.update(t.split())
+        return pd.DataFrame({
+            "word": pd.Series(list(c.keys()), dtype=object),
+            "n": pd.Series(
+                np.fromiter(c.values(), np.int64, len(c)))})
+
+    words = docs.map_batches(wc, batch_format="pandas")\
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def init_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "syms": [" ".join(list(w) + ["</w>"]) for w in df["word"]],
+            "n": df["n"].astype("int64")})
+
+    table = words.map_batches(init_syms, batch_format="pandas")\
+        .materialize()
+    merges = {"step": [], "lhs": [], "rhs": [], "pair_count": []}
+    for step in range(n_merges):
+
+        def pc(df: pd.DataFrame) -> pd.DataFrame:
+            c = Counter()
+            for s, n in zip(df["syms"], df["n"]):
+                toks = s.split(" ")
+                for i in range(len(toks) - 1):
+                    c[toks[i] + " " + toks[i + 1]] += int(n)
+            return pd.DataFrame({
+                "pair": pd.Series(list(c.keys()), dtype=object),
+                "cnt": pd.Series(
+                    np.fromiter(c.values(), np.int64, len(c)))})
+
+        pairs = table.map_batches(pc, batch_format="pandas")\
+            .groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))\
+            .to_pandas()
+        if pairs.empty:
+            break
+        split = pairs["pair"].str.split(" ", n=1, expand=True)
+        pairs = pairs.assign(lhs=split[0], rhs=split[1])
+        top = pairs.sort_values(["cnt", "lhs", "rhs"],
+                                ascending=[False, True, True]).iloc[0]
+        a, b, ab = str(top["lhs"]), str(top["rhs"]), \
+            str(top["lhs"]) + str(top["rhs"])
+        merges["step"].append(step)
+        merges["lhs"].append(a)
+        merges["rhs"].append(b)
+        merges["pair_count"].append(int(top["cnt"]))
+        pat = a + " " + b
+
+        def merge_stage(df: pd.DataFrame, a=a, b=b, ab=ab,
+                        pat=pat) -> pd.DataFrame:
+            syms = df["syms"].tolist()
+            hit = df["syms"].str.contains(pat, regex=False).to_numpy()
+            for idx in np.flatnonzero(hit):
+                toks = syms[idx].split(" ")
+                new, i, n_t = [], 0, len(toks)
+                while i < n_t:
+                    if (i + 1 < n_t and toks[i] == a
+                            and toks[i + 1] == b):
+                        new.append(ab)
+                        i += 2
+                    else:
+                        new.append(toks[i])
+                        i += 1
+                syms[idx] = " ".join(new)
+            return pd.DataFrame({
+                "syms": pd.Series(syms, dtype=object),
+                "n": df["n"].astype("int64")})
+
+        table = table.map_batches(merge_stage, batch_format="pandas")\
+            .materialize()
+    return pd.DataFrame({
+        "step": pd.Series(merges["step"], dtype="int64"),
+        "lhs": pd.Series(merges["lhs"], dtype=object),
+        "rhs": pd.Series(merges["rhs"], dtype=object),
+        "pair_count": pd.Series(merges["pair_count"], dtype="int64")})
