@@ -1860,6 +1860,42 @@ def q_flow_accumulation(sf_dir):
         batch_format="pandas")
 
 
+def _lattice_nodes(sf_dir):
+    """Occupied tile-cell lattice node set (v = ix·2²¹ + iy) — shared
+    by the flow-graph analytics (accumulation, basins, Strahler)."""
+    from unmixing_ray import cellindex
+    from ray.data.aggregate import Count
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def nodes_fn(batch):
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        pk = ix * (np.int64(1) << 21) + iy
+        return pd.DataFrame({"v": np.unique(pk)})
+
+    return tiles.map_batches(nodes_fn, batch_format="pyarrow")\
+        .groupby("v").aggregate(Count()).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64")}),
+        batch_format="pandas").materialize()
+
+
+def q_strahler_order(sf_dir):
+    """Strahler stream order over the occupied-cell flow graph
+    (stages/terrain.py:strahler_order_lattice): 4 fixed rounds of
+    order propagation — per round one orders⨝edges hash join, one
+    (cell, ord) count aggregate, and one associative packed Max
+    (ord·2 + (c≥2) is monotone in ord, so max order and its
+    multiplicity flag reduce together). Oracle: the rounds replayed
+    as stacked CTEs over the same deterministic lattice elevation."""
+    from unmixing_ray.stages import terrain
+    out = terrain.strahler_order_lattice(_lattice_nodes(sf_dir),
+                                         rounds=4)
+    return out.map_batches(
+        lambda df: df.astype({"ix": "int64", "iy": "int64",
+                              "strahler": "int64"}),
+        batch_format="pandas")
+
+
 def q_basin_label(sf_dir):
     """Watershed basin labels over the occupied tile-cell lattice
     (stages/terrain.py:basin_label_lattice) — pointer DOUBLING over
@@ -4031,6 +4067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_bfs": q_cell_bfs,
         "cell_sssp": q_cell_sssp,
         "flow_accumulation": q_flow_accumulation,
+        "strahler_order": q_strahler_order,
         "basin_label": q_basin_label,
         "morans_i": q_morans_i,
         "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -4124,6 +4161,63 @@ def _cluster_sql():
 def _semdedup_sql():
     from unmixing_ray.stages.ann import semdedup_first_k_sql
     return semdedup_first_k_sql(k=8, threshold=0.45)
+
+
+def _strahler_sql(corpus, rounds=4):
+    """Stacked-CTE replay of strahler_order_lattice: the shared
+    lattice/edge prefix of the flow_accumulation oracle, then per
+    round a join + (cell, uord) count + max-order pick, with source
+    cells re-unioned at order 1."""
+    parts = [f"""
+            WITH nn AS (
+              SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,
+                              CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{corpus}/tiles_expected.parquet')),
+            el AS (SELECT ix, iy,
+                          (ix * 1000003 + iy * 7919) % 104729 AS e
+                   FROM nn),
+            cand AS (
+              SELECT a.ix AS six, a.iy AS siy,
+                     b.ix AS tix, b.iy AS tiy, b.e AS te, d.prec
+              FROM el a
+              CROSS JOIN (VALUES (0, 1, 0), (1, 0, 1),
+                                 (2, -1, 0), (3, 0, -1))
+                AS d(prec, dx, dy)
+              JOIN el b ON b.ix = a.ix + d.dx AND b.iy = a.iy + d.dy
+              WHERE b.e < a.e),
+            e AS (SELECT six, siy, tix, tiy FROM (
+                    SELECT cand.*,
+                           row_number() OVER (PARTITION BY six, siy
+                                              ORDER BY te, prec) AS rn
+                    FROM cand) WHERE rn = 1),
+            src AS (SELECT ix, iy FROM nn
+                    WHERE NOT EXISTS (SELECT 1 FROM e
+                                      WHERE e.tix = nn.ix
+                                        AND e.tiy = nn.iy)),
+            o0 AS (SELECT ix, iy, CAST(1 AS BIGINT) AS ord FROM nn)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+            up{k} AS (
+              SELECT e.tix AS ix, e.tiy AS iy, o.ord AS uord
+              FROM o{k - 1} o JOIN e
+                ON e.six = o.ix AND e.siy = o.iy),
+            g{k} AS (
+              SELECT ix, iy, uord, CAST(count(*) AS BIGINT) AS c
+              FROM up{k} GROUP BY ix, iy, uord),
+            p{k} AS (
+              SELECT ix, iy,
+                     uord + CASE WHEN c >= 2 THEN 1 ELSE 0 END AS ord,
+                     row_number() OVER (PARTITION BY ix, iy
+                                        ORDER BY uord DESC) AS rn
+              FROM g{k}),
+            o{k} AS (
+              SELECT ix, iy, CAST(ord AS BIGINT) AS ord
+              FROM p{k} WHERE rn = 1
+              UNION ALL
+              SELECT ix, iy, CAST(1 AS BIGINT) AS ord FROM src)""")
+    parts.append(f"""
+            SELECT ix, iy, ord AS strahler FROM o{rounds}""")
+    return "".join(parts)
 
 
 def _events_sessions_sql():
@@ -5165,6 +5259,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.k < 6)
             SELECT v, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY v""",
+        "strahler_order": _strahler_sql(C, rounds=4),
         "flow_accumulation": f"""
             WITH nn AS (
               SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,

@@ -257,6 +257,8 @@ def registry(ray_session):
     "semdedup",
     # distributed BPE tokenizer training vs single-machine dict replay
     "bpe_merges",
+    # Strahler stream order: fixed-round propagation over the flow graph
+    "strahler_order",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -522,3 +522,90 @@ def basin_label_lattice(nodes, doublings=4):
             "basin_ix": p // _LAT_PACK, "basin_iy": p % _LAT_PACK})
 
     return ptr.map_batches(finish, batch_format="pandas")
+
+
+def strahler_order_lattice(nodes, rounds=4):
+    """STRAHLER STREAM ORDER over the occupied-cell flow graph
+    (engine-new; the stream-network statistic downstream of
+    :func:`flow_downstream_edges`): a source cell has order 1; a cell
+    whose upstream neighbors reach maximum order m gets m + 1 when ≥ 2
+    of them reach m, else m.
+
+    The exact order needs longest-upstream-path many propagation
+    rounds, so this computes the FIXED-ROUND iterate (the
+    SQL-replayability contract shared with
+    :func:`flow_accumulation_lattice` and ``sssp_rounds``): ord₀ = 1
+    everywhere, and each round every cell with upstream neighbors
+    recomputes from the previous iterate — after k rounds the value is
+    exact for every cell whose longest upstream path is ≤ k, and the
+    k-round iterate itself is a pure function of the graph, bit-stable
+    at any partitioning. Per round: ONE partitioned hash join
+    (orders ⨝ edges) + a (cell, ord) count aggregate (per-batch
+    combiner first) + an associative packed Max — ``ord·2 + (c ≥ 2)``
+    is monotone in ord, so one Min/Max-style reduce picks the max
+    upstream order AND its ≥2-multiplicity flag together, no per-node
+    map_groups (the 0.4 ms/group hazard, stages/label.py). Source
+    cells (never an edge target) are re-unioned at order 1 each round.
+
+    Returns (ix, iy, strahler) for every occupied cell."""
+    from ray.data.aggregate import Max, Sum
+    from .relational import anti_join, hash_join
+
+    edges = flow_downstream_edges(nodes).map_batches(
+        lambda df: df.astype({"s": "int64", "t": "int64"}),
+        batch_format="pandas").materialize()
+    sources = anti_join(
+        nodes.map_batches(lambda df: pd.DataFrame({
+            "v": df["v"].astype("int64"),
+            "ord": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        edges, "v", right_key="t").materialize()
+
+    ord_ds = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "s": df["v"].astype("int64"),
+            "ord": np.ones(len(df), dtype=np.int64)}),
+        batch_format="pandas").materialize()
+
+    def combine_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["t", "ord"], as_index=False).size()
+        return pd.DataFrame({
+            "t": g["t"].to_numpy(np.int64),
+            "ord": g["ord"].to_numpy(np.int64),
+            "c": g["size"].to_numpy(np.int64)})
+
+    for _ in range(rounds):
+        up = hash_join(ord_ds, edges, "s", left_cols=["ord"],
+                       right_cols=["t"])
+        cnt = up.map_batches(combine_counts, batch_format="pandas")\
+            .groupby(["t", "ord"]).aggregate(Sum("c", alias_name="c"))
+
+        def pack(df: pd.DataFrame) -> pd.DataFrame:
+            o = df["ord"].to_numpy(np.int64)
+            c = df["c"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "t": df["t"].to_numpy(np.int64),
+                "packed": o * 2 + (c >= 2).astype(np.int64)})
+
+        upd = cnt.map_batches(pack, batch_format="pandas")\
+            .groupby("t").aggregate(Max("packed", alias_name="packed"))\
+            .map_batches(
+            lambda df: pd.DataFrame({
+                "s": df["t"].to_numpy(np.int64),
+                "ord": (df["packed"].to_numpy(np.int64) >> 1)
+                + (df["packed"].to_numpy(np.int64) & 1)}),
+            batch_format="pandas")
+        ord_ds = upd.union(sources.map_batches(
+            lambda df: pd.DataFrame({
+                "s": df["v"].astype("int64"),
+                "ord": df["ord"].astype("int64")}),
+            batch_format="pandas")).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ix": s // _LAT_PACK,
+            "iy": s % _LAT_PACK,
+            "strahler": df["ord"].to_numpy(np.int64)})
+
+    return ord_ds.map_batches(finish, batch_format="pandas")
