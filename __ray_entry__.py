@@ -1896,6 +1896,22 @@ def q_strahler_order(sf_dir):
         batch_format="pandas")
 
 
+def q_viewshed(sf_dir):
+    """Bounded-radius viewshed over the occupied tile-cell lattice
+    (stages/terrain.py:viewshed_lattice): per cell, the count of
+    visible cells within 4 steps along the 8 principal rays — exact
+    integer LOS cross-multiplication over the closed-form lattice
+    elevation; the ONLY exchange is one ray-cell occupancy semi-join
+    + one groupby(v) bit-OR mask reduce. Oracle: pure SQL (occupancy
+    prefix + LOS as correlated NOT EXISTS over generate_series)."""
+    from unmixing_ray.stages import terrain
+    out = terrain.viewshed_lattice(_lattice_nodes(sf_dir), radius=4)
+    return out.map_batches(
+        lambda df: df.astype({"ix": "int64", "iy": "int64",
+                              "n_visible": "int64"}),
+        batch_format="pandas")
+
+
 def q_basin_label(sf_dir):
     """Watershed basin labels over the occupied tile-cell lattice
     (stages/terrain.py:basin_label_lattice) — pointer DOUBLING over
@@ -4068,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_sssp": q_cell_sssp,
         "flow_accumulation": q_flow_accumulation,
         "strahler_order": q_strahler_order,
+        "viewshed": q_viewshed,
         "basin_label": q_basin_label,
         "morans_i": q_morans_i,
         "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -5260,6 +5277,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT v, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY v""",
         "strahler_order": _strahler_sql(C, rounds=4),
+        "viewshed": f"""
+            WITH nn AS (
+              SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,
+                              CAST(cell_iy AS BIGINT) AS iy
+              FROM read_parquet('{C}/tiles_expected.parquet')),
+            el AS (SELECT ix, iy,
+                          (ix * 1000003 + iy * 7919) % 104729 AS e
+                   FROM nn),
+            dirs(dx, dy) AS (VALUES (1, 0), (1, 1), (0, 1), (-1, 1),
+                                    (-1, 0), (-1, -1), (0, -1),
+                                    (1, -1)),
+            dd(d) AS (VALUES (1), (2), (3), (4)),
+            ray AS (
+              SELECT a.ix, a.iy, a.e AS ev,
+                     dirs.dx, dirs.dy, dd.d, b.e AS et
+              FROM el a CROSS JOIN dirs CROSS JOIN dd
+              JOIN el b ON b.ix = a.ix + dirs.dx * dd.d
+                       AND b.iy = a.iy + dirs.dy * dd.d),
+            tds(td) AS (VALUES (1), (2), (3)),
+            vis AS (
+              SELECT r.ix, r.iy FROM ray r
+              WHERE NOT EXISTS (
+                  SELECT 1 FROM tds g
+                  WHERE g.td < r.d AND NOT EXISTS (
+                      SELECT 1 FROM el m
+                      WHERE m.ix = r.ix + r.dx * g.td
+                        AND m.iy = r.iy + r.dy * g.td))
+                AND NOT EXISTS (
+                  SELECT 1 FROM tds g
+                  JOIN el m ON m.ix = r.ix + r.dx * g.td
+                           AND m.iy = r.iy + r.dy * g.td
+                  WHERE g.td < r.d
+                    AND (m.e - r.ev) * r.d >= (r.et - r.ev) * g.td))
+            SELECT n.ix, n.iy,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS n_visible
+            FROM nn n LEFT JOIN (
+              SELECT ix, iy, count(*) AS c FROM vis
+              GROUP BY ix, iy) c
+              ON c.ix = n.ix AND c.iy = n.iy""",
         "flow_accumulation": f"""
             WITH nn AS (
               SELECT DISTINCT CAST(cell_ix AS BIGINT) AS ix,

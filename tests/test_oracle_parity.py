@@ -259,6 +259,8 @@ def registry(ray_session):
     "bpe_merges",
     # Strahler stream order: fixed-round propagation over the flow graph
     "strahler_order",
+    # bounded-radius viewshed: integer LOS over the closed-form lattice
+    "viewshed",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -609,3 +609,101 @@ def strahler_order_lattice(nodes, rounds=4):
             "strahler": df["ord"].to_numpy(np.int64)})
 
     return ord_ds.map_batches(finish, batch_format="pandas")
+
+
+VIEW_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1),
+             (-1, 0), (-1, -1), (0, -1), (1, -1))
+
+
+def viewshed_lattice(nodes, radius=4):
+    """Bounded-radius VIEWSHED over the occupied cell lattice
+    (engine-new; the GIS line-of-sight headline op): per cell, how
+    many cells within ``radius`` steps along the 8 principal rays are
+    VISIBLE — every intermediate ray cell is occupied AND sits below
+    the sight line, with the LOS slope test as an exact integer
+    cross-multiplication (eₘ − e_v)·d < (e_t − e_v)·t_d (no float
+    slopes; elevations are the closed-form lattice elevation, so the
+    oracle recomputes them in SQL).
+
+    The radius cap is the scale design (the saturated-distance-
+    transform contract): an unbounded viewshed needs image-diameter
+    ray lengths, a bounded one needs exactly ONE occupancy exchange.
+    Elevations cost nothing to ship — they are a pure function of the
+    coordinates — so the only distributed work is ray-cell OCCUPANCY:
+    each node emits its ≤ 8·radius ray targets once, one
+    :func:`~.relational.semi_join` keeps the occupied ones, and one
+    ``groupby(v)`` bit-OR-as-Sum collapses them into a single int64
+    occupancy mask per node (bit dir·radius + (d−1) — distinct bits,
+    so Sum ≡ OR; no per-(node, dir) groups). The finish stage is pure
+    vectorized numpy over (node, dir, d). Returns (ix, iy,
+    n_visible)."""
+    from ray.data.aggregate import Sum
+    from .relational import semi_join
+
+    offs = [(np.int64(dx) * _LAT_PACK + np.int64(dy), dx, dy)
+            for dx, dy in VIEW_DIRS]
+    rad = int(radius)
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        iy = v % _LAT_PACK
+        ix = v // _LAT_PACK
+        parts_v, parts_t, parts_b = [], [], []
+        for k, (off, dx, dy) in enumerate(offs):
+            for d in range(1, rad + 1):
+                ok = np.ones(len(v), dtype=bool)
+                if dx > 0:
+                    ok &= ix < (_LAT_PACK - 1) - (d - 1)
+                elif dx < 0:
+                    ok &= ix >= d
+                if dy > 0:
+                    ok &= iy < _LAT_PACK - d
+                elif dy < 0:
+                    ok &= iy >= d
+                parts_v.append(v[ok])
+                parts_t.append(v[ok] + off * d)
+                parts_b.append(np.full(int(ok.sum()),
+                                       np.int64(1) << (k * rad + d - 1),
+                                       dtype=np.int64))
+        # zero-bit self row: keeps isolated nodes (no occupied ray
+        # cell at all) in the mask table with n_visible = 0
+        parts_v.append(v)
+        parts_t.append(v)
+        parts_b.append(np.zeros(len(v), dtype=np.int64))
+        return pd.DataFrame({
+            "src": np.concatenate(parts_v),
+            "t": np.concatenate(parts_t),
+            "bit": np.concatenate(parts_b)})
+
+    occ = semi_join(nodes.map_batches(cands, batch_format="pandas"),
+                    nodes, "t", right_key="v")
+    masks = occ.map_batches(
+        lambda df: df.groupby("src", as_index=False)["bit"].sum()
+        .astype({"src": "int64", "bit": "int64"}),
+        batch_format="pandas")\
+        .groupby("src").aggregate(Sum("bit", alias_name="mask"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["src"].to_numpy(np.int64)
+        mask = df["mask"].to_numpy(np.int64)
+        iy = v % _LAT_PACK
+        ix = v // _LAT_PACK
+        ev = lattice_elevation(v)
+        n_vis = np.zeros(len(v), dtype=np.int64)
+        for k, (off, _dx, _dy) in enumerate(offs):
+            # occupancy prefix along ray k: all of 1..d present
+            prefix_ok = np.ones(len(v), dtype=bool)
+            for d in range(1, rad + 1):
+                has = (mask >> (k * rad + d - 1)) & 1 == 1
+                prefix_ok = prefix_ok & has
+                if not prefix_ok.any():
+                    break
+                et = lattice_elevation(v + off * d)
+                los = np.ones(len(v), dtype=bool)
+                for td in range(1, d):
+                    em = lattice_elevation(v + off * td)
+                    los &= (em - ev) * d < (et - ev) * td
+                n_vis += (prefix_ok & los).astype(np.int64)
+        return pd.DataFrame({"ix": ix, "iy": iy, "n_visible": n_vis})
+
+    return masks.map_batches(finish, batch_format="pandas")
