@@ -2492,6 +2492,116 @@ def q_tpch_q22(sf_dir):
         batch_format="pandas")
 
 
+def q_tpch_q6(sf_dir):
+    """TPC-H Q6 (forecast revenue change): the canonical
+    scan-filter-aggregate — predicate pushed into the per-batch
+    combiner (shipdate window, discount band as exact cent integers,
+    quantity cap), revenue as exact cent² sums, ONE one-row-per-batch
+    partial through a single-group aggregate. Nothing but two int64
+    scalars per batch ever leaves a worker."""
+    from ray.data.aggregate import Sum
+    lo = pd.Timestamp("1997-01-01").to_numpy()
+    hi = pd.Timestamp("1998-01-01").to_numpy()
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100)\
+            .astype(np.int64)
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        ship = df["l_shipdate"].to_numpy()
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc_c >= 5) & (disc_c <= 7)
+                & (df["l_quantity"].to_numpy() < 24))
+        return pd.DataFrame({
+            "one": [np.int64(1)],
+            "revenue_c2": [np.int64((price_c[keep] * disc_c[keep]).sum())],
+            "n_lines": [np.int64(int(keep.sum()))]})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    out = ds.map_batches(agg, batch_format="pandas")\
+        .groupby("one").aggregate(Sum("revenue_c2", alias_name="revenue_c2"),
+                                  Sum("n_lines", alias_name="n_lines"))\
+        .to_pandas()
+    return out[["revenue_c2", "n_lines"]].astype("int64")
+
+
+Q21_LATE_DAYS = 60
+_US_PER_DAY = 86_400_000_000
+
+
+def q_tpch_q21(sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT EXISTS on a lineitem self-join,
+    decorrelated to per-order set aggregates. The testdata lineitem
+    has no receipt/commit dates, so lateness is l_shipdate >
+    o_orderdate + 60 days (documented surrogate; the plan shape is
+    the reference point). Lineitem is pre-combined per batch to
+    (order, supplier, max shipdate) — never the line payload — then
+    ONE partitioned hash join brings in the F-order date (dates ride
+    as int64 µs: hash_join's tag-union pads with None, so only
+    integer columns survive dtype-stable), and ONE groupby(order)
+    computes {supplier count ≥ 2, exactly one late supplier} per
+    group. Group count is bounded by |orders|, output by |suppliers|;
+    the top-10 is a driver sort of ≤ |suppliers| rows with the
+    deterministic (numwait DESC, s_name) total order."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderstatus"]).map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "odate_us": df["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+        })[df["o_orderstatus"].to_numpy() == "F"],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])\
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "skey": df["l_suppkey"].astype("int64"),
+            "ship_us": df["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+        }).groupby(["okey", "skey"], as_index=False).max(),
+        batch_format="pandas")
+    joined = relational.hash_join(
+        li, orders, "okey",
+        left_cols=["skey", "ship_us"], right_cols=["odate_us"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["ship_us"].to_numpy(np.int64)
+                > df["odate_us"].to_numpy(np.int64)
+                + Q21_LATE_DAYS * _US_PER_DAY)
+        g = pd.DataFrame({"skey": df["skey"].to_numpy(np.int64),
+                          "late": late.astype(np.int64)})\
+            .groupby("skey", as_index=False).max()
+        if len(g) >= 2 and int(g["late"].sum()) == 1:
+            lsk = int(g.loc[g["late"] == 1, "skey"].iloc[0])
+            return pd.DataFrame({"skey": np.array([lsk], dtype=np.int64),
+                                 "n": np.array([1], dtype=np.int64)})
+        return pd.DataFrame({"skey": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+
+    waits = joined.groupby("okey").map_groups(
+        per_order, batch_format="pandas")
+    agg = waits.map_batches(
+        lambda df: df.groupby("skey", as_index=False).sum(),
+        batch_format="pandas").groupby("skey").aggregate(
+        Sum("n", alias_name="numwait")).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    agg["s_name"] = agg["skey"].astype(int).map(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+    out = agg.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(10)
+    return out[["s_name", "numwait"]].astype({"numwait": "int64"})\
+        .reset_index(drop=True)
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -4069,6 +4179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q21": q_tpch_q21,
         "orders_ntile": q_orders_ntile,
         "lineitem_setops": q_lineitem_setops,
         "basket_pairs": q_basket_pairs,
@@ -5099,6 +5211,36 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = cand.ckey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY cntrycode""",
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round(l_discount*100) AS BIGINT))
+                     AS BIGINT) AS revenue_c2,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24""",
+        "tpch_q21": """
+            WITH ol AS (
+              SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                     max(CASE WHEN l.l_shipdate
+                              > o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS late
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            po AS (SELECT ok, count(*) AS ns, sum(late) AS nl,
+                          max(sk * late) AS lsk
+                   FROM ol GROUP BY ok)
+            SELECT s.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM po JOIN supplier s ON s.s_suppkey = po.lsk
+            WHERE po.ns >= 2 AND po.nl = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10""",
         "orders_ntile": """
             WITH base AS (
               SELECT o_orderpriority,

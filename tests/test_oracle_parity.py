@@ -261,6 +261,10 @@ def registry(ray_session):
     "strahler_order",
     # bounded-radius viewshed: integer LOS over the closed-form lattice
     "viewshed",
+    # TPC-H Q6: scan-filter-aggregate with exact cent² revenue
+    "tpch_q6",
+    # TPC-H Q21 shape: double-correlated EXISTS via per-order set aggs
+    "tpch_q21",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
