@@ -504,6 +504,30 @@ def q_polygon_metrics(sf_dir):
     return jstage.polygon_metrics(polys)
 
 
+def q_polygon_centroids(sf_dir):
+    """Exact polygon centroid ingredients
+    (stages/join.py:polygon_centroids): signed doubled-integer
+    shoelace sum + centroid numerators per polygon; DuckDB replays
+    the identical integer arithmetic over the same ring lists."""
+    import ray.data
+    from unmixing_ray.stages import join as jstage
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    return jstage.polygon_centroids(polys)
+
+
+def q_chunk_docs(sf_dir):
+    """Overlapping token-window chunking (stages/text.py:chunk_docs):
+    the RAG/context splitter as an exchange-free flat map; chunk_md5
+    fingerprints each chunk's exact text so the SQL replay
+    (list_slice + md5) pins content, not just counts."""
+    from unmixing_ray.stages import text
+    return text.chunk_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=32, stride=24)
+
+
 def q_polygon_cover(sf_dir):
     """Spatial-index cover build (stages/join.py:polygon_cover): the
     level-12 covering cells of every polygon bbox, the key set the
@@ -3082,6 +3106,22 @@ def q_bpe_merges(sf_dir):
         n_merges=12)
 
 
+def q_bpe_encode(sf_dir):
+    """Tokenizer APPLICATION (stages/text.py:bpe_encode): train the
+    12-merge table distributed (bpe_train), then encode every document
+    with an actor-pool stage — merge list in constructor state, per-
+    actor word→length memo, no exchange at all. Returns (doc_id,
+    n_words, n_tokens). Oracle: an independent single-machine replay
+    that tracks each distinct word's symbol sequence THROUGH training
+    (synth.generate_bpe_encode_expected) — equal because greedy encode
+    replays the same rewrites in the same order."""
+    from unmixing_ray.stages import text
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = text.bpe_train(docs, n_merges=12)
+    return text.bpe_encode(
+        docs, list(zip(merges["lhs"], merges["rhs"])))
+
+
 def q_semdedup(sf_dir):
     """SemDeDup semantic dedup (stages/ann.py:semdedup): cluster-first
     (broadcast nearest-centroid assign), then keep-min-id cosine
@@ -4101,6 +4141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_tilesums_expected(sf)
                 _synth.generate_tileclass_expected(sf)
                 _synth.generate_bpe_expected(sf)
+                _synth.generate_bpe_encode_expected(sf)
             except Exception:
                 pass
     return {
@@ -4217,6 +4258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "lineitem_sample": q_lineitem_sample,
         "orders_sample_per_priority": q_orders_sample_per_priority,
         "spectra_at_points": q_spectra_at_points,
@@ -4226,6 +4268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_cube": q_composite_cube,
         "composite_latest": q_composite_latest,
         "polygon_metrics": q_polygon_metrics,
+        "polygon_centroids": q_polygon_centroids,
+        "chunk_docs": q_chunk_docs,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -4432,6 +4476,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_tilesums_expected(sf)
                 _synth.generate_tileclass_expected(sf)
                 _synth.generate_bpe_expected(sf)
+                _synth.generate_bpe_encode_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import ann, events, relational, text
@@ -4556,6 +4601,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n_vertices AS BIGINT) AS n_vertices,
                    CAST(p.n_cells AS BIGINT) AS n_cells
             FROM p JOIN m USING (poly_id)""",
+        "polygon_centroids": f"""
+            WITH p AS (
+              SELECT poly_id, ring
+              FROM read_parquet('{C}/polygons.parquet')),
+            seg AS (
+              SELECT poly_id,
+                     CAST(round(ring[i][1] * 2) AS BIGINT) AS x0,
+                     CAST(round(ring[i][2] * 2) AS BIGINT) AS y0,
+                     CAST(round(ring[i + 1][1] * 2) AS BIGINT) AS x1,
+                     CAST(round(ring[i + 1][2] * 2) AS BIGINT) AS y1
+              FROM (SELECT poly_id, ring,
+                           unnest(generate_series(1, len(ring) - 1))
+                             AS i
+                    FROM p))
+            SELECT poly_id,
+                   CAST(sum(x0 * y1 - x1 * y0) AS BIGINT) AS area2_s,
+                   CAST(sum((x0 + x1) * (x0 * y1 - x1 * y0))
+                     AS BIGINT) AS cx_num,
+                   CAST(sum((y0 + y1) * (x0 * y1 - x1 * y0))
+                     AS BIGINT) AS cy_num
+            FROM seg GROUP BY poly_id""",
+        "chunk_docs": text.chunk_docs_sql(window=32, stride=24),
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,
@@ -5712,6 +5779,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": f"""
             SELECT step, lhs, rhs, pair_count
             FROM read_parquet('{C}/bpe_expected.parquet')""",
+        "bpe_encode": f"""
+            SELECT doc_id, n_words, n_tokens
+            FROM read_parquet('{C}/bpe_encode_expected.parquet')""",
         "lineitem_sample": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
                      AS l_linenumber,

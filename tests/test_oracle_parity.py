@@ -265,6 +265,12 @@ def registry(ray_session):
     "tpch_q6",
     # TPC-H Q21 shape: double-correlated EXISTS via per-order set aggs
     "tpch_q21",
+    # BPE tokenizer application: actor-pool encode vs training replay
+    "bpe_encode",
+    # exact integer centroid ingredients per polygon
+    "polygon_centroids",
+    # overlapping token-window chunking, content pinned by md5
+    "chunk_docs",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

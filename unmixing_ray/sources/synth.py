@@ -2860,3 +2860,71 @@ def generate_bpe_expected(sf_dir, n_merges=12):
         str(out / "bpe_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+BPE_ENC_VERSION = 1
+
+
+def generate_bpe_encode_expected(sf_dir, n_merges=12):
+    """Write ``bpe_encode_expected.parquet`` (doc_id, n_words,
+    n_tokens): the per-document token counts after applying
+    ``n_merges`` character-BPE merges — an INDEPENDENT single-machine
+    replay of stages/text.py:bpe_train + BpeEncoder, tracking each
+    distinct word's full symbol sequence through training (the engine
+    instead re-derives a fresh word's sequence at encode time by
+    replaying the merge list; the two are equal because encode applies
+    the same rewrites in the same order)."""
+    import pyarrow.dataset as pads
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_BPE_ENC_DONE"
+    stamp = "bpe_enc v%d m%d" % (BPE_ENC_VERSION, n_merges)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    docs_path = os.path.join(str(sf_dir), "documents.parquet")
+    tbl = pads.dataset(docs_path, format="parquet").to_table(
+        columns=["doc_id", "text"])
+    out.mkdir(parents=True, exist_ok=True)
+
+    texts = tbl["text"].to_pylist()
+    word_toks = {}
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+            if w not in word_toks:
+                word_toks[w] = tuple(list(w) + ["</w>"])
+    for _ in range(n_merges):
+        # training weights each pair by its word's corpus frequency
+        pc = {}
+        for w, toks in word_toks.items():
+            n = wc[w]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == m)
+        ab = a + b
+        for w, toks in list(word_toks.items()):
+            lst, i, L = [], 0, len(toks)
+            while i < L:
+                if i + 1 < L and toks[i] == a and toks[i + 1] == b:
+                    lst.append(ab)
+                    i += 2
+                else:
+                    lst.append(toks[i])
+                    i += 1
+            word_toks[w] = tuple(lst)
+    ids = tbl["doc_id"].to_pylist()
+    n_words = [len(t.split()) for t in texts]
+    n_tokens = [sum(len(word_toks[w]) for w in t.split())
+                for t in texts]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64())}),
+        str(out / "bpe_encode_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

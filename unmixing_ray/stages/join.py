@@ -979,3 +979,34 @@ def zonal_majority(tiles, polygons, div=800, n_classes=8):
         .map_batches(partial, batch_format="pyarrow")
     return parts.groupby("poly_id").map_groups(
         merge, batch_format="pandas")
+
+
+def polygon_centroids(polygons_ds):
+    """Exact polygon centroid INGREDIENTS per polygon (the companion
+    to :func:`polygon_metrics`): with ring coordinates doubled to
+    exact int64 (x̂ = 2x), emits the signed shoelace sum ``area2_s =
+    Σ(x̂ᵢŷᵢ₊₁ − x̂ᵢ₊₁ŷᵢ)`` and the centroid numerators ``cx_num =
+    Σ(x̂ᵢ + x̂ᵢ₊₁)·crossᵢ`` / ``cy_num`` — the true centroid is
+    (cx_num, cy_num) / (3·area2_s) / 2, float postprocessing the
+    caller does; the distributed result stays integer so the DuckDB
+    replay is hash-exact. Stateless one-pass map_batches; no
+    shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, a2, cx, cy = [], [], [], []
+        for pid, ring in zip(df["poly_id"], df["ring"]):
+            r = np.asarray([[p[0], p[1]] for p in ring], np.float64)
+            xi = np.rint(r[:, 0] * 2).astype(np.int64)
+            yi = np.rint(r[:, 1] * 2).astype(np.int64)
+            cross = xi[:-1] * yi[1:] - xi[1:] * yi[:-1]
+            ids.append(pid)
+            a2.append(int(cross.sum()))
+            cx.append(int(((xi[:-1] + xi[1:]) * cross).sum()))
+            cy.append(int(((yi[:-1] + yi[1:]) * cross).sum()))
+        return pd.DataFrame({
+            "poly_id": ids,
+            "area2_s": pd.Series(a2, dtype="int64"),
+            "cx_num": pd.Series(cx, dtype="int64"),
+            "cy_num": pd.Series(cy, dtype="int64")})
+
+    return polygons_ds.map_batches(fn, batch_format="pandas")

@@ -1581,3 +1581,132 @@ def bpe_train(docs, n_merges=12, text_col="text"):
         "lhs": pd.Series(merges["lhs"], dtype=object),
         "rhs": pd.Series(merges["rhs"], dtype=object),
         "pair_count": pd.Series(merges["pair_count"], dtype="int64")})
+
+
+class BpeEncoder:
+    """Tokenizer APPLICATION as an actor-pool stage — the step a
+    production corpus pipeline runs over all 100 TB once the merge
+    table is trained (:func:`bpe_train` / reference-free; Sennrich
+    2016 greedy encode). The merge list is tiny and rides the actor
+    constructor ONCE per worker; each actor keeps a word -> token-
+    length memo so the per-batch cost is Zipf-bounded (distinct new
+    words per batch), not corpus-bounded — the stateful-stage analog
+    of the distinct-word trick bpe_train uses globally. Encoding a
+    fresh word replays the merges in training order (each applied
+    exhaustively left-to-right), which reproduces the training-time
+    evolution of that word exactly."""
+
+    def __init__(self, merges):
+        self.merges = [(str(a), str(b), str(a) + str(b))
+                       for a, b in merges]
+        self.memo = {}
+
+    def _enc_len(self, w):
+        r = self.memo.get(w)
+        if r is None:
+            toks = list(w) + ["</w>"]
+            for a, b, ab in self.merges:
+                if a not in toks:
+                    continue
+                new, i, n_t = [], 0, len(toks)
+                while i < n_t:
+                    if (i + 1 < n_t and toks[i] == a
+                            and toks[i + 1] == b):
+                        new.append(ab)
+                        i += 2
+                    else:
+                        new.append(toks[i])
+                        i += 1
+                toks = new
+            r = len(toks)
+            self.memo[w] = r
+        return r
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        enc = self._enc_len
+        n_tok = np.fromiter(
+            (sum(enc(w) for w in t.split()) for t in df["text"]),
+            np.int64, len(df))
+        n_words = np.fromiter(
+            (len(t.split()) for t in df["text"]), np.int64, len(df))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": n_words, "n_tokens": n_tok})
+
+
+def bpe_encode(docs, merges, concurrency=None):
+    """Encode every document with a trained BPE merge table; returns
+    (doc_id, n_words, n_tokens). ``merges`` is an iterable of
+    (lhs, rhs) in training order (e.g. ``bpe_train``'s output rows).
+    Scale shape: embarrassingly parallel map — no exchange at all;
+    the merge table is constructor state (broadcast once per actor,
+    never per batch)."""
+    from .unmix import default_pool_size
+
+    pool = concurrency or default_pool_size(reserve=2)
+    return docs.map_batches(
+        BpeEncoder, fn_constructor_args=(list(merges),),
+        batch_format="pandas", concurrency=pool)
+
+
+def chunk_docs(docs, window=32, stride=24):
+    """Overlapping token-window document chunking — the RAG /
+    training-context splitter: each document becomes
+    ceil(max(n,1)/stride) chunks of ``window`` whitespace tokens
+    starting every ``stride`` tokens (the final chunks are shorter).
+    Embarrassingly parallel flat-map, no exchange; output rows carry
+    (doc_id, chunk_idx, start, n_chunk_tokens, chunk_md5) where
+    chunk_md5 fingerprints the space-rejoined chunk text, so the SQL
+    replay (list_slice + array_to_string + md5) pins the exact chunk
+    CONTENT, not just the arithmetic. Docs with zero tokens emit no
+    chunks."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "chunk_idx": [], "start": [],
+                "n_chunk_tokens": [], "chunk_md5": []}
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = t.split()
+            n = len(toks)
+            ci = 0
+            for start in range(0, n, stride):
+                seg = toks[start:start + window]
+                rows["doc_id"].append(int(did))
+                rows["chunk_idx"].append(ci)
+                rows["start"].append(start)
+                rows["n_chunk_tokens"].append(len(seg))
+                rows["chunk_md5"].append(
+                    hashlib.md5(" ".join(seg).encode()).hexdigest())
+                ci += 1
+        return pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "chunk_idx": pd.Series(rows["chunk_idx"], dtype="int64"),
+            "start": pd.Series(rows["start"], dtype="int64"),
+            "n_chunk_tokens": pd.Series(rows["n_chunk_tokens"],
+                                        dtype="int64"),
+            "chunk_md5": pd.Series(rows["chunk_md5"], dtype=object)})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def chunk_docs_sql(window=32, stride=24):
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 1, {stride}))
+                   AS start
+          FROM d WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST(start / {stride} AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start,
+               CAST(least({window}, len(toks) - start) AS BIGINT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(list_slice(
+                   toks, start + 1,
+                   least(start + {window}, len(toks))), ' '))
+                 AS chunk_md5
+        FROM s"""
