@@ -528,6 +528,34 @@ def q_chunk_docs(sf_dir):
         window=32, stride=24)
 
 
+def q_kcore(sf_dir):
+    """Bounded-round k-core peeling (stages/relational.py:kcore_peel)
+    over the support-2 part co-purchase graph: 3 synchronous peel
+    rounds at k=4, each ONE degree groupby + two node semi-joins;
+    zero-degree survivors re-enter via an anti-join so the synchronous
+    semantics hold exactly. Oracle: stacked-CTE SQL replay
+    (relational.kcore_sql)."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = relational.basket_pairs(
+        ds, "l_orderkey", "l_partkey", min_support=2,
+        pairs_only=True).map_batches(
+        lambda df: df[["a", "b"]].astype("int64"),
+        batch_format="pandas")
+    return relational.kcore_peel(edges, k=4, rounds=3)
+
+
+def q_dsir_weights(sf_dir):
+    """DSIR-style importance weights (stages/text.py:dsir_weights):
+    hashed-unigram bucket counts (ONE groupby(bucket) exchange of
+    ≤ 256 rows per batch), integer ratio surrogate broadcast via
+    ray.put, stateless scoring pass. Oracle replays the md5 bucket
+    hash and floor-div ratio in SQL."""
+    from unmixing_ray.stages import text
+    return text.dsir_weights(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
 def q_polygon_cover(sf_dir):
     """Spatial-index cover build (stages/join.py:polygon_cover): the
     level-12 covering cells of every polygon bbox, the key set the
@@ -4270,6 +4298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_metrics": q_polygon_metrics,
         "polygon_centroids": q_polygon_centroids,
         "chunk_docs": q_chunk_docs,
+        "dsir_weights": q_dsir_weights,
+        "kcore": q_kcore,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -4623,6 +4653,19 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS cy_num
             FROM seg GROUP BY poly_id""",
         "chunk_docs": text.chunk_docs_sql(window=32, stride=24),
+        "dsir_weights": text.dsir_weights_sql(),
+        "kcore": relational.kcore_sql(
+            """e AS (
+              SELECT least(x.l_partkey, y.l_partkey) AS a,
+                     greatest(x.l_partkey, y.l_partkey) AS b
+              FROM (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) x
+              JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2)""",
+            k=4, rounds=3),
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,

@@ -271,6 +271,10 @@ def registry(ray_session):
     "polygon_centroids",
     # overlapping token-window chunking, content pinned by md5
     "chunk_docs",
+    # DSIR hashed-unigram importance weights, integer ratio surrogate
+    "dsir_weights",
+    # bounded-round k-core peeling over the co-purchase graph
+    "kcore",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1476,7 +1476,8 @@ def multiset_ops(left, right, cols):
 # market-basket pair mining (frequent itemset pairs) and distributed
 # triangle counting over the co-occurrence graph
 
-def basket_pairs(ds, basket_col, item_col, min_support=2):
+def basket_pairs(ds, basket_col, item_col, min_support=2,
+                 pairs_only=False):
     """Frequent co-occurring item PAIRS across baskets — the support
     table behind association rules (engine-new; no reference
     analogue). Output per surviving pair: ``a < b``, ``n_ab`` (baskets
@@ -1492,6 +1493,9 @@ def basket_pairs(ds, basket_col, item_col, min_support=2):
     Item supports are exact COUNT(DISTINCT basket) via the existing
     pair-dedup combiner (``count_distinct``) and are attached with two
     partitioned hash joins — no driver-side materialization anywhere.
+    ``pairs_only=True`` skips the support computation entirely and
+    returns just (a, b, n_ab) — for consumers (graph builds) that only
+    need the edge set.
     """
     from ray.data.aggregate import Sum
 
@@ -1501,27 +1505,70 @@ def basket_pairs(ds, basket_col, item_col, min_support=2):
     bi = ds.select_columns([basket_col, item_col]).map_batches(
         dedup, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        items = np.unique(g[item_col].to_numpy(np.int64))
-        if len(items) < 2:
+    # co-locate baskets by HASH PART, not by basket: Ray's map_groups
+    # costs ~0.4 ms per GROUP at any size, so one group per basket is
+    # the slow path (the label/trend lesson) — a fixed number of hash
+    # buckets keeps the exchange identical (parts partition baskets, so
+    # per-part pair partials sum exactly to the global counts) while
+    # the within-part loop over basket slices is plain numpy.
+    _P = 256
+    _MULT = np.int64(2654435761)
+
+    def addpart(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[basket_col].to_numpy(np.int64)
+        out = df[[basket_col, item_col]].copy()
+        out["_part"] = ((b * _MULT) % np.int64(1 << 31)) % _P
+        return out
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[basket_col].to_numpy(np.int64)
+        it = g[item_col].to_numpy(np.int64)
+        order = np.lexsort((it, b))
+        b, it = b[order], it[order]
+        starts = np.append(np.flatnonzero(np.diff(b)) + 1, len(b))
+        pa_, pb_ = [], []
+        s = 0
+        for e in starts:
+            items = np.unique(it[s:e])   # cross-batch (basket, item)
+            s = e                        # dups dedup here
+            if len(items) >= 2:
+                iu, ju = np.triu_indices(len(items), k=1)
+                pa_.append(items[iu])
+                pb_.append(items[ju])
+        if not pa_:
             return pd.DataFrame({
                 "a": pd.Series([], dtype="int64"),
                 "b": pd.Series([], dtype="int64"),
                 "n_ab": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(items), k=1)
-        return pd.DataFrame({"a": items[iu], "b": items[ju],
-                             "n_ab": np.int64(1)})
+        out = pd.DataFrame({"a": np.concatenate(pa_),
+                            "b": np.concatenate(pb_),
+                            "n_ab": np.int64(1)})
+        return out.groupby(["a", "b"], as_index=False).sum()
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["a", "b"], as_index=False).sum()
+    # second exchange: merge per-basket-part partials of the SAME pair.
+    # NEVER groupby the pair key itself — a Ray aggregate costs ~0.4 ms
+    # per GROUP, so one group per distinct pair is minutes at 10^5
+    # pairs (NOTES lesson 61); hash-partition pairs into _P bounded
+    # groups and do the per-pair sum vectorized inside each.
+    def add_pp(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["a"].to_numpy(np.int64) * np.int64(1000003)
+               + df["b"].to_numpy(np.int64))
+        out = df.copy()
+        out["_pp"] = ((key * _MULT) % np.int64(1 << 31)) % _P
+        return out
 
-    pair_counts = bi.groupby(basket_col).map_groups(
-        pairs, batch_format="pandas").map_batches(
-        combine, batch_format="pandas").groupby(["a", "b"]).aggregate(
-        Sum("n_ab", alias_name="n_ab")).map_batches(
-        lambda df: df.astype({"a": "int64", "b": "int64",
-                              "n_ab": "int64"})
-        [df["n_ab"].to_numpy() >= min_support], batch_format="pandas")
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["n_ab"].sum()
+        out = out[out["n_ab"].to_numpy() >= min_support]
+        return out.astype({"a": "int64", "b": "int64", "n_ab": "int64"})
+
+    pair_counts = bi.map_batches(addpart, batch_format="pandas")\
+        .groupby("_part").map_groups(pairs_part, batch_format="pandas")\
+        .map_batches(add_pp, batch_format="pandas")\
+        .groupby("_pp").map_groups(merge_part, batch_format="pandas")
+
+    if pairs_only:
+        return pair_counts
 
     support = count_distinct(bi, item_col, basket_col, alias="n_item")
     sup_a = support.map_batches(
@@ -2158,3 +2205,129 @@ def sssp_rounds(edges, seeds, s="s", t="t", w_col="w", node_col="v",
         dist = min_by_node(dist.union(cand))\
             .repartition(width).materialize()
     return dist
+
+
+def _degree(und):
+    """(v, d) degrees of an (s, t) symmetric edge table: per-batch
+    count combiner → one groupby(s) merge (one row per node)."""
+    from ray.data.aggregate import Sum
+    return und.map_batches(
+        lambda df: df.groupby("s", as_index=False).size()
+        .rename(columns={"s": "v", "size": "d"})
+        .astype({"v": "int64", "d": "int64"}),
+        batch_format="pandas").groupby("v").aggregate(
+        Sum("d", alias_name="d")).map_batches(
+        lambda df: df.astype({"v": "int64", "d": "int64"}),
+        batch_format="pandas")
+
+
+def kcore_peel(edges, k=4, rounds=3, a="a", b="b", target_blocks=16):
+    """Bounded-round k-core PEELING over an undirected graph given as
+    distinct ``a < b`` edges — the degeneracy-ordering primitive
+    (community cores, graph sparsification). Exact k-core needs
+    graph-diameter cascade depth; the fixed ``rounds`` cap is the
+    scale contract (the bfs_levels / sssp_rounds / strahler
+    discipline): after R synchronous peel rounds every node is
+    classified as peeled-at-round-r (r = 1..R) or still standing with
+    its post-peel degree.
+
+    Per round the ONLY exchanges are one degree ``groupby`` (count
+    combiner, one row per node) and two node-table semi-joins that
+    filter the edge list to survivors — the edge payload itself never
+    re-keys. Zero-degree survivors (nodes whose last neighbor was
+    peeled) re-enter the next round's candidate table via an
+    anti-join of survivor nodes vs the new degree table, so they peel
+    in round r+1 exactly as the synchronous semantics require.
+    Returns (v, peel_round, deg_final): peel_round 0 = survived,
+    deg_final = degree in the final surviving subgraph (0 for peeled
+    nodes)."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[a].to_numpy(np.int64)
+        t = df[b].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s": np.concatenate([s, t]),
+            "t": np.concatenate([t, s])})
+
+    # each round consumes `und` and `alive` more than once, so both are
+    # materialized per round (the reduced working set — same discipline
+    # as pagerank_iters / triangle_count); without this Ray Data would
+    # recompute the whole upstream DAG once per consumer, exponentially
+    # across rounds. They are also REPARTITIONED to ``target_blocks``:
+    # the per-round exchanges (sorts, groupbys) schedule per block, so a
+    # working set inherited as hundreds of tiny upstream blocks pays
+    # hundreds of task launches per barrier — compaction is what keeps
+    # the per-round cost proportional to data, not to upstream block
+    # count (size target_blocks to the cluster at scale).
+    und = edges.map_batches(sym, batch_format="pandas")\
+        .repartition(target_blocks).materialize()
+    alive = _degree(und).repartition(target_blocks).materialize()
+    peeled = []
+    for r in range(1, rounds + 1):
+        surv = alive.filter(expr=f"d >= {k}")
+        rm = alive.filter(expr=f"d < {k}").map_batches(
+            lambda df, r=r: pd.DataFrame({
+                "v": df["v"].astype("int64"),
+                "peel_round": np.full(len(df), r, dtype=np.int64),
+                "deg_final": np.zeros(len(df), dtype=np.int64)}),
+            batch_format="pandas")
+        peeled.append(rm)
+        surv_nodes = surv.select_columns(["v"])\
+            .repartition(target_blocks).materialize()
+        und = semi_join(semi_join(und, surv_nodes, "s", right_key="v"),
+                        surv_nodes, "t", right_key="v")\
+            .repartition(target_blocks).materialize()
+        newdeg = _degree(und).repartition(target_blocks).materialize()
+        zero = anti_join(surv_nodes, newdeg, "v").map_batches(
+            lambda df: pd.DataFrame({
+                "v": df["v"].astype("int64"),
+                "d": np.zeros(len(df), dtype=np.int64)}),
+            batch_format="pandas")
+        alive = newdeg.union(zero).repartition(target_blocks)\
+            .materialize()
+    out = alive.map_batches(
+        lambda df: pd.DataFrame({
+            "v": df["v"].astype("int64"),
+            "peel_round": np.zeros(len(df), dtype=np.int64),
+            "deg_final": df["d"].astype("int64")}),
+        batch_format="pandas")
+    for p in peeled:
+        out = out.union(p)
+    return out
+
+
+def kcore_sql(edges_cte, k=4, rounds=3):
+    """Stacked-CTE DuckDB replay of :func:`kcore_peel`.
+    ``edges_cte`` must define a table ``e(a, b)`` of distinct a < b
+    edges."""
+    parts = [edges_cte,
+             "und AS (SELECT a AS s, b AS t FROM e "
+             "UNION ALL SELECT b, a FROM e)",
+             "a1 AS (SELECT s AS v, count(*) AS d FROM und GROUP BY s)"]
+    prev_e, prev_a = "und", "a1"
+    sel = []
+    for r in range(1, rounds + 1):
+        rm, sv, ne, nd, na = (f"rm{r}", f"sv{r}", f"e{r + 1}",
+                              f"nd{r + 1}", f"a{r + 1}")
+        parts.append(f"{rm} AS (SELECT v FROM {prev_a} WHERE d < {k})")
+        parts.append(f"{sv} AS (SELECT v FROM {prev_a} WHERE d >= {k})")
+        parts.append(
+            f"{ne} AS (SELECT s, t FROM {prev_e} "
+            f"WHERE s IN (SELECT v FROM {sv}) "
+            f"AND t IN (SELECT v FROM {sv}))")
+        parts.append(
+            f"{nd} AS (SELECT s AS v, count(*) AS d FROM {ne} "
+            f"GROUP BY s)")
+        parts.append(
+            f"{na} AS (SELECT {sv}.v, coalesce({nd}.d, 0) AS d "
+            f"FROM {sv} LEFT JOIN {nd} USING (v))")
+        sel.append(f"SELECT v, {r} AS peel_round, 0 AS deg_final "
+                   f"FROM {rm}")
+        prev_e, prev_a = ne, na
+    sel.append(f"SELECT v, 0 AS peel_round, d AS deg_final "
+               f"FROM {prev_a}")
+    union = " UNION ALL ".join(sel)
+    return ("WITH " + ",\n".join(parts)
+            + f" SELECT CAST(v AS BIGINT) AS v, "
+              f"CAST(peel_round AS BIGINT) AS peel_round, "
+              f"CAST(deg_final AS BIGINT) AS deg_final FROM ({union})")

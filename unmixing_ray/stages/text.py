@@ -1710,3 +1710,115 @@ def chunk_docs_sql(window=32, stride=24):
                    least(start + {window}, len(toks))), ' '))
                  AS chunk_md5
         FROM s"""
+
+
+def dsir_weights(docs, target_col="lang", target_val="en",
+                 buckets=256, scale=1 << 20, seed="dsir"):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169) with HASHED unigram features — the hashing is
+    the scale story: the feature space is a fixed ``buckets``-wide
+    table regardless of vocabulary, so the model is O(buckets) ints
+    broadcast once, never a vocabulary join. The paper's log-ratio is
+    replaced by an integer ratio surrogate Δ(b) = ⌊scale·(n_target(b)
+    + 1) / (n_raw(b) + 1)⌋ (add-one smoothing; the global
+    normalization constant is omitted — it shifts every document
+    equally and does not change the resampling order), so the DuckDB
+    replay is hash-exact.
+
+    PASS 1 (corpus → buckets): per-batch Counter partials over
+    md5-hashed lowercase [a-z0-9]+ tokens, one ``groupby(bucket)``
+    exchange of ≤ buckets rows per batch, driver collect of exactly
+    ``buckets`` rows. PASS 2: Δ rides ``ray.put`` into a stateless
+    scoring map. Returns (doc_id, n_tokens, dsir_sum): the per-doc
+    importance weight is dsir_sum / (scale·n_tokens), float
+    postprocessing the caller does."""
+    import re
+
+    import ray
+
+    tok = re.compile(r"[a-z0-9]+")
+    B = int(buckets)
+
+    def bucket_of(t):
+        return int(hashlib.md5((t + ":" + seed).encode())
+                   .hexdigest()[:8], 16) % B
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nt = np.zeros(B, np.int64)
+        nr = np.zeros(B, np.int64)
+        is_t = (df[target_col] == target_val).to_numpy()
+        for flag, s in zip(is_t, df["text"]):
+            for t in tok.findall(s.lower()):
+                b = bucket_of(t)
+                nr[b] += 1
+                if flag:
+                    nt[b] += 1
+        nz = np.flatnonzero(nr)
+        return pd.DataFrame({"b": nz.astype(np.int64),
+                             "n_t": nt[nz], "n_r": nr[nz]})
+
+    cnt = docs.map_batches(partial, batch_format="pandas")\
+        .groupby("b").aggregate(Sum("n_t", alias_name="n_t"),
+                                Sum("n_r", alias_name="n_r"))\
+        .to_pandas()
+    delta = np.full(B, np.int64(scale), dtype=np.int64)
+    if len(cnt):
+        bb = cnt["b"].to_numpy(np.int64)
+        delta[bb] = ((cnt["n_t"].to_numpy(np.int64) + 1)
+                     * np.int64(scale)
+                     // (cnt["n_r"].to_numpy(np.int64) + 1))
+    delta_ref = ray.put(delta)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(delta_ref)
+        ids, nt, ws = [], [], []
+        for i, s in zip(df["doc_id"], df["text"]):
+            ts = tok.findall(s.lower())
+            ids.append(int(i))
+            nt.append(len(ts))
+            ws.append(int(sum(int(d[bucket_of(t)]) for t in ts)))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64),
+            "n_tokens": np.array(nt, np.int64),
+            "dsir_sum": np.array(ws, np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def dsir_weights_sql(target_val="en", buckets=256, scale=1 << 20,
+                     seed="dsir"):
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS tok
+          FROM documents),
+        tb AS (
+          SELECT t.doc_id,
+                 CAST(CONCAT('0x', substr(
+                     md5(t.tok || ':{seed}'), 1, 8)) AS BIGINT)
+                   % {buckets} AS b
+          FROM toks t),
+        cnt AS (
+          SELECT tb.b,
+                 sum(CASE WHEN d.lang = '{target_val}'
+                     THEN 1 ELSE 0 END) AS n_t,
+                 count(*) AS n_r
+          FROM tb JOIN documents d USING (doc_id)
+          GROUP BY tb.b),
+        delta AS (
+          SELECT b, CAST((n_t + 1) * {scale} // (n_r + 1) AS BIGINT)
+                   AS dlt
+          FROM cnt),
+        per AS (
+          SELECT tb.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(coalesce(delta.dlt, {scale})) AS BIGINT)
+                   AS dsir_sum
+          FROM tb LEFT JOIN delta USING (b)
+          GROUP BY tb.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.dsir_sum, 0) AS dsir_sum
+        FROM documents d LEFT JOIN per p USING (doc_id)"""
