@@ -23,6 +23,18 @@ import pyarrow as pa
 
 SF01_CORPUS = "/tmp/ray_unmix_data/sf0.01"
 
+# support-2 part co-purchase edge CTE shared by the graph oracles
+_COPURCHASE_E2_CTE = """e AS (
+              SELECT least(x.l_partkey, y.l_partkey) AS a,
+                     greatest(x.l_partkey, y.l_partkey) AS b
+              FROM (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) x
+              JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
 
 def _corpus(sf_dir):
     from unmixing_ray.sources import synth
@@ -543,6 +555,40 @@ def q_kcore(sf_dir):
         lambda df: df[["a", "b"]].astype("int64"),
         batch_format="pandas")
     return relational.kcore_peel(edges, k=4, rounds=3)
+
+
+def _copurchase_edges(sf_dir, min_support=2):
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return relational.basket_pairs(
+        ds, "l_orderkey", "l_partkey", min_support=min_support,
+        pairs_only=True).map_batches(
+        lambda df: df[["a", "b"]].astype("int64"),
+        batch_format="pandas")
+
+
+def q_graph_components(sf_dir):
+    """Bounded-round connected components
+    (stages/relational.py:graph_components): hash-to-min label
+    propagation over the support-2 part co-purchase graph — 4
+    synchronous min rounds, each ONE partitioned hash join + ONE
+    groupby(node) min. Oracle: stacked-CTE SQL replay
+    (relational.graph_components_sql)."""
+    from unmixing_ray.stages import relational
+    return relational.graph_components(
+        _copurchase_edges(sf_dir, min_support=2), rounds=4)
+
+
+def q_clustering_coeff(sf_dir):
+    """Per-node clustering-coefficient ingredients
+    (stages/relational.py:clustering_coeff): degree-ordered wedge
+    closure keeping the wedge apex, each closed triangle exploded to
+    its 3 member nodes through a count-combiner groupby; exact int64
+    (deg, n_tri, n_wedge) per node so the distributed result
+    hash-checks against DuckDB's full triangle enumeration."""
+    from unmixing_ray.stages import relational
+    return relational.clustering_coeff(
+        _copurchase_edges(sf_dir, min_support=2))
 
 
 def q_dsir_weights(sf_dir):
@@ -4300,6 +4346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "dsir_weights": q_dsir_weights,
         "kcore": q_kcore,
+        "graph_components": q_graph_components,
+        "clustering_coeff": q_clustering_coeff,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -4666,6 +4714,10 @@ def oracle_sql() -> dict[str, str]:
                AND x.l_partkey < y.l_partkey
               GROUP BY 1, 2 HAVING count(*) >= 2)""",
             k=4, rounds=3),
+        "graph_components": relational.graph_components_sql(
+            _COPURCHASE_E2_CTE, rounds=4),
+        "clustering_coeff": relational.clustering_coeff_sql(
+            _COPURCHASE_E2_CTE),
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,

@@ -72,3 +72,61 @@ def test_basket_pairs_matches_brute_force(ray_session):
     for _, r in got.iterrows():
         assert int(r["n_a"]) == item_n[int(r["a"])]
         assert int(r["n_b"]) == item_n[int(r["b"])]
+
+
+def _brute_components(edges, nodes, rounds):
+    lab = {v: v for v in nodes}
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for _ in range(rounds):
+        lab = {v: min([lab[v]] + [lab[u] for u in adj[v]])
+               for v in nodes}
+    return lab
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,rounds",
+                         [(3, 30, 25, 4), (11, 60, 45, 3),
+                          (23, 40, 80, 5)])
+def test_graph_components_matches_brute_force(ray_session, seed,
+                                              n_nodes, n_edges, rounds):
+    from unmixing_ray.stages.relational import graph_components
+    rng = np.random.default_rng(seed)
+    edges = _random_graph(rng, n_nodes, n_edges)
+    nodes = sorted({v for e in edges for v in e})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": [e[0] for e in edges], "b": [e[1] for e in edges]}
+    ).astype("int64")).repartition(5)
+    got = graph_components(ds, rounds=rounds).to_pandas()
+    want = _brute_components(edges, nodes, rounds)
+    assert {int(r["v"]): int(r["comp"])
+            for _, r in got.iterrows()} == want
+
+
+def test_clustering_coeff_matches_brute_force(ray_session):
+    from unmixing_ray.stages.relational import clustering_coeff
+    rng = np.random.default_rng(17)
+    edges = _random_graph(rng, 25, 60)
+    es = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    deg = {v: 0 for v in nodes}
+    tri = {v: 0 for v in nodes}
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": [e[0] for e in edges], "b": [e[1] for e in edges]}
+    ).astype("int64")).repartition(6)
+    got = clustering_coeff(ds).to_pandas()
+    assert len(got) == len(nodes)
+    for _, r in got.iterrows():
+        v = int(r["v"])
+        assert int(r["deg"]) == deg[v]
+        assert int(r["n_tri"]) == tri[v]
+        assert int(r["n_wedge"]) == deg[v] * (deg[v] - 1) // 2

@@ -275,6 +275,8 @@ def registry(ray_session):
     "dsir_weights",
     # bounded-round k-core peeling over the co-purchase graph
     "kcore",
+    # hash-to-min connected components + per-node clustering coeff
+    "graph_components", "clustering_coeff",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2331,3 +2331,205 @@ def kcore_sql(edges_cte, k=4, rounds=3):
             + f" SELECT CAST(v AS BIGINT) AS v, "
               f"CAST(peel_round AS BIGINT) AS peel_round, "
               f"CAST(deg_final AS BIGINT) AS deg_final FROM ({union})")
+
+
+# ---------------------------------------------------------------------------
+# bounded-round connected components (hash-to-min label propagation)
+
+def graph_components(edges, rounds=4, a="a", b="b", target_blocks=16):
+    """Bounded-round weakly-connected components over an undirected
+    graph given as distinct ``a < b`` edges (int64 node ids) — the
+    hash-to-min label-propagation primitive (entity-resolution
+    clusters, dedup groups, social components). Every node starts
+    labelled with its own id; each synchronous round every node takes
+    the MIN of its own label and its neighbors' labels. After R
+    rounds a node's label is the minimum node id within graph
+    distance R — exact components whenever R ≥ diameter, and a
+    well-defined bounded-round contract otherwise (the bfs_levels /
+    sssp_rounds / kcore_peel discipline; raster components get the
+    exact union-find path in stages/label.py, this is the general
+    graph-table variant).
+
+    Scale shape per round: ONE partitioned hash join (labels ⨝
+    symmetric edges on the source) and ONE groupby(node) min — the
+    same message-passing footprint as pagerank_iters; labels are a
+    (v, comp) table that never leaves the cluster, and the symmetric
+    edge table is materialized once. Returns (v, comp) after R
+    rounds."""
+    from ray.data.aggregate import Min
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[a].to_numpy(np.int64)
+        t = df[b].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s": np.concatenate([s, t]),
+            "t": np.concatenate([t, s])})
+
+    und = edges.map_batches(sym, batch_format="pandas")\
+        .repartition(target_blocks).materialize()
+    lab = _degree(und).map_batches(
+        lambda df: pd.DataFrame({"v": df["v"].astype("int64"),
+                                 "comp": df["v"].astype("int64")}),
+        batch_format="pandas")
+
+    for _ in range(rounds):
+        msgs = hash_join(und, lab.map_batches(
+            lambda df: df.rename(columns={"v": "s"}),
+            batch_format="pandas"), "s",
+            left_cols=["t"], right_cols=["comp"]).map_batches(
+            lambda df: pd.DataFrame({
+                "v": df["t"].astype("int64"),
+                "comp": df["comp"].astype("int64")})
+            .groupby("v", as_index=False).min(),
+            batch_format="pandas")
+        lab = lab.union(msgs).groupby("v").aggregate(
+            Min("comp", alias_name="comp")).map_batches(
+            lambda df: df.astype({"v": "int64", "comp": "int64"}),
+            batch_format="pandas").repartition(target_blocks)\
+            .materialize()
+    return lab
+
+
+def graph_components_sql(edges_cte, rounds=4):
+    """Stacked-CTE DuckDB replay of :func:`graph_components`.
+    ``edges_cte`` must define a table ``e(a, b)`` of distinct a < b
+    edges."""
+    parts = [edges_cte,
+             "und AS (SELECT a AS s, b AS t FROM e "
+             "UNION ALL SELECT b, a FROM e)",
+             "l0 AS (SELECT DISTINCT s AS v, s AS comp FROM und)"]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        cur = f"l{r}"
+        parts.append(
+            f"{cur} AS (SELECT v, min(comp) AS comp FROM ("
+            f"SELECT u.t AS v, l.comp FROM und u "
+            f"JOIN {prev} l ON u.s = l.v "
+            f"UNION ALL SELECT v, comp FROM {prev}) GROUP BY v)")
+        prev = cur
+    return ("WITH " + ",\n".join(parts)
+            + f" SELECT CAST(v AS BIGINT) AS v, "
+              f"CAST(comp AS BIGINT) AS comp FROM {prev}")
+
+
+# ---------------------------------------------------------------------------
+# per-node clustering coefficient (exact triangle participation)
+
+def clustering_coeff(edges, a="a", b="b"):
+    """EXACT per-node local clustering-coefficient INGREDIENTS over an
+    undirected graph of distinct ``a < b`` edges: for every node its
+    degree, its triangle participation count, and the wedge count
+    deg·(deg−1)/2 — the coefficient is n_tri / n_wedge, kept as exact
+    int64 ingredients so the distributed result hash-checks against a
+    SQL replay (the integer-ingredients discipline used across the
+    engine for float-free verification).
+
+    Same degree-ordered wedge-closure core as :func:`triangle_count`
+    (count-combiner degrees, two hash-join orientation passes,
+    per-source C(outdeg,2) wedges bounded by the √m orientation,
+    semi-join closure on a packed pair key) — but the closure keeps
+    the wedge apex, decodes the closing pair, and explodes each
+    triangle into its 3 member nodes through a count-combiner
+    groupby. Returns (v, deg, n_tri, n_wedge) for every node."""
+    from ray.data.aggregate import Sum
+    edges = edges.materialize()
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.concatenate([df[a].to_numpy(np.int64),
+                                 df[b].to_numpy(np.int64)]),
+            "deg": np.int64(1)}).groupby("v", as_index=False).sum()
+
+    deg = edges.map_batches(ends, batch_format="pandas")\
+        .groupby("v").aggregate(Sum("deg", alias_name="deg"))\
+        .map_batches(lambda df: df.astype({"v": "int64",
+                                           "deg": "int64"}),
+                     batch_format="pandas").materialize()
+    deg_a = deg.map_batches(
+        lambda df: pd.DataFrame({a: df["v"], "deg_a": df["deg"]}),
+        batch_format="pandas")
+    deg_b = deg.map_batches(
+        lambda df: pd.DataFrame({b: df["v"], "deg_b": df["deg"]}),
+        batch_format="pandas")
+    e1 = hash_join(edges, deg_a, a, left_cols=[b], right_cols=["deg_a"])
+    e2 = hash_join(e1, deg_b, b, left_cols=[a, "deg_a"],
+                   right_cols=["deg_b"])
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[a].to_numpy(np.int64)
+        bv = df[b].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (av < bv))
+        return pd.DataFrame({"src": np.where(a_first, av, bv),
+                             "dst": np.where(a_first, bv, av)})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["dst"].to_numpy(np.int64))
+        if len(d) < 2:
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "pk": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({
+            "src": np.full(len(iu), g["src"].iloc[0], dtype=np.int64),
+            "pk": d[iu] * (np.int64(1) << 31) + d[ju]})
+
+    w = e2.map_batches(orient, batch_format="pandas")\
+        .groupby("src").map_groups(wedges, batch_format="pandas")
+    ek = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "pk": df[a].to_numpy(np.int64) * (np.int64(1) << 31)
+            + df[b].to_numpy(np.int64)}), batch_format="pandas")
+    tri = semi_join(w, ek, "pk")
+
+    def members(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["pk"].to_numpy(np.int64)
+        src = df["src"].to_numpy(np.int64)
+        lo = pk >> np.int64(31)
+        hi = pk & ((np.int64(1) << 31) - 1)
+        return pd.DataFrame({
+            "v": np.concatenate([src, lo, hi]),
+            "n_tri": np.int64(1)}).groupby("v", as_index=False).sum()
+
+    tric = tri.map_batches(members, batch_format="pandas")\
+        .groupby("v").aggregate(Sum("n_tri", alias_name="n_tri"))\
+        .map_batches(lambda df: df.astype({"v": "int64",
+                                           "n_tri": "int64"}),
+                     batch_format="pandas")
+    joined = hash_join(deg, tric, "v", how="left",
+                       left_cols=["deg"], right_cols=["n_tri"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        dg = df["deg"].to_numpy(np.int64)
+        nt = pd.to_numeric(df["n_tri"], errors="coerce")\
+            .fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "v": df["v"].astype("int64"),
+            "deg": dg, "n_tri": nt,
+            "n_wedge": dg * (dg - 1) // 2})
+
+    return joined.map_batches(final, batch_format="pandas")
+
+
+def clustering_coeff_sql(edges_cte):
+    """DuckDB replay of :func:`clustering_coeff`: exact triangle
+    enumeration (a<b<c join chain) exploded to member nodes, LEFT
+    JOINed onto the degree table."""
+    return ("WITH " + edges_cte + """,
+        deg AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                GROUP BY v),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tm AS (SELECT v, count(*) AS n_tri FROM (
+                 SELECT x AS v FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY v)
+        SELECT CAST(deg.v AS BIGINT) AS v,
+               CAST(deg.deg AS BIGINT) AS deg,
+               CAST(coalesce(tm.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(deg.deg * (deg.deg - 1) / 2 AS BIGINT) AS n_wedge
+        FROM deg LEFT JOIN tm ON tm.v = deg.v""")
