@@ -4078,6 +4078,26 @@ def q_augment_images(sf_dir):
     return augment.augment_images(images)
 
 
+def q_coregister(sf_dir):
+    """Integer image co-registration (stages/register.py): per image
+    the band-0 plane is circularly shifted by a planted (dy, dx) that
+    is a pure function of its sequence number; the operator recovers
+    the shift as the argmax of the EXACT int64 circular
+    cross-correlation surface over a ±3 window (one stateless
+    map_batches pass, planes as raw int16 payloads, no shuffle).
+    Oracle: closed-form SQL of the plant spec — a hash match proves
+    the correlation found every planted translation."""
+    import ray.data
+    from unmixing_ray.stages import register
+    corpus = _corpus(sf_dir)
+    images = ray.data.read_parquet(
+        os.path.join(corpus, "images"), file_extensions=["parquet"],
+        columns=["image_id", "bytes", "w", "h", "fmt"])
+    pairs = images.map_batches(register.make_planted_pairs(max_shift=3),
+                               batch_format="pyarrow", batch_size=64)
+    return register.coregister(pairs, max_shift=3)
+
+
 def q_corpus_filter(sf_dir):
     from unmixing_ray.stages import text
     return text.corpus_filter(
@@ -4234,6 +4254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_equalize": q_histogram_equalize,
         "histogram_match": q_histogram_match,
         "augment_images": q_augment_images,
+        "coregister": q_coregister,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4557,7 +4578,8 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_bpe_encode_expected(sf)
             except Exception:
                 pass
-    from unmixing_ray.stages import ann, events, relational, text
+    from unmixing_ray.stages import (ann, events, register, relational,
+                                     text)
     C = SF01_CORPUS
     return {
         "tile_assignment": f"""
@@ -4637,6 +4659,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, flip_h, flip_v, oy, ox, n_px,
                    aug_checksum, caption
             FROM read_parquet('{C}/augment_expected.parquet')""",
+        "coregister": register.coregister_sql(
+            f"{C}/images/*.parquet", max_shift=3),
         "temporal_trend": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    trend_num, trend_den

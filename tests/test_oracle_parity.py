@@ -277,6 +277,8 @@ def registry(ray_session):
     "kcore",
     # hash-to-min connected components + per-node clustering coeff
     "graph_components", "clustering_coeff",
+    # integer cross-correlation shift recovery vs the planted spec
+    "coregister",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
