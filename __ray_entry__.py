@@ -139,6 +139,17 @@ def q_convolve_gaussian(sf_dir):
     return focal.convolve_tiles(tiles, np.outer(k1, k1))
 
 
+def q_contour_segments(sf_dir):
+    """Marching-squares contour summary per tile (stages/contour.py):
+    band-0 prune → radius-1 halo exchange → per-tile case counts,
+    segment totals and a position-weighted case checksum (exact
+    int64). Oracle: the full-image marching-squares sidecar — a match
+    proves the cross-tile cell assembly end to end."""
+    from unmixing_ray.stages import contour
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return contour.contour_tiles(tiles, threshold=2500)
+
+
 def q_glcm_texture(sf_dir):
     """Per-image GLCM co-occurrence counts (stages/texture.py):
     quantized band-0 pairs at displacement (0,1) via anchor-in-tile
@@ -4221,6 +4232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
+                _synth.generate_contour_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4245,6 +4257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glcm_texture": q_glcm_texture,
         "pyramid_overview": q_pyramid_overview,
         "terrain_slope": q_terrain_slope,
+        "contour_segments": q_contour_segments,
         "focal_majority": q_focal_majority,
         "flow_direction": q_flow_direction,
         "hillshade": q_hillshade,
@@ -4561,6 +4574,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
+                _synth.generate_contour_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4610,6 +4624,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT tile_id, sum_abs_dzdx, sum_abs_dzdy, sum_rugged,
                    n_valid
             FROM read_parquet('{C}/terrain_expected.parquet')""",
+        "contour_segments": f"""
+            SELECT tile_id, n_cells, n_segments, case_checksum
+            FROM read_parquet('{C}/contour_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

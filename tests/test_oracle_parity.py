@@ -279,6 +279,8 @@ def registry(ray_session):
     "graph_components", "clustering_coeff",
     # integer cross-correlation shift recovery vs the planted spec
     "coregister",
+    # marching-squares contour summary via the radius-1 halo exchange
+    "contour_segments",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

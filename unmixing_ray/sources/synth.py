@@ -2928,3 +2928,64 @@ def generate_bpe_encode_expected(sf_dir, n_merges=12):
         str(out / "bpe_encode_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+CONTOUR_VERSION = 2
+
+
+def generate_contour_expected(sf_dir, threshold=2500):
+    """Write the ``contour_expected.parquet`` sidecar: per-tile
+    marching-squares summaries over band 0 of every corpus image,
+    computed FULL-IMAGE (the engine computes the same quantity
+    tile-wise via the radius-1 halo exchange — stages/contour.py — so
+    a match proves the cross-tile plumbing). Cell ownership, case
+    encoding, segment table and position weights follow the documented
+    spec in stages/contour.py; all values exact int64.
+    """
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..stages.contour import SEGS_PER_CASE, W_CYCLE
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_CONTOUR_DONE"
+    stamp = "contour v%d t%d" % (CONTOUR_VERSION, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"tile_id": [], "n_cells": [], "n_segments": [],
+            "case_checksum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[0].astype(np.int64)
+        H, W = z.shape
+        b = (z >= threshold).astype(np.int64)
+        case = (b[:-1, :-1] + 2 * b[:-1, 1:]
+                + 4 * b[1:, :-1] + 8 * b[1:, 1:])
+        segs = SEGS_PER_CASE[case]
+        ay, ax = np.mgrid[0:H - 1, 0:W - 1]
+        wts = ((ay % TILE) * TILE + (ax % TILE)) % W_CYCLE + 1
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                rs = slice(ty * TILE, min((ty + 1) * TILE, H - 1))
+                cs = slice(tx * TILE, min((tx + 1) * TILE, W - 1))
+                c = case[rs, cs]
+                rows["tile_id"].append("%s_t%d_%d" % (img, ty, tx))
+                rows["n_cells"].append(int(c.size))
+                rows["n_segments"].append(int(segs[rs, cs].sum()))
+                rows["case_checksum"].append(
+                    int((c * wts[rs, cs]).sum()))
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "n_cells": pa.array(rows["n_cells"], pa.int64()),
+        "n_segments": pa.array(rows["n_segments"], pa.int64()),
+        "case_checksum": pa.array(rows["case_checksum"], pa.int64())})
+    pq.write_table(t, str(out / "contour_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
