@@ -3119,6 +3119,20 @@ def q_embedding_covariance(sf_dir):
         _read(sf_dir, "embeddings", columns=["embedding"]))
 
 
+def q_pca_project(sf_dir):
+    """EXACT fixed-point PCA projection of the embeddings
+    (stages/linalg.py:pca_project_exact): ONE distributed integer-Gram
+    pass (d² fixed-width rows per batch through the shuffle, never an
+    embedding), O(d³) driver eigh, then a broadcast map-only
+    projection with every value floored to int64 BEFORE accumulation —
+    bit-identical at any partitioning. Oracle: single-machine replay
+    sidecar (sources/synth.py:generate_pca_expected)."""
+    from unmixing_ray.stages import linalg
+    return linalg.pca_project_exact(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=4)
+
+
 def q_tfidf_topk(sf_dir):
     """Top-3 TF-IDF terms per document with an integer-exact idf
     (tf * ((N * 1e6) // df)) — no broadcast vocabulary: inverted-index
@@ -4233,6 +4247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_contour_expected(sf)
+                _synth.generate_pca_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4268,6 +4283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_match": q_histogram_match,
         "augment_images": q_augment_images,
         "coregister": q_coregister,
+        "pca_project": q_pca_project,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4575,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_pyramid_expected(sf)
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_contour_expected(sf)
+                _synth.generate_pca_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4627,6 +4644,9 @@ def oracle_sql() -> dict[str, str]:
         "contour_segments": f"""
             SELECT tile_id, n_cells, n_segments, case_checksum
             FROM read_parquet('{C}/contour_expected.parquet')""",
+        "pca_project": f"""
+            SELECT vec_id, pj0, pj1, pj2, pj3
+            FROM read_parquet('{C}/pca_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

@@ -67,3 +67,32 @@ def test_pca_project_variance_matches_eigvals(ray_session):
     C = np.cov(P.T, bias=True)
     off = C - np.diag(np.diag(C))
     assert np.abs(off).max() < 1e-3 * w[0]
+
+
+def test_pca_project_exact_partitioning_invariant(ray_session):
+    from unmixing_ray.stages.linalg import pca_project_exact
+    rng = np.random.default_rng(31)
+    X = rng.normal(scale=0.3, size=(120, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": X[i].tolist()}
+            for i in range(len(X))]
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = pca_project_exact(ds, k=3).to_pandas()\
+            .sort_values("vec_id").reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # exactness vs a direct single-machine replay of the spec
+    q = np.floor(X.astype(np.float64) * (1 << 16)).astype(np.int64)
+    n, d = q.shape
+    G, s = q.T @ q, q.sum(axis=0)
+    cov = (G / n - np.outer(s / n, s / n)) / float((1 << 16) ** 2)
+    w, V = np.linalg.eigh(cov)
+    comps = V[:, np.argsort(w)[::-1]].T
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    Cq = np.floor(comps[:3] * (1 << 20)).astype(np.int64)
+    Y = (n * q - s[None, :]) @ Cq.T
+    got = outs[0]
+    assert (got[["pj0", "pj1", "pj2"]].to_numpy() == Y).all()

@@ -281,6 +281,8 @@ def registry(ray_session):
     "coregister",
     # marching-squares contour summary via the radius-1 halo exchange
     "contour_segments",
+    # exact fixed-point PCA projection vs single-machine replay
+    "pca_project",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2989,3 +2989,52 @@ def generate_contour_expected(sf_dir, threshold=2500):
     pq.write_table(t, str(out / "contour_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+PCA_VERSION = 1
+
+
+def generate_pca_expected(sf_dir, k=4):
+    """Write the ``pca_expected.parquet`` sidecar: single-machine
+    replay of the EXACT fixed-point PCA projection spec
+    (stages/linalg.py:pca_project_exact) over the full embeddings
+    table — quantize floor(x·2^16), integer Gram, float64 covariance,
+    eigh, descending order, largest-|coeff|-positive sign, components
+    floored to 2^20 fixed point, centered integer projection
+    (n·q − s) @ Cq^T. A hash match proves the distributed Gram reduce
+    and the broadcast projection reproduce the single-machine result
+    bit for bit."""
+    src = pathlib.Path(sf_dir) / "embeddings.parquet"
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_PCA_DONE"
+    stamp = "pca v%d k%d" % (PCA_VERSION, k)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not src.exists():
+        return None
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq.read_table(str(src), columns=["vec_id", "embedding"])
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    scale = 1 << 16
+    comp_scale = 1 << 20
+    q = np.floor(X * scale).astype(np.int64)
+    n, d = q.shape
+    G = q.T @ q
+    s = q.sum(axis=0)
+    mean_q = s / n
+    cov = (G / n - np.outer(mean_q, mean_q)) / (scale * scale)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    comps = V[:, order].T
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    Cq = np.floor(comps[:k] * comp_scale).astype(np.int64)
+    Y = (n * q - s[None, :]) @ Cq.T.copy()
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for c in range(k):
+        cols["pj%d" % c] = pa.array(Y[:, c], pa.int64())
+    pq.write_table(pa.table(cols), str(out / "pca_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -151,3 +151,68 @@ def pca_project(ds, components, mean, col="embedding",
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+COMP_SCALE = 1 << 20    # fixed-point scale for broadcast components
+
+
+def pca_components_fixed(ds, k=4, col="embedding",
+                         scale=FIXED_POINT_SCALE,
+                         comp_scale=COMP_SCALE):
+    """(Cq, s, n): the top-``k`` principal axes quantized to
+    ``floor(c * comp_scale)`` int64, plus the exact integer column-sum
+    vector and row count — everything the EXACT projection needs.
+    The eigh runs on the float64 covariance derived from the reduced
+    INTEGER Gram, so the matrix fed to LAPACK is bit-identical at any
+    parallelism and a single-machine replay reproduces Cq exactly."""
+    g = embedding_gram(ds, col, scale).to_pandas()
+    G, s, n = gram_to_arrays(g)
+    mean_q = s / n
+    cov = (G / n - np.outer(mean_q, mean_q)) / (scale * scale)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    comps = V[:, order].T
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    Cq = np.floor(comps[:k] * comp_scale).astype(np.int64)
+    return Cq, s, n
+
+
+def pca_project_exact(ds, k=4, col="embedding", id_col="vec_id",
+                      scale=FIXED_POINT_SCALE, comp_scale=COMP_SCALE):
+    """EXACT fixed-point PCA projection: one distributed Gram pass →
+    driver eigh → a broadcast map-only pass computing
+
+        pj_c = Σ_d (n·q_d − s_d) · Cq[c, d]        (all int64)
+
+    i.e. the centered projection scaled by n·scale·comp_scale, floored
+    to integers BEFORE any accumulation, so the output hash-checks
+    bit-for-bit against a single-machine replay at any partitioning
+    (the engine's integer-ingredients discipline; the float PCA path
+    is :func:`pca_fit` / :func:`pca_project`). Overflow headroom:
+    |n·q| ≤ n·2^16·max|x| and the d-term dot adds log2(d) bits —
+    int64 holds ~2^20 rows at unit-scale embeddings; beyond that,
+    rescale or use the float path (documented contract, asserted)."""
+    Cq, s, n = pca_components_fixed(ds, k, col, scale, comp_scale)
+    assert n < (1 << 20), \
+        "pca_project_exact: n too large for int64 exactness; " \
+        "use pca_project (float path)"
+    CqT = Cq.T.copy()
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, col)
+        ids = batch[id_col]
+        if X.shape[0] == 0:
+            cols = {id_col: ids}
+            for c in range(k):
+                cols["pj%d" % c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        q = np.floor(X * scale).astype(np.int64)
+        Y = (n * q - s[None, :]) @ CqT
+        cols = {id_col: ids}
+        for c in range(k):
+            cols["pj%d" % c] = pa.array(Y[:, c])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
