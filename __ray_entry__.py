@@ -773,6 +773,19 @@ def q_zonal_stats(sf_dir):
     return jstage.zonal_stats(tiles, polygons, band=0)
 
 
+def q_zonal_median(sf_dir):
+    """EXACT zonal median (stages/join.py:zonal_median): per polygon
+    the lower/upper band-0 median over member tiles, via sparse
+    bounded-range histogram partials (combiner-before-shuffle, pixels
+    never shuffle) and a per-polygon cumsum walk. Oracle: independent
+    full-sort replay sidecar (synth.generate_zonalmedian_expected)."""
+    import pyarrow.parquet as pq
+    from unmixing_ray.stages import join as jstage
+    corpus, tiles = _tiles_ds(sf_dir)
+    polygons = pq.read_table(os.path.join(corpus, "polygons.parquet"))
+    return jstage.zonal_median(tiles, polygons, band=0)
+
+
 def q_rasterize_count(sf_dir):
     """Vector burn-in: per PIP join pair, the number of pixel CENTERS
     inside the polygon — per-axis vectorized comparisons multiplied, the
@@ -4248,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_contour_expected(sf)
                 _synth.generate_pca_expected(sf)
+                _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4284,6 +4298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images": q_augment_images,
         "coregister": q_coregister,
         "pca_project": q_pca_project,
+        "zonal_median": q_zonal_median,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4592,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_terrain_expected(sf)
                 _synth.generate_contour_expected(sf)
                 _synth.generate_pca_expected(sf)
+                _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4647,6 +4663,9 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": f"""
             SELECT vec_id, pj0, pj1, pj2, pj3
             FROM read_parquet('{C}/pca_expected.parquet')""",
+        "zonal_median": f"""
+            SELECT poly_id, n_px, med_lo, med_hi
+            FROM read_parquet('{C}/zonalmedian_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

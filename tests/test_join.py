@@ -281,3 +281,67 @@ def test_box_union_area_hand_case(ray_session):
         "xmax": [2.0, 3.0, 4.0], "ymax": [2.0, 3.0, 1.0]})
     got = jstage.box_union_area(ray.data.from_pandas(df), level=4)
     assert int(got["union_area_x4"][0]) == 9 * 4
+
+
+def test_zonal_median_matches_brute(ray_session):
+    """zonal_median's histogram-cumsum medians == full-sort medians on
+    a random lattice with NODATA holes, at two partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from unmixing_ray.constants import NODATA
+    from unmixing_ray.stages.join import zonal_median
+
+    rng = np.random.default_rng(41)
+    rows = {k: [] for k in ("tile_id", "cell", "cx", "cy", "h", "w",
+                            "bands", "pixels")}
+    vals_by_tile = {}
+    for i in range(40):
+        v = rng.integers(0, 300, (2, 8, 8)).astype(np.int16)
+        v[0][rng.random((8, 8)) < 0.1] = NODATA
+        tid = "t%02d" % i
+        rows["tile_id"].append(tid)
+        rows["cell"].append(0)
+        rows["cx"].append(float(i % 10))
+        rows["cy"].append(float(i // 10))
+        rows["h"].append(8)
+        rows["w"].append(8)
+        rows["bands"].append(2)
+        rows["pixels"].append(np.ascontiguousarray(v).tobytes())
+        vals_by_tile[tid] = v[0][v[0] != NODATA].astype(np.int64)
+    tiles = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "cell": pa.array(rows["cell"], pa.uint64()),
+        "cx": pa.array(rows["cx"], pa.float64()),
+        "cy": pa.array(rows["cy"], pa.float64()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "bands": pa.array(rows["bands"], pa.int32()),
+        "pixels": pa.array(rows["pixels"], pa.binary())})
+    def rect_ring(x0, y0, x1, y1):
+        return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+    boxes = {"A": (-0.5, -0.5, 4.5, 2.5), "B": (3.5, -0.5, 8.5, 3.5)}
+    polys = pa.table({
+        "poly_id": pa.array(["A", "B"], pa.string()),
+        "xmin": pa.array([boxes["A"][0], boxes["B"][0]]),
+        "ymin": pa.array([boxes["A"][1], boxes["B"][1]]),
+        "xmax": pa.array([boxes["A"][2], boxes["B"][2]]),
+        "ymax": pa.array([boxes["A"][3], boxes["B"][3]]),
+        "cx": pa.array([2.0, 6.0]), "cy": pa.array([1.0, 1.5]),
+        "ring": pa.array([rect_ring(*boxes["A"]), rect_ring(*boxes["B"])],
+                         pa.list_(pa.list_(pa.float64())))})
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(tiles).repartition(parts)
+        got = zonal_median(ds, polys, band=0).to_pandas()\
+            .set_index("poly_id")
+        for pid in ("A", "B"):
+            x0, y0, x1, y1 = boxes[pid]
+            member = [vals_by_tile["t%02d" % i] for i in range(40)
+                      if x0 <= (i % 10) <= x1 and y0 <= (i // 10) <= y1]
+            v = np.sort(np.concatenate(member))
+            r = got.loc[pid]
+            assert int(r["n_px"]) == len(v)
+            assert int(r["med_lo"]) == int(v[(len(v) - 1) // 2])
+            assert int(r["med_hi"]) == int(v[len(v) // 2])

@@ -283,6 +283,8 @@ def registry(ray_session):
     "contour_segments",
     # exact fixed-point PCA projection vs single-machine replay
     "pca_project",
+    # exact zonal median via sparse bounded-range histogram partials
+    "zonal_median",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

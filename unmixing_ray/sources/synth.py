@@ -3038,3 +3038,72 @@ def generate_pca_expected(sf_dir, k=4):
     pq.write_table(pa.table(cols), str(out / "pca_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+ZONALMED_VERSION = 1
+
+
+def generate_zonalmedian_expected(sf_dir, band=0):
+    """Write the ``zonalmedian_expected.parquet`` sidecar: per-polygon
+    lower/upper band-0 medians over tiles whose center falls inside
+    the polygon bbox, NODATA excluded — computed by an INDEPENDENT
+    full-sort formulation (concatenate every member pixel, np.sort,
+    read indices (n−1)//2 and n//2), while the engine
+    (stages/join.py:zonal_median) uses sparse histogram partials and a
+    cumsum walk. A hash match proves the combiner algebra."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_ZONALMED_DONE"
+    stamp = "zonalmed v%d b%d" % (ZONALMED_VERSION, band)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    tiles = pq.read_table(str(out / "tiles_expected.parquet"),
+                          columns=["tile_id", "image_id", "row_off",
+                                   "col_off", "cx", "cy"]).to_pandas()
+    polys = pq.read_table(str(out / "polygons.parquet"),
+                          columns=["poly_id", "xmin", "ymin", "xmax",
+                                   "ymax"]).to_pandas()
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    planes = {}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        planes[img] = arr[band].astype(np.int64)
+    member_vals = {pid: [] for pid in polys["poly_id"]}
+    for _, t in tiles.iterrows():
+        hit = polys[(polys["xmin"] <= t["cx"]) & (t["cx"] <= polys["xmax"])
+                    & (polys["ymin"] <= t["cy"])
+                    & (t["cy"] <= polys["ymax"])]
+        if not len(hit):
+            continue
+        z = planes[t["image_id"]]
+        r0, c0 = int(t["row_off"]), int(t["col_off"])
+        blk = z[r0:r0 + TILE, c0:c0 + TILE].ravel()
+        blk = blk[blk != NODATA]
+        for pid in hit["poly_id"]:
+            member_vals[pid].append(blk)
+    rows = {"poly_id": [], "n_px": [], "med_lo": [], "med_hi": []}
+    for pid, chunks in member_vals.items():
+        if not chunks:
+            continue
+        v = np.sort(np.concatenate(chunks))
+        if not len(v):
+            continue
+        rows["poly_id"].append(pid)
+        rows["n_px"].append(len(v))
+        rows["med_lo"].append(int(v[(len(v) - 1) // 2]))
+        rows["med_hi"].append(int(v[len(v) // 2]))
+    t = pa.table({
+        "poly_id": pa.array(rows["poly_id"], pa.string()),
+        "n_px": pa.array(rows["n_px"], pa.int64()),
+        "med_lo": pa.array(rows["med_lo"], pa.int64()),
+        "med_hi": pa.array(rows["med_hi"], pa.int64())})
+    pq.write_table(t, str(out / "zonalmedian_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

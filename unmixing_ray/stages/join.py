@@ -1010,3 +1010,84 @@ def polygon_centroids(polygons_ds):
             "cy_num": pd.Series(cy, dtype="int64")})
 
     return polygons_ds.map_batches(fn, batch_format="pandas")
+
+
+def zonal_median(tiles, polygons, band=0):
+    """EXACT zonal median — per polygon, the lower/upper median of
+    ``band`` over every tile whose center falls inside (NODATA
+    excluded). The order-statistic sibling of :func:`zonal_stats`,
+    computed by the bounded-range histogram algorithm: quantile over
+    int16 raster values needs no sampling and no sort — a sparse
+    (poly, value, count) histogram is an associative partial.
+
+    Combiner-before-shuffle: each batch reduces its tiles to sparse
+    per-tile value counts (``np.unique`` — ≤ h·w rows, usually far
+    fewer), probes the broadcast polygon STRtree (built once per
+    worker), and pre-merges (poly, val) counts locally; the exchange
+    carries sparse histogram rows, never pixels. The per-polygon merge
+    sorts its ≤ value-range rows and reads both medians off the
+    cumsum: med_lo = value at sorted 0-based index (n−1)//2, med_hi at
+    index n//2 (equal for odd n). All int64 — hash-checkable against
+    an independent full-sort replay."""
+    from ..constants import NODATA
+    from .decode import binary_views
+
+    ref = ray.put(polygons)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bands = batch["bands"].to_numpy()
+        tids = batch["tile_id"].to_pylist()
+        rows_t, rows_v, rows_n = [], [], []
+        for i in range(batch.num_rows):
+            npx = int(hs[i]) * int(ws[i])
+            off = offsets[i] + band * npx
+            v = values[off:off + npx].astype(np.int64)
+            assert band < int(bands[i])
+            v = v[v != NODATA]
+            if not len(v):
+                continue
+            uv, un = np.unique(v, return_counts=True)
+            rows_t.extend([tids[i]] * len(uv))
+            rows_v.append(uv)
+            rows_n.append(un.astype(np.int64))
+        if not rows_t:
+            return pa.table({
+                "poly_id": pa.array([], pa.string()),
+                "val": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        hist = pd.DataFrame({
+            "tile_id": rows_t,
+            "val": np.concatenate(rows_v),
+            "n": np.concatenate(rows_n)})
+        pip = cached_probe_actor(ref, 0)(
+            batch.select(["tile_id", "cell", "cx", "cy"])).to_pandas()
+        pip = pip[pip["kind"] == "pip"][["tile_id", "poly_id"]]
+        m = pip.merge(hist, on="tile_id")
+        agg = m.groupby(["poly_id", "val"], as_index=False)["n"].sum()
+        return pa.table({
+            "poly_id": pa.array(agg["poly_id"], pa.string()),
+            "val": pa.array(agg["val"].astype(np.int64)),
+            "n": pa.array(agg["n"].astype(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("val", as_index=False)["n"].sum()\
+            .sort_values("val")
+        vals = h["val"].to_numpy(np.int64)
+        cum = h["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+        return pd.DataFrame({
+            "poly_id": g["poly_id"].iloc[:1].reset_index(drop=True),
+            "n_px": pd.Series([n], dtype="int64"),
+            "med_lo": pd.Series([lo], dtype="int64"),
+            "med_hi": pd.Series([hi], dtype="int64")})
+
+    parts = tiles.select_columns(
+        ["tile_id", "cell", "cx", "cy", "h", "w", "bands", "pixels"])\
+        .map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("poly_id").map_groups(
+        merge, batch_format="pandas")
