@@ -4136,6 +4136,18 @@ def q_coregister(sf_dir):
     return register.coregister(pairs, max_shift=3)
 
 
+def q_bigram_lm(sf_dir):
+    """Bigram LM quality score (stages/text.py:bigram_lm_score): the
+    perplexity-filter shape with exact fixed-point conditional ratios
+    — top-V bigram model via combiner groupby + distributed sort/limit,
+    w1-restricted unigram counts, broadcast scoring. Oracle replays
+    tokenizer, tiebreak and floor ratio in SQL."""
+    from unmixing_ray.stages import text
+    return text.bigram_lm_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        vocab_size=1024)
+
+
 def q_corpus_filter(sf_dir):
     from unmixing_ray.stages import text
     return text.corpus_filter(
@@ -4299,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coregister": q_coregister,
         "pca_project": q_pca_project,
         "zonal_median": q_zonal_median,
+        "bigram_lm": q_bigram_lm,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4782,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seg GROUP BY poly_id""",
         "chunk_docs": text.chunk_docs_sql(window=32, stride=24),
         "dsir_weights": text.dsir_weights_sql(),
+        "bigram_lm": text.bigram_lm_score_sql(vocab_size=1024),
         "kcore": relational.kcore_sql(
             """e AS (
               SELECT least(x.l_partkey, y.l_partkey) AS a,

@@ -285,6 +285,8 @@ def registry(ray_session):
     "pca_project",
     # exact zonal median via sparse bounded-range histogram partials
     "zonal_median",
+    # bigram LM quality score (fixed-point conditional ratios)
+    "bigram_lm",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1822,3 +1822,129 @@ def dsir_weights_sql(target_val="en", buckets=256, scale=1 << 20,
                coalesce(p.n_tokens, 0) AS n_tokens,
                coalesce(p.dsir_sum, 0) AS dsir_sum
         FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+def bigram_lm_score(docs, vocab_size=1024, scale=1 << 20):
+    """Bigram language-model quality score — the CCNet/KenLM
+    perplexity-filter shape with the log table replaced by EXACT
+    fixed-point conditional-probability ratios so the distributed
+    result hash-checks: per in-model bigram the contribution is
+    ``floor(scale · c(w1 w2) / c(w1))`` (an integer surrogate for
+    p(w2|w1); monotone in it, which is all a filter threshold needs).
+
+    THREE corpus passes, all combiner-bounded:
+    1. bigram counts (per-batch Counter partials → ONE groupby →
+       distributed sort+limit keeps the top-``vocab_size`` model with
+       the deterministic (count desc, w1, w2) tiebreak — the only
+       driver collect is those V rows);
+    2. unigram counts FOR THE MODEL'S w1 SET only (the w1 set rides
+       ray.put into the partials, so the groupby is bounded by V, not
+       by the corpus vocabulary);
+    3. stateless scoring with the V-row ratio dict broadcast once per
+       worker. Returns (doc_id, n_bigrams, n_in_model, sum_cond_u) —
+       all int64; OOV bigrams contribute 0 to sum and n_in_model.
+
+    At 10^12 docs the model is still V rows broadcast once per worker —
+    never a join shuffle of the corpus against the count table (the
+    :func:`doc_freq_score` discipline, conditioned)."""
+    import re
+
+    import ray
+
+    tok = re.compile(r"[a-z0-9]+")
+    V = int(vocab_size)
+    S = int(scale)
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for s in df["text"]:
+            ts = tok.findall(s.lower())
+            c.update(zip(ts, ts[1:]))
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "w1": [k[0] for k in ks], "w2": [k[1] for k in ks],
+            "n": np.fromiter(c.values(), np.int64, len(c))})
+
+    model_rows = docs.map_batches(big_partial, batch_format="pandas") \
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n_total")) \
+        .sort(["n_total", "w1", "w2"], descending=[True, False, False]) \
+        .limit(V).take_all()
+    w1_set = {r["w1"] for r in model_rows}
+    w1_ref = ray.put(w1_set)
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        keep = ray.get(w1_ref)
+        c = Counter()
+        for s in df["text"]:
+            c.update(t for t in tok.findall(s.lower()) if t in keep)
+        return pd.DataFrame({"w1": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64,
+                                              len(c))})
+
+    uni_rows = docs.map_batches(uni_partial, batch_format="pandas") \
+        .groupby("w1").aggregate(Sum("n", alias_name="n_uni")).take_all()
+    cu = {r["w1"]: int(r["n_uni"]) for r in uni_rows}
+    ratio = {(r["w1"], r["w2"]): S * int(r["n_total"]) // cu[r["w1"]]
+             for r in model_rows}
+    model_ref = ray.put(ratio)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        ids, nb, ni, sc = [], [], [], []
+        for i, s in zip(df["doc_id"], df["text"]):
+            ts = tok.findall(s.lower())
+            bgs = list(zip(ts, ts[1:]))
+            hits = [model[b] for b in bgs if b in model]
+            ids.append(int(i))
+            nb.append(len(bgs))
+            ni.append(len(hits))
+            sc.append(sum(hits))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, np.int64),
+            "n_bigrams": np.array(nb, np.int64),
+            "n_in_model": np.array(ni, np.int64),
+            "sum_cond_u": np.array(sc, np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def bigram_lm_score_sql(vocab_size=1024, scale=1 << 20):
+    """DuckDB oracle for :func:`bigram_lm_score` (same tokenizer,
+    model tiebreak, fixed-point floor ratio, OOV-as-zero)."""
+    return f"""
+        WITH lt AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                   AS l
+          FROM documents),
+        bigs AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1])) AS bg
+          FROM lt WHERE len(l) > 1),
+        sp AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+                      split_part(bg, ' ', 2) AS w2 FROM bigs),
+        cnt AS (SELECT w1, w2, count(*) AS c FROM sp GROUP BY 1, 2),
+        model AS (SELECT w1, w2, c FROM cnt
+                  ORDER BY c DESC, w1, w2 LIMIT {vocab_size}),
+        uni AS (
+          SELECT u.tok AS w1, count(*) AS cu FROM (
+            SELECT unnest(l) AS tok FROM lt) u
+          WHERE u.tok IN (SELECT w1 FROM model)
+          GROUP BY u.tok),
+        rat AS (SELECT m.w1, m.w2, {scale} * m.c // u.cu AS r
+                FROM model m JOIN uni u USING (w1)),
+        per AS (
+          SELECT s.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(r.r) AS BIGINT) AS n_in_model,
+                 CAST(coalesce(sum(r.r), 0) AS BIGINT) AS sum_cond_u
+          FROM sp s LEFT JOIN rat r
+            ON s.w1 = r.w1 AND s.w2 = r.w2
+          GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(p.n_in_model, 0) AS BIGINT) AS n_in_model,
+               CAST(coalesce(p.sum_cond_u, 0) AS BIGINT) AS sum_cond_u
+        FROM documents d LEFT JOIN per p USING (doc_id)"""
