@@ -4136,6 +4136,20 @@ def q_coregister(sf_dir):
     return register.coregister(pairs, max_shift=3)
 
 
+def q_blur_scores(sf_dir):
+    """Laplacian blur-detection curation gate
+    (stages/curate.py:blur_scores): exact int64 Laplacian moment
+    ingredients per image, one stateless decode pass, no shuffle.
+    Oracle: independent full-image replay sidecar."""
+    import ray.data
+    from unmixing_ray.stages import curate
+    corpus = _corpus(sf_dir)
+    images = ray.data.read_parquet(
+        os.path.join(corpus, "images"), file_extensions=["parquet"],
+        columns=["image_id", "bytes", "w", "h", "fmt"])
+    return curate.blur_scores(images)
+
+
 def q_bigram_lm(sf_dir):
     """Bigram LM quality score (stages/text.py:bigram_lm_score): the
     perplexity-filter shape with exact fixed-point conditional ratios
@@ -4274,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_contour_expected(sf)
                 _synth.generate_pca_expected(sf)
                 _synth.generate_zonalmedian_expected(sf)
+                _synth.generate_blur_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4312,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": q_pca_project,
         "zonal_median": q_zonal_median,
         "bigram_lm": q_bigram_lm,
+        "blur_scores": q_blur_scores,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4621,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_contour_expected(sf)
                 _synth.generate_pca_expected(sf)
                 _synth.generate_zonalmedian_expected(sf)
+                _synth.generate_blur_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4679,6 +4696,9 @@ def oracle_sql() -> dict[str, str]:
         "zonal_median": f"""
             SELECT poly_id, n_px, med_lo, med_hi
             FROM read_parquet('{C}/zonalmedian_expected.parquet')""",
+        "blur_scores": f"""
+            SELECT image_id, lap_sum, lap_sq, n_lap
+            FROM read_parquet('{C}/blur_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

@@ -287,6 +287,8 @@ def registry(ray_session):
     "zonal_median",
     # bigram LM quality score (fixed-point conditional ratios)
     "bigram_lm",
+    # Laplacian blur-detection curation ingredients
+    "blur_scores",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -45,3 +45,34 @@ def test_coregister_dataset_roundtrip(ray_session):
     for _, r in got.iterrows():
         seq = int(r["image_id"][3:])
         assert (int(r["dy"]), int(r["dx"])) == planted_shift(seq, 3)
+
+
+def test_blur_scores_separates_sharp_from_blurred(ray_session):
+    """Engine-level sanity: a box-blurred copy of a noisy plane must
+    score a strictly lower Laplacian variance than the original."""
+    import pyarrow as pa
+    import ray.data
+    from unmixing_ray.codecs import encode_image
+    from unmixing_ray.stages.curate import blur_scores
+
+    rng = np.random.default_rng(5)
+    sharp = rng.integers(0, 5000, (1, 32, 32)).astype(np.int16)
+    k = np.ones((3, 3)) / 9.0
+    sm = sharp[0].astype(np.float64)
+    blurred = sm.copy()
+    blurred[1:-1, 1:-1] = sum(
+        sm[1 + dr:31 + dr, 1 + dc:31 + dc] * k[dr + 1, dc + 1]
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    blurred = blurred.astype(np.int16)[None]
+    rows = []
+    for name, a in (("sharp", sharp), ("blurred", blurred)):
+        rows.append({"image_id": name, "bytes": encode_image(a, "raw"),
+                     "w": 32, "h": 32, "fmt": "raw"})
+    got = blur_scores(ray.data.from_items(rows)).to_pandas()\
+        .set_index("image_id")
+
+    def var(r):
+        n = r["n_lap"]
+        return r["lap_sq"] / n - (r["lap_sum"] / n) ** 2
+
+    assert var(got.loc["sharp"]) > 4 * var(got.loc["blurred"])

@@ -3107,3 +3107,53 @@ def generate_zonalmedian_expected(sf_dir, band=0):
     pq.write_table(t, str(out / "zonalmedian_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+BLUR_VERSION = 1
+
+
+def generate_blur_expected(sf_dir, band=0):
+    """Write the ``blur_expected.parquet`` sidecar: per-image Laplacian
+    blur ingredients (stages/curate.py:blur_scores spec) replayed
+    full-image with an independent padded-convolution formulation."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_BLUR_DONE"
+    stamp = "blur v%d b%d" % (BLUR_VERSION, band)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "lap_sum": [], "lap_sq": [], "n_lap": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[band].astype(np.int64)
+        H, W = z.shape
+        # independent formulation: explicit per-pixel loop-free kernel
+        # sum via shift accumulation over a validity-masked field
+        ok = (z != NODATA)
+        lap = np.zeros((H, W), np.int64)
+        good = np.zeros((H, W), bool)
+        lap[1:-1, 1:-1] = 4 * z[1:-1, 1:-1]
+        good[1:-1, 1:-1] = ok[1:-1, 1:-1]
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            lap[1:-1, 1:-1] -= z[1 + dr:H - 1 + dr, 1 + dc:W - 1 + dc]
+            good[1:-1, 1:-1] &= ok[1 + dr:H - 1 + dr, 1 + dc:W - 1 + dc]
+        rows["image_id"].append(img)
+        rows["lap_sum"].append(int(lap[good].sum()))
+        rows["lap_sq"].append(int((lap[good] ** 2).sum()))
+        rows["n_lap"].append(int(good.sum()))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "lap_sum": pa.array(rows["lap_sum"], pa.int64()),
+        "lap_sq": pa.array(rows["lap_sq"], pa.int64()),
+        "n_lap": pa.array(rows["n_lap"], pa.int64())})
+    pq.write_table(t, str(out / "blur_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -89,3 +89,48 @@ def imageprep_decisions(images, max_nodata=0, max_qa_masked=0,
     return images.map_batches(feats, batch_format="pyarrow",
                               batch_size=32) \
         .groupby("key").map_groups(decide, batch_format="pandas")
+
+
+def blur_scores(images, band=0):
+    """Laplacian blur-detection ingredients per image — the classic
+    blurry-image curation gate (variance of the discrete Laplacian:
+    sharp images have heavy-tailed second derivatives; see e.g.
+    Pech-Pacheco et al. 2000, "Diatom autofocusing in brightfield
+    microscopy"): per image the EXACT int64 sums
+
+        lap_sum  = Σ L,   lap_sq   = Σ L²,   n_lap = #interior px,
+        L = 4·z − z↑ − z↓ − z← − z→   (NODATA pixels excluded)
+
+    so the variance (lap_sq/n − (lap_sum/n)²) and any threshold on it
+    are float postprocessing the caller does — the distributed result
+    stays integer and hash-checks. One stateless decode+shift pass, no
+    shuffle; interior = pixels whose 4-neighborhood is inside the
+    image AND fully non-NODATA."""
+    from ..codecs import decode_image
+    from ..constants import NODATA
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ls, lq, nl = [], [], [], []
+        for i in range(t.num_rows):
+            arr = decode_image(t["bytes"][i].as_py(),
+                               t["fmt"][i].as_py(),
+                               int(t["w"][i].as_py()),
+                               int(t["h"][i].as_py()))
+            z = arr[band].astype(np.int64)
+            ok = (z != NODATA).astype(np.int64)
+            c = z[1:-1, 1:-1]
+            lap = (4 * c - z[:-2, 1:-1] - z[2:, 1:-1]
+                   - z[1:-1, :-2] - z[1:-1, 2:])
+            good = (ok[1:-1, 1:-1] & ok[:-2, 1:-1] & ok[2:, 1:-1]
+                    & ok[1:-1, :-2] & ok[1:-1, 2:]).astype(bool)
+            ids.append(t["image_id"][i].as_py())
+            ls.append(int(lap[good].sum()))
+            lq.append(int((lap[good] ** 2).sum()))
+            nl.append(int(good.sum()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "lap_sum": pa.array(ls, pa.int64()),
+            "lap_sq": pa.array(lq, pa.int64()),
+            "n_lap": pa.array(nl, pa.int64())})
+
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=64)
