@@ -4136,6 +4136,30 @@ def q_coregister(sf_dir):
     return register.coregister(pairs, max_shift=3)
 
 
+def q_events_range_window(sf_dir):
+    """ANSI RANGE-frame trailing-time window aggregate
+    (stages/events.py:range_window_sum): per event the count and exact
+    cent-sum of the same user's events in the trailing 300 s,
+    peers-at-equal-ts included — one groupby(user) exchange, per-user
+    prefix sums + two searchsorted probes. Oracle: DuckDB RANGE
+    BETWEEN INTERVAL window replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.range_window_sum(_read(sf_dir, "events"),
+                                   window_s=300)
+
+
+def q_events_interpolate(sf_dir):
+    """As-of linear interpolation (stages/events.py:asof_interpolate):
+    per purchase event the same user's bracketing click values
+    interpolated at the probe time as an EXACT rational
+    (num_cents_us, den_us), one-sided fallbacks tagged by status.
+    Oracle: LATERAL bracket replay in SQL."""
+    from unmixing_ray.stages import events as estage
+    return estage.asof_interpolate(_read(sf_dir, "events"),
+                                   probe_type="purchase",
+                                   sample_type="click")
+
+
 def q_blur_scores(sf_dir):
     """Laplacian blur-detection curation gate
     (stages/curate.py:blur_scores): exact int64 Laplacian moment
@@ -4328,6 +4352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_median": q_zonal_median,
         "bigram_lm": q_bigram_lm,
         "blur_scores": q_blur_scores,
+        "events_range_window": q_events_range_window,
+        "events_interpolate": q_events_interpolate,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4816,6 +4842,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": text.chunk_docs_sql(window=32, stride=24),
         "dsir_weights": text.dsir_weights_sql(),
         "bigram_lm": text.bigram_lm_score_sql(vocab_size=1024),
+        "events_range_window": events.range_window_sum_sql(window_s=300),
+        "events_interpolate": events.asof_interpolate_sql(
+            probe_type="purchase", sample_type="click"),
         "kcore": relational.kcore_sql(
             """e AS (
               SELECT least(x.l_partkey, y.l_partkey) AS a,

@@ -289,6 +289,8 @@ def registry(ray_session):
     "bigram_lm",
     # Laplacian blur-detection curation ingredients
     "blur_scores",
+    # RANGE-frame trailing-time window + exact as-of interpolation
+    "events_range_window", "events_interpolate",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1009,3 +1009,166 @@ def sequence_match_sql(steps=("view", "click", "purchase"),
                CAST(t_step1 AS BIGINT) AS t_step1,
                CAST(t_step2 AS BIGINT) AS t_step2
         FROM p2 WHERE t_step2 IS NOT NULL"""
+
+
+def range_window_sum(events, window_s=300, alias_n="n_in_window",
+                     alias_sum="sum_cents_w"):
+    """ANSI RANGE-frame windowed aggregate over event TIME (the frame
+    family member the engine lacked: ROWS frames are
+    orders_moving_window, hopping windows events_sliding — a RANGE
+    frame bounds by VALUE distance, here the trailing ``window_s``
+    seconds per user, peers-at-equal-ts included, exactly SQL's
+    ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``): for
+    every event, the count and exact cent-sum of the same user's
+    events inside the trailing window.
+
+    Plan: ONE ``groupby(user_id)`` co-partitioning, then per user a
+    sort + prefix-sum + two ``np.searchsorted`` probes — O(n log n)
+    per group, no per-row rescans; the exchange carries (user, ts,
+    cents, event_id) only. Skewed users would salt by time range with
+    a window_s overlap."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts_s, c_s, id_s = ts[order], cents[order], ids[order]
+        cum = np.concatenate([[0], np.cumsum(c_s)])
+        lo = np.searchsorted(ts_s, ts_s - window_s * 1_000_000,
+                             side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        return pd.DataFrame({
+            "event_id": id_s,
+            alias_n: (hi - lo).astype(np.int64),
+            alias_sum: cum[hi] - cum[lo]})
+
+    return events.select_columns(["user_id", "event_id", "ts",
+                                  "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def range_window_sum_sql(window_s=300):
+    return f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS sum_cents_w
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL {window_s} SECONDS
+                           PRECEDING AND CURRENT ROW)"""
+
+
+def asof_interpolate(events, probe_type="purchase",
+                     sample_type="click"):
+    """As-of LINEAR INTERPOLATION (the time-series resampling
+    primitive: sensor alignment, price marking, gap fill at query
+    points): for each ``probe_type`` event, the same user's bracketing
+    ``sample_type`` values — prev = latest sample at-or-before, next =
+    earliest strictly-after — interpolated at the probe time as an
+    EXACT rational: num = v_prev·(t_next − t) + v_next·(t − t_prev)
+    cents·µs over den = t_next − t_prev µs (one-sided probes fall back
+    to the available side with den = 1). Duplicate sample timestamps
+    resolve deterministically to the max cent value. The float value
+    is num/den — postprocessing the caller does; the distributed
+    result stays integer and hash-checks.
+
+    Plan: same shape as :func:`asof_join` — type prune inside
+    ``map_batches``, ONE ``groupby(user_id)``, vectorized per-user
+    searchsorted brackets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array([probe_type, sample_type]))
+        return t.select(["user_id", "event_id", "ts", "event_type",
+                         "value"]).filter(m)
+
+    pruned = events.map_batches(prune, batch_format="pyarrow")
+    empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64"),
+        "num_cents_us": pd.Series([], dtype="int64"),
+        "den_us": pd.Series([], dtype="int64"),
+        "status": pd.Series([], dtype=object)}
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
+            .to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        is_p = (g["event_type"] == probe_type).to_numpy()
+        is_s = (g["event_type"] == sample_type).to_numpy()
+        pt = ts_us[is_p]
+        if not len(pt) or not is_s.any():
+            return pd.DataFrame(empty)
+        st, sv = ts_us[is_s], cents[is_s]
+        order = np.lexsort((sv, st))
+        st, sv = st[order], sv[order]
+        last = np.append(st[1:] != st[:-1], True)   # max cents per ts
+        st, sv = st[last], sv[last]
+        ip = np.searchsorted(st, pt, side="right") - 1
+        inx = ip + 1
+        has_p = ip >= 0
+        has_n = inx < len(st)
+        tp = st[np.clip(ip, 0, len(st) - 1)]
+        vp = sv[np.clip(ip, 0, len(st) - 1)]
+        tn = st[np.clip(inx, 0, len(st) - 1)]
+        vn = sv[np.clip(inx, 0, len(st) - 1)]
+        num = np.where(
+            has_p & has_n, vp * (tn - pt) + vn * (pt - tp),
+            np.where(has_p, vp, vn))
+        den = np.where(has_p & has_n, tn - tp, np.int64(1))
+        status = np.where(has_p & has_n, "both",
+                          np.where(has_p, "prev", "next"))
+        keep = has_p | has_n
+        return pd.DataFrame({
+            "user_id": pd.Series(g["user_id"].to_numpy()[is_p][keep],
+                                 dtype="int64"),
+            "event_id": pd.Series(g["event_id"].to_numpy()[is_p][keep],
+                                  dtype="int64"),
+            "ts_us": pd.Series(pt[keep], dtype="int64"),
+            "num_cents_us": pd.Series(num[keep], dtype="int64"),
+            "den_us": pd.Series(den[keep], dtype="int64"),
+            "status": status[keep]})
+
+    return pruned.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")
+
+
+def asof_interpolate_sql(probe_type="purchase", sample_type="click"):
+    return f"""
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE event_type = '{sample_type}'),
+        p AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = '{probe_type}')
+        SELECT CAST(p.user_id AS BIGINT) AS user_id,
+               CAST(p.event_id AS BIGINT) AS event_id,
+               CAST(p.t AS BIGINT) AS ts_us,
+               CAST(CASE
+                 WHEN pv.t IS NOT NULL AND nx.t IS NOT NULL THEN
+                   pv.v * (nx.t - p.t) + nx.v * (p.t - pv.t)
+                 WHEN pv.t IS NOT NULL THEN pv.v ELSE nx.v END
+                 AS BIGINT) AS num_cents_us,
+               CAST(CASE
+                 WHEN pv.t IS NOT NULL AND nx.t IS NOT NULL
+                   THEN nx.t - pv.t ELSE 1 END AS BIGINT) AS den_us,
+               CASE WHEN pv.t IS NOT NULL AND nx.t IS NOT NULL
+                    THEN 'both' WHEN pv.t IS NOT NULL THEN 'prev'
+                    ELSE 'next' END AS status
+        FROM p
+        LEFT JOIN LATERAL (
+          SELECT s.t, s.v FROM s
+          WHERE s.user_id = p.user_id AND s.t <= p.t
+          ORDER BY s.t DESC, s.v DESC LIMIT 1) pv ON true
+        LEFT JOIN LATERAL (
+          SELECT s.t, s.v FROM s
+          WHERE s.user_id = p.user_id AND s.t > p.t
+          ORDER BY s.t ASC, s.v DESC LIMIT 1) nx ON true
+        WHERE pv.t IS NOT NULL OR nx.t IS NOT NULL"""
