@@ -3526,6 +3526,26 @@ def q_composite_latest(sf_dir):
     return trend.composite_latest(tiles)
 
 
+def q_composite_percentile(sf_dir):
+    """Per-pixel 25th-percentile composite over the SKEWED corpus
+    (stages/trend.py:composite_percentile): an order statistic over
+    the planted ~n/2-deep hot stack — NOT associatively reducible, so
+    the honest shape is full per-pixel co-location; the static
+    SUBT-sub-split divides the hot group 16× without a pre-pass.
+    Oracle: full-stack replay sidecar
+    (synth.generate_percentile_expected)."""
+    from unmixing_ray.sources import images, synth
+    from unmixing_ray.stages import decode as dstage
+    from unmixing_ray.stages import trend
+    corpus = synth.ensure_skewed_corpus(sf_dir)
+    synth.generate_percentile_expected(sf_dir)
+    ds = images.read_images(corpus)
+    fn = dstage.make_decode_and_tile(tile=synth.TILE,
+                                     cell_level=synth.CELL_LEVEL)
+    tiles = ds.map_batches(fn, batch_format="pyarrow", batch_size=32)
+    return trend.composite_percentile(tiles, q_num=1, q_den=4)
+
+
 def q_salted_cell_counts(sf_dir):
     """Skew-handling parity: per-cell tile counts over the SKEWED corpus
     (half the images stacked on one location → planted hot cells),
@@ -4313,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_pca_expected(sf)
                 _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_blur_expected(sf)
+                _synth.generate_percentile_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4354,6 +4375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blur_scores": q_blur_scores,
         "events_range_window": q_events_range_window,
         "events_interpolate": q_events_interpolate,
+        "composite_percentile": q_composite_percentile,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4664,6 +4686,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_pca_expected(sf)
                 _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_blur_expected(sf)
+                _synth.generate_percentile_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4725,6 +4748,10 @@ def oracle_sql() -> dict[str, str]:
         "blur_scores": f"""
             SELECT image_id, lap_sum, lap_sq, n_lap
             FROM read_parquet('{C}/blur_expected.parquet')""",
+        "composite_percentile": f"""
+            SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
+                   q_sum, n_hole
+            FROM read_parquet('{C}-skew/percentile_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

@@ -65,3 +65,57 @@ def test_cell_cases_saddles_and_borders():
     valid[0, 0] = 0
     _, ok2 = cell_cases(dem, valid, threshold=2)
     assert ok2[0, 0] == 0 and ok2.sum() == 3
+
+
+def test_composite_percentile_matches_brute(ray_session):
+    """Order-statistic composite over a synthetic date stack ==
+    per-pixel sorted-index brute force, including NODATA holes and
+    sub-block key re-chunking, at two partitionings."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from unmixing_ray.cellindex import cell_from_ixiy
+    from unmixing_ray.stages.trend import SUBT, composite_percentile
+
+    rng = np.random.default_rng(13)
+    n_dates, T = 9, 32
+    stack = rng.integers(0, 4000, (n_dates, T, T)).astype(np.int16)
+    stack[:, 2, 3] = -9999          # a never-valid pixel
+    stack[0:5, 10, 10] = -9999      # partially valid pixel
+    cell = cell_from_ixiy(np.array([7]), np.array([9]), 12)[0]
+    rows = []
+    for d in range(n_dates):
+        rows.append({
+            "cell": int(cell), "row_off": 0, "col_off": 0,
+            "h": T, "w": T, "bands": 1,
+            "pixels": np.ascontiguousarray(stack[d]).tobytes()})
+    t = pa.table({
+        "cell": pa.array([r["cell"] for r in rows], pa.uint64()),
+        "row_off": pa.array([r["row_off"] for r in rows], pa.int32()),
+        "col_off": pa.array([r["col_off"] for r in rows], pa.int32()),
+        "h": pa.array([r["h"] for r in rows], pa.int32()),
+        "w": pa.array([r["w"] for r in rows], pa.int32()),
+        "bands": pa.array([r["bands"] for r in rows], pa.int32()),
+        "pixels": pa.array([r["pixels"] for r in rows], pa.binary())})
+    # brute force per pixel
+    want_q = np.zeros((T, T), np.int64)
+    want_hole = np.zeros((T, T), np.int64)
+    for y in range(T):
+        for x in range(T):
+            v = stack[:, y, x].astype(np.int64)
+            v = np.sort(v[v != -9999])
+            if len(v):
+                want_q[y, x] = v[(len(v) - 1) * 1 // 4]
+            else:
+                want_hole[y, x] = 1
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = composite_percentile(ds, q_num=1, q_den=4).to_pandas()
+        assert len(got) == (T // SUBT) ** 2
+        assert (got["n_dates"] == n_dates).all()
+        for _, r in got.iterrows():
+            sy, sx = int(r["row_off"]), int(r["col_off"])
+            assert int(r["q_sum"]) == int(
+                want_q[sy:sy + SUBT, sx:sx + SUBT].sum()), (sy, sx)
+            assert int(r["n_hole"]) == int(
+                want_hole[sy:sy + SUBT, sx:sx + SUBT].sum())

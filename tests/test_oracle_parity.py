@@ -291,6 +291,8 @@ def registry(ray_session):
     "blur_scores",
     # RANGE-frame trailing-time window + exact as-of interpolation
     "events_range_window", "events_interpolate",
+    # per-pixel percentile composite over the planted hot stack
+    "composite_percentile",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

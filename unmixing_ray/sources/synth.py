@@ -3157,3 +3157,73 @@ def generate_blur_expected(sf_dir, band=0):
     pq.write_table(t, str(out / "blur_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+PCTILE_VERSION = 1
+
+
+def generate_percentile_expected(sf_dir, q_num=1, q_den=4):
+    """Write the ``percentile_expected.parquet`` sidecar into the
+    SKEWED corpus dir: per SUBT×SUBT position, summaries of the
+    per-pixel q-th percentile composite
+    (stages/trend.py:composite_percentile spec), computed full-stack
+    single-machine — the engine computes it through the statically
+    sub-split groupby, so a match proves the order-statistic kernel
+    and the re-chunked key plumbing over the planted hot stack."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..stages.trend import SUBT
+
+    out = pathlib.Path(corpus_dir_for(sf_dir) + "-skew")
+    done = out / "_PCTILE_DONE"
+    stamp = "pctile v%d q%d/%d" % (PCTILE_VERSION, q_num, q_den)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    edge = float(2 ** 22) / float(2 ** CELL_LEVEL)
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
+                               "gt"])
+    acc = {}
+    for i in range(tbl.num_rows):
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        gt = tbl["gt"][i].as_py()
+        H, W = arr.shape[1], arr.shape[2]
+        for ty in range((H + TILE - 1) // TILE):
+            for tx in range((W + TILE - 1) // TILE):
+                cx = gt[0] + tx * TILE * PX + (TILE / 2.0) * PX
+                cy = gt[3] - ty * TILE * PX - (TILE / 2.0) * PX
+                for sy in range(0, TILE, SUBT):
+                    for sx in range(0, TILE, SUBT):
+                        k = (int(cx // edge), int(cy // edge),
+                             ty * TILE + sy, tx * TILE + sx)
+                        blk = arr[0, ty * TILE + sy:ty * TILE + sy + SUBT,
+                                  tx * TILE + sx:tx * TILE + sx + SUBT]
+                        acc.setdefault(k, []).append(
+                            blk.astype(np.int64).ravel())
+    rows = {k: [] for k in ("cell_ix", "cell_iy", "row_off", "col_off",
+                            "n_dates", "q_sum", "n_hole")}
+    for (ix, iy, ro, co), planes in acc.items():
+        stack = np.stack(planes)
+        qv = np.zeros(stack.shape[1], dtype=np.int64)
+        holes = 0
+        for px in range(stack.shape[1]):
+            v = stack[:, px]
+            v = np.sort(v[v != NODATA])
+            if len(v):
+                qv[px] = v[(len(v) - 1) * q_num // q_den]
+            else:
+                holes += 1
+        rows["cell_ix"].append(ix)
+        rows["cell_iy"].append(iy)
+        rows["row_off"].append(ro)
+        rows["col_off"].append(co)
+        rows["n_dates"].append(stack.shape[0])
+        rows["q_sum"].append(int(qv.sum()))
+        rows["n_hole"].append(holes)
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    pq.write_table(t, str(out / "percentile_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

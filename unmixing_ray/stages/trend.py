@@ -419,3 +419,97 @@ def composite_cube(tiles, n_bins, t_count, fill=True):
 
     return agg.groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
         .map_groups(densify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-pixel percentile composite (order statistic over the date stack)
+
+SUBT = 8            # static spatial sub-split edge, px
+_SENTINEL = np.int64(1) << 40   # sorts above any valid int16 value
+
+
+def _pct_partials(nodata):
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bands = batch["bands"].to_numpy()
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        cix, ciy, _lv = cellindex.cell_to_ixiy(cells.astype(np.uint64))
+        ro = batch["row_off"].to_numpy()
+        co = batch["col_off"].to_numpy()
+        out = {"cell_ix": [], "cell_iy": [], "row_off": [],
+               "col_off": [], "px": []}
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            npx = h * w
+            b0 = values[offsets[i]:offsets[i] + npx].reshape(h, w)
+            for sy in range(0, h, SUBT):
+                for sx in range(0, w, SUBT):
+                    blk = b0[sy:sy + SUBT, sx:sx + SUBT]
+                    out["cell_ix"].append(int(cix[i]))
+                    out["cell_iy"].append(int(ciy[i]))
+                    out["row_off"].append(int(ro[i]) + sy)
+                    out["col_off"].append(int(co[i]) + sx)
+                    out["px"].append(
+                        np.ascontiguousarray(blk).tobytes())
+        df = pd.DataFrame({
+            "cell_ix": pd.Series(out["cell_ix"], dtype="int64"),
+            "cell_iy": pd.Series(out["cell_iy"], dtype="int64"),
+            "row_off": pd.Series(out["row_off"], dtype="int64"),
+            "col_off": pd.Series(out["col_off"], dtype="int64"),
+            "px": out["px"]})
+        return df
+
+    return partials
+
+
+def _pct_merge(q_num, q_den, nodata):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.frombuffer(b, dtype=np.int16)
+                          for b in g["px"]]).astype(np.int64)
+        valid = stack != nodata
+        m = valid.sum(axis=0)
+        work = np.where(valid, stack, _SENTINEL)
+        work.sort(axis=0)
+        idx = np.where(m > 0, (m - 1) * q_num // q_den, 0)
+        got = np.take_along_axis(work, idx[None, :], axis=0)[0]
+        got = np.where(m > 0, got, np.int64(0))
+        return pd.DataFrame({
+            "cell_ix": g["cell_ix"].iloc[:1].reset_index(drop=True),
+            "cell_iy": g["cell_iy"].iloc[:1].reset_index(drop=True),
+            "row_off": g["row_off"].iloc[:1].reset_index(drop=True),
+            "col_off": g["col_off"].iloc[:1].reset_index(drop=True),
+            "n_dates": pd.Series([len(g)], dtype="int64"),
+            "q_sum": pd.Series([int(got.sum())], dtype="int64"),
+            "n_hole": pd.Series([int((m == 0).sum())], dtype="int64")})
+
+    return merge
+
+
+def composite_percentile(tiles, q_num=1, q_den=4, nodata=-9999):
+    """Per-pixel PERCENTILE composite over the date stack — the
+    quartile/best-available-pixel compositing rule (e.g. a 25th-
+    percentile composite approximates a cloud-shadow-robust dark
+    baseline) that mean/argmax composites cannot express: an order
+    statistic needs every date's value per pixel, so unlike
+    :func:`temporal_trend` / :func:`composite_latest` it CANNOT be
+    reduced associatively — the honest scale shape is a full
+    co-location of each pixel's stack.
+
+    Skew design: tiles are statically re-chunked to ``SUBT``×``SUBT``
+    sub-blocks in the stateless partial pass, so the planted hot
+    position's group divides by (TILE/SUBT)² = 16 WITHOUT a counting
+    pre-pass (finer spatial granularity is the salting — all dates of
+    a pixel stay together, the per-group payload is n_dates·64·2 B).
+    Per pixel: value = sorted-valid[(m−1)·q_num // q_den], NODATA
+    excluded, never-valid pixels report 0 and count in n_hole.
+    Returns per-position int64 summaries (n_dates, q_sum, n_hole) —
+    hash-checkable against the full-stack replay sidecar
+    (synth.generate_percentile_expected)."""
+    parts = tiles.select_columns(
+        ["cell", "row_off", "col_off", "h", "w", "bands", "pixels"]) \
+        .map_batches(_pct_partials(nodata), batch_format="pyarrow")
+    return parts.groupby(["cell_ix", "cell_iy", "row_off", "col_off"]) \
+        .map_groups(_pct_merge(q_num, q_den, nodata),
+                    batch_format="pandas")
