@@ -3526,6 +3526,22 @@ def q_composite_latest(sf_dir):
     return trend.composite_latest(tiles)
 
 
+def q_audio_resample(sf_dir):
+    """Rational-rate audio resample (stages/media.py:AudioResampler):
+    exact fixed-point linear interpolation at 2/3 rate over REAL WAV
+    payloads, decoder resolved once per actor; position-weighted
+    checksum pins every output sample. Oracle: independent
+    Python-int replay sidecar."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    corpus = synth.ensure_media(sf_dir)
+    synth.generate_resample_expected(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_audio.parquet"))
+    return media.audio_resample(ds, num=2, den=3, decoder="wav")
+
+
 def q_composite_percentile(sf_dir):
     """Per-pixel 25th-percentile composite over the SKEWED corpus
     (stages/trend.py:composite_percentile): an order statistic over
@@ -4334,6 +4350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_blur_expected(sf)
                 _synth.generate_percentile_expected(sf)
+                _synth.generate_resample_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4376,6 +4393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": q_events_range_window,
         "events_interpolate": q_events_interpolate,
         "composite_percentile": q_composite_percentile,
+        "audio_resample": q_audio_resample,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4687,6 +4705,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_zonalmedian_expected(sf)
                 _synth.generate_blur_expected(sf)
                 _synth.generate_percentile_expected(sf)
+                _synth.generate_resample_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4752,6 +4771,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole
             FROM read_parquet('{C}-skew/percentile_expected.parquet')""",
+        "audio_resample": f"""
+            SELECT media_id, n_in, n_out, y_sum, y_wsum
+            FROM read_parquet('{C}/media_resample_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

@@ -231,3 +231,28 @@ def test_scene_cut_detector_nonvacuous_and_invariant(ray_session):
     assert a.equals(b)
     assert (a["n_cuts"] >= 1).all()      # 24+ frames, scene_len <= 12
     assert a["n_cuts"].nunique() > 1
+
+
+def test_resample_summary_identity_and_half():
+    """num=den is the identity; 1/2-rate picks every other sample."""
+    import numpy as np
+    from unmixing_ray.stages.media import RES_W_CYCLE, resample_summary
+    x = np.array([100, -200, 300, 400, -500], dtype=np.int16)
+    n, s, w = resample_summary(x, 1, 1)
+    assert n == 5 and s == int(x.astype(np.int64).sum())
+    n2, s2, w2 = resample_summary(x, 1, 2)
+    want = x[::2].astype(np.int64)
+    assert n2 == 3 and s2 == int(want.sum())
+    assert w2 == int((want * (np.arange(3) % RES_W_CYCLE + 1)).sum())
+
+
+def test_resample_summary_midpoints():
+    """2x upsample inserts exact midpoints (denominator = num = 2)."""
+    import numpy as np
+    from unmixing_ray.stages.media import resample_summary
+    x = np.array([10, 30, 50], dtype=np.int16)
+    n, s, _ = resample_summary(x, 2, 1)
+    # outputs at src pos 0, .5, 1, 1.5, 2 -> numerators x2:
+    # 20, 10+30, 60, 30+50, 100
+    assert n == 5
+    assert s == 20 + 40 + 60 + 80 + 100

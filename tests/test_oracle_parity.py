@@ -293,6 +293,8 @@ def registry(ray_session):
     "events_range_window", "events_interpolate",
     # per-pixel percentile composite over the planted hot stack
     "composite_percentile",
+    # exact fixed-point rational-rate audio resample (raw PCM16)
+    "audio_resample",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

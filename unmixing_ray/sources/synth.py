@@ -3227,3 +3227,54 @@ def generate_percentile_expected(sf_dir, q_num=1, q_den=4):
     pq.write_table(t, str(out / "percentile_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+RESAMPLE_VERSION = 1
+
+
+def generate_resample_expected(sf_dir, num=2, den=3):
+    """Write ``media_resample_expected.parquet``: per-clip exact
+    fixed-point linear-resample summaries over the REAL WAV payloads,
+    replayed with an independent PYTHON-INT per-sample loop (the
+    engine vectorizes the same spec — stages/media.py:
+    resample_summary)."""
+    from ..stages.media import RES_W_CYCLE, decode_wav_raw_int16
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_RESAMPLE_DONE"
+    stamp = "resample v%d %d/%d" % (RESAMPLE_VERSION, num, den)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    src = out / "media_audio.parquet"
+    if not src.exists():
+        return None
+    t = pq.read_table(str(src), columns=["media_id", "bytes"])
+    rows = {"media_id": [], "n_in": [], "n_out": [], "y_sum": [],
+            "y_wsum": []}
+    for i in range(t.num_rows):
+        x = [int(v) for v in decode_wav_raw_int16(t["bytes"][i].as_py())]
+        n = len(x)
+        m = (n - 1) * num // den + 1 if n else 0
+        ys = yw = 0
+        for j in range(m):
+            pos = j * den
+            i0 = pos // num
+            f = pos - i0 * num
+            x1 = x[i0 + 1] if i0 + 1 < n else x[i0]
+            y = x[i0] * (num - f) + x1 * f
+            ys += y
+            yw += y * (j % RES_W_CYCLE + 1)
+        rows["media_id"].append(t["media_id"][i].as_py())
+        rows["n_in"].append(n)
+        rows["n_out"].append(m)
+        rows["y_sum"].append(ys)
+        rows["y_wsum"].append(yw)
+    pq.write_table(pa.table({
+        "media_id": pa.array(rows["media_id"], pa.string()),
+        "n_in": pa.array(rows["n_in"], pa.int64()),
+        "n_out": pa.array(rows["n_out"], pa.int64()),
+        "y_sum": pa.array(rows["y_sum"], pa.int64()),
+        "y_wsum": pa.array(rows["y_wsum"], pa.int64())}),
+        str(out / "media_resample_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

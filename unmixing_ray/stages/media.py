@@ -534,3 +534,89 @@ def sample_video_frames(media_ds, every=10, out_h=32, out_w=32,
                                "out_w": out_w, "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# audio resampling (rational-rate linear interpolation, exact fixed point)
+
+RES_W_CYCLE = 251
+
+
+def resample_summary(x, num, den):
+    """EXACT fixed-point linear resample of int16 samples ``x`` to
+    ``num/den`` of the source rate: output j sits at source position
+    j·den/num, value numerator y_num[j] = x[i]·(num − f) + x[i+1]·f
+    with i = j·den // num and f = j·den − i·num (denominator = num,
+    so every value is exact int64). Returns (n_out, y_sum,
+    y_wsum) with the position-weighted checksum pinning every output
+    sample (the stages/augment.py weight discipline)."""
+    n = len(x)
+    if n == 0:
+        return 0, 0, 0
+    x = x.astype(np.int64)
+    m = (n - 1) * num // den + 1
+    j = np.arange(m, dtype=np.int64)
+    pos = j * den
+    i0 = pos // num
+    f = pos - i0 * num
+    x1 = x[np.minimum(i0 + 1, n - 1)]
+    y = x[i0] * (num - f) + x1 * f
+    w = j % RES_W_CYCLE + 1
+    return int(m), int(y.sum()), int((y * w).sum())
+
+
+def decode_wav_raw_int16(buf):
+    """Mono 16-bit PCM RIFF/WAVE bytes → RAW int16 samples (n,) —
+    the unscaled twin of :func:`decode_wav_pcm16` for integer-exact
+    DSP (resampling) where the [-1, 1] float scaling would break
+    fixed-point arithmetic."""
+    fmt, data = _wav_chunks(buf)
+    audio_fmt, channels, _sr, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            "only mono 16-bit PCM supported (fmt=%d ch=%d bits=%d)"
+            % (audio_fmt, channels, bits))
+    return np.frombuffer(data, dtype="<i2")
+
+
+class AudioResampler:
+    """Actor-pool stage: WAV bytes → exact resample summaries at
+    ``num/den`` of the source rate (one stateless pass, no shuffle;
+    raw-int16 decode so the fixed-point arithmetic stays exact)."""
+
+    def __init__(self, num=2, den=3, decoder="wav"):
+        self.num = int(num)
+        self.den = int(den)
+        if decoder != "wav":
+            raise ValueError("AudioResampler is integer-exact and "
+                             "supports the raw PCM16 path only")
+        self.decode = decode_wav_raw_int16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_in, n_out, ys, yw = [], [], [], [], []
+        for i in range(batch.num_rows):
+            x = self.decode(batch["bytes"][i].as_py())
+            m, s, w = resample_summary(np.asarray(x), self.num,
+                                       self.den)
+            ids.append(batch["media_id"][i].as_py())
+            n_in.append(len(x))
+            n_out.append(m)
+            ys.append(s)
+            yw.append(w)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_in": pa.array(n_in, pa.int64()),
+            "n_out": pa.array(n_out, pa.int64()),
+            "y_sum": pa.array(ys, pa.int64()),
+            "y_wsum": pa.array(yw, pa.int64())})
+
+
+def audio_resample(ds, num=2, den=3, decoder="wav", concurrency=4):
+    """Distributed rational-rate audio resample (see AudioResampler)."""
+    import ray.data   # noqa: F401  (documents the Dataset dependency)
+    return ds.map_batches(AudioResampler,
+                          fn_constructor_kwargs={
+                              "num": num, "den": den,
+                              "decoder": decoder},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=concurrency)
