@@ -3526,6 +3526,27 @@ def q_composite_latest(sf_dir):
     return trend.composite_latest(tiles)
 
 
+def q_table_checksum(sf_dir):
+    """Order-independent table content checksum
+    (stages/relational.py:table_checksum): md5-row digests summed mod
+    2^61-1 through the aggregate tree — the replication/migration
+    audit primitive; two scalars reach the driver. Oracle: DuckDB
+    HUGEINT sum of the same digests."""
+    from unmixing_ray.stages import relational
+    return relational.table_checksum(
+        _read(sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+def q_trending_types(sf_dir):
+    """Windowed trending top-k (stages/events.py:trending_types): per
+    tumbling hour the 3 most frequent event types, count-combiner →
+    one groupby → grouped_topk. Oracle: window row_number replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.trending_types(_read(sf_dir, "events"),
+                                 window_s=3600, k=3)
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4394,6 +4415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interpolate": q_events_interpolate,
         "composite_percentile": q_composite_percentile,
         "audio_resample": q_audio_resample,
+        "table_checksum": q_table_checksum,
+        "trending_types": q_trending_types,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4892,6 +4915,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": text.dsir_weights_sql(),
         "bigram_lm": text.bigram_lm_score_sql(vocab_size=1024),
         "events_range_window": events.range_window_sum_sql(window_s=300),
+        "table_checksum": relational.table_checksum_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_orderpriority"]),
+        "trending_types": events.trending_types_sql(window_s=3600, k=3),
         "events_interpolate": events.asof_interpolate_sql(
             probe_type="purchase", sample_type="click"),
         "kcore": relational.kcore_sql(

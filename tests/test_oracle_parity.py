@@ -295,6 +295,8 @@ def registry(ray_session):
     "composite_percentile",
     # exact fixed-point rational-rate audio resample (raw PCM16)
     "audio_resample",
+    # order-independent table checksum + windowed trending top-k
+    "table_checksum", "trending_types",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

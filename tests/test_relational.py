@@ -826,3 +826,25 @@ def test_sssp_rounds_multi_seed(ray_session):
     seeds = ray.data.from_items([{"v": 0}, {"v": 2}])
     got = relational.sssp_rounds(edges, seeds, rounds=2).to_pandas()
     assert dict(zip(got["v"], got["dist"])) == {0: 0, 2: 0, 1: 1}
+
+
+def test_table_checksum_partitioning_invariant_and_sensitive(ray_session):
+    import ray.data
+    from unmixing_ray.stages.relational import (CHECKSUM_MOD,
+                                                table_checksum)
+    rows = [{"a": i, "b": "s%d" % (i % 7)} for i in range(300)]
+    base = None
+    for parts in (1, 9):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = table_checksum(ds, ["a", "b"])
+        assert int(got["n_rows"].iloc[0]) == 300
+        d = int(got["digest_sum"].iloc[0])
+        assert 0 <= d < CHECKSUM_MOD
+        if base is None:
+            base = d
+        else:
+            assert d == base
+    # single-row change flips the digest
+    rows[17]["b"] = "tampered"
+    got2 = table_checksum(ray.data.from_items(rows), ["a", "b"])
+    assert int(got2["digest_sum"].iloc[0]) != base

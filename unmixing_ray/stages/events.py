@@ -1172,3 +1172,48 @@ def asof_interpolate_sql(probe_type="purchase", sample_type="click"):
           WHERE s.user_id = p.user_id AND s.t > p.t
           ORDER BY s.t ASC, s.v DESC LIMIT 1) nx ON true
         WHERE pv.t IS NOT NULL OR nx.t IS NOT NULL"""
+
+
+def trending_types(events, window_s=3600, k=3):
+    """Windowed trending top-k (the 'trending hashtags' shape): per
+    tumbling ``window_s`` window, the ``k`` most frequent event types
+    with the deterministic (count DESC, type ASC) tiebreak.
+    Composition of the engine's primitives: per-batch (window, type)
+    count combiner → ONE groupby merge → grouped_topk (which itself
+    pre-truncates to k rows per key per batch before its shuffle)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import grouped_topk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("datetime64[us]").astype("int64")
+               // (window_s * 1_000_000))
+        g = pd.DataFrame({"win": win.astype("int64"),
+                          "event_type": df["event_type"]}) \
+            .groupby(["win", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = events.select_columns(["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(["win", "event_type"]).aggregate(
+            Sum("n", alias_name="n")) \
+        .map_batches(lambda df: df.astype({"win": "int64",
+                                           "n": "int64"}),
+                     batch_format="pandas")
+    return grouped_topk(counts, ["win"], "n", k,
+                        tiebreak=("event_type",))
+
+
+def trending_types_sql(window_s=3600, k=3):
+    return f"""
+        WITH c AS (
+          SELECT epoch_us(ts) // {window_s * 1_000_000} AS win,
+                 event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT win, event_type, n,
+                     row_number() OVER (PARTITION BY win
+                       ORDER BY n DESC, event_type) AS rank
+              FROM c)
+        SELECT CAST(win AS BIGINT) AS win, event_type, n,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {k}"""

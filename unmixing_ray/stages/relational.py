@@ -1641,15 +1641,33 @@ def triangle_count(edges, a="a", b="b"):
         return pd.DataFrame({"src": np.where(a_first, av, bv),
                              "dst": np.where(a_first, bv, av)})
 
+    # wedge generation groups by a HASH BUCKET of the source, not the
+    # source itself: Ray groupby costs ~0.4 ms of scheduling per GROUP
+    # (the stages/label.py lesson), so per-node groups would dominate on
+    # million-node graphs — per-bucket groups amortize it 256x and the
+    # per-source triu expansion runs as a plain loop inside the bucket.
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.unique(g["dst"].to_numpy(np.int64))
-        if len(d) < 2:
+        if not len(g):
             return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"pk": d[iu] * (np.int64(1) << 31) + d[ju]})
+        g = g.sort_values(["src", "dst"])
+        srcs = g["src"].to_numpy(np.int64)
+        dsts = g["dst"].to_numpy(np.int64)
+        cuts = np.flatnonzero(np.diff(srcs)) + 1
+        pks = []
+        for d in np.split(dsts, cuts):
+            d = np.unique(d)
+            if len(d) < 2:
+                continue
+            iu, ju = np.triu_indices(len(d), k=1)
+            pks.append(d[iu] * (np.int64(1) << 31) + d[ju])
+        if not pks:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"pk": np.concatenate(pks)})
 
     w = e2.map_batches(orient, batch_format="pandas")\
-        .groupby("src").map_groups(wedges, batch_format="pandas")
+        .map_batches(lambda df: df.assign(bk=df["src"] % 256),
+                     batch_format="pandas")\
+        .groupby("bk").map_groups(wedges, batch_format="pandas")
     ek = edges.map_batches(
         lambda df: pd.DataFrame({
             "pk": df[a].to_numpy(np.int64) * (np.int64(1) << 31)
@@ -2464,19 +2482,36 @@ def clustering_coeff(edges, a="a", b="b"):
         return pd.DataFrame({"src": np.where(a_first, av, bv),
                              "dst": np.where(a_first, bv, av)})
 
+    # hash-bucketed wedge groups (not per-source) — see triangle_count
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.unique(g["dst"].to_numpy(np.int64))
-        if len(d) < 2:
+        if not len(g):
             return pd.DataFrame({
                 "src": pd.Series([], dtype="int64"),
                 "pk": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({
-            "src": np.full(len(iu), g["src"].iloc[0], dtype=np.int64),
-            "pk": d[iu] * (np.int64(1) << 31) + d[ju]})
+        g = g.sort_values(["src", "dst"])
+        srcs = g["src"].to_numpy(np.int64)
+        dsts = g["dst"].to_numpy(np.int64)
+        cuts = np.flatnonzero(np.diff(srcs)) + 1
+        out_s, out_p = [], []
+        for s0, d in zip(srcs[np.concatenate([[0], cuts])],
+                         np.split(dsts, cuts)):
+            d = np.unique(d)
+            if len(d) < 2:
+                continue
+            iu, ju = np.triu_indices(len(d), k=1)
+            out_s.append(np.full(len(iu), s0, dtype=np.int64))
+            out_p.append(d[iu] * (np.int64(1) << 31) + d[ju])
+        if not out_s:
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "pk": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"src": np.concatenate(out_s),
+                             "pk": np.concatenate(out_p)})
 
     w = e2.map_batches(orient, batch_format="pandas")\
-        .groupby("src").map_groups(wedges, batch_format="pandas")
+        .map_batches(lambda df: df.assign(bk=df["src"] % 256),
+                     batch_format="pandas")\
+        .groupby("bk").map_groups(wedges, batch_format="pandas")
     ek = edges.map_batches(
         lambda df: pd.DataFrame({
             "pk": df[a].to_numpy(np.int64) * (np.int64(1) << 31)
@@ -2533,3 +2568,60 @@ def clustering_coeff_sql(edges_cte):
                CAST(coalesce(tm.n_tri, 0) AS BIGINT) AS n_tri,
                CAST(deg.deg * (deg.deg - 1) / 2 AS BIGINT) AS n_wedge
         FROM deg LEFT JOIN tm ON tm.v = deg.v""")
+
+
+
+
+# ---------------------------------------------------------------------------
+# order-independent table content checksum (replication / migration audit)
+
+CHECKSUM_MOD = (1 << 61) - 1     # Mersenne modulus: sums never overflow
+
+
+def table_checksum(ds, cols):
+    """Order-independent CONTENT CHECKSUM of a table — the
+    anti-entropy / migration-audit primitive (verify two replicas or
+    an engine port hold the same rows without shipping either): per
+    row, the low 60 bits of md5 over the ':'-joined column values;
+    the table digest is the SUM of row digests MOD 2^61−1 plus the
+    row count. Modular sums are commutative/associative, so the
+    digest is identical at any partitioning AND never overflows int64
+    at any corpus size (the mod rides every accumulate/merge of the
+    aggregate tree); DuckDB replays it exactly (same md5 slice,
+    128-bit HUGEINT sum, one final mod).
+
+    One column-pruned pass; per-block digests reduce through Ray's
+    aggregate tree — the driver only sees two scalars."""
+    import hashlib
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc(state, block):
+        df = block.to_pandas() if hasattr(block, "to_pandas") else block
+        joined = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            joined = joined + ":" + df[c].astype(str)
+        d = sum(int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+                for v in joined) % CHECKSUM_MOD
+        s, n = state
+        return ((s + d) % CHECKSUM_MOD, n + len(joined))
+
+    agg = AggregateFn(
+        init=lambda k: (0, 0),
+        merge=lambda a, b: ((a[0] + b[0]) % CHECKSUM_MOD, a[1] + b[1]),
+        accumulate_block=acc,
+        name="digest")
+    s, n = ds.select_columns(list(cols)).aggregate(agg)["digest"]
+    return pd.DataFrame({
+        "digest_sum": pd.Series([int(s)], dtype="int64"),
+        "n_rows": pd.Series([int(n)], dtype="int64")})
+
+
+def table_checksum_sql(table, cols):
+    expr = " || ':' || ".join("CAST(%s AS VARCHAR)" % c for c in cols)
+    return f"""
+        SELECT CAST(sum(CAST(CAST('0x' || substr(md5({expr}), 1, 15)
+                     AS UBIGINT) AS HUGEINT)) % {CHECKSUM_MOD}
+                 AS BIGINT) AS digest_sum,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM {table}"""
