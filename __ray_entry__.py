@@ -3526,6 +3526,23 @@ def q_composite_latest(sf_dir):
     return trend.composite_latest(tiles)
 
 
+def q_zonemap_prune(sf_dir):
+    """Zone-map-pruned range count (state/zonemap.py): exact-ntile
+    sorted partitioned write (layout via the distributed row_number),
+    16-row min/max map, driver skip decision, pruned partition scan.
+    The oracle replays layout + map + skip + count from the logical
+    table — a hash match proves the PHYSICAL pruning agrees with the
+    logical spec (files_read and rows_scanned included)."""
+    from unmixing_ray.state import zonemap
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+    out = _out_dir("zonemap_orders", sf_dir)
+    zmap = zonemap.write_sorted_zonemap(
+        ds, "o_totalprice", "o_orderkey", out, n_files=16)
+    return zonemap.pruned_range_count(out, zmap, "o_totalprice",
+                                      50000, 100000)
+
+
 def q_table_checksum(sf_dir):
     """Order-independent table content checksum
     (stages/relational.py:table_checksum): md5-row digests summed mod
@@ -4416,6 +4433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_percentile": q_composite_percentile,
         "audio_resample": q_audio_resample,
         "table_checksum": q_table_checksum,
+        "zonemap_prune": q_zonemap_prune,
         "trending_types": q_trending_types,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
@@ -4697,6 +4715,14 @@ def _cell_rollup_sql():
                            base_level=synth.CELL_LEVEL, steps=(0, 1, 2, 3))
 
 
+
+
+def _zonemap_sql_lazy():
+    from unmixing_ray.state import zonemap
+    return zonemap.zonemap_sql("orders", "o_totalprice", "o_orderkey",
+                               50000, 100000, n_files=16)
+
+
 def oracle_sql() -> dict[str, str]:
     # the corpus-reading oracles need the synthetic tables on disk; make
     # sure they exist even if the driver evaluates SQL before running the
@@ -4919,6 +4945,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
                        "o_orderpriority"]),
         "trending_types": events.trending_types_sql(window_s=3600, k=3),
+        "zonemap_prune": _zonemap_sql_lazy(),
         "events_interpolate": events.asof_interpolate_sql(
             probe_type="purchase", sample_type="click"),
         "kcore": relational.kcore_sql(

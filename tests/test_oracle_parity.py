@@ -297,6 +297,8 @@ def registry(ray_session):
     "audio_resample",
     # order-independent table checksum + windowed trending top-k
     "table_checksum", "trending_types",
+    # zone-map file skipping: physical pruning vs logical replay
+    "zonemap_prune",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -848,3 +848,27 @@ def test_table_checksum_partitioning_invariant_and_sensitive(ray_session):
     rows[17]["b"] = "tampered"
     got2 = table_checksum(ray.data.from_items(rows), ["a", "b"])
     assert int(got2["digest_sum"].iloc[0]) != base
+
+
+def test_zonemap_prune_reads_fewer_files(ray_session, tmp_path):
+    """The zone map must skip non-overlapping files and the pruned
+    count must equal the unpruned one."""
+    import ray.data
+    from unmixing_ray.state.zonemap import (ntile_of_rank,
+                                            pruned_range_count,
+                                            write_sorted_zonemap)
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10_000, 500)
+    rows = [{"id": i, "v": int(v)} for i, v in enumerate(vals)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = str(tmp_path / "zm")
+    zmap = write_sorted_zonemap(ds, "v", "id", out, n_files=8)
+    assert len(zmap) == 8 and int(zmap["n"].sum()) == 500
+    got = pruned_range_count(out, zmap, "v", 2000, 3000)
+    want = int(((vals >= 2000) & (vals <= 3000)).sum())
+    assert int(got["n_match"].iloc[0]) == want
+    assert int(got["files_read"].iloc[0]) < 8
+    assert int(got["rows_scanned"].iloc[0]) < 500
+    # ntile split matches ANSI semantics on an uneven n
+    f = ntile_of_rank(np.arange(1, 11), 10, 3)
+    assert f.tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
