@@ -3564,6 +3564,27 @@ def q_trending_types(sf_dir):
                                  window_s=3600, k=3)
 
 
+def q_session_overlap(sf_dir):
+    """Per-user interval-overlap self-join (stages/events.py:
+    session_overlap): view-sessions × click-sessions, ONE
+    groupby(user_id) co-locating both interval sets, searchsorted
+    contiguous-range pairing within the sorted disjoint session lists.
+    Oracle: two sessionize CTEs + overlap-predicate join."""
+    from unmixing_ray.stages import events as estage
+    return estage.session_overlap(_read(sf_dir, "events"),
+                                  type_a="view", type_b="click",
+                                  gap_s=86400)
+
+
+def q_decay_score(sf_dir):
+    """Per-user recency-decay activity score (stages/events.py:
+    decay_score): exact power-of-two decay summed as int64 through a
+    count combiner + one groupby(user_id) — no float exp enters the
+    reduce. Oracle: CASE-shift SQL replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.decay_score(_read(sf_dir, "events"), max_age_days=20)
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4435,6 +4456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
         "trending_types": q_trending_types,
+        "session_overlap": q_session_overlap,
+        "decay_score": q_decay_score,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -4945,6 +4968,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
                        "o_orderpriority"]),
         "trending_types": events.trending_types_sql(window_s=3600, k=3),
+        "session_overlap": events.session_overlap_sql(
+            type_a="view", type_b="click", gap_s=86400),
+        "decay_score": events.decay_score_sql(max_age_days=20),
         "zonemap_prune": _zonemap_sql_lazy(),
         "events_interpolate": events.asof_interpolate_sql(
             probe_type="purchase", sample_type="click"),

@@ -299,6 +299,10 @@ def registry(ray_session):
     "table_checksum", "trending_types",
     # zone-map file skipping: physical pruning vs logical replay
     "zonemap_prune",
+    # per-user interval-overlap self-join (view × click sessions)
+    "session_overlap",
+    # exact power-of-two recency-decay activity score
+    "decay_score",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

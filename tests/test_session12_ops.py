@@ -1,0 +1,82 @@
+"""Session-12 operators: interval-overlap session join, recency-decay
+score — hand-case pins independent of the DuckDB parity tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from unmixing_ray.stages import events as ev
+
+US = 1_000_000
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us",
+                                     "event_type"])
+    df["ts"] = df["ts_us"].astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = ""
+    return ray.data.from_pandas(
+        df[["event_id", "ts", "user_id", "event_type", "value",
+            "props"]])
+
+
+def test_session_overlap_hand_case(ray_session):
+    # user 1: view session [0, 100s], click session [50s, 150s] overlap
+    #         50s; second click session [400s, 400s] does not overlap.
+    # user 2: touching endpoints (view ends exactly when click starts)
+    #         count with overlap 0 (closed intervals).
+    # user 3: clicks only -> no rows.
+    rows = [
+        (1, 1, 0 * US, "view"), (2, 1, 100 * US, "view"),
+        (3, 1, 50 * US, "click"), (4, 1, 150 * US, "click"),
+        (5, 1, 400 * US, "click"),
+        (6, 2, 10 * US, "view"), (7, 2, 20 * US, "view"),
+        (8, 2, 20 * US, "click"), (9, 2, 120 * US, "click"),
+        (10, 3, 5 * US, "click"),
+    ]
+    out = ev.session_overlap(_events(rows), gap_s=120).to_pandas() \
+        .sort_values(["user_id", "a_session", "b_session"]) \
+        .reset_index(drop=True)
+    assert len(out) == 2
+    r0 = out.iloc[0]
+    assert (r0["user_id"], r0["a_session"], r0["b_session"]) == (1, 0, 0)
+    assert r0["overlap_us"] == 50 * US
+    r1 = out.iloc[1]
+    assert (r1["user_id"], r1["overlap_us"]) == (2, 0)
+
+
+def test_session_overlap_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    rows = [(i, int(rng.integers(0, 5)), int(rng.integers(0, 3000)) * US,
+             ("view", "click")[int(rng.integers(0, 2))])
+            for i in range(200)]
+
+    def run(nblocks):
+        ds = _events(rows).repartition(nblocks)
+        return ev.session_overlap(ds, gap_s=300).to_pandas() \
+            .sort_values(["user_id", "a_session", "b_session"]) \
+            .reset_index(drop=True)
+
+    a, b = run(1), run(13)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_decay_score_exact_powers(ray_session):
+    # anchor = max ts = day 25; ages 0, 5, 25 -> 2^20 + 2^15 + 0
+    day = 86_400 * US
+    rows = [
+        (1, 1, 25 * day, "view"),      # age 0  -> 2^20
+        (2, 1, 20 * day, "view"),      # age 5  -> 2^15
+        (3, 1, 0 * day, "view"),       # age 25 -> expired
+        (4, 2, 25 * day - 1, "view"),  # age 0 (floor) -> 2^20
+    ]
+    out = ev.decay_score(_events(rows), max_age_days=20).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out.loc[0, "score"] == (1 << 20) + (1 << 15)
+    assert out.loc[0, "n_live"] == 2
+    assert out.loc[0, "n_expired"] == 1
+    assert out.loc[1, "score"] == 1 << 20

@@ -1217,3 +1217,206 @@ def trending_types_sql(window_s=3600, k=3):
         SELECT CAST(win AS BIGINT) AS win, event_type, n,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= {k}"""
+
+
+def session_overlap(events, type_a="view", type_b="click", gap_s=1800):
+    """Interval-overlap self-join: per user, gap-sessionize the
+    ``type_a`` stream and the ``type_b`` stream SEPARATELY, then emit
+    every (a-session, b-session) pair whose closed intervals overlap
+    ([as,ae] ∩ [bs,be] ≠ ∅), with the exact overlap length in µs.
+
+    This is the 1-D interval join Ray Data lacks natively (the temporal
+    analogue of box_intersection_join): the only exchange is ONE
+    groupby(user_id) over the two pruned event types — the join key
+    co-locates both interval sets, and within a user both session lists
+    are disjoint and sorted (gap sessionization ⇒ session k+1 starts
+    after session k ends), so overlapping pairs are a contiguous
+    searchsorted range per a-interval: rights with start ≤ a_end and
+    end ≥ a_start. Per-user cost O((na+nb)·log + pairs); a hot user
+    would salt by time range with a gap_s boundary halo.
+
+    Returns (user_id, a_session, b_session, a_start_us, b_start_us,
+    overlap_us) — overlap_us ≥ 0, 0 meaning the intervals touch at a
+    single shared microsecond (closed-interval semantics: equal
+    endpoints count, matching the SQL a_start <= b_end AND
+    b_start <= a_end predicate).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array([type_a, type_b]))
+        return t.select(["user_id", "event_id", "ts",
+                         "event_type"]).filter(m)
+
+    pruned = events.map_batches(prune, batch_format="pyarrow")
+
+    def _sessions(g, typ):
+        """(session_id, start_us, end_us) arrays for one user's ``typ``
+        events; sessions are disjoint and sorted by start."""
+        sub = g[g["event_type"] == typ]
+        if not len(sub):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        sub = sub.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = sub["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        new_s = np.ones(len(ts_us), dtype=np.int64)
+        if len(ts_us) > 1:
+            new_s[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s) - 1
+        n = int(sid[-1]) + 1
+        # sessions are contiguous runs in sorted order: first/last per run
+        first = np.flatnonzero(new_s)
+        starts = ts_us[first]
+        last = np.append(first[1:] - 1, len(ts_us) - 1)
+        ends = ts_us[last]
+        return np.arange(n, dtype=np.int64), starts, ends
+
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "a_session": pd.Series([], dtype="int64"),
+        "b_session": pd.Series([], dtype="int64"),
+        "a_start_us": pd.Series([], dtype="int64"),
+        "b_start_us": pd.Series([], dtype="int64"),
+        "overlap_us": pd.Series([], dtype="int64")})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        aid, astart, aend = _sessions(g, type_a)
+        bid, bstart, bend = _sessions(g, type_b)
+        if not len(aid) or not len(bid):
+            return empty
+        # rights overlapping [as, ae]: bstart <= ae AND bend >= as.
+        # both bstart and bend are sorted (disjoint sorted intervals).
+        hi = np.searchsorted(bstart, aend, side="right")
+        lo = np.searchsorted(bend, astart, side="left")
+        cnt = np.maximum(hi - lo, 0)
+        if not cnt.sum():
+            return empty
+        ai = np.repeat(np.arange(len(aid)), cnt)
+        # b indices: for each a, the range [lo, hi)
+        bi = (np.arange(cnt.sum()) -
+              np.repeat(np.cumsum(cnt) - cnt, cnt) +
+              np.repeat(lo, cnt))
+        ov = (np.minimum(aend[ai], bend[bi]) -
+              np.maximum(astart[ai], bstart[bi]))
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame({
+            "user_id": np.full(len(ai), uid, dtype=np.int64),
+            "a_session": aid[ai], "b_session": bid[bi],
+            "a_start_us": astart[ai], "b_start_us": bstart[bi],
+            "overlap_us": ov.astype(np.int64)})
+
+    return pruned.groupby("user_id").map_groups(
+        per_user, batch_format="pandas")
+
+
+def _session_cte(name, typ, gap_us):
+    """Gap-sessionization of one event type as SQL CTE fragments."""
+    return f"""
+        {name}_o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WHERE event_type = '{typ}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        {name}_s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS sid
+          FROM {name}_o),
+        {name} AS (
+          SELECT user_id, sid,
+                 CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                 CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+          FROM {name}_s GROUP BY user_id, sid)"""
+
+
+def session_overlap_sql(type_a="view", type_b="click", gap_s=1800):
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH {_session_cte('sa', type_a, gap_us)},
+        {_session_cte('sb', type_b, gap_us)}
+        SELECT CAST(a.user_id AS BIGINT) AS user_id,
+               CAST(a.sid AS BIGINT) AS a_session,
+               CAST(b.sid AS BIGINT) AS b_session,
+               a.start_us AS a_start_us, b.start_us AS b_start_us,
+               CAST(least(a.end_us, b.end_us)
+                    - greatest(a.start_us, b.start_us) AS BIGINT)
+                 AS overlap_us
+        FROM sa a JOIN sb b
+          ON a.user_id = b.user_id
+         AND a.start_us <= b.end_us AND b.start_us <= a.end_us"""
+
+
+def decay_score(events, half_life_days=1, max_age_days=20):
+    """Per-user recency-weighted activity score with EXACT power-of-two
+    decay: each event contributes 2^(max_age_days − age_days) where
+    age_days = floor((anchor − ts)/1 day) and anchor = the corpus's max
+    timestamp; events older than ``max_age_days`` contribute exactly 0.
+
+    The decay-by-halving makes the score an exact int64 (a sum of
+    powers of two — no float exp/log ever enters the distributed
+    reduce, so batching order cannot matter and the SQL replay is
+    hash-exact). One tiny max(ts) pass fixes the anchor; scoring is a
+    per-batch count combiner + one groupby(user_id) sum. The int64
+    envelope holds for < 2^43 events per user at max_age 20.
+
+    Returns (user_id, score, n_live, n_expired)."""
+    from ray.data.aggregate import Sum
+
+    anchor_us = int(pd.Timestamp(events.max("ts")).value // 1000)
+    day_us = 86_400_000_000
+    mx = int(max_age_days)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        age = (anchor_us - ts_us) // day_us
+        live = age <= mx
+        contrib = np.where(live, np.int64(1) << np.minimum(
+            np.maximum(mx - age, 0), mx).astype(np.int64), 0)
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "score": contrib.astype(np.int64),
+            "n_live": live.astype(np.int64),
+            "n_expired": (~live).astype(np.int64)}) \
+            .groupby("user_id", as_index=False).sum()
+        return g.astype({"score": "int64", "n_live": "int64",
+                         "n_expired": "int64"})
+
+    out = events.select_columns(["ts", "user_id"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("user_id").aggregate(
+            Sum("score", alias_name="score"),
+            Sum("n_live", alias_name="n_live"),
+            Sum("n_expired", alias_name="n_expired"))
+    return out.map_batches(
+        lambda df: df.astype({"user_id": "int64", "score": "int64",
+                              "n_live": "int64", "n_expired": "int64"}),
+        batch_format="pandas")
+
+
+def decay_score_sql(half_life_days=1, max_age_days=20):
+    mx = int(max_age_days)
+    return f"""
+        WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+        e AS (
+          SELECT user_id,
+                 (a.anchor - epoch_us(ts)) // 86400000000 AS age
+          FROM events, a)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(CASE WHEN age <= {mx}
+                             THEN 1::BIGINT << ({mx} - age)
+                             ELSE 0 END) AS BIGINT) AS score,
+               CAST(sum(CASE WHEN age <= {mx} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN age > {mx} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_expired
+        FROM e GROUP BY user_id"""
