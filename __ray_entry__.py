@@ -3543,6 +3543,39 @@ def q_zonemap_prune(sf_dir):
                                       50000, 100000)
 
 
+_ZORDER_BOX = (10_000_000, 20_000_000,   # price cents 100k..200k
+               9862, 10226)              # epoch days 1997-01-01..12-31
+
+
+def q_zorder_prune(sf_dir):
+    """Z-order-clustered storage (state/zonemap.py:write_zorder_zonemap):
+    orders laid out by the Morton interleave of (price-cents, order-day)
+    buckets — the Delta/Iceberg Z-ORDER BY shape — with a per-file
+    min/max map on BOTH columns, so a 2-predicate box query skips files
+    on either dimension (a 1-D sorted layout can only skip on its sort
+    key). The oracle replays bucketing + Morton + ntile layout + map +
+    skip, hash-checking files_read and rows_scanned — the physical
+    clustering itself, not just the count."""
+    from unmixing_ray.state import zonemap
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(df):
+        x = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        y = (df["o_orderdate"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        return pd.DataFrame({
+            "id": df["o_orderkey"].to_numpy().astype(np.int64),
+            "x": x, "y": y.astype(np.int64)})
+
+    xy = ds.map_batches(prep, batch_format="pandas")
+    out = _out_dir("zorder_orders", sf_dir)
+    zmap = zonemap.write_zorder_zonemap(xy, out, n_files=16)
+    xlo, xhi, ylo, yhi = _ZORDER_BOX
+    return zonemap.pruned_box_count(out, zmap, xlo, xhi, ylo, yhi)
+
+
 def q_table_checksum(sf_dir):
     """Order-independent table content checksum
     (stages/relational.py:table_checksum): md5-row digests summed mod
@@ -4455,6 +4488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": q_audio_resample,
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
+        "zorder_prune": q_zorder_prune,
         "trending_types": q_trending_types,
         "session_overlap": q_session_overlap,
         "decay_score": q_decay_score,
@@ -4740,6 +4774,15 @@ def _cell_rollup_sql():
 
 
 
+def _zorder_sql_lazy():
+    from unmixing_ray.state import zonemap
+    xlo, xhi, ylo, yhi = _ZORDER_BOX
+    return zonemap.zorder_sql(
+        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "epoch_us(o_orderdate) // 86400000000", "orders",
+        xlo, xhi, ylo, yhi, n_files=16)
+
+
 def _zonemap_sql_lazy():
     from unmixing_ray.state import zonemap
     return zonemap.zonemap_sql("orders", "o_totalprice", "o_orderkey",
@@ -4972,6 +5015,7 @@ def oracle_sql() -> dict[str, str]:
             type_a="view", type_b="click", gap_s=86400),
         "decay_score": events.decay_score_sql(max_age_days=20),
         "zonemap_prune": _zonemap_sql_lazy(),
+        "zorder_prune": _zorder_sql_lazy(),
         "events_interpolate": events.asof_interpolate_sql(
             probe_type="purchase", sample_type="click"),
         "kcore": relational.kcore_sql(

@@ -303,6 +303,8 @@ def registry(ray_session):
     "session_overlap",
     # exact power-of-two recency-decay activity score
     "decay_score",
+    # Z-order two-column clustering: physical box-pruning vs replay
+    "zorder_prune",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -80,3 +80,34 @@ def test_decay_score_exact_powers(ray_session):
     assert out.loc[0, "n_live"] == 2
     assert out.loc[0, "n_expired"] == 1
     assert out.loc[1, "score"] == 1 << 20
+
+
+def test_morton2_interleave():
+    from unmixing_ray.state.zonemap import morton2
+    # x=101, y=011 -> interleave (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1
+    assert int(morton2(0b101, 0b011)) == 0b011011
+    # monotone locality: same-bucket pairs share a code
+    assert morton2([3, 3], [5, 5]).tolist()[0] == \
+        morton2([3], [5]).tolist()[0]
+
+
+def test_zorder_zonemap_prunes_and_counts(ray_session, tmp_path):
+    from unmixing_ray.state import zonemap
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 100000, n).astype(np.int64),
+        "y": rng.integers(0, 365, n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = str(tmp_path / "zo")
+    zmap = zonemap.write_zorder_zonemap(ds, out, n_files=16)
+    assert len(zmap) == 16 and int(zmap["n"].sum()) == n
+    res = zonemap.pruned_box_count(out, zmap, 20000, 40000, 100, 200)
+    want = int(((df.x >= 20000) & (df.x <= 40000) &
+                (df.y >= 100) & (df.y <= 200)).sum())
+    assert int(res["n_match"].iloc[0]) == want
+    # the two-column map must actually skip: a box covering ~1/5 x 1/3.6
+    # of the space cannot need every file under a Z-order layout
+    assert int(res["files_read"].iloc[0]) < 16
+    assert int(res["rows_scanned"].iloc[0]) < n

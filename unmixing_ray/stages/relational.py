@@ -1030,7 +1030,7 @@ def grouped_mode_sql(table, key, val, alias="mode"):
 
 
 def global_rank(ds, order_col, id_col, n_buckets=64, sample_size=4096,
-                seed=0):
+                seed=0, keep=()):
     """EXACT global row_number() under ORDER BY (order_col, id_col) —
     the distributed ranking primitive (percentile assignment, top-N%
     gating, leaderboards) the Dataset API lacks (``sort`` orders blocks
@@ -1061,11 +1061,14 @@ def global_rank(ds, order_col, id_col, n_buckets=64, sample_size=4096,
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         v = df[order_col].to_numpy()
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "id": df[id_col].to_numpy().astype(np.int64),
             "v": v,
             "bucket": np.searchsorted(bounds, v, side="right")
             .astype(np.int64)})
+        for c in keep:
+            out[c] = df[c].to_numpy()
+        return out
 
     narrow = ds.map_batches(project, batch_format="pandas").materialize()
 
@@ -1084,10 +1087,13 @@ def global_rank(ds, order_col, id_col, n_buckets=64, sample_size=4096,
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["v", "id"], kind="mergesort")
         b = int(g["bucket"].iloc[0])
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: g["id"].to_numpy(np.int64),
             order_col: g["v"].to_numpy(),
             "rank": base[b] + 1 + np.arange(len(g), dtype=np.int64)})
+        for c in keep:
+            out[c] = g[c].to_numpy()
+        return out
 
     return narrow.groupby("bucket").map_groups(rank_bucket,
                                                batch_format="pandas")
