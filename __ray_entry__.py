@@ -2856,6 +2856,23 @@ def q_triangle_count(sf_dir):
     return relational.triangle_count(edges)
 
 
+def q_link_predict(sf_dir):
+    """Common-neighbor link prediction over the support-2 co-purchase
+    graph (stages/relational.py:common_neighbors): apex-centric wedge
+    counts under a deg_cap, hash-partitioned bounded pair merges,
+    anti-join of existing edges, global top-20 with deterministic
+    tiebreak. Oracle: adjacency self-join + NOT EXISTS + window."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = relational.basket_pairs(
+        ds, "l_orderkey", "l_partkey", min_support=2,
+        pairs_only=True).map_batches(
+        lambda df: df[["a", "b"]].astype("int64"),
+        batch_format="pandas")
+    return relational.common_neighbors(edges, k=20, deg_cap=64,
+                                       min_common=2)
+
+
 def q_nations_agg(sf_dir):
     """Deterministic ordered string_agg per region
     (stages/relational.py:grouped_string_agg): the within-group ORDER
@@ -4606,6 +4623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "graph_components": q_graph_components,
         "clustering_coeff": q_clustering_coeff,
+        "link_predict": q_link_predict,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -5034,6 +5052,8 @@ def oracle_sql() -> dict[str, str]:
             _COPURCHASE_E2_CTE, rounds=4),
         "clustering_coeff": relational.clustering_coeff_sql(
             _COPURCHASE_E2_CTE),
+        "link_predict": relational.common_neighbors_sql(
+            _COPURCHASE_E2_CTE, k=20, deg_cap=64, min_common=2),
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,

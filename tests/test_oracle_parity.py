@@ -305,6 +305,8 @@ def registry(ray_session):
     "decay_score",
     # Z-order two-column clustering: physical box-pruning vs replay
     "zorder_prune",
+    # common-neighbor link prediction over the co-purchase graph
+    "link_predict",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -111,3 +111,51 @@ def test_zorder_zonemap_prunes_and_counts(ray_session, tmp_path):
     # of the space cannot need every file under a Z-order layout
     assert int(res["files_read"].iloc[0]) < 16
     assert int(res["rows_scanned"].iloc[0]) < n
+
+
+def test_common_neighbors_brute_force(ray_session):
+    from unmixing_ray.stages.relational import common_neighbors
+    rng = np.random.default_rng(11)
+    pairs = set()
+    while len(pairs) < 120:
+        u, v = sorted(rng.integers(0, 40, 2).tolist())
+        if u != v:
+            pairs.add((u, v))
+    edf = pd.DataFrame(sorted(pairs), columns=["a", "b"]).astype("int64")
+    got = common_neighbors(
+        ray.data.from_pandas(edf).repartition(5),
+        k=10, deg_cap=64, min_common=1).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+
+    # brute force
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cn = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in pairs:
+                continue
+            c = len(adj[u] & adj[v])
+            if c >= 1:
+                cn[(u, v)] = c
+    want = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(got) == len(want)
+    for i, ((u, v), c) in enumerate(want):
+        assert (got.loc[i, "u"], got.loc[i, "v"],
+                got.loc[i, "n_common"]) == (u, v, c)
+
+
+def test_common_neighbors_deg_cap_drops_hub_wedges(ray_session):
+    from unmixing_ray.stages.relational import common_neighbors
+    # star around node 0 (hub deg 5) plus one extra edge: with
+    # deg_cap=4 the hub generates no wedges at all
+    edf = pd.DataFrame({"a": [0, 0, 0, 0, 0, 1],
+                        "b": [1, 2, 3, 4, 5, 2]}).astype("int64")
+    got = common_neighbors(ray.data.from_pandas(edf),
+                           k=10, deg_cap=4, min_common=1).to_pandas()
+    # only apexes 1 and 2 (deg 2 each) generate the (0,2)/(0,1) wedges,
+    # both of which are existing edges -> empty result
+    assert len(got) == 0

@@ -1685,6 +1685,136 @@ def triangle_count(edges, a="a", b="b"):
         "n_triangles": pd.Series([n_tri], dtype="int64")})
 
 
+def common_neighbors(edges, k=20, deg_cap=64, min_common=2,
+                     a="a", b="b"):
+    """Link prediction by common-neighbor count — the classic
+    recommender / graph-completion score: for every NON-adjacent node
+    pair (u < v), the number of shared neighbors, returned as the
+    global top-``k`` with the deterministic (count DESC, u, v)
+    tiebreak. Complements :func:`triangle_count` (which counts CLOSED
+    wedges; this scores the open ones).
+
+    Scale shape: wedge enumeration is apex-centric (a wedge exists per
+    apex w adjacent to both u and v), so the honest cost is
+    Σ C(deg(w), 2); ``deg_cap`` drops hub apexes above it (hubs carry
+    little link-prediction signal and quadratic fan-out — the cap is
+    part of the operator contract and the SQL oracle replays it).
+    Adjacency co-locates per node through ONE 256-bucket hash exchange
+    (never one Ray group per node — the ~0.4 ms/group lesson), pair
+    partials merge in a second hash-partitioned bounded exchange
+    (basket_pairs pattern), existing edges leave via the tag-union
+    anti-join on a packed (u·2³¹+v) key, and only ≤k rows reach the
+    driver. Node ids must fit 31 bits."""
+    edges = edges.materialize()
+    _P = 256
+    _MULT = np.int64(2654435761)
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        node = np.concatenate([df[a].to_numpy(np.int64),
+                               df[b].to_numpy(np.int64)])
+        nbr = np.concatenate([df[b].to_numpy(np.int64),
+                              df[a].to_numpy(np.int64)])
+        return pd.DataFrame({
+            "node": node, "nbr": nbr,
+            "_part": ((node * _MULT) % np.int64(1 << 31)) % _P})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(np.int64)
+        nbr = g["nbr"].to_numpy(np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        starts = np.append(np.flatnonzero(np.diff(node)) + 1, len(node))
+        us, vs = [], []
+        s = 0
+        for e in starts:
+            nb = nbr[s:e]            # already unique: edges are distinct
+            s = e
+            if 2 <= len(nb) <= deg_cap:
+                iu, ju = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu])
+                vs.append(nb[ju])
+        if not us:
+            return pd.DataFrame({
+                "u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64"),
+                "n_common": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"u": np.concatenate(us),
+                            "v": np.concatenate(vs),
+                            "n_common": np.int64(1)})
+        return out.groupby(["u", "v"], as_index=False).sum()
+
+    def add_pp(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["u"].to_numpy(np.int64) * np.int64(1000003)
+               + df["v"].to_numpy(np.int64))
+        out = df.copy()
+        out["_pp"] = ((key * _MULT) % np.int64(1 << 31)) % _P
+        return out
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], as_index=False)["n_common"].sum()
+        out = out[out["n_common"].to_numpy() >= min_common]
+        out = out.astype({"u": "int64", "v": "int64",
+                          "n_common": "int64"})
+        out["pk"] = (out["u"].to_numpy(np.int64) * (np.int64(1) << 31)
+                     + out["v"].to_numpy(np.int64))
+        return out
+
+    cand = edges.map_batches(adjacency, batch_format="pandas")\
+        .groupby("_part").map_groups(wedge_pairs, batch_format="pandas")\
+        .map_batches(add_pp, batch_format="pandas")\
+        .groupby("_pp").map_groups(merge_part, batch_format="pandas")
+
+    ek = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "pk": df[a].to_numpy(np.int64) * (np.int64(1) << 31)
+            + df[b].to_numpy(np.int64)}), batch_format="pandas")
+    nonedge = anti_join(cand, ek, "pk")
+
+    def drop_aux(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u", "v", "n_common"]].copy()
+        out["_g"] = np.int64(0)
+        return out
+
+    top = grouped_topk(nonedge.map_batches(drop_aux,
+                                           batch_format="pandas"),
+                       ["_g"], "n_common", k, tiebreak=("u", "v"))
+    return top.map_batches(
+        lambda df: df[["u", "v", "n_common", "rank"]].astype(
+            {"u": "int64", "v": "int64", "n_common": "int64",
+             "rank": "int64"}),
+        batch_format="pandas")
+
+
+def common_neighbors_sql(edges_cte, k=20, deg_cap=64, min_common=2):
+    """DuckDB replay: adjacency both directions, apex degree cap,
+    wedge self-join counts, anti-join of existing edges, window
+    top-k."""
+    return f"""
+        WITH {edges_cte},
+        adj AS (SELECT a AS node, b AS nbr FROM e
+                UNION ALL SELECT b, a FROM e),
+        d AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        cn AS (
+          SELECT x.nbr AS u, y.nbr AS v,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM adj x JOIN adj y
+            ON x.node = y.node AND x.nbr < y.nbr
+          WHERE x.node IN (SELECT node FROM d WHERE deg <= {deg_cap})
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_common}),
+        nonedge AS (
+          SELECT u, v, n_common FROM cn
+          WHERE NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.a = cn.u AND e.b = cn.v)),
+        r AS (SELECT u, v, n_common,
+                     row_number() OVER (ORDER BY n_common DESC, u, v)
+                       AS rank
+              FROM nonedge)
+        SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+               n_common, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {k}"""
+
+
 # ---------------------------------------------------------------------------
 # keyed snapshot diff (change-data-capture between two table versions)
 
