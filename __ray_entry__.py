@@ -2856,6 +2856,16 @@ def q_triangle_count(sf_dir):
     return relational.triangle_count(edges)
 
 
+def q_events_mad(sf_dir):
+    """Per-user robust dispersion (stages/relational.py:grouped_mad):
+    exact fixed-point median + MAD through two runs of the
+    distributed-selection core. Oracle: percentile_disc replay on the
+    same integer cents."""
+    from unmixing_ray.stages import relational
+    return relational.grouped_mad(_read(sf_dir, "events"),
+                                  "user_id", "value", scale=100)
+
+
 def q_link_predict(sf_dir):
     """Common-neighbor link prediction over the support-2 co-purchase
     graph (stages/relational.py:common_neighbors): apex-centric wedge
@@ -4624,6 +4634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "clustering_coeff": q_clustering_coeff,
         "link_predict": q_link_predict,
+        "events_mad": q_events_mad,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -5054,6 +5065,8 @@ def oracle_sql() -> dict[str, str]:
             _COPURCHASE_E2_CTE),
         "link_predict": relational.common_neighbors_sql(
             _COPURCHASE_E2_CTE, k=20, deg_cap=64, min_common=2),
+        "events_mad": relational.grouped_mad_sql(
+            "events", "user_id", "value", scale=100),
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,

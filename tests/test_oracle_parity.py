@@ -307,6 +307,8 @@ def registry(ray_session):
     "zorder_prune",
     # common-neighbor link prediction over the co-purchase graph
     "link_predict",
+    # per-key robust median + MAD via the distributed-selection core
+    "events_mad",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

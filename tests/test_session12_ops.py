@@ -159,3 +159,26 @@ def test_common_neighbors_deg_cap_drops_hub_wedges(ray_session):
     # only apexes 1 and 2 (deg 2 each) generate the (0,2)/(0,1) wedges,
     # both of which are existing edges -> empty result
     assert len(got) == 0
+
+
+def test_grouped_mad_brute_force(ray_session):
+    from unmixing_ray.stages.relational import grouped_mad
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n).astype(np.int64),
+        "val": np.round(rng.normal(50, 20, n), 2)})
+    got = grouped_mad(ray.data.from_pandas(df).repartition(6),
+                      "k", "val", scale=100) \
+        .sort_values("k").reset_index(drop=True)
+
+    def disc_median(v):
+        v = np.sort(v)
+        return v[int(np.ceil(0.5 * len(v))) - 1]
+
+    for _, r in got.iterrows():
+        v = np.rint(df[df.k == r["k"]]["val"].to_numpy() * 100) \
+            .astype(np.int64)
+        med = disc_median(v)
+        assert r["median"] == med
+        assert r["mad"] == disc_median(np.abs(v - med))

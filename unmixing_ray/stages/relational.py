@@ -374,6 +374,74 @@ def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
     return df
 
 
+def grouped_mad(ds, key, col, scale=100):
+    """Per-key robust dispersion: median and MAD (median absolute
+    deviation) of ``col``, both in exact fixed-point (round(col·scale)
+    → int64, so the order statistics are integers and the SQL replay
+    is hash-exact). percentile_disc semantics throughout — the classic
+    robust-z-score / outlier-gate ingredients where mean/std
+    (grouped_moments) are skew-fragile.
+
+    Scale shape: two runs of the distributed-selection core
+    (:func:`_grouped_order_stats` via grouped_quantile_disc) — never a
+    per-group sort of the full column. The per-key median table lives
+    on the driver between the passes (one row per key — the same
+    driver contract as grouped_quantile_disc) and is rebroadcast into
+    the deviation pass as a closure dict; a key space too large for
+    that would attach medians with the partitioned hash_join instead.
+
+    Returns a pandas DataFrame: key, median (int64, scaled), mad
+    (int64, scaled)."""
+
+    def fixed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key].to_numpy().astype(np.int64),
+            "_v": np.rint(df[col].to_numpy(np.float64) * scale)
+            .astype(np.int64)})
+
+    vds = ds.select_columns([key, col]).map_batches(
+        fixed, batch_format="pandas").materialize()
+    med = grouped_quantile_disc(vds, key, "_v", qs=(0.5,))
+    med_map = dict(zip(med[key].astype(np.int64),
+                       med["p50"].astype(np.int64)))
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64)
+        m = pd.Series(k).map(med_map).to_numpy(np.int64)
+        return pd.DataFrame({
+            key: k, "_v": np.abs(df["_v"].to_numpy(np.int64) - m)})
+
+    mad = grouped_quantile_disc(vds.map_batches(dev,
+                                                batch_format="pandas"),
+                                key, "_v", qs=(0.5,))
+    out = med.rename(columns={"p50": "median"}).merge(
+        mad.rename(columns={"p50": "mad"}), on=key)
+    out[key] = out[key].astype("int64")
+    out["median"] = out["median"].astype("int64")
+    out["mad"] = out["mad"].astype("int64")
+    return out
+
+
+def grouped_mad_sql(table, key, col, scale=100):
+    """DuckDB replay: percentile_disc medians of the same fixed-point
+    values and deviations."""
+    return f"""
+        WITH v AS (
+          SELECT {key} AS k,
+                 CAST(round({col} * {scale}) AS BIGINT) AS v
+          FROM {table}),
+        m AS (SELECT k, percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                       AS med
+              FROM v GROUP BY k),
+        d AS (SELECT v.k, m.med, abs(v.v - m.med) AS dev
+              FROM v JOIN m ON v.k = m.k)
+        SELECT CAST(k AS BIGINT) AS {key},
+               CAST(min(med) AS BIGINT) AS median,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)
+                    AS BIGINT) AS mad
+        FROM d GROUP BY k"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (hash-threshold Bernoulli / per-key top-n)
 
