@@ -3615,6 +3615,22 @@ def q_table_checksum(sf_dir):
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
 
 
+def q_audio_silence(sf_dir):
+    """Silence/VAD run-length segmentation (stages/media.py:
+    AudioSilence): exact integer RLE of |sample| < threshold over REAL
+    WAV payloads, position-weighted run checksum pinning the exact
+    segmentation. Oracle: independent Python state-machine replay
+    sidecar."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    corpus = synth.ensure_media(sf_dir)
+    synth.generate_silence_expected(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_audio.parquet"))
+    return media.audio_silence(ds, threshold=5000)
+
+
 def q_trending_types(sf_dir):
     """Windowed trending top-k (stages/events.py:trending_types): per
     tumbling hour the 3 most frequent event types, count-combiner →
@@ -4470,6 +4486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_blur_expected(sf)
                 _synth.generate_percentile_expected(sf)
                 _synth.generate_resample_expected(sf)
+                _synth.generate_silence_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4513,6 +4530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interpolate": q_events_interpolate,
         "composite_percentile": q_composite_percentile,
         "audio_resample": q_audio_resample,
+        "audio_silence": q_audio_silence,
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
         "zorder_prune": q_zorder_prune,
@@ -4850,6 +4868,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_blur_expected(sf)
                 _synth.generate_percentile_expected(sf)
                 _synth.generate_resample_expected(sf)
+                _synth.generate_silence_expected(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4918,6 +4937,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": f"""
             SELECT media_id, n_in, n_out, y_sum, y_wsum
             FROM read_parquet('{C}/media_resample_expected.parquet')""",
+        "audio_silence": f"""
+            SELECT media_id, n_samples, n_silent, n_runs, max_run,
+                   run_wsum
+            FROM read_parquet('{C}/media_silence_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

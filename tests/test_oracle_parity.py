@@ -309,6 +309,8 @@ def registry(ray_session):
     "link_predict",
     # per-key robust median + MAD via the distributed-selection core
     "events_mad",
+    # silence/VAD run-length segmentation over real WAV payloads
+    "audio_silence",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -182,3 +182,18 @@ def test_grouped_mad_brute_force(ray_session):
         med = disc_median(v)
         assert r["median"] == med
         assert r["mad"] == disc_median(np.abs(v - med))
+
+
+def test_silence_summary_hand_case():
+    from unmixing_ray.stages.media import silence_summary
+    # |x| < 3: runs [0,2) len 2 (leading), [4,5) len 1, [7,9) len 2
+    # (trailing)
+    x = np.array([0, 2, 5, -9, 1, 3, -4, 0, -2], dtype=np.int16)
+    n, ns, nr, mr, ws = silence_summary(x, 3)
+    assert (n, ns, nr, mr) == (9, 5, 3, 2)
+    assert ws == (0 + 1) * 2 + (4 + 1) * 1 + (7 + 1) * 2
+    # all-silent and all-loud edges
+    assert silence_summary(np.zeros(4, np.int16), 1) == (4, 4, 1, 4, 4)
+    assert silence_summary(np.full(4, 100, np.int16), 1) == \
+        (4, 0, 0, 0, 0)
+    assert silence_summary(np.zeros(0, np.int16), 1) == (0, 0, 0, 0, 0)

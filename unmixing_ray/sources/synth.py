@@ -3230,6 +3230,60 @@ def generate_percentile_expected(sf_dir, q_num=1, q_den=4):
 
 
 RESAMPLE_VERSION = 1
+SILENCE_VERSION = 1
+
+
+def generate_silence_expected(sf_dir, threshold=5000):
+    """Write ``media_silence_expected.parquet``: per-clip silence-run
+    summaries over the REAL WAV payloads, replayed with an independent
+    Python STATE-MACHINE loop (the engine vectorizes the same spec via
+    diff/flatnonzero — stages/media.py:silence_summary)."""
+    from ..stages.media import decode_wav_raw_int16
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_SILENCE_DONE"
+    stamp = "silence v%d t%d" % (SILENCE_VERSION, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    src = out / "media_audio.parquet"
+    if not src.exists():
+        return None
+    t = pq.read_table(str(src), columns=["media_id", "bytes"])
+    rows = {k: [] for k in ("media_id", "n_samples", "n_silent",
+                            "n_runs", "max_run", "run_wsum")}
+    for i in range(t.num_rows):
+        x = [int(v) for v in decode_wav_raw_int16(t["bytes"][i].as_py())]
+        n_silent = n_runs = max_run = run_wsum = 0
+        cur_len = 0
+        cur_start = -1
+        for j, v in enumerate(x):
+            if abs(v) < threshold:
+                if cur_len == 0:
+                    cur_start = j
+                    n_runs += 1
+                cur_len += 1
+                n_silent += 1
+            elif cur_len:
+                max_run = max(max_run, cur_len)
+                run_wsum += (cur_start + 1) * cur_len
+                cur_len = 0
+        if cur_len:
+            max_run = max(max_run, cur_len)
+            run_wsum += (cur_start + 1) * cur_len
+        rows["media_id"].append(t["media_id"][i].as_py())
+        rows["n_samples"].append(len(x))
+        rows["n_silent"].append(n_silent)
+        rows["n_runs"].append(n_runs)
+        rows["max_run"].append(max_run)
+        rows["run_wsum"].append(run_wsum)
+    pq.write_table(pa.table({
+        "media_id": pa.array(rows["media_id"], pa.string()),
+        **{k: pa.array(rows[k], pa.int64())
+           for k in ("n_samples", "n_silent", "n_runs", "max_run",
+                     "run_wsum")}}),
+        str(out / "media_silence_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
 
 
 def generate_resample_expected(sf_dir, num=2, den=3):

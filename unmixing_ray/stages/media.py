@@ -611,7 +611,7 @@ class AudioResampler:
             "y_wsum": pa.array(yw, pa.int64())})
 
 
-def audio_resample(ds, num=2, den=3, decoder="wav", concurrency=4):
+def audio_resample(ds, num=2, den=3, decoder="wav", concurrency=None):
     """Distributed rational-rate audio resample (see AudioResampler)."""
     import ray.data   # noqa: F401  (documents the Dataset dependency)
     return ds.map_batches(AudioResampler,
@@ -619,4 +619,67 @@ def audio_resample(ds, num=2, den=3, decoder="wav", concurrency=4):
                               "num": num, "den": den,
                               "decoder": decoder},
                           batch_format="pyarrow", batch_size=16,
-                          concurrency=concurrency)
+                          concurrency=_media_pool_size(concurrency))
+
+
+def silence_summary(x, threshold):
+    """Exact run-length segmentation of ``|x| < threshold`` over int16
+    samples — the VAD / silence-trim ingredient. Returns (n_samples,
+    n_silent, n_runs, max_run, run_wsum) where run_wsum =
+    Σ (start_index + 1) · length over silent runs: the position-
+    weighted checksum pins the exact segmentation (the augment.py /
+    resample_summary weight discipline), not just the totals."""
+    n = len(x)
+    if n == 0:
+        return 0, 0, 0, 0, 0
+    silent = np.abs(x.astype(np.int64)) < threshold
+    # run boundaries: starts where silent goes 0->1, ends 1->0
+    d = np.diff(silent.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if silent[0]:
+        starts = np.concatenate([[0], starts])
+    if silent[-1]:
+        ends = np.concatenate([ends, [n]])
+    lens = ends - starts
+    return (int(n), int(silent.sum()), int(len(starts)),
+            int(lens.max()) if len(lens) else 0,
+            int(((starts + 1) * lens).sum()))
+
+
+class AudioSilence:
+    """Actor-pool stage: WAV bytes → exact silence-run summaries
+    (one stateless pass, no shuffle; raw-int16 decode so the
+    threshold compare is integer-exact)."""
+
+    def __init__(self, threshold=5000):
+        self.threshold = int(threshold)
+        self.decode = decode_wav_raw_int16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("media_id", "n_samples", "n_silent",
+                                "n_runs", "max_run", "run_wsum")}
+        for i in range(batch.num_rows):
+            x = np.asarray(self.decode(batch["bytes"][i].as_py()))
+            n, ns, nr, mr, ws = silence_summary(x, self.threshold)
+            cols["media_id"].append(batch["media_id"][i].as_py())
+            cols["n_samples"].append(n)
+            cols["n_silent"].append(ns)
+            cols["n_runs"].append(nr)
+            cols["max_run"].append(mr)
+            cols["run_wsum"].append(ws)
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.string()),
+            **{k: pa.array(cols[k], pa.int64())
+               for k in ("n_samples", "n_silent", "n_runs", "max_run",
+                         "run_wsum")}})
+
+
+def audio_silence(ds, threshold=5000, concurrency=None):
+    """Distributed silence/VAD run-length segmentation (see
+    AudioSilence)."""
+    return ds.map_batches(AudioSilence,
+                          fn_constructor_kwargs={
+                              "threshold": threshold},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=_media_pool_size(concurrency))
