@@ -3631,6 +3631,22 @@ def q_audio_silence(sf_dir):
     return media.audio_silence(ds, threshold=5000)
 
 
+def q_video_motion(sf_dir):
+    """Block-motion estimation (stages/media.py:MotionActor): per
+    consecutive frame pair the integer-SAD-argmin translation in a
+    +-3 window, dominant vector + positional code checksum. Oracle:
+    closed-form expected table derived from the planted per-clip
+    velocities at generation time (never by running the SAD)."""
+    import ray.data
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import media
+    synth.ensure_media(sf_dir)
+    corpus = synth.generate_motion_clips(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "media_motion.parquet"))
+    return media.video_motion(ds, radius=3, decoder="motion")
+
+
 def q_trending_types(sf_dir):
     """Windowed trending top-k (stages/events.py:trending_types): per
     tumbling hour the 3 most frequent event types, count-combiner →
@@ -4487,6 +4503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_percentile_expected(sf)
                 _synth.generate_resample_expected(sf)
                 _synth.generate_silence_expected(sf)
+                _synth.generate_motion_clips(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4531,6 +4548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_percentile": q_composite_percentile,
         "audio_resample": q_audio_resample,
         "audio_silence": q_audio_silence,
+        "video_motion": q_video_motion,
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
         "zorder_prune": q_zorder_prune,
@@ -4869,6 +4887,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_percentile_expected(sf)
                 _synth.generate_resample_expected(sf)
                 _synth.generate_silence_expected(sf)
+                _synth.generate_motion_clips(sf)
                 _synth.generate_hillshade_expected(sf)
                 _synth.generate_intersect_expected(sf)
                 _synth.generate_distance_expected(sf)
@@ -4941,6 +4960,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, n_samples, n_silent, n_runs, max_run,
                    run_wsum
             FROM read_parquet('{C}/media_silence_expected.parquet')""",
+        "video_motion": f"""
+            SELECT media_id, n_pairs, mode_dy, mode_dx, n_agree,
+                   pair_wsum
+            FROM read_parquet('{C}/media_motion_expected.parquet')""",
         "areal_interp": f"""
             WITH t AS (
               SELECT tile_id,

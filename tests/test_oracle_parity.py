@@ -311,6 +311,8 @@ def registry(ray_session):
     "events_mad",
     # silence/VAD run-length segmentation over real WAV payloads
     "audio_silence",
+    # block-motion estimation vs planted constant-velocity clips
+    "video_motion",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

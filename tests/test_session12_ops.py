@@ -197,3 +197,41 @@ def test_silence_summary_hand_case():
     assert silence_summary(np.full(4, 100, np.int16), 1) == \
         (4, 0, 0, 0, 0)
     assert silence_summary(np.zeros(0, np.int16), 1) == (0, 0, 0, 0, 0)
+
+
+def test_video_motion_mode_and_checksum(ray_session):
+    from unmixing_ray.stages.media import (MotionActor,
+                                           motion_vector_code)
+    # custom decoder: frame f = base rolled by the per-pair vectors
+    # (1,0), (1,0), (0,-2) -> mode (1,0) with 2 of 3 pairs agreeing
+    base = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    shifts = [(0, 0), (1, 0), (2, 0), (2, -2)]
+
+    def dec(buf, idx, h, w):
+        return np.roll(base, shifts[idx], axis=(0, 1))
+
+    import pyarrow as pa
+    batch = pa.table({
+        "media_id": ["clip"], "bytes": [b"x"],
+        "n_frames": pa.array([4], pa.int32()),
+        "h": pa.array([6], pa.int32()),
+        "w": pa.array([8], pa.int32())})
+    out = MotionActor(radius=2, decoder=dec)(batch).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_pairs"], r["mode_dy"], r["mode_dx"],
+            r["n_agree"]) == (3, 1, 0, 2)
+    c10 = motion_vector_code(1, 0, 2)
+    c0m2 = motion_vector_code(0, -2, 2)
+    assert r["pair_wsum"] == 1 * c10 + 2 * c10 + 3 * c0m2
+
+
+def test_synthetic_motion_frame_velocity_is_recoverable():
+    from unmixing_ray.stages.media import synthetic_motion_frame
+    buf = b"some payload"
+    f0 = synthetic_motion_frame(buf, 0, 16, 16).astype(np.int64)
+    f1 = synthetic_motion_frame(buf, 1, 16, 16).astype(np.int64)
+    sads = {(dy, dx): int(np.abs(np.roll(f0, (dy, dx), axis=(0, 1))
+                                 - f1).sum())
+            for dy in range(-2, 3) for dx in range(-2, 3)}
+    best = min(sads.items(), key=lambda kv: (kv[1], kv[0]))
+    assert best[1] == 0   # the planted shift reproduces exactly

@@ -3231,6 +3231,75 @@ def generate_percentile_expected(sf_dir, q_num=1, q_den=4):
 
 RESAMPLE_VERSION = 1
 SILENCE_VERSION = 1
+MOTION_VERSION = 1
+
+
+def generate_motion_clips(sf_dir, n_clips=40, seed=7, radius=3):
+    """Write ``media_motion.parquet`` (constant-velocity synthetic
+    clips: payload + frame geometry, the decode spec is
+    stages/media.py:synthetic_motion_frame) and
+    ``media_motion_expected.parquet`` — the expected block-matching
+    output derived CLOSED-FORM from the planted velocities (never by
+    running the engine's SAD search): every consecutive pair moves by
+    exactly (vy, vx), so the dominant vector is the velocity, all
+    pairs agree, and the positional checksum is code·n(n+1)/2."""
+    from ..stages.media import motion_vector_code
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_MOTION_DONE"
+    stamp = "motion v%d n%d seed%d r%d" % (MOTION_VERSION, n_clips,
+                                           seed, radius)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    rows = {k: [] for k in ("media_id", "bytes", "kind", "fps",
+                            "n_frames", "h", "w", "caption")}
+    exp = {k: [] for k in ("media_id", "n_pairs", "mode_dy", "mode_dx",
+                           "n_agree", "pair_wsum")}
+    for i in range(n_clips):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 73,
+                                                            i]))
+        buf = rng.bytes(64)
+        nf = 20 + int(rng.integers(20))
+        h, w = 48, 64
+        vx = hashlib.blake2b(buf, digest_size=1,
+                             person=b"mvx").digest()[0] % 5 - 2
+        vy = hashlib.blake2b(buf, digest_size=1,
+                             person=b"mvy").digest()[0] % 5 - 2
+        rows["media_id"].append("mot%05d" % i)
+        rows["bytes"].append(buf)
+        rows["kind"].append("video")
+        rows["fps"].append(12.0)
+        rows["n_frames"].append(nf)
+        rows["h"].append(h)
+        rows["w"].append(w)
+        rows["caption"].append("motion clip %05d v=(%d,%d)"
+                               % (i, vx, vy))
+        n_pairs = nf - 1
+        code = motion_vector_code(vy, vx, radius)
+        exp["media_id"].append("mot%05d" % i)
+        exp["n_pairs"].append(n_pairs)
+        exp["mode_dy"].append(vy)
+        exp["mode_dx"].append(vx)
+        exp["n_agree"].append(n_pairs)
+        exp["pair_wsum"].append(code * n_pairs * (n_pairs + 1) // 2)
+    pq.write_table(pa.table({
+        "media_id": pa.array(rows["media_id"], pa.string()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "fps": pa.array(rows["fps"], pa.float32()),
+        "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "caption": pa.array(rows["caption"], pa.string())}),
+        str(out / "media_motion.parquet"))
+    pq.write_table(pa.table({
+        "media_id": pa.array(exp["media_id"], pa.string()),
+        **{k: pa.array(exp[k], pa.int64())
+           for k in ("n_pairs", "mode_dy", "mode_dx", "n_agree",
+                     "pair_wsum")}}),
+        str(out / "media_motion_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
 
 
 def generate_silence_expected(sf_dir, threshold=5000):

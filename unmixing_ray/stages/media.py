@@ -622,6 +622,125 @@ def audio_resample(ds, num=2, den=3, decoder="wav", concurrency=None):
                           concurrency=_media_pool_size(concurrency))
 
 
+def synthetic_motion_frame(buf, idx, h, w):
+    """Deterministic constant-velocity synthetic video decode: one base
+    image per clip, frame ``idx`` is the base circularly shifted by
+    idx·(vy, vx) with the per-clip velocity planted from the payload
+    (vx, vy ∈ [-2, 2]). Pure function of (payload, index) — block
+    matching between consecutive frames must recover exactly (vy, vx);
+    the generation-time sidecar derives the expectation closed-form
+    from the same spec (the coregister pattern, made temporal)."""
+    vx = hashlib.blake2b(buf, digest_size=1,
+                         person=b"mvx").digest()[0] % 5 - 2
+    vy = hashlib.blake2b(buf, digest_size=1,
+                         person=b"mvy").digest()[0] % 5 - 2
+    hb = hashlib.blake2b(buf, digest_size=8, person=b"mbase").digest()
+    base = np.random.default_rng(int.from_bytes(hb, "little"))\
+        .integers(0, 256, h * w, dtype=np.int64)\
+        .astype(np.uint8).reshape(h, w)
+    return np.roll(base, ((idx * vy) % h, (idx * vx) % w),
+                   axis=(0, 1))
+
+
+def motion_vector_code(dy, dx, radius):
+    """Pack a motion vector into the non-negative code the positional
+    checksum uses (shared with the sidecar replay)."""
+    return (dy + radius) * (2 * radius + 1) + (dx + radius)
+
+
+MOTION_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_pairs", pa.int64()),
+    ("mode_dy", pa.int64()),
+    ("mode_dx", pa.int64()),
+    ("n_agree", pa.int64()),
+    ("pair_wsum", pa.int64()),
+])
+
+
+class MotionActor:
+    """Actor-pool stage: video bytes → per-clip block-motion estimate.
+    For every consecutive frame pair the translation in a ±radius
+    window minimizing the integer SAD (sum of absolute differences,
+    uint8 frames → int64 sums — no float in the decision), with the
+    deterministic (SAD, dy, dx) tiebreak. Emits the dominant vector
+    (mode over pairs, count-desc then code-asc), how many pairs agree
+    with it, and the pair-index-weighted code checksum pinning EVERY
+    pair's vector."""
+
+    def __init__(self, radius=3, decoder="motion"):
+        self.radius = int(radius)
+        if decoder == "motion":
+            self.decode = synthetic_motion_frame
+        elif decoder is None:
+            def _missing(buf, idx, h, w):
+                raise NotImplementedError(
+                    "no video decoder in this environment; install "
+                    "ffmpeg/av and pass decoder=<callable>")
+            self.decode = _missing
+        else:
+            self.decode = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = self.radius
+        side = 2 * r + 1
+        out = {k: [] for k in ("media_id", "n_pairs", "mode_dy",
+                               "mode_dx", "n_agree", "pair_wsum")}
+        bufs = batch["bytes"].to_pylist()
+        nfs = batch["n_frames"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        ids = batch["media_id"].to_pylist()
+        for i in range(batch.num_rows):
+            h, w, nf = int(hs[i]), int(ws[i]), int(nfs[i])
+            prev = None
+            codes = []
+            for f in range(nf):
+                cur = self.decode(bufs[i], f, h, w).astype(np.int64)
+                if prev is not None:
+                    best = None
+                    for dy in range(-r, r + 1):
+                        for dx in range(-r, r + 1):
+                            sad = int(np.abs(
+                                np.roll(prev, (dy, dx), axis=(0, 1))
+                                - cur).sum())
+                            key = (sad, dy, dx)
+                            if best is None or key < best:
+                                best = key
+                    codes.append(motion_vector_code(best[1], best[2],
+                                                    r))
+                prev = cur
+            codes = np.asarray(codes, dtype=np.int64)
+            if len(codes):
+                cnt = np.bincount(codes, minlength=side * side)
+                mode = int(np.argmax(cnt))   # count desc, code asc
+                n_agree = int(cnt[mode])
+            else:
+                mode, n_agree = motion_vector_code(0, 0, r), 0
+            out["media_id"].append(ids[i])
+            out["n_pairs"].append(len(codes))
+            out["mode_dy"].append(mode // side - r)
+            out["mode_dx"].append(mode % side - r)
+            out["n_agree"].append(n_agree)
+            out["pair_wsum"].append(int(
+                (codes * np.arange(1, len(codes) + 1)).sum()))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            **{k: pa.array(out[k], pa.int64())
+               for k in ("n_pairs", "mode_dy", "mode_dx", "n_agree",
+                         "pair_wsum")}}, schema=MOTION_SCHEMA)
+
+
+def video_motion(media_ds, radius=3, decoder="motion",
+                 concurrency=None, batch_size=8):
+    """Video rows → per-clip dominant motion vector (actor pool)."""
+    return media_ds.map_batches(
+        MotionActor,
+        fn_constructor_kwargs={"radius": radius, "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_media_pool_size(concurrency))
+
+
 def silence_summary(x, threshold):
     """Exact run-length segmentation of ``|x| < threshold`` over int16
     samples — the VAD / silence-trim ingredient. Returns (n_samples,
