@@ -3631,6 +3631,40 @@ def q_audio_silence(sf_dir):
     return media.audio_silence(ds, threshold=5000)
 
 
+def q_daily_locf(sf_dir):
+    """Date-spine LOCF gap fill (stages/events.py:daily_locf): one row
+    per (user, day) from first activity to the corpus end, carrying
+    the latest value in exact cents. Oracle: generate_series spine +
+    correlated latest-value replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.daily_locf(_read(sf_dir, "events"), scale=100)
+
+
+def q_polygon_clusters(sf_dir):
+    """Overlap-graph polygon clustering — a pure COMPOSITION of two
+    engine operators (the dissolve-adjacent-parcels shape): the
+    rectangle-intersection self-join's pairs become edges, bounded-
+    round hash-to-min components label each overlapping polygon.
+    Oracle: the overlap self-join SQL feeding the stacked-CTE
+    component replay."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import join as jstage
+    from unmixing_ray.stages import relational
+    import ray.data
+    corpus = _corpus(sf_dir)
+    polys = ray.data.read_parquet(os.path.join(corpus,
+                                               "polygons.parquet"))
+    pairs = jstage.box_intersection_join(polys, level=synth.CELL_LEVEL)
+
+    def to_edges(df):
+        return pd.DataFrame({
+            "a": df["poly_a"].str.slice(4).astype("int64"),
+            "b": df["poly_b"].str.slice(4).astype("int64")})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    return relational.graph_components(edges, rounds=6)
+
+
 def q_video_motion(sf_dir):
     """Block-motion estimation (stages/media.py:MotionActor): per
     consecutive frame pair the integer-SAD-argmin translation in a
@@ -4549,6 +4583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": q_audio_resample,
         "audio_silence": q_audio_silence,
         "video_motion": q_video_motion,
+        "daily_locf": q_daily_locf,
+        "polygon_clusters": q_polygon_clusters,
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
         "zorder_prune": q_zorder_prune,
@@ -5089,6 +5125,15 @@ def oracle_sql() -> dict[str, str]:
         "session_overlap": events.session_overlap_sql(
             type_a="view", type_b="click", gap_s=86400),
         "decay_score": events.decay_score_sql(max_age_days=20),
+        "daily_locf": events.daily_locf_sql(scale=100),
+        "polygon_clusters": relational.graph_components_sql(f"""e AS (
+            SELECT CAST(substr(a.poly_id, 5) AS BIGINT) AS a,
+                   CAST(substr(b.poly_id, 5) AS BIGINT) AS b
+            FROM read_parquet('{C}/polygons.parquet') a
+            JOIN read_parquet('{C}/polygons.parquet') b
+              ON a.poly_id < b.poly_id
+             AND a.xmin < b.xmax AND b.xmin < a.xmax
+             AND a.ymin < b.ymax AND b.ymin < a.ymax)""", rounds=6),
         "zonemap_prune": _zonemap_sql_lazy(),
         "zorder_prune": _zorder_sql_lazy(),
         "events_interpolate": events.asof_interpolate_sql(

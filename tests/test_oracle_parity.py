@@ -313,6 +313,10 @@ def registry(ray_session):
     "audio_silence",
     # block-motion estimation vs planted constant-velocity clips
     "video_motion",
+    # date-spine LOCF gap fill (regular daily grid per user)
+    "daily_locf",
+    # overlap-graph polygon clustering (box_join x graph_components)
+    "polygon_clusters",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -235,3 +235,26 @@ def test_synthetic_motion_frame_velocity_is_recoverable():
             for dy in range(-2, 3) for dx in range(-2, 3)}
     best = min(sads.items(), key=lambda kv: (kv[1], kv[0]))
     assert best[1] == 0   # the planted shift reproduces exactly
+
+
+def test_daily_locf_hand_case(ray_session):
+    from unmixing_ray.stages.events import daily_locf
+    day = 86_400 * US
+    # user 1: day 0 -> 1.00 (two events, later wins: 2.00), day 2 ->
+    # 3.00; corpus max day = 3 (user 2) so user 1 fills days 0..3
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.Series([0, 3600 * US, 2 * day, 3 * day])
+        .astype("datetime64[us]"),
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["view"] * 4,
+        "value": [1.0, 2.0, 3.0, 9.0],
+        "props": [""] * 4})
+    out = daily_locf(ray.data.from_pandas(rows)).to_pandas() \
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    u1 = out[out.user_id == 1]
+    assert u1["day"].tolist() == [0, 1, 2, 3]
+    assert u1["value_cents"].tolist() == [200, 200, 300, 300]
+    u2 = out[out.user_id == 2]
+    assert u2["day"].tolist() == [3]
+    assert u2["value_cents"].tolist() == [900]

@@ -1355,6 +1355,75 @@ def session_overlap_sql(type_a="view", type_b="click", gap_s=1800):
          AND a.start_us <= b.end_us AND b.start_us <= a.end_us"""
 
 
+def daily_locf(events, scale=100):
+    """Date-spine gap fill with last-observation-carried-forward — the
+    warehouse 'resample to a regular daily grid' op (composite_cube's
+    forward fill, lifted from rasters to the event log): one row per
+    (user, day) from the user's first active day to the corpus's last
+    day, carrying the user's most recent value (exact fixed-point
+    cents; within a day the last event by (ts, event_id) wins — the
+    deterministic duplicate-resolution contract asof_interpolate
+    uses).
+
+    Scale shape: one tiny max(ts) pass fixes the spine end; the only
+    exchange is ONE groupby(user_id) over (ts, event_id, value) rows;
+    the per-user kernel reduces to per-day last values then fills the
+    spine with a single searchsorted — O(days + events log events) per
+    user, and the output is bounded by users × days, not events."""
+    day_us = 86_400_000_000
+    gmax_day = (int(pd.Timestamp(events.max("ts")).value // 1000)
+                // day_us)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        day = ts_us // day_us
+        cents = np.rint(g["value"].to_numpy(np.float64) * scale) \
+            .astype(np.int64)
+        # last value per day = the last row of each day run (sorted)
+        last = np.append(np.flatnonzero(np.diff(day)), len(day) - 1)
+        dday, dval = day[last], cents[last]
+        spine = np.arange(dday[0], gmax_day + 1, dtype=np.int64)
+        idx = np.searchsorted(dday, spine, side="right") - 1
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame({
+            "user_id": np.full(len(spine), uid, dtype=np.int64),
+            "day": spine,
+            "value_cents": dval[idx]})
+
+    return events.select_columns(["user_id", "event_id", "ts",
+                                  "value"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def daily_locf_sql(scale=100):
+    day_us = 86_400_000_000
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // {day_us} AS day,
+                 CAST(round(value * {scale}) AS BIGINT) AS v,
+                 row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // {day_us}
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        d AS (SELECT user_id, day, v FROM e WHERE rn = 1),
+        mm AS (SELECT max(epoch_us(ts)) // {day_us} AS gmax
+               FROM events),
+        u AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id),
+        spine AS (
+          SELECT u.user_id, gs.day
+          FROM u, mm, unnest(generate_series(u.d0, mm.gmax))
+            AS gs(day))
+        SELECT CAST(s.user_id AS BIGINT) AS user_id,
+               CAST(s.day AS BIGINT) AS day,
+               CAST((SELECT v FROM d
+                     WHERE d.user_id = s.user_id AND d.day <= s.day
+                     ORDER BY d.day DESC LIMIT 1) AS BIGINT)
+                 AS value_cents
+        FROM spine s"""
+
+
 def decay_score(events, half_life_days=1, max_age_days=20):
     """Per-user recency-weighted activity score with EXACT power-of-two
     decay: each event contributes 2^(max_age_days − age_days) where
