@@ -125,6 +125,19 @@ def q_focal_mean(sf_dir):
         focal.focal_mean_tiles(tiles, radius=1, scale=1000))
 
 
+def q_focal_median(sf_dir):
+    """Radius-1 focal MEDIAN (exact lower median, the edge-preserving
+    speckle smoother) via the same cross-tile halo exchange
+    (stages/focal.py stat="median"), summarized to per-(tile, band)
+    int64 sums. Oracle: the full-image sorted-layers sidecar."""
+    from unmixing_ray.sources import synth
+    from unmixing_ray.stages import focal
+    synth.generate_focal_median_expected(sf_dir)
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return focal.focal_band_sums(
+        focal.focal_stat_tiles(tiles, stat="median", radius=1))
+
+
 def q_convolve_gaussian(sf_dir):
     """5x5 binomial (Gaussian) kernel convolution via a RADIUS-2
     cross-tile halo exchange (stages/focal.py:convolve_tiles) — the one
@@ -4526,6 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_focal_median_expected(sf)
                 _synth.generate_conv_expected(sf)
                 _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
@@ -4558,6 +4572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assignment": q_tile_assignment,
         "focal_mean": q_focal_mean,
+        "focal_median": q_focal_median,
         "convolve_gaussian": q_convolve_gaussian,
         "glcm_texture": q_glcm_texture,
         "pyramid_overview": q_pyramid_overview,
@@ -4912,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_neardup_expected(sf)
                 _synth.generate_embeddings_planted(sf)
                 _synth.generate_focal_expected(sf)
+                _synth.generate_focal_median_expected(sf)
                 _synth.generate_conv_expected(sf)
                 _synth.generate_glcm_expected(sf)
                 _synth.generate_pyramid_expected(sf)
@@ -4960,6 +4976,9 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": f"""
             SELECT tile_id, band, focal_sum_u
             FROM read_parquet('{C}/focal_expected.parquet')""",
+        "focal_median": f"""
+            SELECT tile_id, band, focal_sum_u
+            FROM read_parquet('{C}/focal_median_expected.parquet')""",
         "convolve_gaussian": f"""
             SELECT tile_id, band, conv_sum, n_valid
             FROM read_parquet('{C}/conv_expected.parquet')""",

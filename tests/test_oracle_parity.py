@@ -317,6 +317,8 @@ def registry(ray_session):
     "daily_locf",
     # overlap-graph polygon clustering (box_join x graph_components)
     "polygon_clusters",
+    # focal median (exact lower median) via the halo exchange
+    "focal_median",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

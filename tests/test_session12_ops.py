@@ -258,3 +258,23 @@ def test_daily_locf_hand_case(ray_session):
     u2 = out[out.user_id == 2]
     assert u2["day"].tolist() == [3]
     assert u2["value_cents"].tolist() == [900]
+
+
+def test_box_median_brute_force():
+    from unmixing_ray.stages.focal import _box_median
+    rng = np.random.default_rng(2)
+    H, W, r = 7, 9, 1
+    img = rng.integers(0, 50, (2, H, W)).astype(np.int64)
+    vals = np.zeros((2, H + 2, W + 2), dtype=np.int64)
+    valid = np.zeros((H + 2, W + 2), dtype=np.int64)
+    vals[:, 1:-1, 1:-1] = img
+    valid[1:-1, 1:-1] = 1
+    got = _box_median(vals, valid, r)
+    for b in range(2):
+        for y in range(H):
+            for x in range(W):
+                win = img[b, max(0, y - r):y + r + 1,
+                          max(0, x - r):x + r + 1].ravel()
+                v = np.sort(win)
+                assert got[b, y, x] == v[(len(v) + 1) // 2 - 1], \
+                    (b, y, x)

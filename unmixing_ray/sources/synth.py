@@ -2545,6 +2545,66 @@ def generate_majority_expected(sf_dir, radius=1, div=800, n_classes=8):
     return str(out)
 
 
+MEDIAN_VERSION = 1
+
+
+def generate_focal_median_expected(sf_dir, radius=1):
+    """Write the ``focal_median_expected.parquet`` sidecar: per-(tile,
+    band) sums of the radius-``radius`` focal MEDIAN over every corpus
+    image, computed FULL-IMAGE (the engine computes the same raster
+    tile-wise via the halo exchange — stages/focal.py stat="median" —
+    so a match proves the cross-tile plumbing). Median rule replicated
+    exactly: lower median (rank ceil(v/2) of the valid window, windows
+    shrink at image borders)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_FOCALMED_DONE"
+    stamp = "focalmed v%d r%d" % (MEDIAN_VERSION, radius)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    r = radius
+    k = 2 * r + 1
+    sentinel = np.int64(np.iinfo(np.int64).max)
+    rows = {"tile_id": [], "band": [], "focal_sum_u": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        p, H, W = arr.shape
+        padded = np.full((p, H + 2 * r, W + 2 * r), sentinel, np.int64)
+        padded[:, r:r + H, r:r + W] = arr
+        layers = [padded[:, di:di + H, dj:dj + W]
+                  for di in range(k) for dj in range(k)]
+        stack = np.sort(np.stack(layers, axis=0), axis=0)
+        vcount = (stack != sentinel).sum(axis=0)
+        idx = np.maximum((vcount + 1) // 2 - 1, 0)
+        med = np.take_along_axis(stack, idx[None], axis=0)[0]
+        n_ty = (H + TILE - 1) // TILE
+        n_tx = (W + TILE - 1) // TILE
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                blk = med[:, ty * TILE:(ty + 1) * TILE,
+                          tx * TILE:(tx + 1) * TILE]
+                s = blk.sum(axis=(1, 2))
+                tid = "%s_t%d_%d" % (img, ty, tx)
+                rows["tile_id"].extend([tid] * p)
+                rows["band"].extend(range(p))
+                rows["focal_sum_u"].extend(int(v) for v in s)
+    t = pa.table({
+        "tile_id": pa.array(rows["tile_id"], pa.string()),
+        "band": pa.array(rows["band"], pa.int64()),
+        "focal_sum_u": pa.array(rows["focal_sum_u"], pa.int64())})
+    pq.write_table(t, str(out / "focal_median_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
+
+
 FLOW_VERSION = 1
 
 

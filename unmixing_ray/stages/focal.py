@@ -176,10 +176,12 @@ def make_focal_assemble(radius=1, scale=1000, stat="mean"):
     """Stage B: one tile + its halo strips → focal-stat tile.
 
     ``stat``: "mean" (floor(Σ·scale/c)), "var" (floor(popvar·scale)),
-    "max", "min", "majority" (focal mode, smallest-value tiebreak) —
-    all exact int64, batching/partitioning-invariant.
+    "max", "min", "majority" (focal mode, smallest-value tiebreak),
+    "median" (exact lower median) — all exact int64,
+    batching/partitioning-invariant.
     """
-    if stat not in ("mean", "var", "max", "min", "majority"):
+    if stat not in ("mean", "var", "max", "min", "majority",
+                    "median"):
         raise ValueError(f"unknown focal stat {stat!r}")
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -222,6 +224,8 @@ def make_focal_assemble(radius=1, scale=1000, stat="mean"):
             focal = _box_var_u(vals, valid, r, scale)
         elif stat == "majority":
             focal = _box_mode(vals, valid, r)
+        elif stat == "median":
+            focal = _box_median(vals, valid, r)
         else:
             focal = _box_extreme(vals, valid, r, stat == "max")
         return pd.DataFrame({
@@ -300,6 +304,27 @@ def _box_mode(vals, valid, r):
         counts[i] = (stack == stack[i:i + 1]).sum(axis=0)
     counts[stack == sentinel] = 0
     idx = counts.argmax(axis=0)
+    return np.take_along_axis(stack, idx[None], axis=0)[0]
+
+
+def _box_median(vals, valid, r):
+    """Focal MEDIAN over the valid (2r+1)² window — exact lower median
+    (percentile_disc(0.5) rank ceil(v/2), matching the engine's
+    grouped-quantile semantics): invalid cells carry a sentinel that
+    sorts last, the window's valid count v shrinks at borders, and the
+    median is the sorted stack's layer (v+1)//2 − 1. The edge-
+    preserving smoother (speckle/salt-noise removal) the linear box
+    mean cannot express."""
+    p, hp, wp = vals.shape
+    H, W = hp - 2 * r, wp - 2 * r
+    k = 2 * r + 1
+    sentinel = np.int64(np.iinfo(np.int64).max)
+    masked = np.where(valid[None, :, :] > 0, vals, sentinel)
+    layers = [masked[:, di:di + H, dj:dj + W]
+              for di in range(k) for dj in range(k)]
+    stack = np.sort(np.stack(layers, axis=0), axis=0)
+    vcount = (stack != sentinel).sum(axis=0)
+    idx = np.maximum((vcount + 1) // 2 - 1, 0)
     return np.take_along_axis(stack, idx[None], axis=0)[0]
 
 
