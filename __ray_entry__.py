@@ -4444,6 +4444,15 @@ def q_label_centroids(sf_dir):
     return ann.label_centroids(_read(sf_dir, "embeddings"))
 
 
+def q_knn_graph(sf_dir):
+    """Exact cosine kNN-graph build (stages/ann.py:knn_graph): every
+    vector's top-5 neighbors, guarded brute force (IVF/LSH are the
+    scale paths), quantized ranking with vec_id tiebreak. Oracle:
+    self cross-join + window replay."""
+    from unmixing_ray.stages import ann
+    return ann.knn_graph(_read(sf_dir, "embeddings"), k=5)
+
+
 def q_ann_topk(sf_dir):
     from unmixing_ray.stages import ann
     return ann.brute_force_topk(_read(sf_dir, "embeddings"), k=10)
@@ -4767,6 +4776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "corpus_filter": q_corpus_filter,
         "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
         "ann_lsh": q_ann_lsh,
         "audio_features": q_audio_features,
         "audio_goertzel": q_audio_goertzel,
@@ -6454,6 +6464,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_dups "
             "FROM documents GROUP BY md5(text)"),
         "ann_topk": ann.brute_force_topk_sql(),
+        "knn_graph": ann.knn_graph_sql(k=5),
         # ann_lsh's oracle IS the exact brute-force ranking: recall 1.0
         # at oracle scales (pinned in tests/test_ann_recall.py); the IVF
         # variant (ann.ivf_topk) is pytest-pinned at recall >= 0.9 (IVF

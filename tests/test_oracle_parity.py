@@ -319,6 +319,8 @@ def registry(ray_session):
     "polygon_clusters",
     # focal median (exact lower median) via the halo exchange
     "focal_median",
+    # exact cosine kNN-graph build (guarded brute force)
+    "knn_graph",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

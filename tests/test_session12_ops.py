@@ -278,3 +278,23 @@ def test_box_median_brute_force():
                 v = np.sort(win)
                 assert got[b, y, x] == v[(len(v) + 1) // 2 - 1], \
                     (b, y, x)
+
+
+def test_knn_graph_guard_and_brute_force(ray_session):
+    from unmixing_ray.stages.ann import knn_graph
+    rng = np.random.default_rng(9)
+    n, d, k = 40, 8, 3
+    M = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(M)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(ValueError):
+        knn_graph(ds, k=k, max_rows=10)
+    got = knn_graph(ds, k=k).to_pandas() \
+        .sort_values(["vec_id", "rnk"]).reset_index(drop=True)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    su = np.floor(Mn @ Mn.T * 10_000).astype(np.int64)
+    for q in range(n):
+        cand = [(int(-su[q, v]), v) for v in range(n) if v != q]
+        want = [v for _, v in sorted(cand)[:k]]
+        assert got[got.vec_id == q]["nbr_id"].tolist() == want

@@ -109,6 +109,75 @@ def brute_force_topk_sql(query_ids=(0, 1, 2, 3, 4), k=10):
         FROM r WHERE rn <= {k}"""
 
 
+def knn_graph(embeddings_ds, k=5, max_rows=200_000):
+    """Exact cosine kNN GRAPH build (every vector's top-k neighbors,
+    self excluded) — the all-queries generalization of
+    ``brute_force_topk`` and the substrate of SemDeDup / cluster-
+    assignment / UMAP-style pipelines. Ranking on floor(sim·1e4) with
+    the vec_id tiebreak (module docstring: DuckDB float32 vs numpy
+    float64 drift).
+
+    Scale shape: brute force is O(n²) by definition, so like
+    ``cosine_near_dup_pairs`` the operator REFUSES tables beyond
+    ``max_rows`` (loudly — the IVF/LSH paths are the scale story);
+    under the guard the normalized corpus matrix broadcasts once via
+    ``ray.put`` and one stateless pass computes each batch's rows ×
+    corpus matmul with a complete per-row top-k — no shuffle, no
+    merge. Returns a Dataset of (vec_id, rnk, nbr_id)."""
+    import ray
+
+    n = embeddings_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_graph is brute-force O(n²); {n} rows > max_rows="
+            f"{max_rows}. Use ivf_topk/lsh_topk for large tables.")
+    allrows = embeddings_ds.select_columns(["vec_id", "embedding"])\
+        .to_pandas().sort_values("vec_id")
+    ids = allrows["vec_id"].to_numpy(np.int64)
+    Mn = _normalize(np.stack(allrows["embedding"].to_numpy())
+                    .astype(np.float64))
+    ref = ray.put((ids, Mn))
+
+    def batch_knn(df: pd.DataFrame) -> pd.DataFrame:
+        cids, CM = ray.get(ref)
+        B = _normalize(_batch_embeddings(df))
+        sims = B @ CM.T                              # (b, n)
+        su4 = np.floor(sims * 10_000).astype(np.int64)
+        vids = df["vec_id"].to_numpy(np.int64)
+        out = {"vec_id": [], "rnk": [], "nbr_id": []}
+        for i in range(len(vids)):
+            keep = cids != vids[i]
+            order = np.lexsort((cids[keep], -su4[i][keep]))[:k]
+            sel = np.nonzero(keep)[0][order]
+            out["vec_id"].extend([int(vids[i])] * len(sel))
+            out["rnk"].extend(range(len(sel)))
+            out["nbr_id"].extend(cids[sel].tolist())
+        return pd.DataFrame(out).astype("int64")
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"])\
+        .map_batches(batch_knn, batch_format="pandas")
+
+
+def knn_graph_sql(k=5):
+    return f"""
+        WITH s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 CAST(floor(list_cosine_similarity(a.embedding,
+                                                   b.embedding)
+                            * 10000) AS BIGINT) AS su4
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, nbr_id, su4,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY su4 DESC, nbr_id)
+                       AS rn
+              FROM s)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rn - 1 AS BIGINT) AS rnk,
+               CAST(nbr_id AS BIGINT) AS nbr_id
+        FROM r WHERE rn <= {k}"""
+
+
 def _hyperplanes(dim, nbits, seed=4321):
     rng = np.random.default_rng(np.random.SeedSequence([seed, dim, nbits]))
     return rng.normal(size=(nbits, dim))
