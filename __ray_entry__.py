@@ -2869,6 +2869,34 @@ def q_triangle_count(sf_dir):
     return relational.triangle_count(edges)
 
 
+def q_fk_audit(sf_dir):
+    """Referential-integrity audit (stages/relational.py:
+    referential_audit): orphan counts for lineitem→orders and
+    lineitem→part (clean), plus orders→customer against a STALE
+    dimension snapshot (customers with c_custkey % 7 == 0 dropped —
+    the partial-load scenario the audit exists to catch; the filter
+    is replayed in SQL). Each check is one tag-union anti-join."""
+    import ray.data
+    from unmixing_ray.stages import relational
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+    def stale(df):
+        return df[df["c_custkey"].to_numpy() % 7 != 0]
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey"]).map_batches(
+        stale, batch_format="pandas")
+    return relational.referential_audit([
+        ("lineitem->orders", lineitem, "l_orderkey", orders,
+         "o_orderkey"),
+        ("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+        ("orders->customer_stale", orders, "o_custkey", cust,
+         "c_custkey"),
+    ])
+
+
 def q_events_mad(sf_dir):
     """Per-user robust dispersion (stages/relational.py:grouped_mad):
     exact fixed-point median + MAD through two runs of the
@@ -4731,6 +4759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering_coeff,
         "link_predict": q_link_predict,
         "events_mad": q_events_mad,
+        "fk_audit": q_fk_audit,
         "polygon_cover": q_polygon_cover,
         "box_join": q_box_join,
         "tile_poly_overlap": q_tile_poly_overlap,
@@ -5187,6 +5216,27 @@ def oracle_sql() -> dict[str, str]:
             _COPURCHASE_E2_CTE, k=20, deg_cap=64, min_common=2),
         "events_mad": relational.grouped_mad_sql(
             "events", "user_id", "value", scale=100),
+        "fk_audit": """
+            SELECT 'lineitem->orders' AS relation,
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                     AS n_rows,
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey)) AS BIGINT)
+                     AS n_orphans
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem
+                    WHERE NOT EXISTS (SELECT 1 FROM part
+                      WHERE p_partkey = l_partkey))
+            UNION ALL
+            SELECT 'orders->customer_stale',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders
+                    WHERE NOT EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey % 7 != 0
+                        AND c_custkey = o_custkey))""",
         "polygon_cover": f"""
             SELECT poly_id,
                    CAST(tx.ix AS BIGINT) AS cell_ix,

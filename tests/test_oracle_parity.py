@@ -321,6 +321,8 @@ def registry(ray_session):
     "focal_median",
     # exact cosine kNN-graph build (guarded brute force)
     "knn_graph",
+    # referential-integrity orphan audit (incl. stale dimension)
+    "fk_audit",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

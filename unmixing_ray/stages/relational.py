@@ -374,6 +374,32 @@ def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
     return df
 
 
+def referential_audit(checks):
+    """Data-quality audit: for each (label, fact, fk, dim, pk) check,
+    count fact rows whose foreign key has no match in the dimension —
+    the orphan/dangling-reference scan every warehouse load runs.
+    ``checks`` is a list of those 5-tuples; returns one row per check
+    (relation, n_rows, n_orphans).
+
+    Scale shape: each check is ONE tag-union anti-join (both sides
+    stay distributed — the dimension ships only deduped keys per
+    batch, the fact only its fk column) plus two counts; no broadcast,
+    no driver materialization beyond the per-check scalars."""
+    rows = {"relation": [], "n_rows": [], "n_orphans": []}
+    for label, fact, fk, dim, pk in checks:
+        fcol = fact.select_columns([fk])
+        n = fcol.count()
+        orph = anti_join(fcol, dim.select_columns([pk]), fk,
+                         right_key=pk).count()
+        rows["relation"].append(label)
+        rows["n_rows"].append(n)
+        rows["n_orphans"].append(orph)
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return out
+
+
 def grouped_mad(ds, key, col, scale=100):
     """Per-key robust dispersion: median and MAD (median absolute
     deviation) of ``col``, both in exact fixed-point (round(col·scale)
