@@ -3672,6 +3672,59 @@ def q_audio_silence(sf_dir):
     return media.audio_silence(ds, threshold=5000)
 
 
+def q_events_window_join(sf_dir):
+    """Stream-stream window join (stages/events.py:window_join): all
+    purchase-click pairs by the same user within +-1 day — the
+    interval-bounded companion of the as-of join (all matches, not
+    just nearest). Oracle: plain interval self-join."""
+    from unmixing_ray.stages import events as estage
+    return estage.window_join(_read(sf_dir, "events"),
+                              left_type="purchase",
+                              right_type="click", window_s=86400)
+
+
+def q_image_dup_clusters(sf_dir):
+    """Image near-dup CLUSTERS — composition of the planted phash
+    Hamming pair join and bounded-round graph components (the
+    LAION-style dedup-group resolution, multimodal counterpart of
+    dedup_clusters). Ids map to ints (base seq; planted twin = seq +
+    1e6), replayed in SQL."""
+    from unmixing_ray.stages import relational
+    pairs = q_phash_near_dup(sf_dir)
+
+    def to_edges(df):
+        def toid(s):
+            seq = s.str.slice(3, 11).astype("int64")
+            return seq + np.where(s.str.endswith("_nd"), 1_000_000, 0)
+        return pd.DataFrame({"a": toid(df["img_a"]),
+                             "b": toid(df["img_b"])}).astype("int64")
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    return relational.graph_components(edges, rounds=4)
+
+
+def q_user_trend(sf_dir):
+    """Per-user activity-trend ingredients — composition: exact daily
+    counts (one narrow groupby) feeding grouped_moments with x=day,
+    y=count; the OLS slope/corr are pure functions of the six exact
+    integers (computable identically in SQL)."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "day": day.astype("int64"),
+                          "n": np.int64(1)})             .groupby(["user_id", "day"], as_index=False).sum()
+        return g.astype({"n": "int64"})
+
+    daily = _read(sf_dir, "events").select_columns(["user_id", "ts"])         .map_batches(partial, batch_format="pandas")         .groupby(["user_id", "day"]).aggregate(Sum("n", alias_name="n"))         .map_batches(lambda df: df.astype({"day": "int64",
+                                           "n": "int64"}),
+                     batch_format="pandas")
+    return relational.grouped_moments(daily, "user_id", "day", "n")
+
+
 def q_daily_locf(sf_dir):
     """Date-spine LOCF gap fill (stages/events.py:daily_locf): one row
     per (user, day) from first activity to the corpus end, carrying
@@ -4636,6 +4689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence": q_audio_silence,
         "video_motion": q_video_motion,
         "daily_locf": q_daily_locf,
+        "events_window_join": q_events_window_join,
+        "image_dup_clusters": q_image_dup_clusters,
+        "user_trend": q_user_trend,
         "polygon_clusters": q_polygon_clusters,
         "table_checksum": q_table_checksum,
         "zonemap_prune": q_zonemap_prune,
@@ -5184,6 +5240,42 @@ def oracle_sql() -> dict[str, str]:
             type_a="view", type_b="click", gap_s=86400),
         "decay_score": events.decay_score_sql(max_age_days=20),
         "daily_locf": events.daily_locf_sql(scale=100),
+        "events_window_join": events.window_join_sql(
+            left_type="purchase", right_type="click", window_s=86400),
+        "image_dup_clusters": relational.graph_components_sql(f"""e AS (
+            WITH base AS (
+              SELECT image_id, phash
+              FROM read_parquet('{C}/images/*.parquet')
+            ), planted AS (
+              SELECT image_id || '_nd' AS image_id,
+                     xor(phash, {PHASH_PLANT_MASK}) AS phash
+              FROM base
+              WHERE CAST(substr(image_id, 4) AS BIGINT)
+                    % {PHASH_PLANT_MOD} = 0
+            ), allrows AS (
+              SELECT CAST(substr(image_id, 4, 8) AS BIGINT)
+                     + CASE WHEN ends_with(image_id, '_nd')
+                            THEN 1000000 ELSE 0 END AS nid,
+                     phash
+              FROM (SELECT * FROM base UNION ALL
+                    SELECT * FROM planted)
+            )
+            SELECT least(a.nid, b.nid) AS a, greatest(a.nid, b.nid) AS b
+            FROM allrows a JOIN allrows b ON a.nid < b.nid
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4)""", rounds=4),
+        "user_trend": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(day) AS BIGINT) AS sum_x,
+                   CAST(sum(n) AS BIGINT) AS sum_y,
+                   CAST(sum(day * day) AS BIGINT) AS sum_xx,
+                   CAST(sum(n * n) AS BIGINT) AS sum_yy,
+                   CAST(sum(day * n) AS BIGINT) AS sum_xy
+            FROM d GROUP BY user_id""",
         "polygon_clusters": relational.graph_components_sql(f"""e AS (
             SELECT CAST(substr(a.poly_id, 5) AS BIGINT) AS a,
                    CAST(substr(b.poly_id, 5) AS BIGINT) AS b

@@ -323,6 +323,12 @@ def registry(ray_session):
     "knn_graph",
     # referential-integrity orphan audit (incl. stale dimension)
     "fk_audit",
+    # stream-stream interval-bounded window join (all matches)
+    "events_window_join",
+    # image near-dup clusters (phash pairs x graph_components)
+    "image_dup_clusters",
+    # per-user activity-trend regression ingredients
+    "user_trend",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

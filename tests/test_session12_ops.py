@@ -298,3 +298,22 @@ def test_knn_graph_guard_and_brute_force(ray_session):
         cand = [(int(-su[q, v]), v) for v in range(n) if v != q]
         want = [v for _, v in sorted(cand)[:k]]
         assert got[got.vec_id == q]["nbr_id"].tolist() == want
+
+
+def test_window_join_hand_case(ray_session):
+    from unmixing_ray.stages.events import window_join
+    rows = [
+        # user 1: purchase at t=100s; clicks at 50s, 99s, 161s, 400s
+        (1, 1, 100 * US, "purchase"),
+        (2, 1, 50 * US, "click"), (3, 1, 99 * US, "click"),
+        (4, 1, 161 * US, "click"), (5, 1, 400 * US, "click"),
+        # user 2: purchase only -> no pairs
+        (6, 2, 10 * US, "purchase"),
+    ]
+    out = window_join(_events(rows), window_s=60).to_pandas() \
+        .sort_values("matched_id").reset_index(drop=True)
+    # window +-60s around t=100: clicks at 50, 99, 161 (inclusive
+    # bounds: 161 - 100 = 61 > 60 -> excluded); 400 excluded
+    assert out["matched_id"].tolist() == [2, 3]
+    assert out["lag_us"].tolist() == [-50 * US, -1 * US]
+    assert (out["event_id"] == 1).all()

@@ -1355,6 +1355,90 @@ def session_overlap_sql(type_a="view", type_b="click", gap_s=1800):
          AND a.start_us <= b.end_us AND b.start_us <= a.end_us"""
 
 
+def window_join(events, left_type="purchase", right_type="click",
+                window_s=86400):
+    """Stream-stream WINDOW join: every (left, right) event pair by
+    the same user within ±``window_s`` — the all-matches companion of
+    :func:`asof_join` (which keeps only the nearest) and the classic
+    interval-bounded stream join (Spark's stream-stream inner join /
+    Flink's interval join shape).
+
+    Plan: prune to the two event types inside ``map_batches``, ONE
+    ``groupby(user_id)`` co-partitioning both sides, then per user a
+    sorted-merge pair sweep: rights are sorted once, each left's
+    matches are the contiguous searchsorted range
+    [ts−W, ts+W] — O((nl+nr)·log + pairs). Emits exact lag_us
+    (right − left, negative = right before left); deterministic
+    because pairs are identified by event ids.
+
+    Returns (user_id, event_id, matched_id, lag_us)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    w_us = int(window_s) * 1_000_000
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array([left_type, right_type]))
+        return t.select(["user_id", "event_id", "ts",
+                         "event_type"]).filter(m)
+
+    pruned = events.map_batches(prune, batch_format="pyarrow")
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "matched_id": pd.Series([], dtype="int64"),
+        "lag_us": pd.Series([], dtype="int64")})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        is_l = (g["event_type"] == left_type).to_numpy()
+        is_r = (g["event_type"] == right_type).to_numpy()
+        lt, lid = ts_us[is_l], eid[is_l]
+        rt, rid = ts_us[is_r], eid[is_r]
+        if not len(lt) or not len(rt):
+            return empty
+        order = np.argsort(rt, kind="stable")
+        rt, rid = rt[order], rid[order]
+        lo = np.searchsorted(rt, lt - w_us, side="left")
+        hi = np.searchsorted(rt, lt + w_us, side="right")
+        cnt = hi - lo
+        if not cnt.sum():
+            return empty
+        li = np.repeat(np.arange(len(lt)), cnt)
+        ri = (np.arange(cnt.sum()) -
+              np.repeat(np.cumsum(cnt) - cnt, cnt) +
+              np.repeat(lo, cnt))
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame({
+            "user_id": np.full(len(li), uid, dtype=np.int64),
+            "event_id": lid[li],
+            "matched_id": rid[ri],
+            "lag_us": (rt[ri] - lt[li]).astype(np.int64)})
+
+    return pruned.groupby("user_id").map_groups(
+        per_user, batch_format="pandas")
+
+
+def window_join_sql(left_type="purchase", right_type="click",
+                    window_s=86400):
+    w_us = int(window_s) * 1_000_000
+    return f"""
+        SELECT CAST(l.user_id AS BIGINT) AS user_id,
+               CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(r.event_id AS BIGINT) AS matched_id,
+               CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT)
+                 AS lag_us
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = '{left_type}'
+         AND r.event_type = '{right_type}'
+         AND epoch_us(r.ts) >= epoch_us(l.ts) - {w_us}
+         AND epoch_us(r.ts) <= epoch_us(l.ts) + {w_us}"""
+
+
 def daily_locf(events, scale=100):
     """Date-spine gap fill with last-observation-carried-forward — the
     warehouse 'resample to a regular daily grid' op (composite_cube's
