@@ -3805,6 +3805,26 @@ def q_decay_score(sf_dir):
     return estage.decay_score(_read(sf_dir, "events"), max_age_days=20)
 
 
+def q_scd2_intervals(sf_dir):
+    """Type-2 SCD dimension build from the event log
+    (stages/events.py:scd2_intervals): per-user validity intervals of
+    the event_type attribute, ONE groupby(user_id) + vectorized
+    run-length collapse, output bounded by value CHANGES. Oracle:
+    gaps-and-islands window replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.scd2_intervals(_read(sf_dir, "events"))
+
+
+def q_seasonality(sf_dir):
+    """Weekday-seasonality spectral ingredients per event type
+    (stages/events.py:seasonality_score): exact fixed-point DFT bin at
+    period 7 — integer weight literals shared with the SQL replay, one
+    count combiner + ONE groupby(event_type). Oracle: VALUES-table
+    weight join."""
+    from unmixing_ray.stages import events as estage
+    return estage.seasonality_score(_read(sf_dir, "events"))
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4699,6 +4719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_types": q_trending_types,
         "session_overlap": q_session_overlap,
         "decay_score": q_decay_score,
+        "scd2_intervals": q_scd2_intervals,
+        "seasonality": q_seasonality,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5239,6 +5261,8 @@ def oracle_sql() -> dict[str, str]:
         "session_overlap": events.session_overlap_sql(
             type_a="view", type_b="click", gap_s=86400),
         "decay_score": events.decay_score_sql(max_age_days=20),
+        "scd2_intervals": events.scd2_intervals_sql(),
+        "seasonality": events.seasonality_score_sql(),
         "daily_locf": events.daily_locf_sql(scale=100),
         "events_window_join": events.window_join_sql(
             left_type="purchase", right_type="click", window_s=86400),

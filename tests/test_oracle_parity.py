@@ -329,6 +329,10 @@ def registry(ray_session):
     "image_dup_clusters",
     # per-user activity-trend regression ingredients
     "user_trend",
+    # type-2 SCD dimension build (run-length collapsed intervals)
+    "scd2_intervals",
+    # fixed-point weekday-seasonality DFT-bin ingredients
+    "seasonality",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -1,0 +1,94 @@
+"""Session-13 operators: SCD2 interval build, weekday seasonality —
+hand-case pins independent of the DuckDB parity tests."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from unmixing_ray.stages import events as ev
+
+US = 1_000_000
+DAY = 86_400 * US
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us",
+                                     "event_type"])
+    df["ts"] = df["ts_us"].astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = ""
+    return ray.data.from_pandas(
+        df[["event_id", "ts", "user_id", "event_type", "value",
+            "props"]])
+
+
+def test_scd2_hand_case(ray_session):
+    # user 1: a,a,b,a -> three versions (a x2, b, a); user 2: single
+    # event -> one open version. Timestamp tie at 30s resolved by
+    # event_id (3 before 4), so the 'b' run starts at 30s.
+    rows = [
+        (1, 1, 0 * US, "a"), (2, 1, 10 * US, "a"),
+        (3, 1, 30 * US, "b"), (4, 1, 30 * US, "a"),
+        (5, 2, 7 * US, "z"),
+    ]
+    out = ev.scd2_intervals(_events(rows)).to_pandas() \
+        .sort_values(["user_id", "version"]).reset_index(drop=True)
+    assert len(out) == 4
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["value"]) == ["a", "b", "a"]
+    assert list(u1["version"]) == [1, 2, 3]
+    assert list(u1["valid_from_us"]) == [0, 30 * US, 30 * US]
+    assert list(u1["valid_to_us"]) == [30 * US, 30 * US, -1]
+    assert list(u1["n_events"]) == [2, 1, 1]
+    assert list(u1["is_current"]) == [0, 0, 1]
+    u2 = out[out["user_id"] == 2].iloc[0]
+    assert (u2["value"], u2["valid_to_us"], u2["is_current"]) == \
+        ("z", -1, 1)
+
+
+def test_scd2_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(13)
+    rows = [(i, int(rng.integers(0, 6)),
+             int(rng.integers(0, 500)) * US,
+             ("a", "b", "c")[int(rng.integers(0, 3))])
+            for i in range(300)]
+
+    def run(nblocks):
+        ds = _events(rows).repartition(nblocks)
+        return ev.scd2_intervals(ds).to_pandas() \
+            .sort_values(["user_id", "version"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_seasonality_exact_weights(ray_session):
+    # one event per weekday for type 'u' (uniform -> sums of the weight
+    # rows themselves); type 'm' only on phase 1 and 3.
+    rows = [(p, 1, p * DAY, "u") for p in range(7)]
+    rows += [(10, 1, 1 * DAY, "m"), (11, 1, 3 * DAY, "m"),
+             (12, 1, (7 + 3) * DAY, "m")]
+    out = ev.seasonality_score(_events(rows)).to_pandas() \
+        .set_index("event_type")
+    wc, ws = ev._DOW_COS, ev._DOW_SIN
+    assert out.loc["u", "n"] == 7
+    assert out.loc["u", "s_cos"] == sum(wc)
+    assert out.loc["u", "s_sin"] == sum(ws)
+    assert out.loc["m", "n"] == 3
+    assert out.loc["m", "s_cos"] == wc[1] + 2 * wc[3]
+    assert out.loc["m", "s_sin"] == ws[1] + 2 * ws[3]
+
+
+def test_seasonality_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(5)
+    rows = [(i, 1, int(rng.integers(0, 40 * 86_400)) * US,
+             ("x", "y")[int(rng.integers(0, 2))])
+            for i in range(400)]
+
+    def run(nblocks):
+        ds = _events(rows).repartition(nblocks)
+        return ev.seasonality_score(ds).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(1), run(5))

@@ -1573,3 +1573,159 @@ def decay_score_sql(half_life_days=1, max_age_days=20):
                CAST(sum(CASE WHEN age > {mx} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_expired
         FROM e GROUP BY user_id"""
+
+
+def scd2_intervals(events, attr="event_type"):
+    """Type-2 slowly-changing-dimension build from the event log: for
+    each user, the validity intervals of their ``attr`` value —
+    consecutive events with the same value collapse into one versioned
+    row ``[valid_from_us, valid_to_us)`` where ``valid_to_us`` is the
+    next version's start (−1 on the open current version). The
+    dimension-table construction step of a warehouse ingest (the
+    storage-side sibling of snapshot_diff's CDC statuses).
+
+    Shape: ONE ``groupby(user_id)`` co-locates each user's events;
+    within a group the run-length collapse is vectorized over the
+    (ts, event_id)-sorted log (event_id breaks timestamp ties
+    deterministically, the same ORDER BY the SQL replay uses). Output
+    is bounded by the number of value CHANGES, never the event count.
+    Exact int64 microsecond bounds — hash-checkable.
+
+    Returns (user_id, value, version, valid_from_us, valid_to_us,
+    n_events, is_current)."""
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        val = g[attr].to_numpy()
+        chg = np.ones(len(g), dtype=bool)
+        chg[1:] = val[1:] != val[:-1]
+        ver = np.cumsum(chg)               # 1-based version numbers
+        starts = np.flatnonzero(chg)
+        n_runs = len(starts)
+        counts = np.diff(np.append(starts, len(g)))
+        vfrom = ts_us[starts]
+        vto = np.empty(n_runs, dtype=np.int64)
+        vto[:-1] = vfrom[1:]
+        vto[-1] = -1
+        return pd.DataFrame({
+            "user_id": np.full(n_runs, int(g["user_id"].iloc[0]),
+                               dtype=np.int64),
+            "value": val[starts],
+            "version": ver[starts].astype(np.int64),
+            "valid_from_us": vfrom,
+            "valid_to_us": vto,
+            "n_events": counts.astype(np.int64),
+            "is_current": np.where(
+                np.arange(n_runs) == n_runs - 1, 1, 0).astype(
+                np.int64)})
+
+    return events.select_columns(["user_id", "ts", "event_id", attr]) \
+        .groupby("user_id").map_groups(collapse, batch_format="pandas")
+
+
+def scd2_intervals_sql(attr="event_type"):
+    return f"""
+        WITH e AS (
+          SELECT user_id, {attr} AS value, epoch_us(ts) AS ts_us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        f AS (
+          SELECT *, CASE WHEN lag(value) OVER (
+                     PARTITION BY user_id ORDER BY rn) = value
+                     THEN 0 ELSE 1 END AS chg
+          FROM e),
+        g AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY rn) AS ver
+          FROM f),
+        h AS (
+          SELECT user_id, value, ver, min(ts_us) AS valid_from_us,
+                 count(*) AS n_events
+          FROM g GROUP BY 1, 2, 3)
+        SELECT CAST(user_id AS BIGINT) AS user_id, value,
+               CAST(ver AS BIGINT) AS version,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(coalesce(lead(valid_from_us) OVER (
+                    PARTITION BY user_id ORDER BY ver), -1)
+                    AS BIGINT) AS valid_to_us,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(CASE WHEN lead(valid_from_us) OVER (
+                    PARTITION BY user_id ORDER BY ver) IS NULL
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM h"""
+
+
+# fixed-point day-of-week DFT weights: floor(10^6 · cos/sin(2πp/7)).
+# Hardcoded LITERALS (not computed at runtime) so the engine and the
+# SQL replay share byte-identical integer constants.
+_DOW_COS = (1000000, 623489, -222521, -900969,
+            -900969, -222521, 623489)
+_DOW_SIN = (0, 781831, 974927, 433883, -433884, -974928, -781832)
+
+
+def seasonality_score(events):
+    """Per-event-type weekday-seasonality ingredients: the exact
+    fixed-point DFT bin at period 7 over the day-of-week event counts.
+    With c_p = events of the type on weekday p (p = epoch-day mod 7),
+
+        s_cos = Σ_p c_p · W_COS[p],   s_sin = Σ_p c_p · W_SIN[p]
+
+    where W are the floor(10^6·cos/sin(2πp/7)) integer literals above —
+    the spectral power s_cos² + s_sin² (a driver/SQL postprocessing of
+    the two ingredients) is high iff the type's activity concentrates
+    on particular weekdays. No float trig enters the distributed
+    reduce: the weights are integer constants, so the sum is exact
+    int64 at any batching (envelope: |s| ≤ 10^6·n — scale the weights
+    down at >2^43-event corpora).
+
+    One per-batch count combiner → ONE groupby(event_type).
+    Returns (event_type, n, s_cos, s_sin)."""
+    from ray.data.aggregate import Sum
+
+    wc = np.array(_DOW_COS, dtype=np.int64)
+    ws = np.array(_DOW_SIN, dtype=np.int64)
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        p = (ts_us // day_us) % 7
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "s_cos": wc[p],
+            "s_sin": ws[p]}).groupby("event_type",
+                                     as_index=False).sum()
+        return g.astype({"n": "int64", "s_cos": "int64",
+                         "s_sin": "int64"})
+
+    out = events.select_columns(["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_cos", alias_name="s_cos"),
+            Sum("s_sin", alias_name="s_sin"))
+    return out.map_batches(
+        lambda df: df.astype({"n": "int64", "s_cos": "int64",
+                              "s_sin": "int64"}),
+        batch_format="pandas")
+
+
+def seasonality_score_sql():
+    wrows = ", ".join(
+        "(%d, %d, %d)" % (p, _DOW_COS[p], _DOW_SIN[p])
+        for p in range(7))
+    return f"""
+        WITH w(p, wc, wsn) AS (VALUES {wrows}),
+        e AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 86400000000) % 7 AS p
+          FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w.wc) AS BIGINT) AS s_cos,
+               CAST(sum(w.wsn) AS BIGINT) AS s_sin
+        FROM e JOIN w ON w.p = e.p
+        GROUP BY event_type"""
