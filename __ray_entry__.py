@@ -3825,6 +3825,18 @@ def q_seasonality(sf_dir):
     return estage.seasonality_score(_read(sf_dir, "events"))
 
 
+def q_pq_codes(sf_dir):
+    """Product-quantization code assignment (stages/ann.py:pq_assign):
+    4×16-dim subspaces quantized against the data-defined vec_id<16
+    codebook — exact expanded-L2 argmin, lowest-cid tiebreak, one
+    stateless broadcast pass. The ADC search stage over these codes is
+    pq_adc_topk (recall pytest-pinned). Oracle: list-slice
+    self-join replay."""
+    from unmixing_ray.stages import ann
+    return ann.pq_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4721,6 +4733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_score": q_decay_score,
         "scd2_intervals": q_scd2_intervals,
         "seasonality": q_seasonality,
+        "pq_codes": q_pq_codes,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5263,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": events.decay_score_sql(max_age_days=20),
         "scd2_intervals": events.scd2_intervals_sql(),
         "seasonality": events.seasonality_score_sql(),
+        "pq_codes": ann.pq_assign_sql(),
         "daily_locf": events.daily_locf_sql(scale=100),
         "events_window_join": events.window_join_sql(
             left_type="purchase", right_type="click", window_s=86400),

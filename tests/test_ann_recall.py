@@ -45,3 +45,48 @@ def test_ivf_topk_recall_vs_exact(embeddings):
     a = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_pq_assign_codewords_are_fixed_points(embeddings):
+    """Every codebook vector (vec_id < 16) must quantize to ITSELF in
+    all four subspaces (d2 = 0, lowest-cid tiebreak)."""
+    from unmixing_ray.stages import ann
+    codes = ann.pq_assign(embeddings).to_pandas()
+    head = codes[codes["vec_id"] < 16].sort_values("vec_id")
+    for m in range(4):
+        assert (head[f"code{m}"].to_numpy()
+                == head["vec_id"].to_numpy()).all(), m
+
+
+def test_pq_assign_batching_invariant(embeddings):
+    from unmixing_ray.stages import ann
+
+    def run(nblocks):
+        return ann.pq_assign(embeddings.repartition(nblocks)) \
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(run(1), run(9))
+
+
+def test_pq_adc_recall_floor(embeddings):
+    """ADC search over 4x4-bit codes (128x compression): recall@10 vs
+    exact L2 >= 0.3 on the unstructured synthetic embeddings, and a
+    codeword query (vec_id < 16) retrieves itself at rank 0 (its ADC
+    distance is exactly 0)."""
+    import numpy as np
+    from unmixing_ray.stages import ann
+    adc = ann.pq_adc_topk(embeddings, k=10)
+    allr = embeddings.to_pandas().sort_values("vec_id")
+    M = np.stack(allr["embedding"].to_numpy()).astype(np.float64)
+    ids = allr["vec_id"].to_numpy()
+    hits = tot = 0
+    for q in (0, 1, 2, 3, 4):
+        d2 = ((M - M[ids == q][0]) ** 2).sum(1)
+        exact = set(ids[np.lexsort((ids, d2))][:10].tolist())
+        sub = adc[adc["query_id"] == q]
+        got = set(sub["vec_id"].tolist())
+        hits += len(exact & got)
+        tot += 10
+        assert sub[sub["rnk"] == 0]["vec_id"].iloc[0] == q
+    assert hits / tot >= 0.3, hits / tot

@@ -333,6 +333,8 @@ def registry(ray_session):
     "scd2_intervals",
     # fixed-point weekday-seasonality DFT-bin ingredients
     "seasonality",
+    # product-quantization code assignment (list-slice replay)
+    "pq_codes",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

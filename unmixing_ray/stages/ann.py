@@ -706,3 +706,141 @@ def label_centroids_sql(scale_bits=20):
                CAST(sum(q) AS BIGINT) AS sum_q,
                CAST(count(*) AS BIGINT) AS n_vecs
         FROM u GROUP BY label, dim"""
+
+
+def pq_assign(embeddings_ds, n_sub=4, k_codes=16):
+    """Product-quantization code assignment — the memory-scale ANN
+    path (IVF-PQ / ScaNN family): the d-dim embedding splits into
+    ``n_sub`` contiguous subspaces and each slice is quantized to the
+    nearest of ``k_codes`` codewords, so a vector compresses to
+    ``n_sub`` small codes (here 4×4 bits = one int16 per 64-float
+    vector, a 128× reduction for the ADC scan stage).
+
+    Codebook discipline = ``kmeans_assign``/``semdedup``: the
+    codewords are the DATA-DEFINED vec_id < k_codes embeddings sliced
+    per subspace, so the SQL oracle reconstructs them exactly with a
+    self-join + list slicing (a trained codebook from
+    ``cluster.kmeans_fit`` plugs in the same way but is float-merge-
+    order sensitive, hence not the oracle path). Assignment is the
+    exact expanded per-pair L2 argmin in float64 with the lowest-cid
+    tiebreak (cluster.exact_assign discipline).
+
+    Scale shape: the (k_codes × d) codebook broadcasts by value into
+    one stateless ``map_batches`` pass — no shuffle, each batch does
+    n_sub small (b, k) distance blocks. Returns (vec_id, code0..,
+    packed) with packed = Σ code_m · k^(n_sub−1−m)."""
+    head = embeddings_ds.filter(
+        lambda r: r["vec_id"] < k_codes).to_pandas() \
+        .sort_values("vec_id")
+    if len(head) != k_codes:
+        raise ValueError(
+            f"expected vec_id 0..{k_codes - 1} codebook rows, got "
+            f"{len(head)}")
+    C = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    d = C.shape[1]
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub={n_sub}")
+    w = d // n_sub
+
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        X = _batch_embeddings(df)
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64)}
+        packed = np.zeros(len(df), dtype=np.int64)
+        for m in range(n_sub):
+            sl = slice(m * w, (m + 1) * w)
+            d2 = ((X[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2)
+            cm = d2.argmin(axis=1).astype(np.int64)  # first = low cid
+            out[f"code{m}"] = cm
+            packed = packed * k_codes + cm
+        out["packed"] = packed
+        return pd.DataFrame(out).astype("int64")
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(codes, batch_format="pandas")
+
+
+def pq_assign_sql(n_sub=4, k_codes=16, dim=64):
+    w = dim // n_sub
+    blocks, joins, packed = [], [], []
+    for m in range(n_sub):
+        lo, hi = m * w + 1, (m + 1) * w
+        blocks.append(f"""
+        a{m} AS (
+          SELECT vec_id, cid AS code{m} FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding[{lo}:{hi}],
+                                            c.cemb[{lo}:{hi}]),
+                              c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)""")
+        if m:
+            joins.append(f"JOIN a{m} USING (vec_id)")
+        packed.append(f"code{m} * {k_codes ** (n_sub - 1 - m)}")
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb
+          FROM embeddings WHERE vec_id < {k_codes}),
+        {", ".join(blocks)}
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               {", ".join(f"CAST(code{m} AS BIGINT) AS code{m}"
+                          for m in range(n_sub))},
+               CAST({" + ".join(packed)} AS BIGINT) AS packed
+        FROM a0 {" ".join(joins)}"""
+
+
+def pq_adc_topk(embeddings_ds, query_ids=(0, 1, 2, 3, 4), k=10,
+                n_sub=4, k_codes=16):
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search
+    stage that makes pq_assign useful: each query builds its
+    (n_sub × k_codes) lookup table of exact subspace distances once,
+    then every database vector is scored from its CODES ONLY (n_sub
+    table lookups, never the raw floats). Approximate by construction;
+    recall vs brute force is pytest-pinned, the code-assignment half
+    is the oracle-checked query. Returns (query_id, rnk, vec_id)."""
+    import ray
+
+    head = embeddings_ds.filter(
+        lambda r: r["vec_id"] < k_codes).to_pandas() \
+        .sort_values("vec_id")
+    C = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qids, Q = get_query_matrix(embeddings_ds, query_ids)
+    d = C.shape[1]
+    w = d // n_sub
+    # LUT[q, m, c] = ||Q[q, m-slice] - C[c, m-slice]||²
+    lut = np.stack([
+        ((Q[:, None, m * w:(m + 1) * w]
+          - C[None, :, m * w:(m + 1) * w]) ** 2).sum(axis=2)
+        for m in range(n_sub)], axis=1)
+    qids = np.asarray(qids, dtype=np.int64)
+    ref = ray.put((qids, lut))
+    codes_ds = pq_assign(embeddings_ds, n_sub=n_sub, k_codes=k_codes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, L = ray.get(ref)
+        vids = df["vec_id"].to_numpy(np.int64)
+        cm = np.stack([df[f"code{m}"].to_numpy(np.int64)
+                       for m in range(n_sub)], axis=1)   # (b, n_sub)
+        out = {"query_id": [], "vec_id": [], "adc6": []}
+        for qi in range(len(ids)):
+            adc = np.zeros(len(vids), dtype=np.float64)
+            for m in range(n_sub):
+                adc += L[qi, m, cm[:, m]]
+            a6 = np.floor(adc * 1e6).astype(np.int64)
+            order = np.lexsort((vids, a6))[:k]
+            out["query_id"].extend([int(ids[qi])] * len(order))
+            out["vec_id"].extend(vids[order].tolist())
+            out["adc6"].extend(a6[order].tolist())
+        return pd.DataFrame(out).astype("int64")
+
+    parts = codes_ds.map_batches(partial, batch_format="pandas") \
+        .to_pandas()
+    outs = []
+    for q in qids:
+        sub = parts[parts["query_id"] == q] \
+            .sort_values(["adc6", "vec_id"]).head(k)
+        outs.append(pd.DataFrame({
+            "query_id": np.full(len(sub), q, dtype=np.int64),
+            "rnk": np.arange(len(sub), dtype=np.int64),
+            "vec_id": sub["vec_id"].to_numpy(np.int64)}))
+    return pd.concat(outs, ignore_index=True)
