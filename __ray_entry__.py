@@ -4521,6 +4521,18 @@ def q_blur_scores(sf_dir):
     return curate.blur_scores(images)
 
 
+def q_otsu_binarize(sf_dir):
+    """Corpus-global Otsu auto-threshold + per-image binarization
+    (stages/enhance.py:otsu_binarize): tiny combiner histogram pass →
+    EXACT fixed-point threshold pick on the driver → broadcast scalar
+    → per-image count combiner + one groupby(image_id). Oracle: the
+    full chain replayed in SQL (HUGEINT score) from the independent
+    per-image-histogram sidecar."""
+    from unmixing_ray.stages import enhance
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return enhance.otsu_binarize(tiles)
+
+
 def q_bigram_lm(sf_dir):
     """Bigram LM quality score (stages/text.py:bigram_lm_score): the
     perplexity-filter shape with exact fixed-point conditional ratios
@@ -4689,6 +4701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_tileclass_expected(sf)
                 _synth.generate_bpe_expected(sf)
                 _synth.generate_bpe_encode_expected(sf)
+                _synth.generate_otsu_expected(sf)
             except Exception:
                 pass
     return {
@@ -4734,6 +4747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": q_scd2_intervals,
         "seasonality": q_seasonality,
         "pq_codes": q_pq_codes,
+        "otsu_binarize": q_otsu_binarize,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5085,10 +5099,11 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_tileclass_expected(sf)
                 _synth.generate_bpe_expected(sf)
                 _synth.generate_bpe_encode_expected(sf)
+                _synth.generate_otsu_expected(sf)
             except Exception:
                 pass
-    from unmixing_ray.stages import (ann, events, register, relational,
-                                     text)
+    from unmixing_ray.stages import (ann, enhance, events, register,
+                                     relational, text)
     C = SF01_CORPUS
     return {
         "tile_assignment": f"""
@@ -5134,6 +5149,8 @@ def oracle_sql() -> dict[str, str]:
         "blur_scores": f"""
             SELECT image_id, lap_sum, lap_sq, n_lap
             FROM read_parquet('{C}/blur_expected.parquet')""",
+        "otsu_binarize": enhance.otsu_binarize_sql(
+            f"{C}/otsu_hist_expected.parquet"),
         "composite_percentile": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole

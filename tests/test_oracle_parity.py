@@ -335,6 +335,8 @@ def registry(ray_session):
     "seasonality",
     # product-quantization code assignment (list-slice replay)
     "pq_codes",
+    # corpus-global fixed-point Otsu threshold + per-image binarize
+    "otsu_binarize",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

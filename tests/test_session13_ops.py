@@ -92,3 +92,24 @@ def test_seasonality_partitioning_invariant(ray_session):
             .sort_values("event_type").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(1), run(5))
+
+
+def test_otsu_fixed_point_bimodal():
+    """A clean bimodal histogram must threshold in the valley, and the
+    smallest-t tiebreak must hold on a symmetric two-spike case."""
+    from unmixing_ray.stages.enhance import _otsu_fixed_point
+    h = np.zeros(16, dtype=np.int64)
+    h[2] = 100
+    h[3] = 80
+    h[12] = 90
+    h[13] = 110
+    t, score = _otsu_fixed_point(h)
+    assert 3 <= t <= 11, t
+    assert score > 0
+    # two equal spikes: every t between them gives the same partition
+    # (empty bins carry the previous running sums) -> smallest wins
+    h2 = np.zeros(8, dtype=np.int64)
+    h2[1] = 50
+    h2[6] = 50
+    t2, _ = _otsu_fixed_point(h2)
+    assert t2 == 1, t2

@@ -3461,3 +3461,48 @@ def generate_resample_expected(sf_dir, num=2, den=3):
         str(out / "media_resample_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+OTSU_VERSION = 1
+
+
+def generate_otsu_expected(sf_dir, band=0, bins=256, lo=0, hi=10000):
+    """Write ``otsu_hist_expected.parquet``: per-image band-0 histogram
+    rows (image_id, bin, n) over valid pixels — an independent decode
+    loop + inline binning (value·bins // (hi−lo+1) on the clipped
+    value), NOT the engine's _bin_of. The oracle replays the entire
+    Otsu chain (global hist → fixed-point argmax → per-image counts)
+    in SQL from these rows."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_OTSU_DONE"
+    stamp = "otsu v%d b%d bins%d" % (OTSU_VERSION, band, bins)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "bin": [], "n": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        v = arr[band].ravel()
+        v = v[v != NODATA].astype(np.int64)
+        v = np.minimum(np.maximum(v, lo), hi)
+        b = (v - lo) * bins // (hi - lo + 1)
+        h = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(h)
+        rows["image_id"].extend([img] * len(nz))
+        rows["bin"].extend(int(x) for x in nz)
+        rows["n"].extend(int(h[x]) for x in nz)
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "bin": pa.array(rows["bin"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64())})
+    pq.write_table(t, str(out / "otsu_hist_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

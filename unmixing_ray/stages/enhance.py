@@ -259,3 +259,129 @@ def match_histogram_tiles(tiles, bins=256, lo=0, hi=10000):
                                  "bands", "h", "w"])
     return lean.groupby("image_id").map_groups(per_image,
                                                batch_format="pyarrow")
+
+
+def _otsu_fixed_point(hist):
+    """Exact fixed-point Otsu threshold over an integer histogram.
+
+    Maximizes the between-class-variance surrogate
+
+        score(t) = floor((s0·N − S·c0)² / (c0·(N − c0)))
+
+    (c0/s0 = count/index-sum at ≤ t; N/S = totals) with the smallest-t
+    tiebreak. The floor-division score IS the definition — Python ints
+    here, HUGEINT in the SQL replay, identical by construction. Returns
+    (t, score)."""
+    h = [int(x) for x in hist]
+    N = sum(h)
+    S = sum(i * x for i, x in enumerate(h))
+    best_t, best_score = None, -1
+    c0 = s0 = 0
+    for t in range(len(h) - 1):
+        c0 += h[t]
+        s0 += t * h[t]
+        if c0 == 0 or c0 == N:
+            continue
+        score = (s0 * N - S * c0) ** 2 // (c0 * (N - c0))
+        if score > best_score:
+            best_t, best_score = t, score
+    return best_t, best_score
+
+
+def otsu_binarize(tiles, band=0, bins=256, lo=0, hi=10000):
+    """Corpus-global Otsu thresholding + per-image binarization counts —
+    the classic global auto-threshold (Otsu 1979) as a two-pass
+    streaming plan: pass 1 is the tiny combiner-before-shuffle global
+    histogram (fit_global_hist, ≤ bins driver rows at any corpus
+    size), the driver picks the threshold with EXACT integer
+    arithmetic (_otsu_fixed_point — no float variance enters the
+    decision), and pass 2 broadcasts the scalar into a per-image count
+    combiner + ONE groupby(image_id).
+
+    Foreground = valid pixels whose histogram bin EXCEEDS the
+    threshold bin (NODATA excluded everywhere). Returns per image
+    (image_id, thr, n_fg, n_bg, fg_sum) where fg_sum = Σ bin index
+    over foreground pixels — all exact int64, hash-checkable against
+    the per-image-histogram sidecar replay."""
+    import pandas as pd
+
+    ghist = fit_global_hist(tiles, bins=bins, lo=lo, hi=hi)[band]
+    thr, _score = _otsu_fixed_point(ghist)
+    t = np.int64(thr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bd = batch["bands"].to_numpy()
+        imgs = batch["image_id"].to_pylist()
+        agg = {}
+        for i in range(batch.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            row = arr[band].ravel()
+            row = row[row != NODATA]
+            b = _bin_of(row, lo, hi, bins)
+            fg = b > t
+            cur = agg.setdefault(imgs[i], [0, 0, 0])
+            cur[0] += int(fg.sum())
+            cur[1] += int(len(b) - fg.sum())
+            cur[2] += int(b[fg].sum())
+        return pa.table({
+            "image_id": pa.array(list(agg), pa.string()),
+            "n_fg": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_bg": pa.array([v[1] for v in agg.values()], pa.int64()),
+            "fg_sum": pa.array([v[2] for v in agg.values()],
+                               pa.int64())})
+
+    out = tiles.select_columns(["image_id", "pixels", "bands", "h",
+                                "w"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("image_id").aggregate(
+            Sum("n_fg", alias_name="n_fg"),
+            Sum("n_bg", alias_name="n_bg"),
+            Sum("fg_sum", alias_name="fg_sum"))
+
+    def finalize(df):
+        df = df.copy()
+        df["thr"] = np.int64(thr)
+        return df[["image_id", "thr", "n_fg", "n_bg", "fg_sum"]] \
+            .astype({"thr": "int64", "n_fg": "int64", "n_bg": "int64",
+                     "fg_sum": "int64"})
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def otsu_binarize_sql(hist_parquet):
+    """Replay from the per-image-histogram sidecar: global hist by
+    GROUP BY bin, the fixed-point score in HUGEINT, argmax with the
+    smallest-t tiebreak, then per-image counts against the scalar.
+    Candidate thresholds are the nonzero bins — equivalent to the
+    engine's full 0..bins−2 sweep because an empty bin's running sums
+    (hence score) equal the previous nonzero bin's, which the
+    smallest-t tiebreak already prefers."""
+    return f"""
+        WITH ih AS (SELECT image_id, bin, n
+                    FROM read_parquet('{hist_parquet}')),
+        h AS (SELECT bin, sum(n) AS n FROM ih GROUP BY bin),
+        tot AS (SELECT sum(n) AS nn, sum(bin * n) AS ss FROM h),
+        c AS (SELECT bin,
+                     sum(n) OVER (ORDER BY bin) AS c0,
+                     sum(bin * n) OVER (ORDER BY bin) AS s0
+              FROM h),
+        sc AS (SELECT bin AS t,
+                      (CAST(s0 * nn - ss * c0 AS HUGEINT)
+                       * CAST(s0 * nn - ss * c0 AS HUGEINT))
+                      // CAST(c0 * (nn - c0) AS HUGEINT) AS score
+               FROM c, tot WHERE c0 > 0 AND c0 < nn),
+        th AS (SELECT t FROM sc ORDER BY score DESC, t ASC LIMIT 1)
+        SELECT image_id,
+               CAST((SELECT t FROM th) AS BIGINT) AS thr,
+               CAST(sum(CASE WHEN bin > (SELECT t FROM th)
+                             THEN n ELSE 0 END) AS BIGINT) AS n_fg,
+               CAST(sum(CASE WHEN bin <= (SELECT t FROM th)
+                             THEN n ELSE 0 END) AS BIGINT) AS n_bg,
+               CAST(sum(CASE WHEN bin > (SELECT t FROM th)
+                             THEN bin * n ELSE 0 END) AS BIGINT)
+                 AS fg_sum
+        FROM ih GROUP BY image_id"""
