@@ -4533,6 +4533,18 @@ def q_otsu_binarize(sf_dir):
     return enhance.otsu_binarize(tiles)
 
 
+def q_hough_lines(sf_dir):
+    """Rational-direction Hough line voting (stages/hough.py): masked
+    pixels vote integer (dir, rho) lines through a per-batch bincount
+    combiner + ONE groupby(image_id, dir, rho) + a packed-argmax
+    reduce; recovers the planted NODATA strips. Oracle: CLOSED-FORM
+    expectation from the plant spec (the detector never runs on the
+    oracle side)."""
+    from unmixing_ray.stages import hough
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return hough.hough_lines(tiles)
+
+
 def q_bigram_lm(sf_dir):
     """Bigram LM quality score (stages/text.py:bigram_lm_score): the
     perplexity-filter shape with exact fixed-point conditional ratios
@@ -4702,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_bpe_expected(sf)
                 _synth.generate_bpe_encode_expected(sf)
                 _synth.generate_otsu_expected(sf)
+                _synth.generate_hough_expected(sf)
             except Exception:
                 pass
     return {
@@ -4748,6 +4761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality": q_seasonality,
         "pq_codes": q_pq_codes,
         "otsu_binarize": q_otsu_binarize,
+        "hough_lines": q_hough_lines,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5100,6 +5114,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_bpe_expected(sf)
                 _synth.generate_bpe_encode_expected(sf)
                 _synth.generate_otsu_expected(sf)
+                _synth.generate_hough_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5151,6 +5166,9 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{C}/blur_expected.parquet')""",
         "otsu_binarize": enhance.otsu_binarize_sql(
             f"{C}/otsu_hist_expected.parquet"),
+        "hough_lines": f"""
+            SELECT image_id, dir, best_rho, votes
+            FROM read_parquet('{C}/hough_expected.parquet')""",
         "composite_percentile": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole

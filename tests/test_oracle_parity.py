@@ -337,6 +337,8 @@ def registry(ray_session):
     "pq_codes",
     # corpus-global fixed-point Otsu threshold + per-image binarize
     "otsu_binarize",
+    # rational-direction Hough line voting (closed-form plant oracle)
+    "hough_lines",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -113,3 +113,48 @@ def test_otsu_fixed_point_bimodal():
     h2[6] = 50
     t2, _ = _otsu_fixed_point(h2)
     assert t2 == 1, t2
+
+
+def test_hough_recovers_synthetic_lines(ray_session):
+    """Hand-built tiles with one horizontal and one diagonal NODATA
+    line crossing a tile boundary: votes must merge across tiles and
+    the packed argmax must break ties to the smallest rho."""
+    import pyarrow as pa
+    from unmixing_ray.constants import NODATA
+    from unmixing_ray.stages import hough
+
+    def tile(img, ro, co, arr):
+        a = np.asarray(arr, dtype=np.int16)[None, :, :]
+        return {"image_id": img, "tile_id": f"{img}_{ro}_{co}",
+                "row_off": ro, "col_off": co, "h": a.shape[1],
+                "w": a.shape[2], "bands": 1, "cell": 0,
+                "pixels": a.tobytes()}
+
+    # image of 4x8 pixels as two 4x4 tiles; NODATA on full row y=2 and
+    # the diagonal x - y = 1
+    base = np.zeros((4, 8), np.int16)
+    base[2, :] = NODATA
+    for y in range(4):
+        x = y + 1
+        if x < 8:
+            base[y, x] = NODATA
+    rows = [tile("a", 0, 0, base[:, :4]), tile("a", 0, 4, base[:, 4:])]
+    import ray.data
+    ds = ray.data.from_items(rows).map_batches(
+        lambda t: pa.table({
+            "image_id": t["image_id"], "tile_id": t["tile_id"],
+            "row_off": t["row_off"].cast(pa.int32()),
+            "col_off": t["col_off"].cast(pa.int32()),
+            "h": t["h"].cast(pa.int32()), "w": t["w"].cast(pa.int32()),
+            "bands": t["bands"].cast(pa.int32()),
+            "cell": t["cell"].cast(pa.uint64()),
+            "pixels": t["pixels"].cast(pa.binary())}),
+        batch_format="pyarrow")
+    out = hough.hough_lines(ds).to_pandas().set_index("dir")
+    # dir 0: row y=2 has 8 NODATA pixels (the diagonal's (2,3) is one
+    # of them — votes count PIXELS, never double)
+    assert out.loc[0, "best_rho"] == -2 and out.loc[0, "votes"] == 8
+    # dir 2 (rho = x - y): the rho=1 line holds the diagonal pixels
+    # (0,1),(1,2),(2,3),(3,4) -> 4 votes; each other rho gets at most
+    # one vote from row 2
+    assert out.loc[2, "best_rho"] == 1 and out.loc[2, "votes"] == 4

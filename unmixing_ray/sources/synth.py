@@ -3506,3 +3506,73 @@ def generate_otsu_expected(sf_dir, band=0, bins=256, lo=0, hi=10000):
     pq.write_table(t, str(out / "otsu_hist_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+HOUGH_VERSION = 2
+
+
+def generate_hough_expected(sf_dir):
+    """Write ``hough_expected.parquet``: the CLOSED-FORM strongest line
+    per (planted image, direction) for stages/hough.py:hough_lines over
+    the band-0 NODATA mask. The only NODATA in the corpus is the
+    _plant strip (seq % 7 == 0 → rows 0..3, all IMG_W columns), so the
+    per-direction maxima follow from the plant spec alone — the
+    detector is never run here (motion-clip discipline):
+
+    - dir 0 (dx,dy)=(1,0), rho=−y: rows 0..3 each get IMG_W votes;
+      max-votes tie → smallest rho = −3;
+    - dir 1 (0,1), rho=x: every column gets 4 votes → rho 0;
+    - dir 2 (1,1), rho=x−y: 4 votes for rho 0..IMG_W−4, partial
+      diagonals outside → rho 0;
+    - dir 3 (1,−1), rho=−x−y: 4 votes for x+y = 3..IMG_W−1 →
+      smallest rho = −(IMG_W−1).
+
+    A decode assertion on the first planted image guards the spec
+    against generator drift."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_HOUGH_DONE"
+    stamp = "hough v%d w%d" % (HOUGH_VERSION, IMG_W)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    ids = ds.to_table(columns=["image_id"])["image_id"].to_pylist()
+
+    def _has_strip(image_id):
+        # the seq % 97 == 1 images are exact COPIES of seq − 1 (the
+        # dedup plant in generate_corpus), so they carry the previous
+        # image's strip, not their own
+        seq = int(image_id[3:])
+        eff = seq - 1 if (seq % 97 == 1 and seq >= 1) else seq
+        return eff % 7 == 0
+
+    planted = sorted(i for i in ids if _has_strip(i))
+    # guard: decode one planted image, assert the mask IS the strip
+    if planted:
+        t = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"],
+                        filter=(pads.field("image_id") == planted[0]))
+        arr = decode_image(t["bytes"][0].as_py(), t["fmt"][0].as_py(),
+                           t["w"][0].as_py(), t["h"][0].as_py())
+        m = arr[0] == NODATA
+        assert m[0:4, :].all() and not m[4:, :].any(), \
+            "plant spec drifted: NODATA mask is not the rows-0..3 strip"
+    rows = {"image_id": [], "dir": [], "best_rho": [], "votes": []}
+    for img in planted:
+        for d, rho, v in ((0, -3, IMG_W), (1, 0, 4), (2, 0, 4),
+                          (3, -(IMG_W - 1), 4)):
+            rows["image_id"].append(img)
+            rows["dir"].append(d)
+            rows["best_rho"].append(rho)
+            rows["votes"].append(v)
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "dir": pa.array(rows["dir"], pa.int64()),
+        "best_rho": pa.array(rows["best_rho"], pa.int64()),
+        "votes": pa.array(rows["votes"], pa.int64())})
+    pq.write_table(t, str(out / "hough_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
