@@ -4545,6 +4545,18 @@ def q_hough_lines(sf_dir):
     return hough.hough_lines(tiles)
 
 
+def q_morph_open(sf_dir):
+    """Binary morphological opening of the band-0 classification
+    (stages/morphology.py:morph_open_tiles): the first CHAINED
+    halo-exchange pipeline — erode (focal min) feeds a second exchange
+    for dilate (focal max) through the _focal_to_pixels adapter.
+    Oracle: full-image shrink-window replay sidecar, per-tile counts +
+    position-weighted checksum."""
+    from unmixing_ray.stages import morphology
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return morphology.morph_open_tiles(tiles, threshold=2500)
+
+
 def q_bigram_lm(sf_dir):
     """Bigram LM quality score (stages/text.py:bigram_lm_score): the
     perplexity-filter shape with exact fixed-point conditional ratios
@@ -4715,6 +4727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_bpe_encode_expected(sf)
                 _synth.generate_otsu_expected(sf)
                 _synth.generate_hough_expected(sf)
+                _synth.generate_morph_expected(sf)
             except Exception:
                 pass
     return {
@@ -4762,6 +4775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "otsu_binarize": q_otsu_binarize,
         "hough_lines": q_hough_lines,
+        "morph_open": q_morph_open,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5115,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_bpe_encode_expected(sf)
                 _synth.generate_otsu_expected(sf)
                 _synth.generate_hough_expected(sf)
+                _synth.generate_morph_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5169,6 +5184,9 @@ def oracle_sql() -> dict[str, str]:
         "hough_lines": f"""
             SELECT image_id, dir, best_rho, votes
             FROM read_parquet('{C}/hough_expected.parquet')""",
+        "morph_open": f"""
+            SELECT image_id, row_off, col_off, n_open, open_wsum
+            FROM read_parquet('{C}/morph_expected.parquet')""",
         "composite_percentile": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole

@@ -339,6 +339,8 @@ def registry(ray_session):
     "otsu_binarize",
     # rational-direction Hough line voting (closed-form plant oracle)
     "hough_lines",
+    # chained-halo binary morphological opening (erode then dilate)
+    "morph_open",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -158,3 +158,69 @@ def test_hough_recovers_synthetic_lines(ray_session):
     # (0,1),(1,2),(2,3),(3,4) -> 4 votes; each other rho gets at most
     # one vote from row 2
     assert out.loc[2, "best_rho"] == 1 and out.loc[2, "votes"] == 4
+
+
+def test_morph_open_tile_boundary(ray_session):
+    """A 2-px-wide fg bar straddling a tile boundary erodes away
+    entirely (3x3 erosion kills width<=2 except where the shrunk
+    border window preserves it), while a solid 4x4 block survives
+    opening in its interior-protected core; chained halos must agree
+    with the single-image replay."""
+    import pyarrow as pa
+    from unmixing_ray.stages import morphology
+
+    H = W = 8   # one image, four 4x4 tiles
+    z = np.zeros((H, W), np.int16)
+    z[3:5, :] = 9000         # horizontal bar rows 3-4 (crosses tiles)
+    z[0:4, 0:4] = 9000       # solid block in tile (0,0)
+
+    def tiles_of(z, T):
+        rows = []
+        for ro in range(0, H, T):
+            for co in range(0, W, T):
+                sub = z[ro:ro + T, co:co + T][None]
+                rows.append({
+                    "image_id": "a", "tile_id": f"a_{ro}_{co}",
+                    "row_off": ro, "col_off": co, "h": T, "w": T,
+                    "bands": 1, "cell": 0,
+                    "pixels": np.ascontiguousarray(sub).tobytes()})
+        return rows
+
+    def to_ds(rows):
+        import ray.data
+        return ray.data.from_items(rows).map_batches(
+            lambda t: pa.table({
+                "image_id": t["image_id"], "tile_id": t["tile_id"],
+                "row_off": t["row_off"].cast(pa.int32()),
+                "col_off": t["col_off"].cast(pa.int32()),
+                "h": t["h"].cast(pa.int32()),
+                "w": t["w"].cast(pa.int32()),
+                "bands": t["bands"].cast(pa.int32()),
+                "cell": t["cell"].cast(pa.uint64()),
+                "pixels": t["pixels"].cast(pa.binary())}),
+            batch_format="pyarrow")
+
+    out = morphology.morph_open_tiles(to_ds(tiles_of(z, 4)),
+                                      threshold=2500).to_pandas()
+
+    # independent full-image replay (same as the sidecar spec)
+    fg = (z > 2500).astype(np.int64)
+
+    def shrink3(a, pad, op):
+        p = np.pad(a, 1, constant_values=pad)
+        o = a.copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                o = op(o, p[1 + dr:1 + dr + a.shape[0],
+                            1 + dc:1 + dc + a.shape[1]])
+        return o
+
+    opened = shrink3(shrink3(fg, 1, np.minimum), 0, np.maximum)
+    assert opened.sum() > 0 and opened.sum() < fg.sum()
+    for _, r in out.iterrows():
+        ro, co = int(r["row_off"]), int(r["col_off"])
+        sub = opened[ro:ro + 4, co:co + 4]
+        ii, jj = np.nonzero(sub)
+        assert r["n_open"] == len(ii), (ro, co)
+        assert r["open_wsum"] == int(
+            ((ii + ro) * np.int64(100003) + jj + co).sum()), (ro, co)

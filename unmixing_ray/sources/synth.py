@@ -3576,3 +3576,66 @@ def generate_hough_expected(sf_dir):
     pq.write_table(t, str(out / "hough_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+MORPH_VERSION = 1
+
+
+def generate_morph_expected(sf_dir, threshold=2500):
+    """Write ``morph_expected.parquet``: per-tile opening counts for
+    stages/morphology.py:morph_open_tiles replayed FULL-IMAGE — fg =
+    band0 > threshold (NODATA → 0), 3×3 erosion then dilation with
+    image-border windows shrunk (pad 1 is min-neutral, pad 0 is
+    max-neutral), then per-TILE (n_open, position-weighted sum)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_MORPH_DONE"
+    stamp = "morph v%d t%d" % (MORPH_VERSION, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+
+    def shrink3(a, pad, op):
+        p = np.pad(a, 1, constant_values=pad)
+        o = a.copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                o = op(o, p[1 + dr:1 + dr + a.shape[0],
+                            1 + dc:1 + dc + a.shape[1]])
+        return o
+
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "row_off": [], "col_off": [],
+            "n_open": [], "open_wsum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[0]
+        fg = ((z != NODATA) & (z > threshold)).astype(np.int64)
+        er = shrink3(fg, 1, np.minimum)
+        op_ = shrink3(er, 0, np.maximum)
+        H, W = op_.shape
+        for ro in range(0, H, TILE):
+            for co in range(0, W, TILE):
+                sub = op_[ro:ro + TILE, co:co + TILE]
+                ii, jj = np.nonzero(sub)
+                wsum = ((ii + ro) * np.int64(100003) + jj + co).sum()
+                rows["image_id"].append(img)
+                rows["row_off"].append(ro)
+                rows["col_off"].append(co)
+                rows["n_open"].append(int(len(ii)))
+                rows["open_wsum"].append(int(wsum))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "row_off": pa.array(rows["row_off"], pa.int64()),
+        "col_off": pa.array(rows["col_off"], pa.int64()),
+        "n_open": pa.array(rows["n_open"], pa.int64()),
+        "open_wsum": pa.array(rows["open_wsum"], pa.int64())})
+    pq.write_table(t, str(out / "morph_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -114,3 +114,107 @@ def distance_to_nodata_tiles(tiles, radius=4):
     return exploded.groupby(["image_id", "key_row", "key_col"]) \
         .map_groups(make_distance_assemble(radius),
                     batch_format="pandas")
+
+
+def binarize_band0(tiles, threshold=2500):
+    """Band-0 classification to a binary (bands=1) tile set: fg = 1
+    where value > threshold (NODATA → 0). Output tiles carry int16
+    0/1 payloads and feed the focal/halo machinery unchanged."""
+
+    def cls(batch: pa.Table) -> pa.Table:
+        from .decode import binary_views
+        values, offsets = binary_views(batch["pixels"], np.int16)
+        hs = batch["h"].to_numpy()
+        ws = batch["w"].to_numpy()
+        bd = batch["bands"].to_numpy()
+        out = []
+        for i in range(batch.num_rows):
+            arr = values[offsets[i]:offsets[i + 1]].reshape(
+                (int(bd[i]), int(hs[i]), int(ws[i])))
+            z = arr[0]
+            fg = ((z != NODATA) & (z > threshold)).astype(np.int16)
+            out.append(fg[None, :, :].tobytes())
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "image_id": batch["image_id"],
+            "cell": batch["cell"],
+            "row_off": batch["row_off"],
+            "col_off": batch["col_off"],
+            "h": batch["h"], "w": batch["w"],
+            "bands": pa.array([1] * batch.num_rows, pa.int32()),
+            "pixels": pa.array(out, pa.binary())})
+
+    return tiles.select_columns(
+        ["tile_id", "image_id", "cell", "row_off", "col_off", "h",
+         "w", "bands", "pixels"]).map_batches(
+        cls, batch_format="pyarrow")
+
+
+def _focal_to_pixels(focal_ds):
+    """Adapter for CHAINED halo rounds: a focal-stage output (int64
+    ``focal`` payload) back into an int16 ``pixels`` tile set. Loudly
+    refuses values outside int16 (binary/morphology payloads are
+    0/1)."""
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        px = []
+        for _, r in df.iterrows():
+            arr = np.frombuffer(r["focal"], dtype=np.int64)
+            assert (np.abs(arr) < 32768).all(), \
+                "focal payload exceeds int16 range"
+            px.append(arr.astype(np.int16).tobytes())
+        out = df[["tile_id", "image_id", "cell", "row_off", "col_off",
+                  "h", "w", "bands"]].copy()
+        out["pixels"] = px
+        return out
+
+    return focal_ds.map_batches(conv, batch_format="pandas")
+
+
+def morph_open_tiles(tiles, threshold=2500, summarize=True):
+    """Binary morphological OPENING (3×3 erosion then 3×3 dilation) of
+    the band-0 classification — the mask-cleanup operator (the
+    reference's clean_mask, kernels/masks.py:35, runs scipy 3×3 passes
+    on whole in-RAM rasters; this is the tiled form). The first
+    CHAINED-halo pipeline in the engine: two groupby exchanges, the
+    second consuming the first's output through the _focal_to_pixels
+    adapter — erosion must see its 8 neighbors' ERODED values, which
+    no single halo round can provide.
+
+    Semantics: windows shrink at IMAGE borders (outside pixels are
+    neither fg nor bg — erosion at a border considers only existing
+    neighbors), matching the full-image sidecar replay
+    (synth.generate_morph_expected). Exact 0/1 integers throughout.
+
+    Returns per tile (image_id, row_off, col_off, n_open, open_wsum)
+    where open_wsum = Σ opened · ((row_off+i)·100003 + col_off+j) pins
+    every opened pixel's position."""
+    from .focal import focal_stat_tiles
+
+    binary = binarize_band0(tiles, threshold=threshold)
+    eroded = focal_stat_tiles(binary, stat="min", radius=1)
+    opened = focal_stat_tiles(_focal_to_pixels(eroded), stat="max",
+                              radius=1)
+    if not summarize:
+        return opened
+
+    def summary(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"image_id": [], "row_off": [], "col_off": [],
+                "n_open": [], "open_wsum": []}
+        for _, r in df.iterrows():
+            H, W = int(r["h"]), int(r["w"])
+            arr = np.frombuffer(r["focal"], dtype=np.int64).reshape(
+                (H, W))
+            ii, jj = np.nonzero(arr)
+            wsum = ((ii + int(r["row_off"])) * np.int64(100003)
+                    + jj + int(r["col_off"])).sum()
+            rows["image_id"].append(r["image_id"])
+            rows["row_off"].append(int(r["row_off"]))
+            rows["col_off"].append(int(r["col_off"]))
+            rows["n_open"].append(int(len(ii)))
+            rows["open_wsum"].append(int(wsum))
+        return pd.DataFrame(rows).astype(
+            {"row_off": "int64", "col_off": "int64", "n_open": "int64",
+             "open_wsum": "int64"})
+
+    return opened.map_batches(summary, batch_format="pandas")
