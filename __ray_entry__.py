@@ -4557,6 +4557,18 @@ def q_morph_open(sf_dir):
     return morphology.morph_open_tiles(tiles, threshold=2500)
 
 
+def q_image_hulls(sf_dir):
+    """Distributed convex hull per image (stages/hull.py:image_hulls):
+    each tile reduces to its own strict integer hull (hull-of-hulls
+    combiner — O(hull) rows leave a tile, never pixels), ONE
+    groupby(image_id) re-runs the exact monotone chain. Oracle:
+    INDEPENDENT gift-wrapping replay sidecar over the full-image
+    decode."""
+    from unmixing_ray.stages import hull
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return hull.image_hulls(tiles, threshold=2000)
+
+
 def q_bigram_lm(sf_dir):
     """Bigram LM quality score (stages/text.py:bigram_lm_score): the
     perplexity-filter shape with exact fixed-point conditional ratios
@@ -4728,6 +4740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_otsu_expected(sf)
                 _synth.generate_hough_expected(sf)
                 _synth.generate_morph_expected(sf)
+                _synth.generate_hull_expected(sf)
             except Exception:
                 pass
     return {
@@ -4776,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otsu_binarize": q_otsu_binarize,
         "hough_lines": q_hough_lines,
         "morph_open": q_morph_open,
+        "image_hulls": q_image_hulls,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5130,6 +5144,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_otsu_expected(sf)
                 _synth.generate_hough_expected(sf)
                 _synth.generate_morph_expected(sf)
+                _synth.generate_hull_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5187,6 +5202,9 @@ def oracle_sql() -> dict[str, str]:
         "morph_open": f"""
             SELECT image_id, row_off, col_off, n_open, open_wsum
             FROM read_parquet('{C}/morph_expected.parquet')""",
+        "image_hulls": f"""
+            SELECT image_id, n_hull, area2, hull_wsum
+            FROM read_parquet('{C}/hull_expected.parquet')""",
         "composite_percentile": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole

@@ -341,6 +341,8 @@ def registry(ray_session):
     "hough_lines",
     # chained-halo binary morphological opening (erode then dilate)
     "morph_open",
+    # hull-of-hulls distributed convex hull (gift-wrap oracle)
+    "image_hulls",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -224,3 +224,40 @@ def test_morph_open_tile_boundary(ray_session):
         assert r["n_open"] == len(ii), (ro, co)
         assert r["open_wsum"] == int(
             ((ii + ro) * np.int64(100003) + jj + co).sum()), (ro, co)
+
+
+def test_hull_monotone_equals_gift_wrap_property():
+    """The engine hull (monotone chain) and the oracle hull (gift
+    wrapping) must produce the same minimal vertex SET on random,
+    collinear, and grid point sets."""
+    from unmixing_ray.stages.hull import hull_monotone, hull_gift_wrap
+    rng = np.random.default_rng(7)
+    for trial in range(400):
+        kind = trial % 4
+        if kind == 0:
+            pts = rng.integers(0, 12, size=(int(rng.integers(1, 30)), 2))
+        elif kind == 1:
+            t = rng.integers(0, 10, size=int(rng.integers(1, 10)))
+            pts = np.stack([t, 2 * t + 1], axis=1)
+        elif kind == 2:
+            pts = np.array([(x, y) for x in range(4) for y in range(4)])
+        else:
+            pts = rng.integers(-5, 5, size=(int(rng.integers(1, 50)), 2))
+        a = set(map(tuple, hull_monotone(pts)))
+        b = set(map(tuple, hull_gift_wrap(pts)))
+        assert a == b, (trial, pts)
+
+
+def test_hull_of_hulls_combiner_is_lossless():
+    """hull(tile hulls' union) == hull(all points): splitting a point
+    set into arbitrary subsets and hulling each first never loses a
+    global hull vertex."""
+    from unmixing_ray.stages.hull import hull_monotone
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        pts = rng.integers(0, 40, size=(200, 2))
+        whole = set(map(tuple, hull_monotone(pts)))
+        parts = np.array_split(pts, 7)
+        cand = np.vstack([hull_monotone(p) for p in parts if len(p)])
+        again = set(map(tuple, hull_monotone(cand)))
+        assert whole == again

@@ -3639,3 +3639,49 @@ def generate_morph_expected(sf_dir, threshold=2500):
     pq.write_table(t, str(out / "morph_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+HULL_VERSION = 1
+
+
+def generate_hull_expected(sf_dir, band=0, threshold=2000):
+    """Write ``hull_expected.parquet``: per-image strict convex hull
+    summaries for stages/hull.py:image_hulls, recomputed full-image
+    with the INDEPENDENT gift-wrapping algorithm (hull_gift_wrap) over
+    the same mask (band > threshold, NODATA excluded)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..stages.hull import hull_gift_wrap, _area2
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_HULL_DONE"
+    stamp = "hull v%d b%d t%d" % (HULL_VERSION, band, threshold)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "n_hull": [], "area2": [], "hull_wsum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[band]
+        ii, jj = np.nonzero((z != NODATA) & (z > threshold))
+        if not len(ii):
+            continue
+        h = hull_gift_wrap(np.stack([jj, ii], axis=1))
+        rows["image_id"].append(img)
+        rows["n_hull"].append(int(len(h)))
+        rows["area2"].append(abs(_area2(h)))
+        rows["hull_wsum"].append(int(
+            (h[:, 0] * np.int64(100003) + h[:, 1]).sum()))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "n_hull": pa.array(rows["n_hull"], pa.int64()),
+        "area2": pa.array(rows["area2"], pa.int64()),
+        "hull_wsum": pa.array(rows["hull_wsum"], pa.int64())})
+    pq.write_table(t, str(out / "hull_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)
