@@ -955,6 +955,20 @@ def q_image_dedup_phash(sf_dir):
     return exact_dedup_images(ds)
 
 
+def q_caption_consistency(sf_dir):
+    """Caption-consistency audit over exact-duplicate image clusters
+    (stages/dedup.py:caption_consistency): per phash cluster the image
+    count, distinct-caption count, canonical keeper and a consistency
+    flag — combiner before the ONE groupby(phash). Oracle: direct SQL
+    over the corpus images table."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.dedup import caption_consistency
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus,
+                            columns=["image_id", "phash", "caption"])
+    return caption_consistency(ds)
+
+
 def q_decode_invariants(sf_dir):
     """Per-row decode invariant (rows-only check): lossless exact or
     PSNR >= 40 dB, plus caption passthrough."""
@@ -4790,6 +4804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hough_lines": q_hough_lines,
         "morph_open": q_morph_open,
         "image_hulls": q_image_hulls,
+        "caption_consistency": q_caption_consistency,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5205,6 +5220,16 @@ def oracle_sql() -> dict[str, str]:
         "image_hulls": f"""
             SELECT image_id, n_hull, area2, hull_wsum
             FROM read_parquet('{C}/hull_expected.parquet')""",
+        "caption_consistency": f"""
+            SELECT phash,
+                   CAST(count(*) AS BIGINT) AS n_imgs,
+                   CAST(count(DISTINCT caption) AS BIGINT)
+                     AS n_captions,
+                   min(image_id) AS keep_image_id,
+                   CAST(CASE WHEN count(DISTINCT caption) = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS consistent
+            FROM read_parquet('{C}/images/*.parquet')
+            GROUP BY phash HAVING count(*) >= 2""",
         "composite_percentile": f"""
             SELECT cell_ix, cell_iy, row_off, col_off, n_dates,
                    q_sum, n_hole

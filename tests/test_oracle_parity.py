@@ -343,6 +343,8 @@ def registry(ray_session):
     "morph_open",
     # hull-of-hulls distributed convex hull (gift-wrap oracle)
     "image_hulls",
+    # caption-consistency audit over exact-duplicate clusters
+    "caption_consistency",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

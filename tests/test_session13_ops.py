@@ -261,3 +261,15 @@ def test_hull_of_hulls_combiner_is_lossless():
         cand = np.vstack([hull_monotone(p) for p in parts if len(p)])
         again = set(map(tuple, hull_monotone(cand)))
         assert whole == again
+
+
+def test_caption_consistency_flags_diverging_captions(ray_session):
+    """The %97 duplicate plant copies PIXELS but draws a fresh caption,
+    so every planted cluster must be flagged inconsistent."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["caption_consistency"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out) >= 10
+    assert (out["n_imgs"] >= 2).all()
+    assert (out["consistent"] == 0).any()
+    assert (out["n_captions"] > 1).equals(out["consistent"] == 0)

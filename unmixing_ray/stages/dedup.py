@@ -958,3 +958,55 @@ def keep_best_per_cluster(docs, pairs, max_rounds=16):
     out = scored.groupby("canon_id").map_groups(
         pick, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def caption_consistency(images):
+    """Multimodal consistency audit over exact-duplicate image clusters
+    (the north rule's "caption equality preserved end-to-end" as a
+    first-class check): for every phash cluster with more than one
+    image, report the image count, the number of DISTINCT
+    captions, the canonical keeper (min image_id), plus a consistency
+    flag. Exact duplicates with diverging captions are the
+    classic LAION-style label-noise signal a dedup keep-one pass would
+    silently launder.
+
+    Shape: per-batch combiner reduces each batch to per-phash
+    (min image_id, caption set partials) — captions within a cluster
+    are few by construction, but a hot phash is still bounded by the
+    per-batch dedup before the ONE groupby(phash) exchange. Returns
+    (phash, n_imgs, n_captions, keep_image_id, consistent)."""
+    import pandas as pd_
+
+    def partial(df: pd_.DataFrame) -> pd_.DataFrame:
+        g = df.groupby("phash", as_index=False).agg(
+            n_imgs=("image_id", "size"),
+            keep_image_id=("image_id", "min"))
+        caps = df.drop_duplicates(["phash", "caption"])[
+            ["phash", "caption"]]
+        return g.merge(
+            caps.groupby("phash", as_index=False)
+            .agg(captions=("caption", lambda s: sorted(s))),
+            on="phash")
+
+    def merge(g: pd_.DataFrame) -> pd_.DataFrame:
+        caps = sorted({c for lst in g["captions"] for c in lst})
+        keep = g["keep_image_id"].min()
+        n = int(g["n_imgs"].sum())
+        if n < 2:
+            return pd_.DataFrame({
+                "phash": pd_.Series([], dtype="int64"),
+                "n_imgs": pd_.Series([], dtype="int64"),
+                "n_captions": pd_.Series([], dtype="int64"),
+                "keep_image_id": pd_.Series([], dtype=object),
+                "consistent": pd_.Series([], dtype="int64")})
+        return pd_.DataFrame({
+            "phash": [int(g["phash"].iloc[0])],
+            "n_imgs": [n],
+            "n_captions": [len(caps)],
+            "keep_image_id": [keep],
+            "consistent": [int(len(caps) == 1)]}).astype(
+            {"phash": "int64", "n_imgs": "int64",
+             "n_captions": "int64", "consistent": "int64"})
+
+    return images.map_batches(partial, batch_format="pandas") \
+        .groupby("phash").map_groups(merge, batch_format="pandas")
