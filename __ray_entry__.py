@@ -969,6 +969,30 @@ def q_caption_consistency(sf_dir):
     return caption_consistency(ds)
 
 
+def q_spatial_split(sf_dir):
+    """Spatially-blocked train/val/test split
+    (stages/rollup.py:spatial_block_split): folds assigned per coarse
+    cell BLOCK so autocorrelated neighbor tiles never straddle splits;
+    md5-threshold discipline of split_assign, stateless one pass over
+    the decode-derived tile cells. Oracle: the same block arithmetic +
+    CASE over the closed-form tile-lattice sidecar."""
+    from unmixing_ray import cellindex
+    from unmixing_ray.stages import rollup
+
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ix, iy, _lv = cellindex.cell_to_ixiy(
+            batch["cell"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "cell_ix": pa.array(ix, pa.int64()),
+            "cell_iy": pa.array(iy, pa.int64())})
+
+    cells = tiles.map_batches(project, batch_format="pyarrow")
+    return rollup.spatial_block_split(cells)
+
+
 def q_decode_invariants(sf_dir):
     """Per-row decode invariant (rows-only check): lossless exact or
     PSNR >= 40 dB, plus caption passthrough."""
@@ -4805,6 +4829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morph_open": q_morph_open,
         "image_hulls": q_image_hulls,
         "caption_consistency": q_caption_consistency,
+        "spatial_split": q_spatial_split,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5220,6 +5245,10 @@ def oracle_sql() -> dict[str, str]:
         "image_hulls": f"""
             SELECT image_id, n_hull, area2, hull_wsum
             FROM read_parquet('{C}/hull_expected.parquet')""",
+        "spatial_split": __import__(
+            "unmixing_ray.stages.rollup",
+            fromlist=["x"]).spatial_block_split_sql(
+            f"{C}/tiles_expected.parquet"),
         "caption_consistency": f"""
             SELECT phash,
                    CAST(count(*) AS BIGINT) AS n_imgs,

@@ -345,6 +345,8 @@ def registry(ray_session):
     "image_hulls",
     # caption-consistency audit over exact-duplicate clusters
     "caption_consistency",
+    # spatially-blocked leakage-safe train/val/test split
+    "spatial_split",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

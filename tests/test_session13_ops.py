@@ -273,3 +273,14 @@ def test_caption_consistency_flags_diverging_captions(ray_session):
     assert (out["n_imgs"] >= 2).all()
     assert (out["consistent"] == 0).any()
     assert (out["n_captions"] > 1).equals(out["consistent"] == 0)
+
+
+def test_spatial_split_is_block_coherent(ray_session):
+    """Leakage safety: every tile of a block shares one fold, and the
+    corpus produces at least two folds (non-vacuous rates)."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["spatial_split"](
+        "/root/testdata/sf0.01").to_pandas()
+    per_block = out.groupby(["bx", "by"])["split"].nunique()
+    assert (per_block == 1).all()
+    assert out["split"].nunique() >= 2

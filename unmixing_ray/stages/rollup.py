@@ -221,3 +221,56 @@ def morans_ingredients(cells):
         "w_pairs": pair_row["w_pairs"].astype("int64"),
         "sum_deg_v": pair_row["sum_deg_v"].astype("int64"),
         "sum_cross": pair_row["sum_cross"].astype("int64")})
+
+
+def spatial_block_split(tile_cells, block_shift=2, val_rate=0.20,
+                        test_rate=0.20, seed=0):
+    """Spatially-BLOCKED train/val/test split — the leakage-safe form
+    of relational.split_assign for geospatial learning: neighboring
+    tiles are strongly autocorrelated, so an id-hash split leaks
+    train information into val/test through spatial proximity. Here
+    the fold is a pure function of the tile's COARSE CELL BLOCK
+    (cell_ix//2^shift, cell_iy//2^shift): every tile in a block lands
+    in the same fold, and block edges are the only contamination
+    surface (grows as block perimeter, not area).
+
+    Stateless one-pass map (md5 of the block key against fixed
+    thresholds, split_assign's discipline — reproducible across runs,
+    partitionings, engines and corpus growth). Returns (tile_id, bx,
+    by, split)."""
+    import hashlib
+
+    t_val = "%08x" % int(val_rate * (1 << 32))
+    t_test = "%08x" % int((val_rate + test_rate) * (1 << 32))
+    d = 1 << block_shift
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        bx = df["cell_ix"].to_numpy(np.int64) // d
+        by = df["cell_iy"].to_numpy(np.int64) // d
+        h = np.array([hashlib.md5(("%d_%d:%d" % (x, y, seed))
+                                  .encode()).hexdigest()[:8]
+                      for x, y in zip(bx, by)])
+        split = np.where(h < t_val, "val",
+                         np.where(h < t_test, "test", "train"))
+        return pd.DataFrame({"tile_id": df["tile_id"].to_numpy(),
+                             "bx": bx, "by": by, "split": split})
+
+    return tile_cells.map_batches(fn, batch_format="pandas")
+
+
+def spatial_block_split_sql(tiles_parquet, block_shift=2,
+                            val_rate=0.20, test_rate=0.20, seed=0):
+    t_val = "%08x" % int(val_rate * (1 << 32))
+    t_test = "%08x" % int((val_rate + test_rate) * (1 << 32))
+    d = 1 << block_shift
+    h = ("substr(md5(CAST(cell_ix // %d AS VARCHAR) || '_' || "
+         "CAST(cell_iy // %d AS VARCHAR) || ':%d'), 1, 8)"
+         % (d, d, seed))
+    return f"""
+        SELECT tile_id,
+               CAST(cell_ix // {d} AS BIGINT) AS bx,
+               CAST(cell_iy // {d} AS BIGINT) AS by,
+               CASE WHEN {h} < '{t_val}' THEN 'val'
+                    WHEN {h} < '{t_test}' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM read_parquet('{tiles_parquet}')"""
