@@ -3875,6 +3875,25 @@ def q_pq_codes(sf_dir):
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def q_json_props(sf_dir):
+    """Semi-structured JSON property extraction + exact rollup
+    (stages/events.py:json_prop_stats): stdlib parse per batch,
+    per-(type, bucket) count/sum/min/max partials through ONE groupby.
+    Oracle: DuckDB json_extract replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.json_prop_stats(_read(sf_dir, "events"))
+
+
+def q_attribution(sf_dir):
+    """Multi-touch attribution (stages/events.py:attribution): each
+    purchase splits exact fixed-point credit lcm(1..16)//n across the
+    user's trailing-24h clicks — one groupby(user_id), searchsorted
+    sweep, credits aggregated without materializing pair rows. Oracle:
+    correlated-count SQL replay."""
+    from unmixing_ray.stages import events as estage
+    return estage.attribution(_read(sf_dir, "events"))
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4830,6 +4849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_hulls": q_image_hulls,
         "caption_consistency": q_caption_consistency,
         "spatial_split": q_spatial_split,
+        "json_props": q_json_props,
+        "attribution": q_attribution,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5401,6 +5422,8 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": events.decay_score_sql(max_age_days=20),
         "scd2_intervals": events.scd2_intervals_sql(),
         "seasonality": events.seasonality_score_sql(),
+        "json_props": events.json_prop_stats_sql(),
+        "attribution": events.attribution_sql(),
         "pq_codes": ann.pq_assign_sql(),
         "daily_locf": events.daily_locf_sql(scale=100),
         "events_window_join": events.window_join_sql(

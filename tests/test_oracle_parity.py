@@ -347,6 +347,10 @@ def registry(ray_session):
     "caption_consistency",
     # spatially-blocked leakage-safe train/val/test split
     "spatial_split",
+    # JSON property extraction + exact per-bucket rollup
+    "json_props",
+    # multi-touch attribution with exact fixed-point credit
+    "attribution",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

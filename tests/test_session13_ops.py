@@ -284,3 +284,31 @@ def test_spatial_split_is_block_coherent(ray_session):
     per_block = out.groupby(["bx", "by"])["split"].nunique()
     assert (per_block == 1).all()
     assert out["split"].nunique() >= 2
+
+
+def test_attribution_hand_case(ray_session):
+    """user 1: purchase at t=100s with clicks at 50s and 99s (2
+    touches -> credit floor(S/2)*2 = S); purchase at t=300000s with no
+    trailing-24h click -> unattributed. S = 720720."""
+    S = 720_720
+    rows = [
+        (1, 1, 50 * US, "click"), (2, 1, 99 * US, "click"),
+        (3, 1, 100 * US, "purchase"),
+        (4, 1, 300_000 * US, "purchase"),
+        (5, 2, 10 * US, "click"),
+    ]
+    out = ev.attribution(_events(rows)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert list(out["day"]) == [0, 3]
+    assert list(out["n_probes"]) == [1, 1]
+    assert list(out["n_unattributed"]) == [0, 1]
+    assert list(out["credit_sum"]) == [S, 0]
+
+
+def test_attribution_credit_is_exact_thirds(ray_session):
+    """3 touches -> floor(S/3)*3 == S exactly (S = lcm(1..16))."""
+    S = 720_720
+    rows = [(i, 1, i * US, "click") for i in range(3)]
+    rows.append((9, 1, 10 * US, "purchase"))
+    out = ev.attribution(_events(rows)).to_pandas()
+    assert out["credit_sum"].iloc[0] == S

@@ -1729,3 +1729,163 @@ def seasonality_score_sql():
                CAST(sum(w.wsn) AS BIGINT) AS s_sin
         FROM e JOIN w ON w.p = e.p
         GROUP BY event_type"""
+
+
+def json_prop_stats(events, bucket=10):
+    """Semi-structured property extraction + rollup: parse the JSON
+    ``props`` payload (the event log's schemaless tail every real
+    pipeline drags along), extract the numeric ``k`` property, and
+    aggregate exact (n, k_sum, k_min, k_max) per (event_type,
+    k // bucket). Parsing is per-batch stdlib json over the string
+    column (no shuffle cost — the exchange carries only the combined
+    per-bucket partials through ONE groupby). Rows whose props lack a
+    numeric ``k`` are counted per type in a parallel ``n_bad`` bucket
+    (-1) rather than dropped silently.
+
+    Oracle: DuckDB json_extract replay."""
+    import json as _json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.empty(len(df), dtype=np.int64)
+        ok = np.zeros(len(df), dtype=bool)
+        for i, s in enumerate(df["props"]):
+            try:
+                v = _json.loads(s).get("k")
+                if isinstance(v, int):
+                    ks[i] = v
+                    ok[i] = True
+            except (ValueError, TypeError, AttributeError):
+                pass
+        b = np.where(ok, ks // bucket, -1)
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "kb": b,
+            "n": np.ones(len(df), dtype=np.int64),
+            "k_sum": np.where(ok, ks, 0),
+            "k_min": np.where(ok, ks, np.iinfo(np.int64).max),
+            "k_max": np.where(ok, ks, np.iinfo(np.int64).min)})
+        return g.groupby(["event_type", "kb"], as_index=False).agg(
+            n=("n", "sum"), k_sum=("k_sum", "sum"),
+            k_min=("k_min", "min"), k_max=("k_max", "max"))
+
+    out = events.select_columns(["event_type", "props"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "kb"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"))
+    return out.map_batches(
+        lambda df: df.astype({"kb": "int64", "n": "int64",
+                              "k_sum": "int64", "k_min": "int64",
+                              "k_max": "int64"}),
+        batch_format="pandas")
+
+
+def json_prop_stats_sql(bucket=10):
+    return f"""
+        WITH e AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type,
+               CAST(CASE WHEN k IS NULL THEN -1
+                    ELSE k // {bucket} END AS BIGINT) AS kb,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
+               CAST(coalesce(min(k), 9223372036854775807) AS BIGINT)
+                 AS k_min,
+               CAST(coalesce(max(k), -9223372036854775808) AS BIGINT)
+                 AS k_max
+        FROM e GROUP BY 1, 2"""
+
+
+def attribution(events, probe_type="purchase", touch_type="click",
+                window_s=86_400, scale=720_720):
+    """Multi-touch attribution: every ``probe_type`` event splits one
+    unit of credit EVENLY across the same user's ``touch_type`` events
+    in the trailing window. Credit is exact fixed point —
+    floor(scale / n_touches) per touch (the default scale 720720 =
+    lcm(1..16) divides evenly for every realistic touch count) — so
+    the distributed sum is int64-exact and SQL-replayable. Probes with
+    zero touches are reported in the 'unattributed' row.
+
+    Shape: ONE groupby(user_id) co-locates each user's events; per
+    user both streams sort once and a searchsorted range sweep counts
+    the touches per probe and the credit per touch — the window_join
+    machinery specialized to aggregated credits (never materializing
+    the pair rows). Returns per day-of-probe (day, n_probes,
+    n_unattributed, credit_sum)."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+    w_us = int(window_s) * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.argsort(ts, kind="mergesort")
+        ts, et = ts[order], et[order]
+        pt = ts[et == probe_type]
+        tt = ts[et == touch_type]
+        if not len(pt):
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="int64"),
+                "n_probes": pd.Series([], dtype="int64"),
+                "n_unattributed": pd.Series([], dtype="int64"),
+                "credit_sum": pd.Series([], dtype="int64")})
+        lo = np.searchsorted(tt, pt - w_us, side="left")
+        hi = np.searchsorted(tt, pt, side="right")
+        n_touch = hi - lo
+        credit = np.where(n_touch > 0,
+                          (scale // np.maximum(n_touch, 1)) * n_touch,
+                          0)
+        day = pt // day_us
+        out = pd.DataFrame({
+            "day": day,
+            "n_probes": np.ones(len(pt), dtype=np.int64),
+            "n_unattributed": (n_touch == 0).astype(np.int64),
+            "credit_sum": credit.astype(np.int64)})
+        return out.groupby("day", as_index=False).sum()
+
+    out = events.select_columns(["user_id", "ts", "event_type"]) \
+        .groupby("user_id").map_groups(per_user,
+                                       batch_format="pandas") \
+        .groupby("day").aggregate(
+            Sum("n_probes", alias_name="n_probes"),
+            Sum("n_unattributed", alias_name="n_unattributed"),
+            Sum("credit_sum", alias_name="credit_sum"))
+    return out.map_batches(
+        lambda df: df.astype({"day": "int64", "n_probes": "int64",
+                              "n_unattributed": "int64",
+                              "credit_sum": "int64"}),
+        batch_format="pandas")
+
+
+def attribution_sql(probe_type="purchase", touch_type="click",
+                    window_s=86_400, scale=720_720):
+    w_us = int(window_s) * 1_000_000
+    return f"""
+        WITH p AS (
+          SELECT user_id, epoch_us(ts) AS pts
+          FROM events WHERE event_type = '{probe_type}'),
+        t AS (
+          SELECT user_id, epoch_us(ts) AS tts
+          FROM events WHERE event_type = '{touch_type}'),
+        n AS (
+          SELECT p.user_id, p.pts,
+                 (SELECT count(*) FROM t
+                  WHERE t.user_id = p.user_id
+                    AND t.tts >= p.pts - {w_us}
+                    AND t.tts <= p.pts) AS n_touch
+          FROM p)
+        SELECT CAST(pts // 86400000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN n_touch = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unattributed,
+               CAST(sum(CASE WHEN n_touch > 0
+                        THEN ({scale} // n_touch) * n_touch
+                        ELSE 0 END) AS BIGINT) AS credit_sum
+        FROM n GROUP BY day"""
