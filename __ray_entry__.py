@@ -955,6 +955,16 @@ def q_image_dedup_phash(sf_dir):
     return exact_dedup_images(ds)
 
 
+def q_hull_simplify(sf_dir):
+    """Exact Douglas–Peucker simplification of each image's hull ring
+    (stages/hull.py:simplified_hulls): canonical chain split + integer
+    cross²>eps²·|b−a|² test, iterative stack. Oracle: independent
+    gift-wrap + RECURSIVE DP replay sidecar."""
+    from unmixing_ray.stages import hull
+    _corpus_dir, tiles = _tiles_ds(sf_dir)
+    return hull.simplified_hulls(tiles, threshold=2000, eps=2)
+
+
 def q_caption_consistency(sf_dir):
     """Caption-consistency audit over exact-duplicate image clusters
     (stages/dedup.py:caption_consistency): per phash cluster the image
@@ -4798,6 +4808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_hough_expected(sf)
                 _synth.generate_morph_expected(sf)
                 _synth.generate_hull_expected(sf)
+                _synth.generate_simplify_expected(sf)
             except Exception:
                 pass
     return {
@@ -4851,6 +4862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_split": q_spatial_split,
         "json_props": q_json_props,
         "attribution": q_attribution,
+        "hull_simplify": q_hull_simplify,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5206,6 +5218,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_hough_expected(sf)
                 _synth.generate_morph_expected(sf)
                 _synth.generate_hull_expected(sf)
+                _synth.generate_simplify_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5266,6 +5279,9 @@ def oracle_sql() -> dict[str, str]:
         "image_hulls": f"""
             SELECT image_id, n_hull, area2, hull_wsum
             FROM read_parquet('{C}/hull_expected.parquet')""",
+        "hull_simplify": f"""
+            SELECT image_id, n_hull, n_simplified, simp_wsum
+            FROM read_parquet('{C}/simplify_expected.parquet')""",
         "spatial_split": __import__(
             "unmixing_ray.stages.rollup",
             fromlist=["x"]).spatial_block_split_sql(

@@ -351,6 +351,8 @@ def registry(ray_session):
     "json_props",
     # multi-touch attribution with exact fixed-point credit
     "attribution",
+    # Douglas–Peucker hull-ring simplification (recursive-DP oracle)
+    "hull_simplify",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

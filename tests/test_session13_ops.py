@@ -312,3 +312,43 @@ def test_attribution_credit_is_exact_thirds(ray_session):
     rows.append((9, 1, 10 * US, "purchase"))
     out = ev.attribution(_events(rows)).to_pandas()
     assert out["credit_sum"].iloc[0] == S
+
+
+def test_dp_simplify_iterative_equals_recursive():
+    """Engine stack DP vs an independent recursion on random convex
+    chains (and the kept set must always include the endpoints)."""
+    from unmixing_ray.stages.hull import (chains_of, dp_simplify_chain,
+                                          hull_monotone)
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    def dp_rec(chain, e2):
+        if len(chain) <= 2:
+            return [tuple(p) for p in chain]
+        a, b = tuple(chain[0]), tuple(chain[-1])
+        seg2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+        bi, bc2 = -1, -1
+        for i in range(1, len(chain) - 1):
+            c = cross(a, b, tuple(chain[i]))
+            if c * c > bc2:
+                bi, bc2 = i, c * c
+        if bc2 > e2 * seg2:
+            return dp_rec(chain[:bi + 1], e2) + dp_rec(chain[bi:], e2)[1:]
+        return [a, b]
+
+    rng = np.random.default_rng(3)
+    shrunk = 0
+    for _ in range(200):
+        pts = rng.integers(0, 64, size=(int(rng.integers(3, 120)), 2))
+        h = hull_monotone(pts)
+        for chain in chains_of(h):
+            for eps in (1, 2, 4):
+                it = set(map(tuple, dp_simplify_chain(chain, eps)))
+                rc = set(dp_rec(chain, eps * eps))
+                assert it == rc
+                assert tuple(chain[0]) in it and tuple(chain[-1]) in it
+                if len(it) < len(chain):
+                    shrunk += 1
+    assert shrunk > 50   # the op is non-vacuous on these inputs

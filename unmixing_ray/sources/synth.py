@@ -3685,3 +3685,84 @@ def generate_hull_expected(sf_dir, band=0, threshold=2000):
     pq.write_table(t, str(out / "hull_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+SIMPLIFY_VERSION = 1
+
+
+def generate_simplify_expected(sf_dir, band=0, threshold=2000, eps=2):
+    """Write ``simplify_expected.parquet``: per-image Douglas–Peucker
+    hull simplification replayed independently — gift-wrap hull
+    (hull_gift_wrap), an inline chain split (side-of-chord sign, both
+    chains min→max) and a RECURSIVE DP with the exact integer test
+    cross² > eps²·|b−a|² (the engine uses an iterative stack)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+    from ..stages.hull import hull_gift_wrap
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_SIMPLIFY_DONE"
+    stamp = "simp v%d b%d t%d e%d" % (SIMPLIFY_VERSION, band,
+                                      threshold, eps)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    def dp(chain, e2):
+        if len(chain) <= 2:
+            return list(chain)
+        a, b = chain[0], chain[-1]
+        seg2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+        best_i, best_c2 = -1, -1
+        for i in range(1, len(chain) - 1):
+            c = cross(a, b, chain[i])
+            if c * c > best_c2:
+                best_i, best_c2 = i, c * c
+        if best_c2 > e2 * seg2:
+            return dp(chain[:best_i + 1], e2) + \
+                dp(chain[best_i:], e2)[1:]
+        return [a, b]
+
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "n_hull": [], "n_simplified": [],
+            "simp_wsum": []}
+    for i in range(tbl.num_rows):
+        img = tbl["image_id"][i].as_py()
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[band]
+        ii, jj = np.nonzero((z != NODATA) & (z > threshold))
+        if not len(ii):
+            continue
+        h = hull_gift_wrap(np.stack([jj, ii], axis=1))
+        P = sorted(map(tuple, h.tolist()))
+        kept = set()
+        if len(P) <= 2:
+            kept.update(P)
+        else:
+            vmin, vmax = P[0], P[-1]
+            above = [p for p in P[1:-1] if cross(vmin, vmax, p) > 0]
+            below = [p for p in P[1:-1] if cross(vmin, vmax, p) <= 0]
+            for chain in ([vmin] + above + [vmax],
+                          [vmin] + below + [vmax]):
+                kept.update(map(tuple, dp(chain, eps * eps)))
+        ks = sorted(kept)
+        rows["image_id"].append(img)
+        rows["n_hull"].append(int(len(h)))
+        rows["n_simplified"].append(len(ks))
+        rows["simp_wsum"].append(int(sum(
+            x * 100003 + y for x, y in ks)))
+    t = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "n_hull": pa.array(rows["n_hull"], pa.int64()),
+        "n_simplified": pa.array(rows["n_simplified"], pa.int64()),
+        "simp_wsum": pa.array(rows["simp_wsum"], pa.int64())})
+    pq.write_table(t, str(out / "simplify_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

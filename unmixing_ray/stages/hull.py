@@ -74,10 +74,9 @@ def _area2(hull):
     return int((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
 
 
-def image_hulls(tiles, band=0, threshold=2000):
-    """Per-image strict convex hull of the pixels with band value >
-    ``threshold`` (NODATA excluded); see module docstring. Returns
-    (image_id, n_hull, area2, hull_wsum)."""
+def _hull_candidates(tiles, band, threshold):
+    """Stage 1 shared by image_hulls / simplified_hulls: per-tile
+    strict hull vertices of the masked pixels (the combiner)."""
 
     def tile_hulls(batch: pa.Table) -> pa.Table:
         values, offsets = binary_views(batch["pixels"], np.int16)
@@ -106,9 +105,16 @@ def image_hulls(tiles, band=0, threshold=2000):
             "x": pa.array(out_x, pa.int64()),
             "y": pa.array(out_y, pa.int64())})
 
-    cand = tiles.select_columns(
+    return tiles.select_columns(
         ["image_id", "row_off", "col_off", "pixels", "bands", "h",
          "w"]).map_batches(tile_hulls, batch_format="pyarrow")
+
+
+def image_hulls(tiles, band=0, threshold=2000):
+    """Per-image strict convex hull of the pixels with band value >
+    ``threshold`` (NODATA excluded); see module docstring. Returns
+    (image_id, n_hull, area2, hull_wsum)."""
+    cand = _hull_candidates(tiles, band, threshold)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         pts = np.stack([g["x"].to_numpy(np.int64),
@@ -162,3 +168,90 @@ def hull_gift_wrap(pts):
         if len(hull) > n:
             raise RuntimeError("gift wrap failed to terminate")
     return np.array(hull, dtype=np.int64)
+
+
+def chains_of(hull_set):
+    """Split a convex hull vertex SET into its two x-monotone chains
+    between the lexicographic extremes — the canonical decomposition a
+    ring-order-agnostic Douglas–Peucker needs (both chains run
+    min → max, so the result is a pure function of the vertex set, not
+    of whichever algorithm's ring order produced it)."""
+    pts = np.unique(np.asarray(hull_set, dtype=np.int64), axis=0)
+    if len(pts) <= 2:
+        return [pts]
+    P = [tuple(p) for p in pts]
+    vmin, vmax = P[0], P[-1]
+    above, below = [], []
+    for p in P[1:-1]:
+        if _cross(vmin, vmax, p) > 0:
+            above.append(p)
+        else:
+            below.append(p)
+    return [np.array([vmin] + above + [vmax], dtype=np.int64),
+            np.array([vmin] + below + [vmax], dtype=np.int64)]
+
+
+def dp_simplify_chain(chain, eps):
+    """Douglas–Peucker over an ordered chain with EXACT integer
+    geometry: a split happens at the point maximizing the doubled
+    triangle area cross(a, b, p)² iff cross² > eps² · |b−a|² (the
+    perpendicular-distance test cleared of the division; strictly-
+    greater splits, argmax ties break to the smallest index).
+    Iterative stack — no recursion limits. Returns the kept vertex
+    array in chain order."""
+    chain = np.asarray(chain, dtype=np.int64)
+    n = len(chain)
+    if n <= 2:
+        return chain
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    e2 = int(eps) * int(eps)
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        pa_, pb = chain[a], chain[b]
+        seg2 = int((pb[0] - pa_[0]) ** 2 + (pb[1] - pa_[1]) ** 2)
+        best_i, best_c2 = -1, -1
+        for i in range(a + 1, b):
+            c = int(_cross(tuple(pa_), tuple(pb), tuple(chain[i])))
+            c2 = c * c
+            if c2 > best_c2:
+                best_i, best_c2 = i, c2
+        if best_c2 > e2 * seg2:
+            keep[best_i] = True
+            stack.append((a, best_i))
+            stack.append((best_i, b))
+    return chain[keep]
+
+
+def simplified_hulls(tiles, band=0, threshold=2000, eps=2):
+    """image_hulls composed with exact Douglas–Peucker simplification
+    of the hull ring (split into canonical chains, each chain
+    DP-simplified with integer comparisons). The vector
+    generalization-for-serving op (render/index fewer vertices).
+    Returns (image_id, n_hull, n_simplified, simp_wsum)."""
+
+    cand = _hull_candidates(tiles, band, threshold)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        pts = np.stack([g["x"].to_numpy(np.int64),
+                        g["y"].to_numpy(np.int64)], axis=1)
+        h = hull_monotone(pts)
+        kept = {}
+        for chain in chains_of(h):
+            for p in dp_simplify_chain(chain, eps):
+                kept[(int(p[0]), int(p[1]))] = True
+        ks = np.array(sorted(kept), dtype=np.int64)
+        wsum = int((ks[:, 0] * np.int64(100003) + ks[:, 1]).sum())
+        return pd.DataFrame({
+            "image_id": [g["image_id"].iloc[0]],
+            "n_hull": [len(h)],
+            "n_simplified": [len(ks)],
+            "simp_wsum": [wsum]}).astype(
+            {"n_hull": "int64", "n_simplified": "int64",
+             "simp_wsum": "int64"})
+
+    return cand.groupby("image_id").map_groups(final,
+                                               batch_format="pandas")
