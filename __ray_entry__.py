@@ -3904,6 +3904,15 @@ def q_attribution(sf_dir):
     return estage.attribution(_read(sf_dir, "events"))
 
 
+def q_interarrival(sf_dir):
+    """Inter-arrival log2-bucket histogram
+    (stages/events.py:interarrival_hist): exact doubling buckets via
+    the frexp exponent (engine) vs length(printf('%b')) (SQL) — no
+    float log on either side; one groupby(user_id) + count combiner."""
+    from unmixing_ray.stages import events as estage
+    return estage.interarrival_hist(_read(sf_dir, "events"))
+
+
 def q_audio_resample(sf_dir):
     """Rational-rate audio resample (stages/media.py:AudioResampler):
     exact fixed-point linear interpolation at 2/3 rate over REAL WAV
@@ -4863,6 +4872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q_json_props,
         "attribution": q_attribution,
         "hull_simplify": q_hull_simplify,
+        "interarrival": q_interarrival,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5440,6 +5450,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonality": events.seasonality_score_sql(),
         "json_props": events.json_prop_stats_sql(),
         "attribution": events.attribution_sql(),
+        "interarrival": events.interarrival_hist_sql(),
         "pq_codes": ann.pq_assign_sql(),
         "daily_locf": events.daily_locf_sql(scale=100),
         "events_window_join": events.window_join_sql(

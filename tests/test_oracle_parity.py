@@ -353,6 +353,8 @@ def registry(ray_session):
     "attribution",
     # Douglas–Peucker hull-ring simplification (recursive-DP oracle)
     "hull_simplify",
+    # exact log2-bucket inter-arrival histogram (frexp vs printf %b)
+    "interarrival",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -352,3 +352,15 @@ def test_dp_simplify_iterative_equals_recursive():
                 if len(it) < len(chain):
                     shrunk += 1
     assert shrunk > 50   # the op is non-vacuous on these inputs
+
+
+def test_interarrival_frexp_bucket_is_bit_length(ray_session):
+    """The frexp-exponent bucket must equal int.bit_length on exact
+    powers of two and their neighbors (the float-log failure points)."""
+    vals = []
+    for k in range(1, 50):
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    g = np.array(vals, dtype=np.int64)
+    _m, ex = np.frexp(g.astype(np.float64))
+    want = np.array([int(v).bit_length() for v in vals])
+    assert (ex == want).all()

@@ -1889,3 +1889,65 @@ def attribution_sql(probe_type="purchase", touch_type="click",
                         THEN ({scale} // n_touch) * n_touch
                         ELSE 0 END) AS BIGINT) AS credit_sum
         FROM n GROUP BY day"""
+
+
+def interarrival_hist(events):
+    """Inter-arrival-time histogram with EXACT log2 buckets: per user
+    the gap to the previous event (any type, (ts, event_id) order),
+    attributed to the later event's type, bucketed by bit_length(gap_us)
+    — the doubling-bucket latency histogram (Prometheus-style) with no
+    float log anywhere: numpy ``frexp`` exponent on one side (exact
+    for integers < 2^53), ``length(printf('%b', g))`` on the SQL side.
+    First events per user are excluded; zero gaps land in bucket 0.
+
+    ONE groupby(user_id) + per-batch count combiner + ONE tiny
+    groupby(event_type, bucket). Returns (event_type, bucket, n,
+    gap_sum)."""
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        gaps = np.diff(ts_us)
+        et = g["event_type"].to_numpy()[1:]
+        assert (gaps >= 0).all() and (gaps < (1 << 53)).all()
+        _m, ex = np.frexp(gaps.astype(np.float64))
+        bucket = np.where(gaps == 0, 0, ex).astype(np.int64)
+        out = pd.DataFrame({
+            "event_type": et, "bucket": bucket,
+            "n": np.ones(len(et), dtype=np.int64),
+            "gap_sum": gaps})
+        return out.groupby(["event_type", "bucket"],
+                           as_index=False).sum()
+
+    out = events.select_columns(["user_id", "ts", "event_id",
+                                 "event_type"]) \
+        .groupby("user_id").map_groups(per_user,
+                                       batch_format="pandas") \
+        .groupby(["event_type", "bucket"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("gap_sum", alias_name="gap_sum"))
+    return out.map_batches(
+        lambda df: df.astype({"bucket": "int64", "n": "int64",
+                              "gap_sum": "int64"}),
+        batch_format="pandas")
+
+
+def interarrival_hist_sql():
+    return """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events),
+        g AS (SELECT event_type, ts_us - prev AS gap
+              FROM e WHERE prev IS NOT NULL)
+        SELECT event_type,
+               CAST(CASE WHEN gap = 0 THEN 0
+                    ELSE length(printf('%b', gap)) END AS BIGINT)
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap) AS BIGINT) AS gap_sum
+        FROM g GROUP BY 1, 2"""
