@@ -3904,6 +3904,27 @@ def q_attribution(sf_dir):
     return estage.attribution(_read(sf_dir, "events"))
 
 
+def q_orders_winsorized(sf_dir):
+    """Per-priority winsorized spend
+    (stages/relational.py:grouped_winsorized): percentile_disc bounds
+    at q=0.1/0.9 from the distributed-selection core + one clipped-sum
+    combiner pass under broadcast bounds — exact cents. Oracle:
+    quantile_disc + LEAST/GREATEST replay."""
+    from unmixing_ray.stages import relational
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "total_c": np.rint(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"]) \
+        .map_batches(to_cents, batch_format="pandas")
+    return relational.grouped_winsorized(ds, "o_orderpriority",
+                                         "total_c", trim=0.1)
+
+
 def q_interarrival(sf_dir):
     """Inter-arrival log2-bucket histogram
     (stages/events.py:interarrival_hist): exact doubling buckets via
@@ -4873,6 +4894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "hull_simplify": q_hull_simplify,
         "interarrival": q_interarrival,
+        "orders_winsorized": q_orders_winsorized,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5451,6 +5473,24 @@ def oracle_sql() -> dict[str, str]:
         "json_props": events.json_prop_stats_sql(),
         "attribution": events.attribution_sql(),
         "interarrival": events.interarrival_hist_sql(),
+        "orders_winsorized": """
+            WITH c AS (
+              SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders),
+            b AS (
+              SELECT o_orderpriority,
+                     quantile_disc(v, 0.1) AS lo,
+                     quantile_disc(v, 0.9) AS hi
+              FROM c GROUP BY 1)
+            SELECT c.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(any_value(b.lo) AS BIGINT) AS lo,
+                   CAST(any_value(b.hi) AS BIGINT) AS hi,
+                   CAST(sum(LEAST(GREATEST(c.v, b.lo), b.hi))
+                        AS BIGINT) AS wins_sum
+            FROM c JOIN b USING (o_orderpriority)
+            GROUP BY 1""",
         "pq_codes": ann.pq_assign_sql(),
         "daily_locf": events.daily_locf_sql(scale=100),
         "events_window_join": events.window_join_sql(

@@ -355,6 +355,8 @@ def registry(ray_session):
     "hull_simplify",
     # exact log2-bucket inter-arrival histogram (frexp vs printf %b)
     "interarrival",
+    # per-key winsorized aggregate via the selection core
+    "orders_winsorized",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -364,3 +364,26 @@ def test_interarrival_frexp_bucket_is_bit_length(ray_session):
     _m, ex = np.frexp(g.astype(np.float64))
     want = np.array([int(v).bit_length() for v in vals])
     assert (ex == want).all()
+
+
+def test_winsorized_brute_force(ray_session):
+    """grouped_winsorized vs a single-machine replay on a skewed
+    integer table (incl. the percentile_disc rank definition)."""
+    import math
+    from unmixing_ray.stages.relational import grouped_winsorized
+    rng = np.random.default_rng(17)
+    k = rng.integers(0, 3, size=500)
+    v = (rng.pareto(1.5, size=500) * 100).astype(np.int64)
+    df = pd.DataFrame({"k": k, "v": v})
+    out = grouped_winsorized(
+        ray.data.from_pandas(df).repartition(7), "k", "v",
+        trim=0.1).set_index("k")
+    for kv, g in df.groupby("k"):
+        s = np.sort(g["v"].to_numpy())
+        n = len(s)
+        lo = s[min(max(math.ceil(n * 0.1) - 1, 0), n - 1)]
+        hi = s[min(max(math.ceil(n * 0.9) - 1, 0), n - 1)]
+        assert out.loc[kv, "lo"] == lo and out.loc[kv, "hi"] == hi
+        assert out.loc[kv, "n"] == n
+        assert out.loc[kv, "wins_sum"] == int(
+            np.clip(g["v"].to_numpy(), lo, hi).sum())

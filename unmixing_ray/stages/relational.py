@@ -2855,3 +2855,48 @@ def table_checksum_sql(table, cols):
                  AS BIGINT) AS digest_sum,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM {table}"""
+
+
+def grouped_winsorized(ds, key, col, trim=0.1):
+    """Per-key WINSORIZED aggregate — the robust mean for heavy-tail
+    corpora (token counts, prices, latencies): values are clipped to
+    the key's percentile_disc bounds at q=trim and q=1−trim, and the
+    clipped sum is exact int64 (``col`` must be integer). The two
+    bounds come from the same distributed-selection core as
+    grouped_quantile_disc (so DuckDB quantile_disc reproduces them bit
+    for bit); the clipped sum is one more streaming combiner pass
+    under the broadcast bounds — the input never sorts and never
+    shuffles by value.
+
+    Returns pandas (key, n, lo, hi, wins_sum)."""
+    from ray.data.aggregate import Sum
+
+    keys_sorted, n_by_key, values = _grouped_order_stats(
+        ds, key, col,
+        lambda n: [_disc_rank(n, trim), _disc_rank(n, 1.0 - trim)])
+    lo = {kv: int(values[kv][0]) for kv in keys_sorted}
+    hi = {kv: int(values[kv][1]) for kv in keys_sorted}
+
+    def clip_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.int64)
+        k = df[key]
+        lov = k.map(lo).to_numpy(np.int64)
+        hiv = k.map(hi).to_numpy(np.int64)
+        g = pd.DataFrame({
+            key: k.to_numpy(),
+            "wins_sum": np.clip(v, lov, hiv),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(key, as_index=False).sum()
+
+    agg = ds.map_batches(
+        lambda t: t.select([key, col]), batch_format="pyarrow") \
+        .map_batches(clip_partial, batch_format="pandas") \
+        .groupby(key).aggregate(
+            Sum("wins_sum", alias_name="wins_sum"),
+            Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(key).reset_index(drop=True)
+    agg["lo"] = agg[key].map(lo).astype("int64")
+    agg["hi"] = agg[key].map(hi).astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    agg["wins_sum"] = agg["wins_sum"].astype("int64")
+    return agg[[key, "n", "lo", "hi", "wins_sum"]]
