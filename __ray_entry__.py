@@ -3925,6 +3925,20 @@ def q_orders_winsorized(sf_dir):
                                          "total_c", trim=0.1)
 
 
+def q_profile_orders(sf_dir):
+    """ANALYZE-style table profile (stages/relational.py:
+    profile_table): per-column n / nulls / EXACT distinct /
+    lexicographic min-max through combiner passes. Oracle: direct SQL
+    aggregates."""
+    from unmixing_ray.stages import relational
+    return relational.profile_table(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_orderpriority"]),
+        ["o_orderkey", "o_custkey", "o_orderstatus",
+         "o_orderpriority"])
+
+
 def q_interarrival(sf_dir):
     """Inter-arrival log2-bucket histogram
     (stages/events.py:interarrival_hist): exact doubling buckets via
@@ -4895,6 +4909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hull_simplify": q_hull_simplify,
         "interarrival": q_interarrival,
         "orders_winsorized": q_orders_winsorized,
+        "profile_orders": q_profile_orders,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5473,6 +5488,38 @@ def oracle_sql() -> dict[str, str]:
         "json_props": events.json_prop_stats_sql(),
         "attribution": events.attribution_sql(),
         "interarrival": events.interarrival_hist_sql(),
+        "profile_orders": """
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS "column",
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct,
+                     min(CAST(o_orderkey AS VARCHAR)) AS min_v,
+                     max(CAST(o_orderkey AS VARCHAR)) AS max_v
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*),
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                         END),
+                     count(DISTINCT o_custkey),
+                     min(CAST(o_custkey AS VARCHAR)),
+                     max(CAST(o_custkey AS VARCHAR)) FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     sum(CASE WHEN o_orderstatus IS NULL THEN 1
+                         ELSE 0 END),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     sum(CASE WHEN o_orderpriority IS NULL THEN 1
+                         ELSE 0 END),
+                     count(DISTINCT o_orderpriority),
+                     min(o_orderpriority), max(o_orderpriority)
+              FROM orders)""",
         "orders_winsorized": """
             WITH c AS (
               SELECT o_orderpriority,

@@ -357,6 +357,8 @@ def registry(ray_session):
     "interarrival",
     # per-key winsorized aggregate via the selection core
     "orders_winsorized",
+    # ANALYZE-style table profile (n / nulls / exact distinct / extremes)
+    "profile_orders",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

@@ -2900,3 +2900,68 @@ def grouped_winsorized(ds, key, col, trim=0.1):
     agg["n"] = agg["n"].astype("int64")
     agg["wins_sum"] = agg["wins_sum"].astype("int64")
     return agg[[key, "n", "lo", "hi", "wins_sum"]]
+
+
+def profile_table(ds, columns):
+    """ANALYZE-style table profile — the ingest-side data-quality op:
+    per column its row count, NULL count, EXACT distinct count, and
+    lexicographic min/max (values canonicalized to strings so integer
+    and varchar columns share one long-format output; float columns
+    are rejected — string forms differ between engines).
+
+    Shape: pass 1 per-batch combiner → (col, n, n_null, min, max)
+    partials, ONE groupby(col). Pass 2 exact distinct: per-batch
+    per-column value dedup → groupby(col, v) → per-col count (the
+    exact path; at corpus scale swap in approx_count_distinct's HLL —
+    this operator is the correctness baseline). Returns pandas
+    (column, n, n_null, n_distinct, min_v, max_v)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def to_str(s):
+        return s.map(lambda v: None if v is None else str(v))
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"column": [], "n": [], "n_null": [], "min_v": [],
+                "max_v": []}
+        for c in columns:
+            if df[c].dtype.kind == "f":
+                raise TypeError(
+                    f"profile_table refuses float column {c!r}")
+            s = to_str(df[c])
+            nn = s.isna().sum()
+            sv = s.dropna()
+            rows["column"].append(c)
+            rows["n"].append(len(s))
+            rows["n_null"].append(int(nn))
+            rows["min_v"].append(sv.min() if len(sv) else None)
+            rows["max_v"].append(sv.max() if len(sv) else None)
+        return pd.DataFrame(rows)
+
+    stats = ds.select_columns(list(columns)) \
+        .map_batches(stats_partial, batch_format="pandas") \
+        .groupby("column").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v")).to_pandas()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"column": [], "v": []}
+        for c in columns:
+            for v in to_str(df[c]).dropna().unique():
+                rows["column"].append(c)
+                rows["v"].append(v)
+        return pd.DataFrame(rows)
+
+    dist = ds.select_columns(list(columns)) \
+        .map_batches(distinct_partial, batch_format="pandas") \
+        .groupby(["column", "v"]).aggregate(
+            Count(alias_name="_c")) \
+        .groupby("column").aggregate(Count(alias_name="n_distinct")) \
+        .to_pandas()
+
+    out = stats.merge(dist[["column", "n_distinct"]], on="column") \
+        .sort_values("column").reset_index(drop=True)
+    return out[["column", "n", "n_null", "n_distinct", "min_v",
+                "max_v"]].astype({"n": "int64", "n_null": "int64",
+                                  "n_distinct": "int64"})
