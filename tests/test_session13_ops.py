@@ -387,3 +387,12 @@ def test_winsorized_brute_force(ray_session):
         assert out.loc[kv, "n"] == n
         assert out.loc[kv, "wins_sum"] == int(
             np.clip(g["v"].to_numpy(), lo, hi).sum())
+
+
+def test_profile_table_refuses_floats(ray_session):
+    from unmixing_ray.stages.relational import profile_table
+    df = pd.DataFrame({"a": [1.5, 2.5]})
+    ds = ray.data.from_pandas(df)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        profile_table(ds, ["a"])
