@@ -970,43 +970,37 @@ def caption_consistency(images):
     classic LAION-style label-noise signal a dedup keep-one pass would
     silently launder.
 
-    Shape: per-batch combiner reduces each batch to per-phash
-    (min image_id, caption set partials) — captions within a cluster
-    are few by construction, but a hot phash is still bounded by the
-    per-batch dedup before the ONE groupby(phash) exchange. Returns
-    (phash, n_imgs, n_captions, keep_image_id, consistent)."""
+    Shape: NO per-cluster tasks (the ~0.4 ms/Ray-group lesson) — two
+    chained AGGREGATES: (1) per-batch combiner → groupby(phash,
+    caption) collapses duplicates of the same caption; (2)
+    groupby(phash) counts the surviving caption rows. The exchange
+    carries one row per (phash, caption) per batch, never per image.
+    Returns (phash, n_imgs, n_captions, keep_image_id, consistent)."""
     import pandas as pd_
+    from ray.data.aggregate import Count
 
     def partial(df: pd_.DataFrame) -> pd_.DataFrame:
-        g = df.groupby("phash", as_index=False).agg(
+        g = df.groupby(["phash", "caption"], as_index=False).agg(
             n_imgs=("image_id", "size"),
             keep_image_id=("image_id", "min"))
-        caps = df.drop_duplicates(["phash", "caption"])[
-            ["phash", "caption"]]
-        return g.merge(
-            caps.groupby("phash", as_index=False)
-            .agg(captions=("caption", lambda s: sorted(s))),
-            on="phash")
+        g["n_imgs"] = g["n_imgs"].astype("int64")
+        return g
 
-    def merge(g: pd_.DataFrame) -> pd_.DataFrame:
-        caps = sorted({c for lst in g["captions"] for c in lst})
-        keep = g["keep_image_id"].min()
-        n = int(g["n_imgs"].sum())
-        if n < 2:
-            return pd_.DataFrame({
-                "phash": pd_.Series([], dtype="int64"),
-                "n_imgs": pd_.Series([], dtype="int64"),
-                "n_captions": pd_.Series([], dtype="int64"),
-                "keep_image_id": pd_.Series([], dtype=object),
-                "consistent": pd_.Series([], dtype="int64")})
-        return pd_.DataFrame({
-            "phash": [int(g["phash"].iloc[0])],
-            "n_imgs": [n],
-            "n_captions": [len(caps)],
-            "keep_image_id": [keep],
-            "consistent": [int(len(caps) == 1)]}).astype(
+    per_caption = images.map_batches(partial, batch_format="pandas") \
+        .groupby(["phash", "caption"]).aggregate(
+            Sum("n_imgs", alias_name="n_imgs"),
+            Min("keep_image_id", alias_name="keep_image_id"))
+    per_cluster = per_caption.groupby("phash").aggregate(
+        Count(alias_name="n_captions"),
+        Sum("n_imgs", alias_name="n_imgs"),
+        Min("keep_image_id", alias_name="keep_image_id"))
+
+    def finalize(df: pd_.DataFrame) -> pd_.DataFrame:
+        df = df[df["n_imgs"] >= 2].copy()
+        df["consistent"] = (df["n_captions"] == 1).astype("int64")
+        return df[["phash", "n_imgs", "n_captions", "keep_image_id",
+                   "consistent"]].astype(
             {"phash": "int64", "n_imgs": "int64",
              "n_captions": "int64", "consistent": "int64"})
 
-    return images.map_batches(partial, batch_format="pandas") \
-        .groupby("phash").map_groups(merge, batch_format="pandas")
+    return per_cluster.map_batches(finalize, batch_format="pandas")
