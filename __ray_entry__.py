@@ -965,6 +965,21 @@ def q_hull_simplify(sf_dir):
     return hull.simplified_hulls(tiles, threshold=2000, eps=2)
 
 
+def q_dhash_pairs(sf_dir):
+    """Decode-derived dHash near-dup pairs
+    (stages/dedup.py:image_dhash_pairs): 64-bit difference hash from
+    decoded pixels + the exhaustive pigeonhole Hamming join — catches
+    the planted copies AND their lossy-codec twins. Oracle:
+    independent dhash replay + full O(n²) popcount sidecar."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.dedup import image_dhash_pairs
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus,
+                            columns=["image_id", "bytes", "w", "h",
+                                     "fmt"])
+    return image_dhash_pairs(ds, max_hamming=10)
+
+
 def q_caption_consistency(sf_dir):
     """Caption-consistency audit over exact-duplicate image clusters
     (stages/dedup.py:caption_consistency): per phash cluster the image
@@ -4853,6 +4868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_morph_expected(sf)
                 _synth.generate_hull_expected(sf)
                 _synth.generate_simplify_expected(sf)
+                _synth.generate_dhash_expected(sf)
             except Exception:
                 pass
     return {
@@ -4910,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival": q_interarrival,
         "orders_winsorized": q_orders_winsorized,
         "profile_orders": q_profile_orders,
+        "dhash_pairs": q_dhash_pairs,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5266,6 +5283,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_morph_expected(sf)
                 _synth.generate_hull_expected(sf)
                 _synth.generate_simplify_expected(sf)
+                _synth.generate_dhash_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5329,6 +5347,9 @@ def oracle_sql() -> dict[str, str]:
         "hull_simplify": f"""
             SELECT image_id, n_hull, n_simplified, simp_wsum
             FROM read_parquet('{C}/simplify_expected.parquet')""",
+        "dhash_pairs": f"""
+            SELECT img_a, img_b, hamming
+            FROM read_parquet('{C}/dhash_pairs_expected.parquet')""",
         "spatial_split": __import__(
             "unmixing_ray.stages.rollup",
             fromlist=["x"]).spatial_block_split_sql(

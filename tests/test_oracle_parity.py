@@ -359,6 +359,8 @@ def registry(ray_session):
     "orders_winsorized",
     # ANALYZE-style table profile (n / nulls / exact distinct / extremes)
     "profile_orders",
+    # decode-derived dHash near-dup pairs (O(n²) popcount oracle)
+    "dhash_pairs",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

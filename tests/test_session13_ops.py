@@ -396,3 +396,15 @@ def test_profile_table_refuses_floats(ray_session):
     import pytest as _pytest
     with _pytest.raises(Exception):
         profile_table(ds, ["a"])
+
+
+def test_dhash_catches_lossy_twin(ray_session):
+    """The %97 planted copies must pair at Hamming 0 when stored
+    losslessly and within a few bits when one side re-encoded lossily
+    (q8) — the case the input phash column cannot catch."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["dhash_pairs"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out) >= 10
+    assert (out["hamming"] == 0).sum() >= 10
+    assert (out["hamming"] > 0).any()

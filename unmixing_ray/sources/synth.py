@@ -3766,3 +3766,67 @@ def generate_simplify_expected(sf_dir, band=0, threshold=2000, eps=2):
     pq.write_table(t, str(out / "simplify_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+DHASH_VERSION = 1
+
+
+def generate_dhash_expected(sf_dir, band=0, max_hamming=10):
+    """Write ``dhash_pairs_expected.parquet``: the exact ≤max_hamming
+    dHash pair set, replayed independently — inline block means (same
+    documented spec as stages/dedup.py:image_dhash, reimplemented) and
+    a full O(n²) XOR+popcount over all images."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_DHASH_DONE"
+    stamp = "dhash v%d b%d h%d" % (DHASH_VERSION, band, max_hamming)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    cols = [(k * 64) // 9 for k in range(10)]
+    ids, sigs = [], []
+    for i in range(tbl.num_rows):
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[band].astype(np.int64)
+        sig = 0
+        for r in range(8):
+            rows = z[r * 8:(r + 1) * 8]
+            means = [int(rows[:, cols[c]:cols[c + 1]].sum())
+                     // (8 * (cols[c + 1] - cols[c]))
+                     for c in range(9)]
+            for c in range(8):
+                if means[c] > means[c + 1]:
+                    sig |= 1 << (r * 8 + c)
+        ids.append(tbl["image_id"][i].as_py())
+        sigs.append(sig)
+    order = np.argsort(np.array(ids, dtype=object))
+    ids = [ids[i] for i in order]
+    s = np.array(sigs, dtype=np.uint64)[order]
+    rows = {"img_a": [], "img_b": [], "hamming": []}
+    x = s[:, None] ^ s[None, :]
+    pop = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for _ in range(8):
+        pop += np.unpackbits((v & np.uint64(0xFF)).astype(np.uint8)
+                             [..., None], axis=-1).sum(-1) \
+            .astype(np.int64)
+        v >>= np.uint64(8)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if pop[i, j] <= max_hamming:
+                rows["img_a"].append(ids[i])
+                rows["img_b"].append(ids[j])
+                rows["hamming"].append(int(pop[i, j]))
+    t = pa.table({
+        "img_a": pa.array(rows["img_a"], pa.string()),
+        "img_b": pa.array(rows["img_b"], pa.string()),
+        "hamming": pa.array(rows["hamming"], pa.int64())})
+    pq.write_table(t, str(out / "dhash_pairs_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -1004,3 +1004,65 @@ def caption_consistency(images):
              "n_captions": "int64", "consistent": "int64"})
 
     return per_cluster.map_batches(finalize, batch_format="pandas")
+
+
+# dHash column boundaries for a 64-px-wide image: floor(k*64/9)
+_DHASH_COLS = tuple((k * 64) // 9 for k in range(10))
+
+
+def image_dhash(images, band=0):
+    """Difference hash (dHash) computed FROM DECODED PIXELS — unlike
+    the input table's precomputed phash, this derives the 64-bit
+    perceptual signature inside the engine, so near-duplicates that
+    differ only by lossy re-encoding (the %97 planted copies stored
+    under a different codec) still collide within a few bits.
+
+    Spec (exact integers, replayed by the sidecar): band-``band``
+    64×64 plane → 8×9 block grid (row blocks of 8, column boundaries
+    floor(k·64/9)) → block mean = sum // count → bit r·8+c =
+    (m[r,c] > m[r,c+1]), packed little-endian into one int64
+    (uint64 view). Stateless decode pass, no shuffle. Returns
+    (image_id, dhash:int64)."""
+    import pyarrow as pa_
+
+    from ..codecs import decode_image
+
+    def fn(batch: pa_.Table) -> pa_.Table:
+        out_id, out_sig = [], []
+        for i in range(batch.num_rows):
+            arr = decode_image(batch["bytes"][i].as_py(),
+                               batch["fmt"][i].as_py(),
+                               batch["w"][i].as_py(),
+                               batch["h"][i].as_py())
+            z = arr[band].astype(np.int64)
+            m = np.empty((8, 9), dtype=np.int64)
+            for r in range(8):
+                rows = z[r * 8:(r + 1) * 8]
+                for c in range(9):
+                    blk = rows[:, _DHASH_COLS[c]:_DHASH_COLS[c + 1]]
+                    m[r, c] = blk.sum() // blk.size
+            sig = np.uint64(0)
+            for r in range(8):
+                for c in range(8):
+                    if m[r, c] > m[r, c + 1]:
+                        sig |= np.uint64(1) << np.uint64(r * 8 + c)
+            out_id.append(batch["image_id"][i].as_py())
+            out_sig.append(int(np.uint64(sig).astype(np.int64)))
+        return pa_.table({
+            "image_id": pa_.array(out_id, pa_.string()),
+            "dhash": pa_.array(out_sig, pa_.int64())})
+
+    return images.map_batches(fn, batch_format="pyarrow")
+
+
+def image_dhash_pairs(images, max_hamming=10, band=0):
+    """Decode-derived perceptual near-dup pairs: image_dhash →
+    signature_hamming_pairs (exhaustive pigeonhole). Catches the
+    planted exact copies at Hamming 0 AND their lossy-codec twins
+    within ``max_hamming`` bits — the dedup the input phash column
+    cannot express (it hashes stored bytes-derived pixels per image,
+    identical only for bit-identical content)."""
+    sigs = image_dhash(images, band=band)
+    return signature_hamming_pairs(sigs, id_col="image_id",
+                                   sig_col="dhash",
+                                   max_hamming=max_hamming)
