@@ -3954,6 +3954,27 @@ def q_profile_orders(sf_dir):
          "o_orderpriority"])
 
 
+def q_embedding_clip(sf_dir):
+    """Per-dimension activation-clipping stats — grouped_winsorized
+    composed over the exploded embedding column (fixed-point
+    floor(v·10^6); the preprocessing pass an int8 quantizer needs to
+    pick saturation bounds per dimension). Oracle: parallel-unnest +
+    quantile_disc replay."""
+    from unmixing_ray.stages import relational
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        n, d = M.shape
+        return pd.DataFrame({
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "v6": np.floor(M * 1e6).astype(np.int64).ravel()})
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"]) \
+        .map_batches(explode, batch_format="pandas")
+    return relational.grouped_winsorized(ds, "dim", "v6", trim=0.05)
+
+
 def q_interarrival(sf_dir):
     """Inter-arrival log2-bucket histogram
     (stages/events.py:interarrival_hist): exact doubling buckets via
@@ -4927,6 +4948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_winsorized": q_orders_winsorized,
         "profile_orders": q_profile_orders,
         "dhash_pairs": q_dhash_pairs,
+        "embedding_clip": q_embedding_clip,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5541,6 +5563,23 @@ def oracle_sql() -> dict[str, str]:
                      count(DISTINCT o_orderpriority),
                      min(o_orderpriority), max(o_orderpriority)
               FROM orders)""",
+        "embedding_clip": """
+            WITH c AS (
+              SELECT CAST(unnest(range(len(embedding))) AS BIGINT)
+                       AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS v
+              FROM embeddings),
+            b AS (
+              SELECT dim, quantile_disc(v, 0.05) AS lo,
+                     quantile_disc(v, 0.95) AS hi
+              FROM c GROUP BY 1)
+            SELECT c.dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(any_value(b.lo) AS BIGINT) AS lo,
+                   CAST(any_value(b.hi) AS BIGINT) AS hi,
+                   CAST(sum(LEAST(GREATEST(c.v, b.lo), b.hi))
+                        AS BIGINT) AS wins_sum
+            FROM c JOIN b USING (dim) GROUP BY 1""",
         "orders_winsorized": """
             WITH c AS (
               SELECT o_orderpriority,

@@ -361,6 +361,8 @@ def registry(ray_session):
     "profile_orders",
     # decode-derived dHash near-dup pairs (O(n²) popcount oracle)
     "dhash_pairs",
+    # per-dimension embedding clip stats (winsorized over the explode)
+    "embedding_clip",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
