@@ -3954,6 +3954,18 @@ def q_profile_orders(sf_dir):
          "o_orderpriority"])
 
 
+def q_key_skew(sf_dir):
+    """Hot-key skew audit (stages/relational.py:key_skew_audit): exact
+    concentration ingredients (n_rows, n_keys, Σc² = self-join size,
+    max_c) + the top-5 hottest keys — the planning pass behind the
+    engine's salting decisions. Oracle: plain SQL aggregates over the
+    per-key counts."""
+    from unmixing_ray.stages import relational
+    return relational.key_skew_audit(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        "l_orderkey", topk=5)
+
+
 def q_embedding_clip(sf_dir):
     """Per-dimension activation-clipping stats — grouped_winsorized
     composed over the exploded embedding column (fixed-point
@@ -4949,6 +4961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": q_profile_orders,
         "dhash_pairs": q_dhash_pairs,
         "embedding_clip": q_embedding_clip,
+        "key_skew": q_key_skew,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5563,6 +5576,23 @@ def oracle_sql() -> dict[str, str]:
                      count(DISTINCT o_orderpriority),
                      min(o_orderpriority), max(o_orderpriority)
               FROM orders)""",
+        "key_skew": """
+            WITH c AS (
+              SELECT l_orderkey AS k, count(*) AS c
+              FROM lineitem GROUP BY 1),
+            s AS (
+              SELECT 'total' AS stat, '' AS k,
+                     CAST(sum(c) AS BIGINT) AS v FROM c
+              UNION ALL
+              SELECT 'keys', '', CAST(count(*) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'sum_c2', '', CAST(sum(c * c) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'max_c', '', CAST(max(c) AS BIGINT) FROM c
+              UNION ALL
+              (SELECT 'hot', CAST(k AS VARCHAR), CAST(c AS BIGINT)
+               FROM c ORDER BY c DESC, CAST(k AS VARCHAR) LIMIT 5))
+            SELECT stat, k, v FROM s""",
         "embedding_clip": """
             WITH c AS (
               SELECT CAST(unnest(range(len(embedding))) AS BIGINT)

@@ -363,6 +363,8 @@ def registry(ray_session):
     "dhash_pairs",
     # per-dimension embedding clip stats (winsorized over the explode)
     "embedding_clip",
+    # hot-key skew audit (salting-planner ingredients)
+    "key_skew",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

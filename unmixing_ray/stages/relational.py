@@ -2965,3 +2965,61 @@ def profile_table(ds, columns):
     return out[["column", "n", "n_null", "n_distinct", "min_v",
                 "max_v"]].astype({"n": "int64", "n_null": "int64",
                                   "n_distinct": "int64"})
+
+
+def key_skew_audit(ds, key, topk=5):
+    """Hot-key skew audit — the pre-shuffle planning op behind every
+    salting decision in this engine (stages/shuffle.py,
+    composite_by_cell(hot_threshold=...)): exact per-key counts reduce
+    to the concentration ingredients a planner needs —
+
+      n_rows, n_keys, sum_c2 = Σ c_k²  (the exact self-join/hash-
+      collision size), max_c, and the top-``topk`` hottest keys.
+
+    Shape: per-batch count combiner → ONE groupby(key) → a second
+    constant-size ingredient reduce (per-batch partials over the
+    count rows) + the grouped-topk pattern for the hot list. All
+    exact int64. Returns pandas (stat, k, v) long format: rows
+    ('total', '', n_rows), ('keys', '', n_keys), ('sum_c2', '', Σc²),
+    ('max_c', '', max), and ('hot', key_str, count) × topk ordered by
+    (count desc, key)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = ds.select_columns([key]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(key).aggregate(Sum("c", alias_name="c"))
+
+    def ingredients(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        top = df.sort_values(["c", key],
+                             ascending=[False, True]).head(topk)
+        rows = {"stat": ["total", "keys", "sum_c2", "max_c"],
+                "k": ["", "", "", ""],
+                "v": [int(c.sum()), len(c), int((c * c).sum()),
+                      int(c.max()) if len(c) else 0]}
+        for _, r in top.iterrows():
+            rows["stat"].append("hot")
+            rows["k"].append(str(r[key]))
+            rows["v"].append(int(r["c"]))
+        return pd.DataFrame(rows)
+
+    parts = counts.map_batches(ingredients,
+                               batch_format="pandas").to_pandas()
+    scal = parts[parts["stat"] != "hot"] \
+        .groupby("stat", as_index=False).agg(v=("v", "sum"))
+    mx = parts[parts["stat"] == "max_c"]["v"].max()
+    scal.loc[scal["stat"] == "max_c", "v"] = mx
+    hot = parts[parts["stat"] == "hot"] \
+        .sort_values(["v", "k"], ascending=[False, True]).head(topk)
+    out = pd.concat([
+        scal.assign(k=""),
+        hot[["stat", "v"]].assign(k=hot["k"].to_numpy())],
+        ignore_index=True)
+    return out[["stat", "k", "v"]].astype({"v": "int64"}) \
+        .sort_values(["stat", "k"]).reset_index(drop=True)
