@@ -3954,6 +3954,53 @@ def q_profile_orders(sf_dir):
          "o_orderpriority"])
 
 
+def q_rank_sum_drift(sf_dir):
+    """Two-sample Mann–Whitney rank-sum ingredients between the 1995
+    and 1996 order-value distributions — distribution-drift detection
+    composed from the EXACT distributed row_number (relational.
+    global_rank under ORDER BY (cents, o_orderkey)): per year n and
+    Σrank, from which U = Σrank − n(n+1)/2 is driver/SQL arithmetic.
+    Oracle: SQL window row_number replay."""
+    from ray.data.aggregate import Sum
+    from unmixing_ray.stages import relational
+
+    lo = pd.Timestamp("1995-01-01")
+    mid = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        keep = (d >= lo.to_numpy()) & (d < hi.to_numpy())
+        df = df[keep]
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": np.rint(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "year": np.where(
+                df["o_orderdate"].to_numpy() < mid.to_numpy(),
+                1995, 1996).astype(np.int64)})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"]) \
+        .map_batches(prep, batch_format="pandas")
+    ranked = relational.global_rank(ds, "cents", "o_orderkey",
+                                    keep=("year",))
+    out = ranked.map_batches(
+        lambda df: pd.DataFrame({
+            "year": df["year"].astype("int64"),
+            "n": np.ones(len(df), dtype=np.int64),
+            "rank_sum": df["rank"].astype("int64")})
+        .groupby("year", as_index=False).sum(),
+        batch_format="pandas") \
+        .groupby("year").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("rank_sum", alias_name="rank_sum"))
+    return out.map_batches(
+        lambda df: df.astype({"year": "int64", "n": "int64",
+                              "rank_sum": "int64"}),
+        batch_format="pandas")
+
+
 def q_key_skew(sf_dir):
     """Hot-key skew audit (stages/relational.py:key_skew_audit): exact
     concentration ingredients (n_rows, n_keys, Σc² = self-join size,
@@ -4962,6 +5009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dhash_pairs": q_dhash_pairs,
         "embedding_clip": q_embedding_clip,
         "key_skew": q_key_skew,
+        "rank_sum_drift": q_rank_sum_drift,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5576,6 +5624,25 @@ def oracle_sql() -> dict[str, str]:
                      count(DISTINCT o_orderpriority),
                      min(o_orderpriority), max(o_orderpriority)
               FROM orders)""",
+        "rank_sum_drift": """
+            WITH f AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS cents,
+                     CASE WHEN o_orderdate < DATE '1996-01-01'
+                          THEN 1995 ELSE 1996 END AS year
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01'),
+            r AS (
+              SELECT year,
+                     row_number() OVER (ORDER BY cents, o_orderkey)
+                       AS rnk
+              FROM f)
+            SELECT CAST(year AS BIGINT) AS year,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rnk) AS BIGINT) AS rank_sum
+            FROM r GROUP BY 1""",
         "key_skew": """
             WITH c AS (
               SELECT l_orderkey AS k, count(*) AS c

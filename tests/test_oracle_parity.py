@@ -365,6 +365,8 @@ def registry(ray_session):
     "embedding_clip",
     # hot-key skew audit (salting-planner ingredients)
     "key_skew",
+    # Mann–Whitney rank-sum drift ingredients via global row_number
+    "rank_sum_drift",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry
