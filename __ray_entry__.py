@@ -965,6 +965,21 @@ def q_hull_simplify(sf_dir):
     return hull.simplified_hulls(tiles, threshold=2000, eps=2)
 
 
+def q_letterbox(sf_dir):
+    """Uniform-border letterbox detection
+    (stages/curate.py:letterbox_scores): exact constant-row/column run
+    lengths per side, stateless decode pass; the NODATA strips
+    register closed-form. Oracle: independent argmax-on-flags replay
+    sidecar."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.curate import letterbox_scores
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus,
+                            columns=["image_id", "bytes", "w", "h",
+                                     "fmt"])
+    return letterbox_scores(ds)
+
+
 def q_dhash_pairs(sf_dir):
     """Decode-derived dHash near-dup pairs
     (stages/dedup.py:image_dhash_pairs): 64-bit difference hash from
@@ -4949,6 +4964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_hull_expected(sf)
                 _synth.generate_simplify_expected(sf)
                 _synth.generate_dhash_expected(sf)
+                _synth.generate_letterbox_expected(sf)
             except Exception:
                 pass
     return {
@@ -5010,6 +5026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clip": q_embedding_clip,
         "key_skew": q_key_skew,
         "rank_sum_drift": q_rank_sum_drift,
+        "letterbox": q_letterbox,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5367,6 +5384,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_hull_expected(sf)
                 _synth.generate_simplify_expected(sf)
                 _synth.generate_dhash_expected(sf)
+                _synth.generate_letterbox_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5433,6 +5451,9 @@ def oracle_sql() -> dict[str, str]:
         "dhash_pairs": f"""
             SELECT img_a, img_b, hamming
             FROM read_parquet('{C}/dhash_pairs_expected.parquet')""",
+        "letterbox": f"""
+            SELECT image_id, n_top, n_bottom, n_left, n_right, boxed
+            FROM read_parquet('{C}/letterbox_expected.parquet')""",
         "spatial_split": __import__(
             "unmixing_ray.stages.rollup",
             fromlist=["x"]).spatial_block_split_sql(

@@ -367,6 +367,8 @@ def registry(ray_session):
     "key_skew",
     # Mann–Whitney rank-sum drift ingredients via global row_number
     "rank_sum_drift",
+    # uniform-border letterbox curation gate
+    "letterbox",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

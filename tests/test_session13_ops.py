@@ -408,3 +408,16 @@ def test_dhash_catches_lossy_twin(ray_session):
     assert len(out) >= 10
     assert (out["hamming"] == 0).sum() >= 10
     assert (out["hamming"] > 0).any()
+
+
+def test_letterbox_flags_nodata_strips(ray_session):
+    """Every image carrying the rows-0..3 NODATA strip (including the
+    %97 copies of planted images) must report n_top >= 4 and boxed=1;
+    a majority of images must be unboxed."""
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["letterbox"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 1200
+    boxed = out[out["boxed"] == 1]
+    assert (boxed["n_top"] >= 4).sum() >= 150
+    assert (out["boxed"] == 0).sum() > 800

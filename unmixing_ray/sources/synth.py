@@ -3830,3 +3830,55 @@ def generate_dhash_expected(sf_dir, band=0, max_hamming=10):
     pq.write_table(t, str(out / "dhash_pairs_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+LETTERBOX_VERSION = 1
+
+
+def generate_letterbox_expected(sf_dir, band=0):
+    """Write ``letterbox_expected.parquet``: uniform-border run
+    lengths replayed independently (argmax-on-flags formulation vs the
+    engine's while-loops; bottom run counted only below the top run,
+    matching the fully-constant-image convention)."""
+    import pyarrow.dataset as pads
+    from ..codecs import decode_image
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_LETTERBOX_DONE"
+    stamp = "lbox v%d b%d" % (LETTERBOX_VERSION, band)
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+
+    def runs(flags):
+        n = len(flags)
+        nc = np.flatnonzero(~flags)
+        if not len(nc):
+            return n, 0
+        top = int(nc[0])
+        bot = int(n - 1 - nc[-1])
+        return top, bot
+
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "bytes", "w", "h", "fmt"])
+    rows = {"image_id": [], "n_top": [], "n_bottom": [], "n_left": [],
+            "n_right": [], "boxed": []}
+    for i in range(tbl.num_rows):
+        arr = decode_image(tbl["bytes"][i].as_py(), tbl["fmt"][i].as_py(),
+                           tbl["w"][i].as_py(), tbl["h"][i].as_py())
+        z = arr[band]
+        t, b = runs((z == z[:, :1]).all(axis=1))
+        lf, r = runs((z == z[:1, :]).all(axis=0))
+        rows["image_id"].append(tbl["image_id"][i].as_py())
+        rows["n_top"].append(t)
+        rows["n_bottom"].append(b)
+        rows["n_left"].append(lf)
+        rows["n_right"].append(r)
+        rows["boxed"].append(int(max(t, b, lf, r) >= 2))
+    t_ = pa.table({k: pa.array(v, pa.string() if k == "image_id"
+                               else pa.int64())
+                   for k, v in rows.items()})
+    pq.write_table(t_, str(out / "letterbox_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

@@ -134,3 +134,58 @@ def blur_scores(images, band=0):
             "n_lap": pa.array(nl, pa.int64())})
 
     return images.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def letterbox_scores(images, band=0):
+    """Uniform-border (letterbox/pillarbox) detection — the scanned-
+    image / padded-thumbnail curation gate: per image the run length
+    of CONSTANT rows from the top and bottom and constant columns from
+    the left and right of the band-``band`` plane (a row/column counts
+    as constant when every pixel equals its first value — NODATA
+    included, so the synthetic NODATA strips register as letterboxing
+    closed-form). Exact integers, stateless decode pass, no shuffle.
+
+    Returns (image_id, n_top, n_bottom, n_left, n_right, boxed) where
+    boxed = 1 iff any side's run ≥ 2."""
+    import pyarrow as pa_
+
+    from ..codecs import decode_image
+
+    def runs(flags):
+        n = len(flags)
+        top = 0
+        while top < n and flags[top]:
+            top += 1
+        bot = 0
+        while bot < n - top and flags[n - 1 - bot]:
+            bot += 1
+        return top, bot
+
+    def fn(batch: pa_.Table) -> pa_.Table:
+        out = {"image_id": [], "n_top": [], "n_bottom": [],
+               "n_left": [], "n_right": [], "boxed": []}
+        for i in range(batch.num_rows):
+            arr = decode_image(batch["bytes"][i].as_py(),
+                               batch["fmt"][i].as_py(),
+                               batch["w"][i].as_py(),
+                               batch["h"][i].as_py())
+            z = arr[band]
+            row_const = (z == z[:, :1]).all(axis=1)
+            col_const = (z == z[:1, :]).all(axis=0)
+            t, b = runs(row_const)
+            lf, r = runs(col_const)
+            out["image_id"].append(batch["image_id"][i].as_py())
+            out["n_top"].append(t)
+            out["n_bottom"].append(b)
+            out["n_left"].append(lf)
+            out["n_right"].append(r)
+            out["boxed"].append(int(max(t, b, lf, r) >= 2))
+        return pa_.table({
+            "image_id": pa_.array(out["image_id"], pa_.string()),
+            "n_top": pa_.array(out["n_top"], pa_.int64()),
+            "n_bottom": pa_.array(out["n_bottom"], pa_.int64()),
+            "n_left": pa_.array(out["n_left"], pa_.int64()),
+            "n_right": pa_.array(out["n_right"], pa_.int64()),
+            "boxed": pa_.array(out["boxed"], pa_.int64())})
+
+    return images.map_batches(fn, batch_format="pyarrow")
