@@ -965,6 +965,20 @@ def q_hull_simplify(sf_dir):
     return hull.simplified_hulls(tiles, threshold=2000, eps=2)
 
 
+def q_caption_lcs(sf_dir):
+    """Caption LCS alignment inside exact-dup clusters
+    (stages/dedup.py:caption_lcs_pairs): count combiner finds the n≥2
+    phashes, the tiny hot set broadcasts into ONE filtered gather, and
+    the exact iterative-DP LCS grades each (keeper, other) pair.
+    Oracle: independent recursive-memo LCS replay sidecar."""
+    from unmixing_ray.sources import images
+    from unmixing_ray.stages.dedup import caption_lcs_pairs
+    corpus = _corpus(sf_dir)
+    ds = images.read_images(corpus,
+                            columns=["image_id", "phash", "caption"])
+    return caption_lcs_pairs(ds)
+
+
 def q_letterbox(sf_dir):
     """Uniform-border letterbox detection
     (stages/curate.py:letterbox_scores): exact constant-row/column run
@@ -4965,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _synth.generate_simplify_expected(sf)
                 _synth.generate_dhash_expected(sf)
                 _synth.generate_letterbox_expected(sf)
+                _synth.generate_caption_lcs_expected(sf)
             except Exception:
                 pass
     return {
@@ -5027,6 +5042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "rank_sum_drift": q_rank_sum_drift,
         "letterbox": q_letterbox,
+        "caption_lcs": q_caption_lcs,
         "intersect_resample": q_intersect_resample,
         "raster_components": q_raster_components,
         "region_props": q_region_props,
@@ -5385,6 +5401,7 @@ def oracle_sql() -> dict[str, str]:
                 _synth.generate_simplify_expected(sf)
                 _synth.generate_dhash_expected(sf)
                 _synth.generate_letterbox_expected(sf)
+                _synth.generate_caption_lcs_expected(sf)
             except Exception:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
@@ -5454,6 +5471,9 @@ def oracle_sql() -> dict[str, str]:
         "letterbox": f"""
             SELECT image_id, n_top, n_bottom, n_left, n_right, boxed
             FROM read_parquet('{C}/letterbox_expected.parquet')""",
+        "caption_lcs": f"""
+            SELECT img_a, img_b, lcs_len, len_a, len_b
+            FROM read_parquet('{C}/caption_lcs_expected.parquet')""",
         "spatial_split": __import__(
             "unmixing_ray.stages.rollup",
             fromlist=["x"]).spatial_block_split_sql(

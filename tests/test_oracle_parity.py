@@ -369,6 +369,8 @@ def registry(ray_session):
     "rank_sum_drift",
     # uniform-border letterbox curation gate
     "letterbox",
+    # caption LCS alignment inside exact-dup clusters
+    "caption_lcs",
 ])
 def test_query_matches_oracle(registry, con, name):
     queries, oracles = registry

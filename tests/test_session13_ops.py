@@ -421,3 +421,12 @@ def test_letterbox_flags_nodata_strips(ray_session):
     boxed = out[out["boxed"] == 1]
     assert (boxed["n_top"] >= 4).sum() >= 150
     assert (out["boxed"] == 0).sum() > 800
+
+
+def test_lcs_kernel_hand_cases():
+    from unmixing_ray.stages.dedup import _lcs_len
+    assert _lcs_len("", "abc") == 0
+    assert _lcs_len("abc", "abc") == 3
+    assert _lcs_len("abcde", "ace") == 3
+    assert _lcs_len("AGGTAB", "GXTXAYB") == 4
+    assert _lcs_len("abc", "xyz") == 0

@@ -3882,3 +3882,65 @@ def generate_letterbox_expected(sf_dir, band=0):
     pq.write_table(t_, str(out / "letterbox_expected.parquet"))
     done.write_text(stamp)
     return str(out)
+
+
+CAPLCS_VERSION = 1
+
+
+def generate_caption_lcs_expected(sf_dir):
+    """Write ``caption_lcs_expected.parquet``: (keeper, other) caption
+    LCS lengths per phash dup cluster, replayed independently — phash
+    clusters straight off the images table, LCS via a RECURSIVE
+    memoized formulation (the engine uses the iterative DP)."""
+    import functools
+    import pyarrow.dataset as pads
+
+    out = pathlib.Path(corpus_dir_for(sf_dir))
+    done = out / "_CAPLCS_DONE"
+    stamp = "caplcs v%d" % CAPLCS_VERSION
+    if done.exists() and done.read_text() == stamp:
+        return str(out)
+    if not (out / "images").is_dir():
+        return None
+
+    def lcs(a, b):
+        @functools.lru_cache(maxsize=None)
+        def f(i, j):
+            if i == 0 or j == 0:
+                return 0
+            if a[i - 1] == b[j - 1]:
+                return f(i - 1, j - 1) + 1
+            return max(f(i - 1, j), f(i, j - 1))
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(10000)
+        try:
+            return f(len(a), len(b))
+        finally:
+            sys.setrecursionlimit(old)
+
+    ds = pads.dataset(str(out / "images"), format="parquet")
+    tbl = ds.to_table(columns=["image_id", "phash", "caption"]) \
+        .to_pandas()
+    rows = {"img_a": [], "img_b": [], "lcs_len": [], "len_a": [],
+            "len_b": []}
+    for _ph, g in tbl.groupby("phash"):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("image_id")
+        ka, ca = g["image_id"].iloc[0], g["caption"].iloc[0]
+        for _, r in g.iloc[1:].iterrows():
+            rows["img_a"].append(ka)
+            rows["img_b"].append(r["image_id"])
+            rows["lcs_len"].append(int(lcs(ca, r["caption"])))
+            rows["len_a"].append(len(ca))
+            rows["len_b"].append(len(r["caption"]))
+    t = pa.table({
+        "img_a": pa.array(rows["img_a"], pa.string()),
+        "img_b": pa.array(rows["img_b"], pa.string()),
+        "lcs_len": pa.array(rows["lcs_len"], pa.int64()),
+        "len_a": pa.array(rows["len_a"], pa.int64()),
+        "len_b": pa.array(rows["len_b"], pa.int64())})
+    pq.write_table(t, str(out / "caption_lcs_expected.parquet"))
+    done.write_text(stamp)
+    return str(out)

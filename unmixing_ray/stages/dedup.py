@@ -1066,3 +1066,69 @@ def image_dhash_pairs(images, max_hamming=10, band=0):
     return signature_hamming_pairs(sigs, id_col="image_id",
                                    sig_col="dhash",
                                    max_hamming=max_hamming)
+
+
+def _lcs_len(a, b):
+    """Iterative O(|a|·|b|) longest-common-subsequence length."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    for ch in a:
+        cur = prev.copy()
+        for j, cj in enumerate(b):
+            if ch == cj:
+                cur[j + 1] = prev[j] + 1
+            elif cur[j] > cur[j + 1]:
+                cur[j + 1] = cur[j]
+        np.maximum.accumulate(cur, out=cur)
+        prev = cur
+    return int(prev[-1])
+
+
+def caption_lcs_pairs(images):
+    """Caption SIMILARITY (not just equality) inside exact-duplicate
+    image clusters: for every phash cluster the (keeper, other) pairs
+    with the exact LCS length of their captions — grades HOW far the
+    labels of identical images diverge (caption_consistency's boolean
+    refined to an alignment score).
+
+    Shape: the bounded-candidate-gather pattern (minhash verify
+    discipline) — a count combiner finds the n≥2 phashes (output
+    bounded by actual dup clusters, NEVER one Ray group per phash), the
+    tiny hot set broadcasts into ONE filtered gather pass, and the
+    pair LCS runs over that bounded set. Returns (img_a, img_b,
+    lcs_len, len_a, len_b)."""
+    import pandas as pd_
+
+    def count_partial(df: pd_.DataFrame) -> pd_.DataFrame:
+        g = df.groupby("phash", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = images.map_batches(count_partial, batch_format="pandas") \
+        .groupby("phash").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    hot = set(counts[counts["n"] >= 2]["phash"].astype(np.int64))
+
+    def gather(df: pd_.DataFrame) -> pd_.DataFrame:
+        keep = df["phash"].astype(np.int64).isin(hot)
+        return df[keep][["phash", "image_id", "caption"]]
+
+    members = images.map_batches(gather, batch_format="pandas") \
+        .to_pandas()
+    rows = {"img_a": [], "img_b": [], "lcs_len": [], "len_a": [],
+            "len_b": []}
+    for _ph, g in members.groupby("phash"):
+        g = g.sort_values("image_id")
+        keep_id = g["image_id"].iloc[0]
+        keep_cap = g["caption"].iloc[0]
+        for _, r in g.iloc[1:].iterrows():
+            rows["img_a"].append(keep_id)
+            rows["img_b"].append(r["image_id"])
+            rows["lcs_len"].append(_lcs_len(keep_cap, r["caption"]))
+            rows["len_a"].append(len(keep_cap))
+            rows["len_b"].append(len(r["caption"]))
+    return pd_.DataFrame(rows).astype(
+        {"lcs_len": "int64", "len_a": "int64", "len_b": "int64"}) \
+        .sort_values(["img_a", "img_b"]).reset_index(drop=True)
