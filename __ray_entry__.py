@@ -3246,6 +3246,24 @@ def q_events_quantiles_cont(sf_dir):
         "frac_num": out["frac_num"], "frac_den": out["frac_den"]})
 
 
+def q_events_quantiles_by_user(sf_dir):
+    """EXACT per-USER quantiles — the high-cardinality complement of
+    events_quantiles: one groupby(user_id) shuffle, each group's exact
+    order statistics computed where the key lives, keys/values never on
+    the driver (stages/relational.py:grouped_quantile_shuffled). The
+    selection core refuses key counts this shape (loud max_keys guard,
+    pytest-pinned); this is its routed fallback."""
+    from unmixing_ray.stages import relational
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = relational.grouped_quantile_shuffled(
+        ds, "user_id", "value", qs=(0.5, 0.9)).to_pandas()
+    res = pd.DataFrame({"user_id": out["user_id"].astype(np.int64)})
+    for c in ("p50", "p90"):
+        res[c + "_u6"] = np.floor(
+            out[c].to_numpy() * 1e6).astype(np.int64)
+    return res
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -5088,6 +5106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "events_quantiles": q_events_quantiles,
         "events_quantiles_cont": q_events_quantiles_cont,
+        "events_quantiles_by_user": q_events_quantiles_by_user,
         "events_pivot": q_events_pivot,
         "orders_join_lineitem": q_orders_join_lineitem,
         "tpch_q3": q_tpch_q3,
@@ -6200,6 +6219,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(quantile_disc(value, 0.99)*1e6) AS BIGINT)
                      AS p99_u6
             FROM events GROUP BY event_type""",
+        "events_quantiles_by_user": """
+            SELECT user_id,
+                   CAST(floor(quantile_disc(value, 0.5)*1e6) AS BIGINT)
+                     AS p50_u6,
+                   CAST(floor(quantile_disc(value, 0.9)*1e6) AS BIGINT)
+                     AS p90_u6
+            FROM events GROUP BY user_id""",
         "events_quantiles_cont": """
             WITH s AS (
               SELECT event_type, value,

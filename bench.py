@@ -42,6 +42,13 @@ def host_probe(n_iter=3):
 
 
 def run_scaling():
+    # leg sizes: the N -> 4N protocol defaults to 8 -> 32; overridable
+    # (e.g. "4,16") because the single-box DRAM bus saturates below 8
+    # streams — a 4->16 pair measures the engine's scaling in the
+    # regime where the shared bus itself still scales (BASELINE.md)
+    lo_n, hi_n = (int(x) for x in os.environ.get(
+        "RAY_GRAFT_SCALING_LEVELS", "8,32").split(","))
+
     def run(ncpu):
         # 2 in-process repeats per leg: the in-process min catches quiet
         # host windows that a single cold run misses
@@ -55,38 +62,40 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     # warm the page cache + corpus cache (untimed)
-    warm_env = dict(os.environ, RAY_GRAFT_CPUS="8",
+    warm_env = dict(os.environ, RAY_GRAFT_CPUS=str(lo_n),
                     RAY_GRAFT_WARMUP_ONLY="1")
     subprocess.run([sys.executable, os.path.abspath(__file__)],
                    env=warm_env, capture_output=True, text=True)
-    # interleave legs (8,32,8,32) and take per-level minima: the sandbox
-    # host throttles under sustained load, so alternating spreads the
-    # slowdown across both levels instead of biasing the second leg
-    runs = {8: [], 32: []}
+    # interleave legs (lo,hi,lo,hi) and take per-level minima: the
+    # sandbox host throttles under sustained load, so alternating spreads
+    # the slowdown across both levels instead of biasing the second leg
+    runs = {lo_n: [], hi_n: []}
     for _ in range(int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2"))):
-        for ncpu in (8, 32):
+        for ncpu in (lo_n, hi_n):
             runs[ncpu].append(run(ncpu))
-    lo = min(runs[8], key=lambda r: r["value"])
-    hi = min(runs[32], key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    lo = min(runs[lo_n], key=lambda r: r["value"])
+    hi = min(runs[hi_n], key=lambda r: r["value"])
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     out = {
+        "levels": [lo_n, hi_n],
+        "pinned": os.environ.get("RAY_GRAFT_PIN") == "1",
         "sec_8": lo["value"], "sec_32": hi["value"],
-        "sec_8_runs": [r["value"] for r in runs[8]],
-        "sec_32_runs": [r["value"] for r in runs[32]],
+        "sec_8_runs": [r["value"] for r in runs[lo_n]],
+        "sec_32_runs": [r["value"] for r in runs[hi_n]],
         "tiles_per_sec_8": lo.get("tiles_per_sec"),
         "tiles_per_sec_32": hi.get("tiles_per_sec"),
         "scaling_efficiency": round(eff, 3),
         "probe_mpx_s_8": lo.get("probe_mpx_s"),
         "probe_mpx_s_32": hi.get("probe_mpx_s"),
-        "probe_runs_8": [r.get("probe_mpx_s") for r in runs[8]],
-        "probe_runs_32": [r.get("probe_mpx_s") for r in runs[32]],
+        "probe_runs_8": [r.get("probe_mpx_s") for r in runs[lo_n]],
+        "probe_runs_32": [r.get("probe_mpx_s") for r in runs[hi_n]],
         # per-leg DRAM window quality (GB/s; see dram_probe) — the
         # second control: a leg timed against a saturated bus carries
         # its own evidence
         "dram_gb_s_8": lo.get("dram_gb_s"),
         "dram_gb_s_32": hi.get("dram_gb_s"),
-        "dram_runs_8": [r.get("dram_gb_s") for r in runs[8]],
-        "dram_runs_32": [r.get("dram_gb_s") for r in runs[32]],
+        "dram_runs_8": [r.get("dram_gb_s") for r in runs[lo_n]],
+        "dram_runs_32": [r.get("dram_gb_s") for r in runs[hi_n]],
         "sf": lo["sf"],
     }
     # throttle-normalized efficiency: time x contemporaneous host speed
@@ -95,7 +104,7 @@ def run_scaling():
     c8, c32 = lo.get("probe_mpx_s"), hi.get("probe_mpx_s")
     if c8 and c32:
         out["scaling_efficiency_normalized"] = round(
-            (lo["value"] * c8) / (hi["value"] * c32) / 4.0, 3)
+            (lo["value"] * c8) / (hi["value"] * c32) / (hi_n / lo_n), 3)
     print(json.dumps(out))
 
 
@@ -156,6 +165,13 @@ def dram_probe(k, n_iter=3):
 
 def _dram_probe_inproc(k, n_iter=3):
     import multiprocessing as mp
+
+    # window-quality readings must be comparable across (possibly
+    # pinned) legs: always measure with full-host affinity
+    try:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+    except (AttributeError, OSError):
+        pass
 
     def worker(n, q):
         import numpy as np
@@ -231,6 +247,18 @@ def run_bandwidth_control():
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    # RAY_GRAFT_PIN=1: pin this leg (and every Ray process it spawns —
+    # affinity is inherited) to exactly ncpu physical cores. Makes the
+    # small leg faithful to a real small node: without pinning an
+    # "8-CPU" Ray session still spreads its workers, raylet, object
+    # store and GC threads across all 32 physical cores (VERDICT r03
+    # item 8 — the measured single-thread turbo asymmetry between legs)
+    if os.environ.get("RAY_GRAFT_PIN") == "1":
+        try:
+            os.sched_setaffinity(0, set(range(ncpu)))
+        except (AttributeError, OSError):
+            pass
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from unmixing_ray.sources import synth

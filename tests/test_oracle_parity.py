@@ -154,6 +154,9 @@ def registry(ray_session):
     "lineitem_moments",
     # ANSI percentile_cont via floor/ceil order stats + exact rational
     "events_quantiles_cont",
+    # high-cardinality exact quantiles: one shuffle, keys never on the
+    # driver (the selection core's routed fallback, r4)
+    "events_quantiles_by_user",
     # Goertzel single-bin band energy over real WAV payloads
     "audio_goertzel",
     # stereo/8-bit PCM ingest downmixed through the generic RIFF codec

@@ -114,6 +114,63 @@ def test_grouped_quantile_disc_refinement_path(ray_session):
     assert got.loc[0, "p99"] == _disc_expected(all_v, 0.99)
 
 
+def test_grouped_quantile_max_keys_is_loud(ray_session):
+    # the selection core holds one compact pooled CDF per key on the
+    # driver — at an inflated key count it must REFUSE loudly and route
+    # to the shuffled path, never grow driver state with the key space
+    # (VERDICT r03 item 2)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                       "v": rng.normal(size=200)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(RuntimeError, match="grouped_quantile_shuffled"):
+        relational.grouped_quantile_disc(ds, "k", "v", qs=(0.5,),
+                                         max_keys=50)
+
+
+def test_grouped_quantile_driver_state_is_key_compact(ray_session):
+    # driver-held pooled CDF rows are fixed-width per key (<= 4*grid+1
+    # points) regardless of how many batches contributed — the
+    # O(n_batches x keys x grid) sampling rows pool inside a
+    # groupby(key) stage, not on the driver (VERDICT r03 item 2)
+    blocks = [pd.DataFrame({"k": "z", "v": rng_v})
+              for rng_v in np.split(
+                  np.random.default_rng(5).normal(size=12_000), 24)]
+    ds = ray.data.from_pandas(blocks)
+    grid = 9
+    lean = ds.map_batches(lambda t: t.select(["k", "v"]),
+                          batch_format="pyarrow")
+    pooled = relational._pool_cdfs(lean, "k", "v", grid).to_pandas()
+    # 24 batches x grid=9 = 216 raw pooled points; the collected row
+    # must carry at most 4*grid+1 = 37
+    assert len(pooled) == 1
+    assert pooled.loc[0, "n"] == 12_000
+    assert len(pooled.loc[0, "vals"]) <= 4 * grid + 1
+    # endpoints survive the downsample (bracket-convergence guarantee)
+    all_v = np.concatenate([b["v"].to_numpy() for b in blocks])
+    assert pooled.loc[0, "vals"][0] == all_v.min()
+    assert pooled.loc[0, "vals"][-1] == all_v.max()
+    # and exactness survives the compact pooling
+    got = relational.grouped_quantile_disc(ds, "k", "v", qs=(0.5,),
+                                           grid=grid)
+    assert got.loc[0, "p50"] == _disc_expected(all_v, 0.5)
+
+
+def test_grouped_quantile_shuffled_matches_disc(ray_session):
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 4000).astype(np.int64),
+        "v": rng.normal(size=4000) * 100})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = relational.grouped_quantile_shuffled(
+        ds, "k", "v", qs=(0.5, 0.9)).to_pandas()\
+        .sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]]["v"].to_numpy()
+        assert row["p50"] == _disc_expected(sub, 0.5)
+        assert row["p90"] == _disc_expected(sub, 0.9)
+
+
 def test_grouped_quantile_band_cap_is_loud(ray_session):
     df = pd.DataFrame({"k": "z",
                        "v": np.arange(1000, dtype=np.float64)})

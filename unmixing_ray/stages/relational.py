@@ -159,8 +159,54 @@ def _disc_rank(n, q):
     return min(max(int(math.ceil(n * q)) - 1, 0), n - 1)
 
 
+def _pool_cdfs(lean, key, col, grid):
+    """Sampling pass + DISTRIBUTED per-key CDF pooling: per batch per
+    key emit count + ``grid`` equi-spaced order statistics, then merge
+    each key's batch rows inside a ``groupby`` stage (where the key
+    lives — the driver never sees the O(n_batches × keys) sampling
+    rows) and downsample the pooled CDF to a fixed ``4·grid+1`` width.
+    Index 0 and len-1 are always kept by the linspace downsample, so
+    the pooled endpoints remain the key's true min/max and the
+    selection refinement's geometric widening converges to a
+    guaranteed bracket. Returns the materialized pooled Dataset with
+    one compact row per key: (k, n, vals, cum)."""
+    pool_grid = 4 * grid + 1
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "n": [], "pivots": []}
+        for kv, g in df.groupby(key, sort=False):
+            v = g[col].to_numpy(dtype=np.float64)
+            piv = np.quantile(v, np.linspace(0.0, 1.0, grid),
+                              method="lower")
+            rows["k"].append(kv)
+            rows["n"].append(len(v))
+            rows["pivots"].append(piv.tolist())
+        return pd.DataFrame(rows)
+
+    def pool_group(g: pd.DataFrame) -> pd.DataFrame:
+        # every batch pivot carries weight batch_n/grid
+        n = int(g["n"].sum())
+        vals = np.concatenate([np.asarray(p) for p in g["pivots"]])
+        wts = np.concatenate([np.full(grid, bn / grid)
+                              for bn in g["n"]])
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        if len(vals) > pool_grid:
+            idx = np.unique(np.round(np.linspace(
+                0, len(vals) - 1, pool_grid)).astype(np.int64))
+            vals, cum = vals[idx], cum[idx]
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [n],
+                             "vals": [vals.tolist()],
+                             "cum": [cum.tolist()]})
+
+    return lean.map_batches(sample_batch, batch_format="pandas")\
+        .groupby("k").map_groups(pool_group, batch_format="pandas")\
+        .materialize()
+
+
 def _grouped_order_stats(ds, key, col, ranks_of_n, grid=65,
-                         band_pad=2, max_refine=40, band_cap=2_000_000):
+                         band_pad=2, max_refine=40, band_cap=2_000_000,
+                         max_keys=65_536):
     """Exact per-key order statistics of ``col`` at arbitrary 0-indexed
     ranks (``ranks_of_n(n) -> list[int]`` picks them per key from the
     key's row count) via distributed selection — the shared core of
@@ -169,9 +215,18 @@ def _grouped_order_stats(ds, key, col, ranks_of_n, grid=65,
 
     Passes over the (pruned to key+col) input:
     1. sampling: per batch per key → count + ``grid`` equi-spaced order
-       statistics (tiny rows); driver pools them into an approximate
-       per-key CDF and brackets every target rank with a [lo, hi] value
-       band padded by ``band_pad`` grid steps.
+       statistics (tiny rows), pooled into a per-key approximate CDF
+       INSIDE a ``groupby(key)`` stage (each key's batch pivots merge
+       where the key lives, then the pooled CDF is downsampled to a
+       fixed ``4·grid+1`` width, endpoints — the true per-key min/max —
+       always kept). The driver collects only the compact pooled rows:
+       O(keys × grid), never O(n_batches × keys × grid), and the key
+       count is loudly capped at ``max_keys`` — the selection core is
+       the few-giant-keys design; a high-cardinality key column belongs
+       on :func:`grouped_quantile_shuffled` (exact, one shuffle, keys
+       never on the driver) or ``approx_quantiles``. The driver then
+       brackets every target rank with a [lo, hi] value band padded by
+       ``band_pad`` grid steps.
     2. count: per batch per (key, band) → exact n_below(lo) and n_in
        [lo, hi] (tiny rows). If a target rank fell outside its band
        (sampling error) the band is widened from the pooled sample and
@@ -186,32 +241,23 @@ def _grouped_order_stats(ds, key, col, ranks_of_n, grid=65,
     """
     lean = ds.map_batches(
         lambda t: t.select([key, col]), batch_format="pyarrow")
-
-    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"k": [], "n": [], "pivots": []}
-        for kv, g in df.groupby(key, sort=False):
-            v = g[col].to_numpy(dtype=np.float64)
-            piv = np.quantile(v, np.linspace(0.0, 1.0, grid),
-                              method="lower")
-            rows["k"].append(kv)
-            rows["n"].append(len(v))
-            rows["pivots"].append(piv.tolist())
-        return pd.DataFrame(rows)
-
-    parts = lean.map_batches(sample_batch,
-                             batch_format="pandas").to_pandas()
-    # pooled per-key approximate CDF: every batch pivot weighted by
-    # batch_n/grid — O(n_batches * grid) driver rows, key-count bounded
+    pooled = _pool_cdfs(lean, key, col, grid)
+    n_keys = pooled.count()
+    if n_keys > max_keys:
+        raise RuntimeError(
+            "grouped order statistics (selection core): %d distinct "
+            "keys exceeds max_keys=%d — this core holds one compact "
+            "pooled CDF per key on the driver and is designed for few "
+            "giant keys; route a high-cardinality key column through "
+            "grouped_quantile_shuffled (exact, keys never on the "
+            "driver) or approx_quantiles" % (n_keys, max_keys))
+    parts = pooled.to_pandas()
     info = {}
-    for kv, g in parts.groupby("k", sort=False):
-        n = int(g["n"].sum())
-        vals = np.concatenate([np.asarray(p) for p in g["pivots"]])
-        wts = np.concatenate([np.full(grid, bn / grid)
-                              for bn in g["n"]])
-        order = np.argsort(vals, kind="stable")
-        vals, wts = vals[order], np.cumsum(wts[order])
-        info[kv] = {"n": n, "vals": vals, "cum": wts,
-                    "ranks": list(ranks_of_n(n))}
+    for _, r in parts.iterrows():
+        n = int(r["n"])
+        info[r["k"]] = {"n": n, "vals": np.asarray(r["vals"]),
+                        "cum": np.asarray(r["cum"]),
+                        "ranks": list(ranks_of_n(n))}
 
     def bracket(kv, rank, pad):
         st = info[kv]
@@ -305,7 +351,8 @@ def _grouped_order_stats(ds, key, col, ranks_of_n, grid=65,
 
 
 def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
-                          band_pad=2, max_refine=40, band_cap=2_000_000):
+                          band_pad=2, max_refine=40, band_cap=2_000_000,
+                          max_keys=65_536):
     """Exact per-key discrete quantiles of ``col`` (the returned values
     are actual data elements, bit-identical to ``quantile_disc``) —
     percentile_disc rank = ceil(n·q)−1 fed to the distributed-selection
@@ -314,7 +361,7 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
     keys_sorted, _n, values = _grouped_order_stats(
         ds, key, col, lambda n: [_disc_rank(n, q) for q in qs],
         grid=grid, band_pad=band_pad, max_refine=max_refine,
-        band_cap=band_cap)
+        band_cap=band_cap, max_keys=max_keys)
     out = {key: keys_sorted}
     for ri, q in enumerate(qs):
         out["p%g" % (q * 100)] = [values[kv][ri] for kv in keys_sorted]
@@ -323,7 +370,7 @@ def grouped_quantile_disc(ds, key, col, qs=(0.5, 0.9, 0.99), grid=65,
 
 def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
                           band_pad=2, max_refine=40,
-                          band_cap=2_000_000):
+                          band_cap=2_000_000, max_keys=65_536):
     """Exact per-key INTERPOLATED quantiles (ANSI ``percentile_cont``):
     for rational q = qn/qd the target sits at fractional rank
     (n−1)·q — value = lo + frac·(hi − lo) where lo/hi are the order
@@ -351,7 +398,7 @@ def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
 
     keys_sorted, n_by_key, values = _grouped_order_stats(
         ds, key, col, ranks_of_n, grid=grid, band_pad=band_pad,
-        max_refine=max_refine, band_cap=band_cap)
+        max_refine=max_refine, band_cap=band_cap, max_keys=max_keys)
     rows = {key: [], "qn": [], "qd": [], "n": [], "lo": [], "hi": [],
             "frac_num": [], "frac_den": [], "interp": []}
     for kv in keys_sorted:
@@ -372,6 +419,34 @@ def grouped_quantile_cont(ds, key, col, qs=((1, 2), (9, 10)), grid=65,
     for c in ("qn", "qd", "n", "frac_num", "frac_den"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def grouped_quantile_shuffled(ds, key, col, qs=(0.5, 0.9, 0.99)):
+    """EXACT per-key discrete quantiles for HIGH-cardinality key
+    columns: ONE hash shuffle (``groupby(key)``), then each group sorts
+    its own values where the key lives — the driver never holds keys,
+    values, or CDFs (returns a Dataset; consume with write_parquet or a
+    downstream stage). percentile_disc semantics identical to
+    :func:`grouped_quantile_disc`.
+
+    The two exact strategies partition the cardinality space:
+    - many keys, each group fits a block → THIS (a billion distinct
+      keys is fine: per-group state is the group itself, post-shuffle);
+    - few giant keys (a group exceeds block memory) → the selection
+      core (:func:`grouped_quantile_disc`), which never materializes a
+      full group anywhere and holds one compact CDF per key on the
+      driver (loudly capped at ``max_keys``)."""
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy(np.float64))
+        n = len(v)
+        row = {key: [g[key].iloc[0]]}
+        for q in qs:
+            row["p%g" % (q * 100)] = [float(v[_disc_rank(n, q)])]
+        return pd.DataFrame(row)
+
+    return ds.select_columns([key, col]).groupby(key).map_groups(
+        one, batch_format="pandas")
 
 
 def referential_audit(checks):
