@@ -244,6 +244,94 @@ def run_bandwidth_control():
         "bandwidth_scaling_efficiency": round(m32 / m8 / 4.0, 3)}))
 
 
+def run_parity():
+    """Full in-repo oracle parity sweep (VERDICT r03 item 3): run EVERY
+    queries() entry against its oracle_sql() at sf0.01 and report
+    rows/schema/values per query on stderr plus ONE summary JSON line
+    on stdout. The driver's CORRECTNESS harness samples ~50 queries per
+    round; this is the self-verifying 100% sweep. ~`pytest
+    tests/test_oracle_parity.py` covers the same contract per-query;
+    this mode needs no pytest and always covers the full registry."""
+    sf_dir = os.environ.get("GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[sys.argv.index("--parity") + 1:])
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as em
+    queries, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute("CREATE VIEW %s AS SELECT * FROM "
+                    "read_parquet('%s/%s.parquet')" % (t, sf_dir, t))
+
+    def norm(obj):
+        if not isinstance(obj, pd.DataFrame):
+            obj = obj.to_pandas()
+        df = obj[sorted(obj.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    names = sorted(n for n in queries if not only or n in only)
+    passed, failed, rows_only, errors = [], [], [], {}
+    t_all = time.monotonic()
+    for i, name in enumerate(names):
+        t0 = time.monotonic()
+        try:
+            got = norm(queries[name](sf_dir))
+            if name not in oracles:
+                rows_only.append(name)
+                status = "rows_only(%d)" % len(got)
+            else:
+                want = norm(con.sql(oracles[name]).df())
+                probs = []
+                if list(got.columns) != list(want.columns):
+                    probs.append("schema %s vs %s" % (
+                        list(got.columns), list(want.columns)))
+                elif len(got) != len(want):
+                    probs.append("rows %d vs %d" % (len(got), len(want)))
+                else:
+                    for c in got.columns:
+                        a, b = got[c].to_numpy(), want[c].to_numpy()
+                        if a.dtype.kind == "f" or b.dtype.kind == "f":
+                            ok = np.allclose(a.astype(float),
+                                             b.astype(float), rtol=0,
+                                             atol=0, equal_nan=True)
+                        else:
+                            ok = bool((a == b).all())
+                        if not ok:
+                            probs.append("values:" + c)
+                if probs:
+                    failed.append(name)
+                    status = "FAIL " + "; ".join(probs)
+                else:
+                    passed.append(name)
+                    status = "ok(%d)" % len(got)
+        except Exception as e:                 # noqa: BLE001 — sweep
+            errors[name] = "%s: %s" % (type(e).__name__, e)
+            failed.append(name)
+            status = "ERROR " + errors[name][:120]
+        print("[%3d/%d] %-32s %7.2fs %s" % (
+            i + 1, len(names), name, time.monotonic() - t0, status),
+            file=sys.stderr, flush=True)
+    print(json.dumps({
+        "sf_dir": sf_dir, "n_queries": len(names),
+        "n_pass": len(passed), "n_fail": len(failed),
+        "n_rows_only": len(rows_only), "failed": failed,
+        "rows_only": rows_only, "errors": errors,
+        "wall_s": round(time.monotonic() - t_all, 1)}))
+    ray.shutdown()
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -443,6 +531,8 @@ if __name__ == "__main__":
         i = sys.argv.index("--dram-probe-once")
         print(_dram_probe_inproc(int(sys.argv[i + 1]),
                                  int(sys.argv[i + 2])))
+    elif "--parity" in sys.argv:
+        run_parity()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--kernel-scaling" in sys.argv:
