@@ -127,3 +127,41 @@ def test_cross_corpus_join_ids_may_collide(ray_session):
     # each other, never with bench 9
     assert set(zip(out["doc_id"], out["bench_id"])) == {(1, 1), (2, 1)}
     assert (out["jaccard_u6"] >= 500000).all()
+
+
+def test_pair_tables_stream_as_datasets(ray_session):
+    """VERDICT r03 item 5: the near-dup pair table and the cluster map
+    must be obtainable as Datasets (no driver pandas hop inside the
+    stages), and the Dataset path must equal the pandas convenience
+    path row-for-row, in both text-gather modes."""
+    import ray.data
+    from unmixing_ray.stages.dedup import (minhash_lsh_pairs,
+                                           resolve_duplicate_clusters)
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before sunrise %d")
+    rows = {"doc_id": [], "text": []}
+    for i in range(12):
+        rows["doc_id"].append(i)
+        rows["text"].append(base % (i // 4))   # 3 groups of 4 near-dups
+    docs = ray.data.from_pandas(pd.DataFrame(rows)).repartition(5)
+
+    as_pd = minhash_lsh_pairs(docs, threshold=0.5)
+    as_ds = minhash_lsh_pairs(docs, threshold=0.5, as_dataset=True)
+    assert not isinstance(as_ds, pd.DataFrame)
+    got = as_ds.to_pandas().sort_values(["doc_a", "doc_b"])\
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, as_pd)
+
+    from unmixing_ray.stages.dedup import verify_jaccard_pairs
+    cand = ray.data.from_pandas(
+        as_pd[["doc_a", "doc_b"]].astype("int64"))
+    via_rdv = verify_jaccard_pairs(docs, cand, k=8, threshold=0.5,
+                                   gather="rendezvous")
+    pd.testing.assert_frame_equal(via_rdv, as_pd)
+
+    cl_pd = resolve_duplicate_clusters(as_pd)
+    cl_ds = resolve_duplicate_clusters(as_ds, as_dataset=True)
+    assert not isinstance(cl_ds, pd.DataFrame)
+    got_cl = cl_ds.to_pandas().sort_values("doc_id")\
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_cl, cl_pd)
