@@ -37,24 +37,25 @@ def exact_dedup_docs(docs):
     """First (min doc_id) per distinct md5(text); returns
     (text_hash, keep_doc_id, n_dups)."""
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "text_hash": df["text"].map(_md5_hex),
-        })
+    # hash + pre-aggregate per batch (combiner) so the shuffle moves one
+    # row per distinct hash per batch, not one per document
+    # (ray_guide.md "Aggregation at scale"); the merge runs through
+    # Arrow's multithreaded group_by instead of a pandas conversion —
+    # md5 itself has no vectorized kernel and stays per-row C
+    def partial(t):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+        hashes = pa_.array(
+            [_md5_hex(s) for s in
+             pc_.cast(t["text"], pa_.string()).to_pylist()],
+            pa_.string())
+        tbl = pa_.table({"text_hash": hashes,
+                         "doc_id": pc_.cast(t["doc_id"], pa_.int64())})
+        g = tbl.group_by("text_hash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text_hash", "keep_doc_id", "n_dups"])
 
-    hashed = docs.map_batches(add_hash, batch_format="pandas")
-
-    # pre-aggregate per batch (combiner) so the shuffle moves one row per
-    # distinct hash per batch, not one per document (ray_guide.md
-    # "Aggregation at scale")
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text_hash", as_index=False).agg(
-            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
-        g["n_dups"] = g["n_dups"].astype("int64")
-        return g
-
-    partials = hashed.map_batches(partial, batch_format="pandas")
+    partials = docs.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("text_hash").aggregate(
         Min("keep_doc_id", alias_name="keep_doc_id"),
         Sum("n_dups", alias_name="n_dups"),

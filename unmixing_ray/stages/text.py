@@ -20,17 +20,21 @@ PUNCT = ".,!?;:"
 
 
 def token_count(docs):
-    """doc_id, n_tokens (space-delimited, empties dropped)."""
+    """doc_id, n_tokens (space-delimited, empties dropped).
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": toks.map(
-                lambda ts: sum(1 for t in ts if t)).astype("int64"),
-        })
+    Arrow-native: a non-empty token is a maximal run of non-space
+    chars, so the count is one ``count_substring_regex`` kernel over
+    the zero-copy batch — no pandas conversion, no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return docs.map_batches(fn, batch_format="pandas")
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(t["text"], pa.string()), "[^ ]+")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def token_count_sql():
@@ -301,34 +305,54 @@ def corpus_filter(docs, min_stopwords=2, min_tokens=20,
     enters the exchange. Returns (doc_id, n_tokens, mean_tok_len_u6).
     """
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ").map(
-            lambda ts: [t for t in ts if t])
-        n_tokens = toks.map(len).astype("int64").to_numpy()
-        n_stop = toks.map(
-            lambda ts: sum(1 for t in ts if t.lower() in EN_STOPWORDS))\
-            .astype("int64").to_numpy()
-        tok_chars = toks.map(lambda ts: sum(len(t) for t in ts))\
-            .astype("int64").to_numpy()
+    # all three gate features are Arrow kernels over the zero-copy
+    # batch (no per-row Python): token count = runs of non-space chars;
+    # token chars = total length minus space count (single-space split
+    # means every non-space char belongs to exactly one token); stopword
+    # count = case-insensitive full-token alternation. RE2 has no
+    # lookahead, so boundary spaces are made non-shareable by doubling
+    # every space and padding the ends — each token then owns its own
+    # " token " window and non-overlapping counting is exact even for
+    # adjacent stopwords
+    stop_re = "(?i) (?:%s) " % "|".join(sorted(EN_STOPWORDS))
+
+    def gate(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        txt = pc.cast(t["text"], pa.string())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(txt, "[^ ]+"), pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        spaced = pc.binary_join_element_wise(
+            " ", pc.replace_substring(txt, " ", "  "), " ", "")
+        n_stop = pc.cast(pc.count_substring_regex(spaced, stop_re),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        tok_chars = (pc.cast(pc.utf8_length(txt), pa.int64())
+                     .to_numpy(zero_copy_only=False)
+                     - pc.cast(pc.count_substring(txt, " "), pa.int64())
+                     .to_numpy(zero_copy_only=False))
         mtl_u6 = np.where(
             n_tokens > 0,
             np.floor(tok_chars * 1_000_000 / np.maximum(n_tokens, 1)),
             0).astype("int64")
         keep = ((n_stop >= min_stopwords) & (n_tokens >= min_tokens)
                 & (mtl_u6 >= min_mtl_u6) & (mtl_u6 <= max_mtl_u6))
+        kept_idx = np.flatnonzero(keep)
+        sel = txt.take(pa.array(kept_idx))
         h = [hashlib.md5(s.encode()).hexdigest()
-             for s in df["text"][keep]]
-        return pd.DataFrame({
-            "h": h,
-            "doc_id": df["doc_id"].to_numpy()[keep],
-            "n_tokens": n_tokens[keep],
-            "mean_tok_len_u6": mtl_u6[keep]})
+             for s in sel.to_pylist()]
+        return pa.table({
+            "h": pa.array(h, pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64())
+            .take(pa.array(kept_idx)),
+            "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            "mean_tok_len_u6": pa.array(mtl_u6[keep], pa.int64())})
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.nsmallest(1, "doc_id")[
             ["doc_id", "n_tokens", "mean_tok_len_u6"]]
 
-    return docs.map_batches(gate, batch_format="pandas") \
+    return docs.map_batches(gate, batch_format="pyarrow") \
         .groupby("h").map_groups(keep_first, batch_format="pandas")
 
 
