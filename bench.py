@@ -398,7 +398,7 @@ def main():
     # scale factors that have no TPC-H-ish testdata dir)
     import __ray_entry__ as em
     secondary = ("tpch_q1", "dedup_exact_docs", "token_count", "ann_topk",
-                 "spatial_join_pip") if os.path.exists(
+                 "spatial_join_pip", "curation_pack") if os.path.exists(
         os.path.join(str(sf_dir), "lineitem.parquet")) else (
         "spatial_join_pip",)
     for name in secondary:
