@@ -4540,6 +4540,49 @@ def q_pack_chunks(sf_dir):
         seq_len=512)
 
 
+_CURATION_MEMO = {}
+
+
+def _run_curation(sf_dir):
+    """Run (or resume) the end-to-end curation composition pipeline
+    (pipelines/curation.py:run_curation — VERDICT r03 item 9) into a
+    checkpointed /tmp dir; memoized per sf_dir so the ledger and
+    placement queries share one run."""
+    key = str(sf_dir)
+    if key not in _CURATION_MEMO:
+        from unmixing_ray.pipelines import curation
+        _CURATION_MEMO[key] = curation.run_curation(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            _out_dir("curation", sf_dir), seq_len=512, threshold=0.35)
+    return _CURATION_MEMO[key]
+
+
+def q_curation_ledger(sf_dir):
+    """End-to-end curation composition, verdict ledger: one row per
+    input doc with its stage of elimination (gate | exact_dup |
+    near_dup | kept) after C4 gates -> exact dedup -> MinHash-LSH
+    near-dup -> keep-best-per-cluster. Oracle: the full decision chain
+    replayed in SQL (gates + keep-first window + recursive-CTE
+    components over the exact Jaccard sidecar + keep-best window)."""
+    from unmixing_ray.state import manifest as ckpt
+    res = _run_curation(sf_dir)
+    t = ckpt.read_output(res["ledger_dir"])
+    return t.select(["doc_id", "verdict"])
+
+
+def q_curation_pipeline(sf_dir):
+    """End-to-end curation composition, packed output: the
+    chunk-placement table of exactly the docs the curation chain kept,
+    read back from the checkpointed manifest-tracked write. Oracle:
+    pack_chunks_sql over the kept set from the same SQL decision
+    chain."""
+    from unmixing_ray.state import manifest as ckpt
+    res = _run_curation(sf_dir)
+    t = ckpt.read_output(res["placement_dir"])
+    return t.select(["doc_id", "n_tokens", "tok_start", "chunk_first",
+                     "chunk_last", "n_chunks"])
+
+
 def q_decontaminate(sf_dir):
     """Benchmark decontamination: per-doc 8-token-window overlap counts
     against a benchmark table (docs with doc_id % 17 = 3 — a pure
@@ -5213,6 +5256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_anomalies": q_user_anomalies,
         "csv_window": q_csv_window,
         "pack_chunks": q_pack_chunks,
+        "curation_ledger": q_curation_ledger,
+        "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
         "streaming_dedup": q_streaming_dedup,
@@ -5425,6 +5470,7 @@ def oracle_sql() -> dict[str, str]:
                 pass
     from unmixing_ray.stages import (ann, enhance, events, register,
                                      relational, text)
+    from unmixing_ray.pipelines import curation as _curation
     C = SF01_CORPUS
     return {
         "tile_assignment": f"""
@@ -7101,6 +7147,8 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, text FROM "
                 f"read_parquet('{C}/planted_docs.parquet')")),
         "pack_chunks": text.pack_chunks_sql(512),
+        "curation_ledger": _curation.curation_ledger_sql(C),
+        "curation_pipeline": _curation.curation_placement_sql(C, 512),
         "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),
         "doc_freq_score": text.doc_freq_score_sql(),

@@ -398,7 +398,7 @@ def main():
     # scale factors that have no TPC-H-ish testdata dir)
     import __ray_entry__ as em
     secondary = ("tpch_q1", "dedup_exact_docs", "token_count", "ann_topk",
-                 "spatial_join_pip", "curation_pack") if os.path.exists(
+                 "spatial_join_pip") if os.path.exists(
         os.path.join(str(sf_dir), "lineitem.parquet")) else (
         "spatial_join_pip",)
     for name in secondary:
@@ -407,6 +407,24 @@ def main():
         if hasattr(r, "to_pandas"):
             r.to_pandas()
         queries[name] = round(time.monotonic() - t0, 3)
+
+    # end-to-end curation composition pipeline (VERDICT r03 item 9):
+    # gates -> exact dedup -> MinHash near-dup -> keep-best -> packed
+    # chunks, checkpoint-written to a FRESH dir (a resumed run would
+    # measure only the skip path)
+    if os.path.exists(os.path.join(str(sf_dir), "documents.parquet")):
+        import ray.data as _rd
+        from unmixing_ray.pipelines import curation as _cur
+        cur_out = "/tmp/ray_unmix_bench/curation_%d_%d" % (os.getpid(),
+                                                           ncpu)
+        shutil.rmtree(cur_out, ignore_errors=True)
+        t0 = time.monotonic()
+        _cur.run_curation(
+            _rd.read_parquet(os.path.join(str(sf_dir),
+                                          "documents.parquet"),
+                             columns=["doc_id", "text"]),
+            cur_out, seq_len=512, threshold=0.35)
+        queries["curation_pipeline"] = round(time.monotonic() - t0, 3)
 
     # Skew-handling bench over the SKEWED corpus (half the images
     # stacked on one lattice location = one hot composite group holding

@@ -180,3 +180,63 @@ def test_parallelism_invariance(small_corpus, tmp_path):
         outs.append((res["endmembers"], np.concatenate(vals)))
     assert np.array_equal(outs[0][0], outs[1][0])
     assert np.array_equal(outs[0][1], outs[1][1])
+
+
+def _part_file_counts(d):
+    """{partition token: n parquet files} for a checkpoint directory."""
+    out = {}
+    for name in sorted(os.listdir(d)):
+        pdir = os.path.join(d, name)
+        if name.startswith("part-") and os.path.isdir(pdir):
+            out[name.split("=", 1)[-1]] = len(
+                [f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    return out
+
+
+def test_flagship_compaction_audit(small_corpus, tmp_path):
+    """VERDICT r03 item 7: flagship-level compaction audit. A run with
+    small write batches leaves multi-file partitions; a resumed run with
+    ``compact_max_files=1`` (a) recomputes nothing, (b) bounds every
+    completed partition to one file, (c) preserves rows and manifest
+    completeness, and (d) a further resume leaves the compacted files
+    untouched (resume semantics unchanged)."""
+    out = str(tmp_path / "cmp")
+    kw = dict(tile=synth.TILE, cell_level=synth.CELL_LEVEL, q=3,
+              k_knn=2, unmix_batch_size=8)
+    res = flagship.run_flagship(small_corpus, out, **kw)
+    dirs = [os.path.join(out, "tiles"), res["abundances_dir"],
+            res["join_dir"]]
+    before = {d: _part_file_counts(d) for d in dirs}
+    # the streaming writer left at least one multi-file partition
+    assert any(max(c.values()) > 1 for c in before.values()), before
+    rows_before = {d: ckpt.read_output(d).num_rows for d in dirs}
+    done_before = {d: ckpt.completed_partitions(d) for d in dirs}
+    join_before = ckpt.read_output(res["join_dir"]).to_pandas()
+    join_before = join_before.sort_values(
+        ["tile_id", "kind", "rank", "poly_id"]).reset_index(drop=True)
+
+    res2 = flagship.run_flagship(small_corpus, out, compact_max_files=1,
+                                 **kw)
+    after = {d: _part_file_counts(d) for d in dirs}
+    for d in dirs:
+        assert max(after[d].values()) <= 1, (d, after[d])
+        assert set(after[d]) == set(before[d])
+        assert ckpt.completed_partitions(d) == done_before[d]
+        assert ckpt.read_output(d).num_rows == rows_before[d]
+        for r in ckpt.read_manifest(d):
+            assert r["files"] == 1
+    join_after = ckpt.read_output(res2["join_dir"]).to_pandas()
+    join_after = join_after.sort_values(
+        ["tile_id", "kind", "rank", "poly_id"]).reset_index(drop=True)
+    assert join_before[["tile_id", "kind", "rank", "poly_id"]].equals(
+        join_after[["tile_id", "kind", "rank", "poly_id"]])
+
+    # third run: nothing recomputed, compacted files byte-identical
+    def file_state(d):
+        return {os.path.join(p, f): os.stat(os.path.join(d, p, f)).st_mtime_ns
+                for p in os.listdir(d) if p.startswith("part-")
+                for f in os.listdir(os.path.join(d, p))
+                if f.endswith(".parquet")}
+    state2 = {d: file_state(d) for d in dirs}
+    flagship.run_flagship(small_corpus, out, compact_max_files=1, **kw)
+    assert {d: file_state(d) for d in dirs} == state2

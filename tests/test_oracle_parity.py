@@ -132,6 +132,9 @@ def registry(ray_session):
     "epoch_change",
     # CCNet-style cross-corpus duplicate-chunk removal + reconstruction
     "line_dedup",
+    # end-to-end curation composition (gates -> exact -> near-dup ->
+    # keep-best -> pack), ledger + packed placement (VERDICT r03 item 9)
+    "curation_ledger", "curation_pipeline",
     # exact distributed row_number via range-bucket prefix sums
     "orders_rank",
     # gap-filled N-bin time-series composite cube (dense product)

@@ -289,6 +289,44 @@ def tfidf_topk_sql(k=3, idf_scale=1_000_000):
         FROM ranked WHERE rk <= {int(k)}"""
 
 
+def gate_features(txt, min_stopwords=2, min_tokens=20,
+                  min_mtl_u6=4_000_000, max_mtl_u6=4_700_000):
+    """Vectorized C4-style gate features over a pyarrow string array
+    (shared by :func:`corpus_filter` and the end-to-end curation
+    pipeline). Returns numpy ``(keep, n_tokens, mean_tok_len_u6)``.
+
+    All three features are Arrow kernels over the zero-copy batch (no
+    per-row Python): token count = runs of non-space chars; token chars
+    = total length minus space count (single-space split means every
+    non-space char belongs to exactly one token); stopword count =
+    case-insensitive full-token alternation. RE2 has no lookahead, so
+    boundary spaces are made non-shareable by doubling every space and
+    padding the ends — each token then owns its own " token " window
+    and non-overlapping counting is exact even for adjacent stopwords.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    stop_re = "(?i) (?:%s) " % "|".join(sorted(EN_STOPWORDS))
+    n_tokens = pc.cast(
+        pc.count_substring_regex(txt, "[^ ]+"), pa.int64())\
+        .to_numpy(zero_copy_only=False)
+    spaced = pc.binary_join_element_wise(
+        " ", pc.replace_substring(txt, " ", "  "), " ", "")
+    n_stop = pc.cast(pc.count_substring_regex(spaced, stop_re),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+    tok_chars = (pc.cast(pc.utf8_length(txt), pa.int64())
+                 .to_numpy(zero_copy_only=False)
+                 - pc.cast(pc.count_substring(txt, " "), pa.int64())
+                 .to_numpy(zero_copy_only=False))
+    mtl_u6 = np.where(
+        n_tokens > 0,
+        np.floor(tok_chars * 1_000_000 / np.maximum(n_tokens, 1)),
+        0).astype("int64")
+    keep = ((n_stop >= min_stopwords) & (n_tokens >= min_tokens)
+            & (mtl_u6 >= min_mtl_u6) & (mtl_u6 <= max_mtl_u6))
+    return keep, n_tokens, mtl_u6
+
+
 def corpus_filter(docs, min_stopwords=2, min_tokens=20,
                   min_mtl_u6=4_000_000, max_mtl_u6=4_700_000):
     """C4-style corpus cleanup pipeline: language gate (>= min_stopwords
@@ -305,38 +343,12 @@ def corpus_filter(docs, min_stopwords=2, min_tokens=20,
     enters the exchange. Returns (doc_id, n_tokens, mean_tok_len_u6).
     """
 
-    # all three gate features are Arrow kernels over the zero-copy
-    # batch (no per-row Python): token count = runs of non-space chars;
-    # token chars = total length minus space count (single-space split
-    # means every non-space char belongs to exactly one token); stopword
-    # count = case-insensitive full-token alternation. RE2 has no
-    # lookahead, so boundary spaces are made non-shareable by doubling
-    # every space and padding the ends — each token then owns its own
-    # " token " window and non-overlapping counting is exact even for
-    # adjacent stopwords
-    stop_re = "(?i) (?:%s) " % "|".join(sorted(EN_STOPWORDS))
-
     def gate(t):
         import pyarrow as pa
         import pyarrow.compute as pc
         txt = pc.cast(t["text"], pa.string())
-        n_tokens = pc.cast(
-            pc.count_substring_regex(txt, "[^ ]+"), pa.int64())\
-            .to_numpy(zero_copy_only=False)
-        spaced = pc.binary_join_element_wise(
-            " ", pc.replace_substring(txt, " ", "  "), " ", "")
-        n_stop = pc.cast(pc.count_substring_regex(spaced, stop_re),
-                         pa.int64()).to_numpy(zero_copy_only=False)
-        tok_chars = (pc.cast(pc.utf8_length(txt), pa.int64())
-                     .to_numpy(zero_copy_only=False)
-                     - pc.cast(pc.count_substring(txt, " "), pa.int64())
-                     .to_numpy(zero_copy_only=False))
-        mtl_u6 = np.where(
-            n_tokens > 0,
-            np.floor(tok_chars * 1_000_000 / np.maximum(n_tokens, 1)),
-            0).astype("int64")
-        keep = ((n_stop >= min_stopwords) & (n_tokens >= min_tokens)
-                & (mtl_u6 >= min_mtl_u6) & (mtl_u6 <= max_mtl_u6))
+        keep, n_tokens, mtl_u6 = gate_features(
+            txt, min_stopwords, min_tokens, min_mtl_u6, max_mtl_u6)
         kept_idx = np.flatnonzero(keep)
         sel = txt.take(pa.array(kept_idx))
         h = [hashlib.md5(s.encode()).hexdigest()
