@@ -411,8 +411,11 @@ def main():
     # end-to-end curation composition pipeline (VERDICT r03 item 9):
     # gates -> exact dedup -> MinHash near-dup -> keep-best -> packed
     # chunks, checkpoint-written to a FRESH dir (a resumed run would
-    # measure only the skip path)
-    if os.path.exists(os.path.join(str(sf_dir), "documents.parquet")):
+    # measure only the skip path). Skipped inside scaling legs
+    # (RAY_GRAFT_SKEW=0) like the skew bench — legs time the flagship.
+    if (os.environ.get("RAY_GRAFT_SKEW", "1") != "0"
+            and os.path.exists(os.path.join(str(sf_dir),
+                                            "documents.parquet"))):
         import ray.data as _rd
         from unmixing_ray.pipelines import curation as _cur
         cur_out = "/tmp/ray_unmix_bench/curation_%d_%d" % (os.getpid(),
