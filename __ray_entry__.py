@@ -4611,6 +4611,18 @@ def q_dataset_split(sf_dir):
         _read(sf_dir, "documents", columns=["doc_id"]), "doc_id")
 
 
+def q_corpus_mix(sf_dir):
+    """Deterministic source-weighted corpus mixing
+    (stages/relational.py:corpus_mix): per-source quota sampling in id
+    order via an exact distributed GROUPED row_number — range-bucket
+    count partials, a (buckets x sources) driver prefix table, one
+    groupby(bucket) exchange. Quota arithmetic is pure int64 so the
+    SQL window replay is hash-identical."""
+    from unmixing_ray.stages import relational
+    return relational.corpus_mix(
+        _read(sf_dir, "documents", columns=["doc_id"]), "doc_id")
+
+
 def q_doc_freq_score(sf_dir):
     """Unigram corpus-frequency quality score — the broadcast-model
     shape (stages/text.py:doc_freq_score): pass 1 builds the global
@@ -5242,6 +5254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "imageprep_decisions": q_imageprep_decisions,
         "doc_freq_score": q_doc_freq_score,
         "dataset_split": q_dataset_split,
+        "corpus_mix": q_corpus_mix,
         "embedding_quantize": q_embedding_quantize,
         "label_centroids": q_label_centroids,
         "pii_scrub": q_pii_scrub,
@@ -7168,6 +7181,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "dataset_split": "SELECT doc_id, %s AS split FROM documents"
             % relational.split_assign_sql("doc_id"),
+        "corpus_mix": relational.corpus_mix_sql(),
         "lang_stats": text.lang_stats_sql(),
         "quality_score": text.quality_score_sql(),
         "lang_id": text.lang_id_sql(),

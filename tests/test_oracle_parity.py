@@ -135,6 +135,9 @@ def registry(ray_session):
     # end-to-end curation composition (gates -> exact -> near-dup ->
     # keep-best -> pack), ledger + packed placement (VERDICT r03 item 9)
     "curation_ledger", "curation_pipeline",
+    # source-weighted corpus mixing via exact distributed grouped
+    # row_number (range-bucket prefix table, int64 quota arithmetic)
+    "corpus_mix",
     # exact distributed row_number via range-bucket prefix sums
     "orders_rank",
     # gap-filled N-bin time-series composite cube (dense product)

@@ -1083,6 +1083,146 @@ def split_assign_sql(id_expr, val_rate=0.05, test_rate=0.05, seed=0):
             % (h, t_val, h, t_test))
 
 
+MIX_SOURCES = (("web", 60), ("books", 30), ("code", 10))
+
+
+def corpus_mix(ds, id_col, weights=MIX_SOURCES, target_frac_u6=500_000,
+               n_parts=64, seed=0, source_rates=(0.6, 0.9)):
+    """Deterministic source-weighted corpus mixing — the data-mixing
+    step of LLM training pipelines: given per-source target weights
+    and a total budget, keep the FIRST ``quota_s`` docs of each source
+    in id order (quota_s = min(n_s, T·w_s // Σw with
+    T = total·target_frac_u6 // 10⁶) — exact integer arithmetic so the
+    SQL replay is hash-identical). Source labels here are the
+    engine's deterministic md5-range tag (a stand-in for a real
+    domain column; the mixing machinery is label-agnostic).
+
+    Returns (doc_id, source, src_rank, kept) for EVERY row —
+    ``src_rank`` is the exact per-source row_number (0-based, id
+    order), the distributed primitive this operator adds: computed
+    WITHOUT a per-source shuffle via the pack_chunks range-bucket
+    discipline (bucket = id // span, per-(bucket, source) count
+    partials → a P×S driver prefix table — bounded by bucket count ×
+    SOURCE CARDINALITY, documented small — → per-bucket local sort +
+    cumcount under broadcast bases). One groupby(bucket) is the only
+    exchange; text never moves.
+    """
+    t1 = "%08x" % int(source_rates[0] * (1 << 32))
+    t2 = "%08x" % int(source_rates[1] * (1 << 32))
+    names = [w[0] for w in weights]
+    wsum = sum(w[1] for w in weights)
+    wmap = dict(weights)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_hex8(df[id_col], seed)
+        src = np.where(h < t1, names[0],
+                       np.where(h < t2, names[1], names[2]))
+        return pd.DataFrame({"doc_id": df[id_col].astype("int64"),
+                             "source": src})
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+    hi = tagged.max("doc_id")
+    if hi is None:
+        import pyarrow as pa
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "src_rank": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.int64())}))
+    span = max(1, (int(hi) + int(n_parts)) // int(n_parts))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["doc_id"] // span).astype("int64")
+        return df
+
+    parted = tagged.map_batches(add_part, batch_format="pandas")
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part", "source"], as_index=False).size()
+        return pd.DataFrame({"part": g["part"].astype("int64"),
+                             "source": g["source"],
+                             "n": g["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+    counts = parted.map_batches(count_partial, batch_format="pandas")\
+        .groupby(["part", "source"]).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    counts = counts.sort_values(["source", "part"])
+    # exclusive per-source prefix over bucket order -> rank base per
+    # (bucket, source); plus per-source totals -> integer quotas
+    base = {}
+    totals = {}
+    for src, g in counts.groupby("source"):
+        run = 0
+        for _i, row in g.iterrows():
+            base[(int(row["part"]), src)] = run
+            run += int(row["n"])
+        totals[src] = run
+    total = sum(totals.values())
+    T = total * int(target_frac_u6) // 1_000_000
+    quota = {s: min(totals.get(s, 0), T * wmap[s] // wsum)
+             for s in names}
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        p = int(g["part"].iloc[0])
+        rank = np.empty(len(g), dtype=np.int64)
+        for src, idx in g.groupby("source").groups.items():
+            ix = np.asarray(idx, dtype=np.int64)
+            rank[ix] = base[(p, src)] + np.arange(len(ix),
+                                                  dtype=np.int64)
+        q = g["source"].map(quota).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": g["source"],
+            "src_rank": pd.Series(rank, dtype="int64"),
+            "kept": pd.Series((rank < q).astype(np.int64),
+                              dtype="int64")})
+
+    return parted.groupby("part").map_groups(place,
+                                             batch_format="pandas")
+
+
+def corpus_mix_sql(id_expr="doc_id", table="documents",
+                   weights=MIX_SOURCES, target_frac_u6=500_000,
+                   seed=0, source_rates=(0.6, 0.9)):
+    """DuckDB replay of :func:`corpus_mix` — md5-range tag, per-source
+    row_number, identical integer quota arithmetic."""
+    t1 = "%08x" % int(source_rates[0] * (1 << 32))
+    t2 = "%08x" % int(source_rates[1] * (1 << 32))
+    names = [w[0] for w in weights]
+    wsum = sum(w[1] for w in weights)
+    vals = ", ".join("('%s', %d)" % w for w in weights)
+    h = ("substr(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 8)"
+         % (id_expr, seed))
+    return f"""
+        WITH t AS (
+          SELECT {id_expr} AS doc_id,
+                 CASE WHEN {h} < '{t1}' THEN '{names[0]}'
+                      WHEN {h} < '{t2}' THEN '{names[1]}'
+                      ELSE '{names[2]}' END AS source
+          FROM {table}),
+        r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY doc_id) - 1 AS BIGINT) AS src_rank
+          FROM t),
+        c AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+        q AS (
+          SELECT c.source,
+                 least(c.n,
+                       (SELECT count(*) FROM t) * {int(target_frac_u6)}
+                       // 1000000 * w.wt // {wsum}) AS quota
+          FROM c JOIN (VALUES {vals}) AS w(source, wt)
+            ON w.source = c.source)
+        SELECT r.doc_id, r.source, r.src_rank,
+               CAST(CASE WHEN r.src_rank < q.quota THEN 1 ELSE 0 END
+                 AS BIGINT) AS kept
+        FROM r JOIN q ON q.source = r.source"""
+
+
 def approx_quantiles(ds, col, qs=(0.25, 0.5, 0.75, 0.95),
                      sample_size=4096, id_col=None, seed=0):
     """Approximate quantiles via a deterministic BOTTOM-m hash sketch —
