@@ -929,3 +929,34 @@ def test_zonemap_prune_reads_fewer_files(ray_session, tmp_path):
     # ntile split matches ANSI semantics on an uneven n
     f = ntile_of_rank(np.arange(1, 11), 10, 3)
     assert f.tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+def test_corpus_mix_partitioning_invariant(ray_session):
+    """corpus_mix: identical (doc_id, source, src_rank, kept) at any
+    bucket count, and quotas follow the exact integer arithmetic."""
+    import ray.data
+    from unmixing_ray.stages import relational as rel
+    ids = list(range(0, 400, 3)) + [10_000, 10_003]
+    ds = ray.data.from_items([{"doc_id": i} for i in ids])
+    outs = []
+    for n_parts in (4, 64):
+        out = rel.corpus_mix(ds, "doc_id", n_parts=n_parts)\
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    # per-source ranks are 0..n_s-1 in doc_id order
+    for _s, g in out.groupby("source"):
+        assert list(g.sort_values("doc_id")["src_rank"]) \
+            == list(range(len(g)))
+    # quota arithmetic: T = total*frac//1e6; quota_s = min(n_s, T*w//sum)
+    total = len(out)
+    T = total * 500_000 // 1_000_000
+    w = dict(rel.MIX_SOURCES)
+    wsum = sum(w.values())
+    for s, g in out.groupby("source"):
+        q = min(len(g), T * w[s] // wsum)
+        assert int(g["kept"].sum()) == q
+        kept_ids = set(g.loc[g["kept"] == 1, "doc_id"])
+        first_q = set(g.sort_values("doc_id")["doc_id"].head(q))
+        assert kept_ids == first_q
