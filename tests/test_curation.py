@@ -89,6 +89,74 @@ def test_resume_skips_everything(curation_result):
     assert res2["near_drops"] == res["near_drops"]
 
 
+def test_antijoin_drop_route_matches_broadcast(tmp_path):
+    """VERDICT r04 item 1: above ``drop_broadcast_cap`` the drop sets
+    stay Datasets and survivors route through the tag-union anti_join —
+    on an inflated-dup-mass corpus (every doc duplicated 3x) the
+    anti-join route produces the identical ledger + placement, and the
+    driver holds NO drop-id lists (``exact_drops`` is None)."""
+    import pandas as pd
+    from unmixing_ray.stages import dedup as dstage
+
+    base = pd.read_parquet(os.path.join(SF, "documents.parquet"),
+                           columns=["doc_id", "text"]).head(120)
+    m = int(base["doc_id"].max()) + 1
+    inflated = pd.concat(
+        [base] + [base.assign(doc_id=base["doc_id"] + m * (i + 1))
+                  for i in range(3)]).reset_index(drop=True)
+
+    def run(out, cap):
+        return curation.run_curation(
+            ray.data.from_pandas(inflated).repartition(8), out,
+            seq_len=512, threshold=0.35, drop_broadcast_cap=cap)
+
+    res_b = run(str(tmp_path / "bcast"), curation.DROP_BROADCAST_CAP)
+    res_d = run(str(tmp_path / "dist"), 5)
+    assert res_b["drop_mode"] == {"exact": "broadcast",
+                                  "near": "broadcast"}
+    assert res_d["drop_mode"]["exact"] == "anti_join"
+    # the cap bounds what the driver may hold: in anti-join mode the
+    # id lists are never collected
+    assert res_d["exact_drops"] is None
+    assert res_d["exact_drop_count"] == len(res_b["exact_drops"]) > 5
+    for sub in ("ledger", "placement"):
+        a = ckpt.read_output(os.path.join(res_b[sub + "_dir"])) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = ckpt.read_output(os.path.join(res_d[sub + "_dir"])) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        cols = sorted(set(a.columns) & set(b.columns))
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+
+    # the distributed keep-best (hash-join route) matches broadcast
+    docs = ray.data.from_pandas(inflated).repartition(8)
+    gated = curation.gated_documents(docs)
+    pairs = dstage.minhash_lsh_pairs(gated, num_perm=64, bands=16,
+                                     k=8, threshold=0.35,
+                                     as_dataset=True).materialize()
+    kb_b = dstage.keep_best_per_cluster(gated, pairs)
+    kb_d = dstage.keep_best_per_cluster(gated, pairs, as_dataset=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "canon_id", "n_tokens", "kept"]
+    pd.testing.assert_frame_equal(kb_b[cols].reset_index(drop=True),
+                                  kb_d[cols])
+
+
+def test_resume_param_fingerprint(tmp_path):
+    """ADVICE r04: resuming into an out_dir with different
+    output-changing parameters refuses instead of mixing stale
+    partitions with fresh drop sets."""
+    docs = ray.data.read_parquet(os.path.join(SF, "documents.parquet"),
+                                 columns=["doc_id", "text"]).limit(200)
+    out = str(tmp_path / "fp")
+    curation.run_curation(docs, out, seq_len=512, threshold=0.35)
+    with pytest.raises(ValueError, match="different parameters"):
+        curation.run_curation(docs, out, seq_len=256, threshold=0.35)
+    with pytest.raises(ValueError, match="different parameters"):
+        curation.run_curation(docs, out, seq_len=512, threshold=0.5)
+    # same params: resume is allowed
+    curation.run_curation(docs, out, seq_len=512, threshold=0.35)
+
+
 def test_image_branch_and_compaction(small_corpus, tmp_path):
     """The image branch writes per-image verdicts through the same
     manifest machinery, and compact_max_files bounds file counts."""

@@ -69,11 +69,14 @@ def gated_documents(docs, **gate_kw):
     return docs.map_batches(gate, batch_format="pyarrow")
 
 
-def exact_dup_drops(gated):
-    """doc_ids dropped by md5 keep-first exact dedup, as driver pandas
-    (bounded by duplicate mass — only rows of multi-member hash groups
-    beyond the min are emitted; the shuffle itself carries 48-byte
-    (hash, doc_id) rows, never text)."""
+def exact_dup_drops(gated, as_dataset=False):
+    """doc_ids dropped by md5 keep-first exact dedup. The shuffle itself
+    carries 48-byte (hash, doc_id) rows, never text; the output is
+    bounded by duplicate mass — only rows of multi-member hash groups
+    beyond the min are emitted. With ``as_dataset=True`` the drop-id
+    table streams out as a one-column Dataset (the shape the curation
+    pipeline anti-joins against when duplicate mass is too large to
+    broadcast); default returns driver pandas."""
     import hashlib
 
     def hash_stage(t: pa.Table) -> pa.Table:
@@ -89,9 +92,11 @@ def exact_dup_drops(gated):
         keep = g["doc_id"].min()
         return g.loc[g["doc_id"] != keep, ["doc_id"]].astype("int64")
 
-    out = gated.map_batches(hash_stage, batch_format="pyarrow") \
-        .groupby("h").map_groups(drops, batch_format="pandas") \
-        .to_pandas()
+    ds = gated.map_batches(hash_stage, batch_format="pyarrow") \
+        .groupby("h").map_groups(drops, batch_format="pandas")
+    if as_dataset:
+        return ds
+    out = ds.to_pandas()
     if "doc_id" not in out.columns:   # no dups anywhere -> no schema
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     return out
@@ -113,10 +118,45 @@ def _drop_filter(ds, drop_ref):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: Above this many drop ids, the curation pipeline stops broadcasting
+#: drop sets (``ray.put`` + per-task ``np.isin``) and routes survivors
+#: through the engine's tag-union ``anti_join`` instead — duplicate
+#: mass at crawl scale is O(corpus), so the broadcast path is a driver
+#: memory bomb beyond this bound. 2M int64 ids ≈ 16 MB probe array,
+#: the largest broadcast worth shipping to every task.
+DROP_BROADCAST_CAP = 2_000_000
+
+#: run_curation parameters that change the OUTPUT (not just the
+#: execution strategy) — fingerprinted into out_dir/params.json so a
+#: resume with different semantics refuses instead of silently mixing
+#: stale partitions with fresh drop sets.
+_FINGERPRINTED = ("seq_len", "threshold", "num_perm", "bands",
+                  "k_shingle", "n_write_parts", "gate_kw")
+
+
+def _check_params(out_dir, params):
+    import json
+    path = os.path.join(out_dir, "params.json")
+    blob = json.dumps(params, sort_keys=True)
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        if prev != blob:
+            raise ValueError(
+                "run_curation: %r holds a checkpoint produced with "
+                "different parameters (%s) than this call (%s); "
+                "resuming would skip completed partitions computed "
+                "under the old semantics — use a fresh out_dir or "
+                "delete the old one" % (out_dir, prev, blob))
+    else:
+        with open(path, "w") as f:
+            f.write(blob)
+
+
 def run_curation(docs, out_dir, seq_len=512, threshold=0.35,
                  num_perm=64, bands=16, k_shingle=8,
                  images=None, n_write_parts=16, compact_max_files=None,
-                 gate_kw=None):
+                 gate_kw=None, drop_broadcast_cap=DROP_BROADCAST_CAP):
     """Run the full curation chain over a (doc_id, text) Dataset.
 
     Writes two checkpointed, manifest-tracked outputs under
@@ -126,32 +166,91 @@ def run_curation(docs, out_dir, seq_len=512, threshold=0.35,
     gate | exact_dup | near_dup | kept). With ``images`` (a raw images
     Dataset) also writes ``image_verdicts/``. Returns a dict of
     handles: drop sets, per-stage timings, lineage, dirs.
+
+    Drop-set application is threshold-gated per drop set: with at most
+    ``drop_broadcast_cap`` ids the set broadcasts once via ``ray.put``
+    and filters with a vectorized ``np.isin`` probe (zero extra
+    shuffles — the fast path for typical dup mass); beyond the cap the
+    set STAYS a Dataset and survivors route through the tag-union
+    ``anti_join`` (stages/relational.py), so driver memory and
+    per-task probe size never scale with duplicate mass. In anti-join
+    mode the verdict ledger is likewise a narrow tag-code
+    ``groupby(doc_id).aggregate(Max)`` union instead of broadcast
+    ``np.isin`` probes; only bounded scalars (drop counts) ever reach
+    the driver, and ``exact_drops``/``near_drops`` in the result are
+    ``None`` (use the ``*_ds`` Dataset handles).
+
+    A parameter fingerprint (``params.json``) guards resume: re-running
+    into an existing ``out_dir`` with different output-changing
+    parameters raises instead of silently mixing stale partitions with
+    fresh drop sets.
     """
     import ray
+    import ray.data
+
+    from ..stages import relational as rel
 
     gate_kw = {**GATE_KW, **(gate_kw or {})}
     os.makedirs(out_dir, exist_ok=True)
+    _check_params(out_dir, {
+        "seq_len": int(seq_len), "threshold": float(threshold),
+        "num_perm": int(num_perm), "bands": int(bands),
+        "k_shingle": int(k_shingle), "n_write_parts": int(n_write_parts),
+        "gate_kw": {k: int(v) for k, v in sorted(gate_kw.items())}})
+    cap = int(drop_broadcast_cap)
     timings = {}
     t0 = time.monotonic()
 
     gated = gated_documents(docs, **gate_kw)
-    ex_drops = exact_dup_drops(gated)
-    ex_ids = set(int(i) for i in ex_drops["doc_id"])
+    ex_ds = exact_dup_drops(gated, as_dataset=True).materialize()
+    n_ex = ex_ds.count()
+    bcast_ex = n_ex <= cap
+    if bcast_ex:
+        ex_pd = ex_ds.to_pandas()
+        ex_arr = (np.sort(ex_pd["doc_id"].to_numpy(np.int64))
+                  if "doc_id" in ex_pd.columns and len(ex_pd)
+                  else np.array([], dtype=np.int64))
+        ex_ref = ray.put(ex_arr)
+        survivors = _drop_filter(gated, ex_ref)
+    else:
+        # duplicate mass beyond the broadcast cap: one corpus shuffle
+        # keyed by doc_id (the only full-width exchange in the
+        # pipeline), materialized because four downstream passes
+        # consume the survivor set
+        survivors = rel.anti_join(gated, ex_ds, "doc_id").materialize()
     timings["exact_dedup"] = time.monotonic() - t0
 
     t1 = time.monotonic()
-    ex_ref = ray.put(np.array(sorted(ex_ids), dtype=np.int64))
-    survivors = _drop_filter(gated, ex_ref)
     pairs = dstage.minhash_lsh_pairs(
         survivors, num_perm=num_perm, bands=bands, k=k_shingle,
-        threshold=threshold, as_dataset=True)
-    kb = dstage.keep_best_per_cluster(survivors, pairs)
-    nd_ids = set(int(i) for i in kb.loc[kb["kept"] == 0, "doc_id"])
+        threshold=threshold, as_dataset=True).materialize()
+    cl_ds = dstage.resolve_duplicate_clusters(
+        pairs, as_dataset=True).materialize()
+    n_clustered = cl_ds.count()
+    bcast_nd = n_clustered <= cap
+    nd_ds = None
+    if bcast_nd:
+        kb = dstage.keep_best_per_cluster(survivors, pairs,
+                                          clusters=cl_ds)
+        nd_ids = set(int(i) for i in kb.loc[kb["kept"] == 0, "doc_id"])
+        n_nd = len(nd_ids)
+    else:
+        kb = dstage.keep_best_per_cluster(
+            survivors, pairs, as_dataset=True, clusters=cl_ds) \
+            .materialize()
+        nd_ds = kb.map_batches(
+            lambda t: t.filter(pc.equal(t["kept"], 0))
+                       .select(["doc_id"]),
+            batch_format="pyarrow").materialize()
+        n_nd = nd_ds.count()
     timings["near_dedup"] = time.monotonic() - t1
 
     t2 = time.monotonic()
-    nd_ref = ray.put(np.array(sorted(nd_ids), dtype=np.int64))
-    final = _drop_filter(survivors, nd_ref)
+    if bcast_nd:
+        nd_ref = ray.put(np.array(sorted(nd_ids), dtype=np.int64))
+        final = _drop_filter(survivors, nd_ref)
+    else:
+        final = rel.anti_join(survivors, nd_ds, "doc_id")
     placement = tstage.pack_chunks(final, seq_len=seq_len)
 
     P = int(n_write_parts)
@@ -170,29 +269,82 @@ def run_curation(docs, out_dir, seq_len=512, threshold=0.35,
         pl_parted, pl_dir, "part", stage="placement")
     timings["placement"] = time.monotonic() - t2
 
-    # verdict ledger: gates re-evaluated inline (pure per-row), drop
-    # sets broadcast — one pass over the raw corpus, no joins
+    # verdict ledger. Both drop sets broadcast (the typical case):
+    # gates re-evaluated inline (pure per-row) + np.isin probes — one
+    # pass over the raw corpus, no joins. Any drop set distributed:
+    # narrow tag-code rows (doc_id, code) from the corpus pass union
+    # the drop-id Datasets and ONE groupby(doc_id) Max aggregate
+    # resolves precedence (codes: 3=gate, 2=exact_dup, 1=near_dup,
+    # 0=kept; the three sources are disjoint by construction — drops
+    # are computed over gate survivors and exact drops are removed
+    # before near-dup runs — so Max is exact, not a tiebreak).
     t3 = time.monotonic()
 
-    def verdicts(t: pa.Table) -> pa.Table:
-        txt = pc.cast(t["text"], pa.string())
-        keep, _, _ = tstage.gate_features(txt, **gate_kw)
-        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ex = np.isin(ids, ray.get(ex_ref))
-        nd = np.isin(ids, ray.get(nd_ref))
-        v = np.where(~keep, "gate",
-                     np.where(ex, "exact_dup",
-                              np.where(nd, "near_dup", "kept")))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "verdict": pa.array(v.tolist(), pa.string()),
-            "part": pa.array((ids % P).astype(np.uint64))})
+    if bcast_ex and bcast_nd:
+        def verdicts(t: pa.Table) -> pa.Table:
+            txt = pc.cast(t["text"], pa.string())
+            keep, _, _ = tstage.gate_features(txt, **gate_kw)
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ex = np.isin(ids, ray.get(ex_ref))
+            nd = np.isin(ids, ray.get(nd_ref))
+            v = np.where(~keep, "gate",
+                         np.where(ex, "exact_dup",
+                                  np.where(nd, "near_dup", "kept")))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "verdict": pa.array(v.tolist(), pa.string()),
+                "part": pa.array((ids % P).astype(np.uint64))})
+
+        led_rows = docs.map_batches(verdicts, batch_format="pyarrow")
+    else:
+        from ray.data.aggregate import Max
+
+        def code_rows(t: pa.Table) -> pa.Table:
+            txt = pc.cast(t["text"], pa.string())
+            keep, _, _ = tstage.gate_features(txt, **gate_kw)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "code": pa.array(np.where(keep, 0, 3)
+                                 .astype(np.int64))})
+
+        def _code_ds(ds, arr, code):
+            if ds is None:
+                ds = ray.data.from_arrow(pa.table(
+                    {"doc_id": pa.array(np.sort(arr), pa.int64())}))
+            return ds.map_batches(
+                lambda t: pa.table({
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "code": pa.array(
+                        np.full(t.num_rows, code, np.int64))}),
+                batch_format="pyarrow")
+
+        tagged = docs.map_batches(
+            code_rows, batch_format="pyarrow").union(
+            _code_ds(None if bcast_ex else ex_ds,
+                     ex_arr if bcast_ex else None, 2),
+            _code_ds(None if bcast_nd else nd_ds,
+                     np.array(sorted(nd_ids), dtype=np.int64)
+                     if bcast_nd else None, 1))
+        coded = tagged.groupby("doc_id").aggregate(
+            Max("code", alias_name="code"))
+
+        _VERD = np.array(["kept", "near_dup", "exact_dup", "gate"])
+
+        def to_verdict(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            code = pc.cast(t["code"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "verdict": pa.array(_VERD[code].tolist(), pa.string()),
+                "part": pa.array((ids % P).astype(np.uint64))})
+
+        led_rows = coded.map_batches(to_verdict, batch_format="pyarrow")
 
     led_dir = os.path.join(out_dir, "ledger")
-    led_parted, _skip = ckpt.resume_filter(
-        docs.map_batches(verdicts, batch_format="pyarrow"),
-        led_dir, "part")
+    led_parted, _skip = ckpt.resume_filter(led_rows, led_dir, "part")
     led_metrics, _ = ckpt.checkpointed_write_streaming(
         led_parted, led_dir, "part", stage="ledger")
     timings["ledger"] = time.monotonic() - t3
@@ -231,8 +383,17 @@ def run_curation(docs, out_dir, seq_len=512, threshold=0.35,
         "placement_dir": pl_dir,
         "ledger_dir": led_dir,
         "image_verdicts_dir": img_dir,
-        "exact_drops": sorted(ex_ids),
-        "near_drops": sorted(nd_ids),
+        # id LISTS only in broadcast mode — in anti-join mode the sets
+        # never land on the driver; consume the *_ds handles instead
+        "exact_drops": sorted(int(i) for i in ex_arr) if bcast_ex
+        else None,
+        "near_drops": sorted(nd_ids) if bcast_nd else None,
+        "exact_drop_count": int(n_ex),
+        "near_drop_count": int(n_nd),
+        "exact_drops_ds": ex_ds,
+        "near_drops_ds": nd_ds,
+        "drop_mode": {"exact": "broadcast" if bcast_ex else "anti_join",
+                      "near": "broadcast" if bcast_nd else "anti_join"},
         "keep_best": kb,
         "lineage": {"placement": pl_metrics, "ledger": led_metrics,
                     "image_verdicts": img_metrics},

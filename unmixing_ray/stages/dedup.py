@@ -991,28 +991,65 @@ def cross_corpus_minhash_join(corpus, benchmark, num_perm=64, bands=16,
     return out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
 
 
-def keep_best_per_cluster(docs, pairs, max_rounds=16):
+def keep_best_per_cluster(docs, pairs, max_rounds=16, as_dataset=False,
+                          clusters=None):
     """Quality-aware duplicate resolution: near-dup pair list → connected
     components → keep the HIGHEST-QUALITY doc per cluster (most tokens,
     ties broken by min doc_id) instead of the arbitrary min-id canon.
     This is the step real training-data pipelines run after MinHash: of
     a boilerplate cluster, keep the longest/cleanest member.
 
-    Scale shape: cluster resolution is the pair-bounded label
-    propagation of resolve_duplicate_clusters; the (doc_id → cluster)
-    map is bounded by the pair list and rides one ``ray.put`` broadcast
-    into a single filtered token-count pass over the corpus (the corpus
-    itself is never shuffled); the per-cluster argmax is a groupby over
-    clustered docs only. Returns pandas
+    Scale shape, broadcast path (``as_dataset=False``): cluster
+    resolution is the pair-bounded label propagation of
+    resolve_duplicate_clusters; the (doc_id → cluster) map is bounded by
+    the pair list and rides one ``ray.put`` broadcast into a single
+    filtered token-count pass over the corpus (the corpus itself is
+    never shuffled); the per-cluster argmax is a groupby over clustered
+    docs only. Returns pandas
     (doc_id, canon_id, n_tokens, kept∈{0,1}) — one row per clustered
     doc; docs in no cluster are implicitly kept and not emitted.
+
+    Scale shape, distributed path (``as_dataset=True``): NO driver
+    materialization anywhere — the cluster map stays a Dataset, the
+    corpus is reduced to 16-byte (doc_id, n_tokens) rows in a per-row
+    pass (text never shuffles), non-clustered docs are dropped BEFORE
+    the exchange by a Bloom filter of the cluster doc_ids
+    (``hash_join(..., bloom_prune="right")``), and the per-cluster
+    argmax is the same ``groupby(canon_id)`` over clustered docs only.
+    Returns the (doc_id, canon_id, n_tokens, kept) Dataset — the shape
+    the curation pipeline composes with zero driver hops when the
+    duplicate mass is O(corpus).
+
+    ``clusters`` optionally supplies a precomputed (doc_id, canon_id)
+    map (pandas or Dataset) so a caller that already resolved the
+    clusters — e.g. to size the broadcast-vs-anti-join decision — does
+    not pay the label propagation twice.
     """
     import ray
     import ray.data
     import pyarrow as pa_
     import pyarrow.compute as pc_
 
-    cl = resolve_duplicate_clusters(pairs, max_rounds=max_rounds)
+    if as_dataset:
+        cl_ds = clusters
+        if cl_ds is None:
+            cl_ds = resolve_duplicate_clusters(
+                pairs, max_rounds=max_rounds, as_dataset=True)
+        elif isinstance(cl_ds, pd.DataFrame):
+            cl_ds = ray.data.from_pandas(
+                cl_ds[["doc_id", "canon_id"]].astype("int64"))
+        return _keep_best_distributed(docs, cl_ds)
+
+    if clusters is not None:
+        cl = clusters.to_pandas() if not isinstance(clusters, pd.DataFrame) \
+            else clusters
+        if "doc_id" not in cl.columns:    # empty Dataset -> no schema
+            cl = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "canon_id": pd.Series([], dtype="int64")})
+        cl = cl[["doc_id", "canon_id"]].astype(
+            {"doc_id": "int64", "canon_id": "int64"})
+    else:
+        cl = resolve_duplicate_clusters(pairs, max_rounds=max_rounds)
     if not len(cl):
         return pd.DataFrame({
             "doc_id": pd.Series([], dtype="int64"),
@@ -1049,6 +1086,41 @@ def keep_best_per_cluster(docs, pairs, max_rounds=16):
     out = scored.groupby("canon_id").map_groups(
         pick, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _keep_best_distributed(docs, cl_ds):
+    """Distributed keep-best: Bloom-pruned hash join of the cluster map
+    against the corpus's narrow (doc_id, n_tokens) projection, then the
+    per-cluster argmax. Nothing wider than 24 bytes/row enters the
+    exchange and nothing lands on the driver."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    from . import relational as rel
+
+    def counts(t: pa_.Table) -> pa_.Table:
+        txt = pc_.cast(t["text"], pa_.string())
+        ntok = pc_.count_substring_regex(txt, r"[^ ]+")
+        return pa_.table({
+            "doc_id": pc_.cast(t["doc_id"], pa_.int64()),
+            "n_tokens": pc_.cast(ntok, pa_.int64())})
+
+    tok = docs.map_batches(counts, batch_format="pyarrow")
+    joined = rel.hash_join(
+        cl_ds, tok, "doc_id", how="inner", bloom_prune="right",
+        left_cols=["canon_id"], right_cols=["n_tokens"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        g["kept"] = np.zeros(len(g), dtype=np.int64)
+        g.loc[0, "kept"] = np.int64(1)
+        return g[["doc_id", "canon_id", "n_tokens", "kept"]].astype(
+            {"doc_id": "int64", "canon_id": "int64",
+             "n_tokens": "int64", "kept": "int64"})
+
+    return joined.groupby("canon_id").map_groups(
+        pick, batch_format="pandas")
 
 
 def caption_consistency(images):
