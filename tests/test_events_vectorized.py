@@ -95,6 +95,66 @@ def test_streaks_scattered_blocks(ray_session, nblocks):
         got[want.columns].astype("int64"), want.astype("int64"))
 
 
+def _run_scattered(op, df, nblocks, sort_cols):
+    ds = ray.data.from_pandas(np.array_split(df, nblocks))
+    out = op(ds).to_pandas()
+    return out.sort_values(sort_cols).reset_index(drop=True)
+
+
+# VERDICT r04 item 2: the remaining per-group pandas ops migrated onto
+# _per_user_blocks + _seg_searchsorted. Absolute correctness is pinned
+# by their DuckDB oracles (events_asof[_forward], events_sliding,
+# events_lag, events_range_window, events_interpolate, session_overlap,
+# events_window_join, session_lookup); these assert the segmented
+# whole-block path is invariant to adversarial input batching.
+@pytest.mark.parametrize("op,sort_cols", [
+    (lambda ds: ev.asof_join(ds), ["event_id"]),
+    (lambda ds: ev.asof_join(ds, direction="forward",
+                             tolerance_us=3_600_000_000), ["event_id"]),
+    (lambda ds: ev.sliding_window(ds), ["event_type", "event_id"]),
+    (lambda ds: ev.lag_delta(ds), ["user_id", "event_id"]),
+    (lambda ds: ev.range_window_sum(ds), ["event_id"]),
+    (lambda ds: ev.asof_interpolate(ds), ["event_id"]),
+    (lambda ds: ev.session_overlap(ds, gap_s=5 * 86400),
+     ["user_id", "a_session", "b_session"]),
+    (lambda ds: ev.window_join(ds, window_s=43200),
+     ["user_id", "event_id", "matched_id"]),
+    (lambda ds: ev.session_lookup(ds), ["event_id"]),
+], ids=["asof", "asof_fwd", "sliding", "lag", "range_window",
+        "interpolate", "overlap", "window_join", "interval"])
+def test_migrated_ops_scattered_blocks(ray_session, op, sort_cols):
+    df = _log(n_users=30, ev_per=20, seed=11)
+    a = _run_scattered(op, df, 1, sort_cols)
+    b = _run_scattered(op, df, 17, sort_cols)
+    assert len(a) > 0, "vacuous fixture: op produced no rows"
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_matches_reference(ray_session):
+    """One absolute pin beyond batching invariance: the segmented asof
+    equals a per-user pandas merge_asof-style reference."""
+    df = _log(n_users=25, ev_per=16, seed=5)
+    ds = ray.data.from_pandas(np.array_split(df, 9))
+    got = ev.asof_join(ds).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        lt = t[(g["event_type"] == "purchase").to_numpy()]
+        lid = g["event_id"].to_numpy()[
+            (g["event_type"] == "purchase").to_numpy()]
+        rt = np.sort(t[(g["event_type"] == "click").to_numpy()])
+        for i, x in enumerate(lt):
+            p = np.searchsorted(rt, x, side="right") - 1
+            if p >= 0:
+                rows.append((uid, lid[i], x, rt[p], x - rt[p]))
+    want = pd.DataFrame(rows, columns=[
+        "user_id", "event_id", "ts_us", "matched_ts_us", "lag_us"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64"))
+
+
 @pytest.mark.parametrize("nblocks", [1, 17])
 def test_funnel_scattered_blocks(ray_session, nblocks):
     df = _log()

@@ -37,6 +37,8 @@ def _per_user_blocks(events, cols, block_fn, key="user_id",
             return block_fn(df, *empty)
         sort_keys = [df[c].to_numpy() for c in order]
         k = df[key].to_numpy()
+        if k.dtype == np.dtype(object):  # string keys: lexsort on codes
+            k = pd.factorize(k)[0]
         idx = np.lexsort(tuple(reversed([k] + sort_keys)))
         df = df.iloc[idx].reset_index(drop=True)
         k = k[idx]
@@ -46,6 +48,48 @@ def _per_user_blocks(events, cols, block_fn, key="user_id",
 
     return events.select_columns(list(cols)).sort(key).map_batches(
         apply, batch_size=None, batch_format="pandas")
+
+
+def _row_segments(starts, ends):
+    """Per-row segment ordinal (0..S-1) for a block cut by
+    ``starts``/``ends``."""
+    return np.repeat(np.arange(len(starts), dtype=np.int64),
+                     ends - starts)
+
+
+def _seg_searchsorted(vals, vseg, queries, qseg, side, n_seg):
+    """Vectorized PER-SEGMENT ``np.searchsorted``: ``vals`` is sorted
+    ascending within each segment (``vseg`` non-decreasing), and for
+    every ``queries[i]`` (in segment ``qseg[i]``) the result is its
+    insertion index RELATIVE to that segment's vals — exactly
+    ``np.searchsorted(vals[vseg == s], q, side)`` without a per-segment
+    Python call. One merged lexsort + cumsum, O((nv+nq)·log) per block:
+    queries tie-break before equal vals for side="left" (count strictly
+    less) and after them for side="right" (count less-or-equal)."""
+    nv, nq = len(vals), len(queries)
+    if nq == 0:
+        return np.zeros(0, dtype=np.int64)
+    merged = np.concatenate([vals, queries])
+    seg = np.concatenate([vseg, qseg])
+    isq = np.concatenate([np.zeros(nv, np.int8), np.ones(nq, np.int8)])
+    tie = (1 - isq) if side == "left" else isq
+    order = np.lexsort((tie, merged, seg))
+    isval_o = (isq[order] == 0)
+    excl = np.cumsum(isval_o) - isval_o     # vals strictly before pos
+    base = np.zeros(n_seg, dtype=np.int64)  # vals in earlier segments
+    np.cumsum(np.bincount(vseg, minlength=n_seg)[:-1], out=base[1:])
+    rel = excl - base[seg[order]]
+    inv = np.empty(nv + nq, dtype=np.int64)
+    inv[order] = np.arange(nv + nq)
+    return rel[inv[nv:]]
+
+
+def _seg_base(vseg, n_seg):
+    """Exclusive prefix of per-segment val counts: global index of each
+    segment's first val in the segment-concatenated val array."""
+    base = np.zeros(n_seg, dtype=np.int64)
+    np.cumsum(np.bincount(vseg, minlength=n_seg)[:-1], out=base[1:])
+    return base
 
 
 def _ts_us(df, col="ts"):
@@ -130,12 +174,13 @@ def asof_join(events, left_type="purchase", right_type="click",
     semantics).
 
     Plan: column-pruned filter to the two event types inside
-    ``map_batches`` (nothing else enters the shuffle), one
-    ``groupby(user_id)`` co-partitioning both sides, then a vectorized
-    per-user sorted merge (np.searchsorted). This is the standard
-    key-partitioned merge-join shape Ray Data lacks natively
-    (SURVEY.md "custom operators"); at scale the shuffle key is the
-    join key and skewed users would salt by time range.
+    ``map_batches`` (nothing else enters the shuffle), ONE ``sort(user)``
+    exchange, then a whole-block segmented merge
+    (:func:`_per_user_blocks` + :func:`_seg_searchsorted` — no per-user
+    Python call). This is the standard key-partitioned merge-join shape
+    Ray Data lacks natively (SURVEY.md "custom operators"); at scale
+    the shuffle key is the join key and skewed users would salt by time
+    range.
 
     Returns (user_id, event_id, ts_us, matched_ts_us, lag_us) — the
     match is identified by its timestamp (deterministic under ts ties,
@@ -151,45 +196,52 @@ def asof_join(events, left_type="purchase", right_type="click",
                          "event_type"]).filter(m)
 
     pruned = events.map_batches(prune, batch_format="pyarrow")
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64"),
+        "matched_ts_us": pd.Series([], dtype="int64"),
+        "lag_us": pd.Series([], dtype="int64")})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
-            .to_numpy()
-        is_left = (g["event_type"] == left_type).to_numpy()
-        is_right = (g["event_type"] == right_type).to_numpy()
-        lt = ts_us[is_left]
-        rt = np.sort(ts_us[is_right])
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        is_l = (df["event_type"] == left_type).to_numpy()
+        is_r = (df["event_type"] == right_type).to_numpy()
+        lt, lseg = ts_us[is_l], seg[is_l]
+        rt, rseg = ts_us[is_r], seg[is_r]   # seg-sorted by construction
         if not len(lt) or not len(rt):
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "event_id": pd.Series([], dtype="int64"),
-                "ts_us": pd.Series([], dtype="int64"),
-                "matched_ts_us": pd.Series([], dtype="int64"),
-                "lag_us": pd.Series([], dtype="int64")})
+            return empty
+        rbase = _seg_base(rseg, n_seg)
+        rcnt = np.bincount(rseg, minlength=n_seg)
+        le = _seg_searchsorted(rt, rseg, lt, lseg, "right", n_seg)
         if direction == "backward":
-            # index of the last right ts <= each left ts
-            pos = np.searchsorted(rt, lt, side="right") - 1
+            pos = le - 1                    # last right ts <= left ts
             ok = pos >= 0
         else:
-            # index of the first right ts > each left ts
-            pos = np.searchsorted(rt, lt, side="right")
-            ok = pos < len(rt)
-        matched = rt[np.clip(pos, 0, len(rt) - 1)]
+            pos = le                        # first right ts > left ts
+            ok = pos < rcnt[lseg]
+        gidx = rbase[lseg] + np.clip(pos, 0, np.maximum(rcnt[lseg], 1)
+                                     - 1)
+        matched = rt[np.clip(gidx, 0, len(rt) - 1)]
         lag = (lt - matched) if direction == "backward" \
             else (matched - lt)
         if tolerance_us is not None:
             ok &= lag <= int(tolerance_us)
-        lids = g["event_id"].to_numpy()[is_left][ok]
         return pd.DataFrame({
             "user_id": pd.Series(
-                g["user_id"].to_numpy()[is_left][ok], dtype="int64"),
-            "event_id": pd.Series(lids, dtype="int64"),
+                df["user_id"].to_numpy()[is_l][ok], dtype="int64"),
+            "event_id": pd.Series(
+                df["event_id"].to_numpy()[is_l][ok], dtype="int64"),
             "ts_us": pd.Series(lt[ok], dtype="int64"),
             "matched_ts_us": pd.Series(matched[ok], dtype="int64"),
             "lag_us": pd.Series(lag[ok], dtype="int64")})
 
-    return pruned.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+    return _per_user_blocks(
+        pruned, ["user_id", "event_id", "ts", "event_type"], block)
 
 
 def asof_join_sql(left_type="purchase", right_type="click"):
@@ -235,37 +287,47 @@ def sliding_window(events, window_s=3600):
     [ts - window_s, ts] — SQL RANGE-frame semantics (timestamp peers
     included on both edges, so ties need no event_id ordering).
 
-    Plan: groupby(event_type) co-partitions each series; within a group
-    one sort + prefix sums + two vectorized searchsorted calls give
-    every event's window in O(n log n) — no per-event rescan. At scale
-    the shuffle key is the series key; a single huge series would be
+    Plan: one ``sort(event_type)`` exchange co-partitions each series;
+    prefix sums + two segmented searchsorted passes over the whole block
+    (:func:`_per_user_blocks`) give every event's window in O(n log n)
+    — no per-event rescan, no per-series Python call. At scale the
+    shuffle key is the series key; a single huge series would be
     range-partitioned by time with a window_s overlap (halo) per chunk.
 
     Returns (event_type, event_id, ts_us, n_in_window, sum_value_c).
     """
     window_us = int(window_s) * 1_000_000
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
-            .to_numpy()
-        value_c = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
-        pref = np.zeros(len(g) + 1, dtype=np.int64)
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "n_in_window": pd.Series([], dtype="int64"),
+                "sum_value_c": pd.Series([], dtype="int64")})
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        value_c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        pref = np.zeros(len(df) + 1, dtype=np.int64)
         np.cumsum(value_c, out=pref[1:])
-        start = np.searchsorted(ts_us, ts_us - window_us, side="left")
-        end = np.searchsorted(ts_us, ts_us, side="right")
+        lo = _seg_searchsorted(ts_us, seg, ts_us - window_us, seg,
+                               "left", n_seg)
+        hi = _seg_searchsorted(ts_us, seg, ts_us, seg, "right", n_seg)
+        gbase = starts[seg]   # vals here ARE the block rows
         return pd.DataFrame({
-            "event_type": g["event_type"].to_numpy(),
-            "event_id": pd.Series(g["event_id"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "event_id": pd.Series(df["event_id"].to_numpy(),
                                   dtype="int64"),
             "ts_us": pd.Series(ts_us, dtype="int64"),
-            "n_in_window": pd.Series(end - start, dtype="int64"),
-            "sum_value_c": pd.Series(pref[end] - pref[start],
+            "n_in_window": pd.Series(hi - lo, dtype="int64"),
+            "sum_value_c": pd.Series(pref[gbase + hi] - pref[gbase + lo],
                                      dtype="int64")})
 
-    return events.select_columns(
-        ["event_type", "event_id", "ts", "value"]).groupby(
-        "event_type").map_groups(per_type, batch_format="pandas")
+    return _per_user_blocks(
+        events, ["event_type", "event_id", "ts", "value"], block,
+        key="event_type")
 
 
 def sliding_window_sql(window_s=3600):
@@ -290,35 +352,46 @@ def lag_delta(events):
     the first), and the previous event's type ('' for the first) — the
     LAG/ROW_NUMBER family, key-partitioned.
 
-    Plan: ``groupby(user_id)`` co-partitions each user's log; within a
-    group one stable sort + two shifts are fully vectorized. At scale
+    Plan: one ``sort(user_id)`` exchange co-partitions each user's log;
+    the whole block then shifts/diffs once with segment resets at user
+    boundaries (:func:`_per_user_blocks`). At scale
     the shuffle key is user_id (naturally high-cardinality, no skew
     pre-pass needed); a single pathological user would be range-split
     by time with a 1-row halo.
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
-            .to_numpy()
-        gap = np.zeros(len(g), dtype=np.int64)
-        if len(g) > 1:
-            gap[1:] = np.diff(ts_us)
-        prev_type = np.empty(len(g), dtype=object)
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64"),
+                "prev_type": pd.Series([], dtype="string")})
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = np.diff(ts_us)
+        gap[first] = 0
+        et = df["event_type"].to_numpy()
+        prev_type = np.empty(n, dtype=object)
         prev_type[0] = ""
-        if len(g) > 1:
-            prev_type[1:] = g["event_type"].to_numpy()[:-1]
+        prev_type[1:] = et[:-1]
+        prev_type[first] = ""
+        rn = np.arange(n, dtype=np.int64) - starts[seg] + 1
         return pd.DataFrame({
-            "user_id": g["user_id"].to_numpy(),
-            "event_id": pd.Series(g["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": pd.Series(df["event_id"].to_numpy(),
                                   dtype="int64"),
-            "rn": pd.Series(np.arange(1, len(g) + 1), dtype="int64"),
+            "rn": pd.Series(rn, dtype="int64"),
             "gap_us": pd.Series(gap, dtype="int64"),
             "prev_type": pd.Series(prev_type, dtype="string"),
         })
 
-    return events.select_columns(
-        ["user_id", "event_id", "ts", "event_type"]).groupby(
-        "user_id").map_groups(per_user, batch_format="pandas")
+    return _per_user_blocks(
+        events, ["user_id", "event_id", "ts", "event_type"], block)
 
 
 def lag_delta_sql():
@@ -345,61 +418,84 @@ def interval_join(points, intervals, key, ts_col="ts_us",
 
     The range join Ray Data lacks, expressed without a broadcast — both
     sides may be huge: tag-union the two (column-padded) sides, one
-    ``groupby(key)`` co-partitions them, and within a group a sorted
-    ``searchsorted`` resolves every point in O(log n_intervals).
+    ``sort(key)`` exchange co-partitions them, and a segmented
+    ``searchsorted`` resolves every point in O(log n_intervals) with
+    one Python-level call per block.
     Partitioning assumption: one key's intervals + points fit in a
     group (time-range sub-splitting with interval halos otherwise).
     """
     import pyarrow as pa
 
+    def tag_pt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t[ts_col].cast(pa.int64())
+        return pa.table({
+            key: t[key],
+            "event_id": t["event_id"].cast(pa.int64()),
+            ts_col: ts,
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "ord": ts,
+            "start_us_r": pa.array(np.zeros(n, dtype=np.int64)),
+            "end_us_r": pa.array(np.zeros(n, dtype=np.int64)),
+            "session_id_r": pa.array(np.zeros(n, dtype=np.int64))})
+
     pts = points.select_columns([key, "event_id", ts_col]).map_batches(
-        lambda t: t.append_column(
-            "side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
-        .append_column("start_us_r", pa.array(
-            np.zeros(t.num_rows, dtype=np.int64)))
-        .append_column("end_us_r", pa.array(
-            np.zeros(t.num_rows, dtype=np.int64)))
-        .append_column("session_id_r", pa.array(
-            np.zeros(t.num_rows, dtype=np.int64))),
-        batch_format="pyarrow")
+        tag_pt, batch_format="pyarrow")
 
     def tag_iv(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        start = t[start_col].cast(pa.int64())
         return pa.table({
             key: t[key],
             "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
             ts_col: pa.array(np.zeros(n, dtype=np.int64)),
             "side": pa.array(np.ones(n, dtype=np.int8)),
-            "start_us_r": t[start_col].cast(pa.int64()),
+            "ord": start,
+            "start_us_r": start,
             "end_us_r": t[end_col].cast(pa.int64()),
             "session_id_r": t["session_id"].cast(pa.int64())})
 
     ivs = intervals.map_batches(tag_iv, batch_format="pyarrow")
+    empty = pd.DataFrame({
+        key: pd.Series([], dtype="int64"),
+        "event_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64"),
+        "session_id": pd.Series([], dtype="int64")})
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        iv = g[g["side"] == 1].sort_values("start_us_r")
-        p = g[g["side"] == 0]
-        if not len(iv) or not len(p):
-            return pd.DataFrame({
-                key: pd.Series([], dtype="int64"),
-                "event_id": pd.Series([], dtype="int64"),
-                "ts_us": pd.Series([], dtype="int64"),
-                "session_id": pd.Series([], dtype="int64")})
-        starts = iv["start_us_r"].to_numpy()
-        ends = iv["end_us_r"].to_numpy()
-        sid = iv["session_id_r"].to_numpy()
-        ts = p[ts_col].to_numpy()
-        ix = np.searchsorted(starts, ts, side="right") - 1
-        ok = (ix >= 0) & (ts <= ends[np.clip(ix, 0, len(ends) - 1)])
+    def block(df: pd.DataFrame, bstarts, bends) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        n_seg = len(bstarts)
+        seg = _row_segments(bstarts, bends)
+        side = df["side"].to_numpy()
+        is_iv = side == 1
+        is_p = ~is_iv
+        ivstart = df["start_us_r"].to_numpy()[is_iv]
+        ivend = df["end_us_r"].to_numpy()[is_iv]
+        ivsid = df["session_id_r"].to_numpy()[is_iv]
+        ivseg = seg[is_iv]
+        ts = df[ts_col].to_numpy()[is_p]
+        pseg = seg[is_p]
+        if not len(ivstart) or not len(ts):
+            return empty
+        ivbase = _seg_base(ivseg, n_seg)
+        ix = _seg_searchsorted(ivstart, ivseg, ts, pseg, "right",
+                               n_seg) - 1
+        gix = ivbase[pseg] + np.clip(ix, 0, None)
+        gix = np.clip(gix, 0, len(ivstart) - 1)
+        ok = (ix >= 0) & (ts <= ivend[gix])
         return pd.DataFrame({
-            key: pd.Series(p[key].to_numpy()[ok], dtype="int64"),
-            "event_id": pd.Series(p["event_id"].to_numpy()[ok],
+            key: pd.Series(df[key].to_numpy()[is_p][ok], dtype="int64"),
+            "event_id": pd.Series(df["event_id"].to_numpy()[is_p][ok],
                                   dtype="int64"),
             "ts_us": pd.Series(ts[ok], dtype="int64"),
-            "session_id": pd.Series(sid[ix[ok]], dtype="int64")})
+            "session_id": pd.Series(ivsid[gix[ok]], dtype="int64")})
 
-    return pts.union(ivs).groupby(key).map_groups(
-        per_key, batch_format="pandas")
+    return _per_user_blocks(
+        pts.union(ivs),
+        [key, "event_id", ts_col, "side", "ord", "start_us_r",
+         "end_us_r", "session_id_r"],
+        block, key=key, order=("side", "ord"))
 
 
 def session_lookup(events, gap_s=1800, event_type="purchase"):
@@ -1126,31 +1222,35 @@ def range_window_sum(events, window_s=300, alias_n="n_in_window",
     every event, the count and exact cent-sum of the same user's
     events inside the trailing window.
 
-    Plan: ONE ``groupby(user_id)`` co-partitioning, then per user a
-    sort + prefix-sum + two ``np.searchsorted`` probes — O(n log n)
-    per group, no per-row rescans; the exchange carries (user, ts,
-    cents, event_id) only. Skewed users would salt by time range with
-    a window_s overlap."""
+    Plan: ONE ``sort(user_id)`` exchange, then prefix-sum + two
+    segmented searchsorted passes over the whole block — O(n log n)
+    total, no per-row rescans and no per-user Python call; the exchange
+    carries (user, ts, cents, event_id) only. Skewed users would salt
+    by time range with a window_s overlap."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("datetime64[us]").astype("int64")\
-            .to_numpy()
-        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
-        ids = g["event_id"].to_numpy(np.int64)
-        order = np.argsort(ts, kind="stable")
-        ts_s, c_s, id_s = ts[order], cents[order], ids[order]
-        cum = np.concatenate([[0], np.cumsum(c_s)])
-        lo = np.searchsorted(ts_s, ts_s - window_s * 1_000_000,
-                             side="left")
-        hi = np.searchsorted(ts_s, ts_s, side="right")
+    w_us = int(window_s) * 1_000_000
+
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                alias_n: pd.Series([], dtype="int64"),
+                alias_sum: pd.Series([], dtype="int64")})
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts = _ts_us(df)
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = _seg_searchsorted(ts, seg, ts - w_us, seg, "left", n_seg)
+        hi = _seg_searchsorted(ts, seg, ts, seg, "right", n_seg)
+        gbase = starts[seg]
         return pd.DataFrame({
-            "event_id": id_s,
+            "event_id": df["event_id"].to_numpy(np.int64),
             alias_n: (hi - lo).astype(np.int64),
-            alias_sum: cum[hi] - cum[lo]})
+            alias_sum: cum[gbase + hi] - cum[gbase + lo]})
 
-    return events.select_columns(["user_id", "event_id", "ts",
-                                  "value"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _per_user_blocks(
+        events, ["user_id", "event_id", "ts", "value"], block)
 
 
 def range_window_sum_sql(window_s=300):
@@ -1180,8 +1280,8 @@ def asof_interpolate(events, probe_type="purchase",
     result stays integer and hash-checks.
 
     Plan: same shape as :func:`asof_join` — type prune inside
-    ``map_batches``, ONE ``groupby(user_id)``, vectorized per-user
-    searchsorted brackets."""
+    ``map_batches``, ONE ``sort(user)`` exchange, whole-block segmented
+    searchsorted brackets (:func:`_per_user_blocks`)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1200,28 +1300,36 @@ def asof_interpolate(events, probe_type="purchase",
         "den_us": pd.Series([], dtype="int64"),
         "status": pd.Series([], dtype=object)}
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")\
-            .to_numpy()
-        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
-        is_p = (g["event_type"] == probe_type).to_numpy()
-        is_s = (g["event_type"] == sample_type).to_numpy()
-        pt = ts_us[is_p]
-        if not len(pt) or not is_s.any():
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(empty)
-        st, sv = ts_us[is_s], cents[is_s]
-        order = np.lexsort((sv, st))
-        st, sv = st[order], sv[order]
-        last = np.append(st[1:] != st[:-1], True)   # max cents per ts
-        st, sv = st[last], sv[last]
-        ip = np.searchsorted(st, pt, side="right") - 1
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        is_p = (df["event_type"] == probe_type).to_numpy()
+        is_s = (df["event_type"] == sample_type).to_numpy()
+        pt, pseg = ts_us[is_p], seg[is_p]
+        st, sv, sseg = ts_us[is_s], cents[is_s], seg[is_s]
+        if not len(pt) or not len(st):
+            return pd.DataFrame(empty)
+        # max cents per (segment, ts): keep last of each run
+        order = np.lexsort((sv, st, sseg))
+        st, sv, sseg = st[order], sv[order], sseg[order]
+        last = np.r_[(st[1:] != st[:-1]) | (sseg[1:] != sseg[:-1]),
+                     True]
+        st, sv, sseg = st[last], sv[last], sseg[last]
+        sbase = _seg_base(sseg, n_seg)
+        scnt = np.bincount(sseg, minlength=n_seg)
+        ip = _seg_searchsorted(st, sseg, pt, pseg, "right", n_seg) - 1
         inx = ip + 1
         has_p = ip >= 0
-        has_n = inx < len(st)
-        tp = st[np.clip(ip, 0, len(st) - 1)]
-        vp = sv[np.clip(ip, 0, len(st) - 1)]
-        tn = st[np.clip(inx, 0, len(st) - 1)]
-        vn = sv[np.clip(inx, 0, len(st) - 1)]
+        has_n = inx < scnt[pseg]
+        hi = len(st) - 1
+        gp = np.clip(sbase[pseg] + np.clip(ip, 0, None), 0, hi)
+        gn = np.clip(sbase[pseg] + inx, 0, hi)
+        tp, vp = st[gp], sv[gp]
+        tn, vn = st[gn], sv[gn]
         num = np.where(
             has_p & has_n, vp * (tn - pt) + vn * (pt - tp),
             np.where(has_p, vp, vn))
@@ -1230,17 +1338,18 @@ def asof_interpolate(events, probe_type="purchase",
                           np.where(has_p, "prev", "next"))
         keep = has_p | has_n
         return pd.DataFrame({
-            "user_id": pd.Series(g["user_id"].to_numpy()[is_p][keep],
+            "user_id": pd.Series(df["user_id"].to_numpy()[is_p][keep],
                                  dtype="int64"),
-            "event_id": pd.Series(g["event_id"].to_numpy()[is_p][keep],
+            "event_id": pd.Series(df["event_id"].to_numpy()[is_p][keep],
                                   dtype="int64"),
             "ts_us": pd.Series(pt[keep], dtype="int64"),
             "num_cents_us": pd.Series(num[keep], dtype="int64"),
             "den_us": pd.Series(den[keep], dtype="int64"),
             "status": status[keep]})
 
-    return pruned.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+    return _per_user_blocks(
+        pruned, ["user_id", "event_id", "ts", "event_type", "value"],
+        block)
 
 
 def asof_interpolate_sql(probe_type="purchase", sample_type="click"):
@@ -1331,11 +1440,13 @@ def session_overlap(events, type_a="view", type_b="click", gap_s=1800):
 
     This is the 1-D interval join Ray Data lacks natively (the temporal
     analogue of box_intersection_join): the only exchange is ONE
-    groupby(user_id) over the two pruned event types — the join key
+    sort(user_id) over the two pruned event types — the join key
     co-locates both interval sets, and within a user both session lists
     are disjoint and sorted (gap sessionization ⇒ session k+1 starts
     after session k ends), so overlapping pairs are a contiguous
-    searchsorted range per a-interval: rights with start ≤ a_end and
+    segmented-searchsorted range per a-interval (the whole block
+    sessionizes and sweeps in one vectorized pass via
+    :func:`_per_user_blocks`): rights with start ≤ a_end and
     end ≥ a_start. Per-user cost O((na+nb)·log + pairs); a hot user
     would salt by time range with a gap_s boundary halo.
 
@@ -1358,28 +1469,6 @@ def session_overlap(events, type_a="view", type_b="click", gap_s=1800):
 
     pruned = events.map_batches(prune, batch_format="pyarrow")
 
-    def _sessions(g, typ):
-        """(session_id, start_us, end_us) arrays for one user's ``typ``
-        events; sessions are disjoint and sorted by start."""
-        sub = g[g["event_type"] == typ]
-        if not len(sub):
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, z
-        sub = sub.sort_values(["ts", "event_id"], kind="stable")
-        ts_us = sub["ts"].astype("datetime64[us]").astype("int64") \
-            .to_numpy()
-        new_s = np.ones(len(ts_us), dtype=np.int64)
-        if len(ts_us) > 1:
-            new_s[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_s) - 1
-        n = int(sid[-1]) + 1
-        # sessions are contiguous runs in sorted order: first/last per run
-        first = np.flatnonzero(new_s)
-        starts = ts_us[first]
-        last = np.append(first[1:] - 1, len(ts_us) - 1)
-        ends = ts_us[last]
-        return np.arange(n, dtype=np.int64), starts, ends
-
     empty = pd.DataFrame({
         "user_id": pd.Series([], dtype="int64"),
         "a_session": pd.Series([], dtype="int64"),
@@ -1388,34 +1477,62 @@ def session_overlap(events, type_a="view", type_b="click", gap_s=1800):
         "b_start_us": pd.Series([], dtype="int64"),
         "overlap_us": pd.Series([], dtype="int64")})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        aid, astart, aend = _sessions(g, type_a)
-        bid, bstart, bend = _sessions(g, type_b)
+    def _seg_sessions(ts, seg, n_seg):
+        """Gap-sessionize one type's (segment-contiguous, ts-sorted)
+        subset: per-segment 0-based session ids plus (start, end, seg)
+        arrays — sessions are disjoint and start-sorted within each
+        segment by construction."""
+        if not len(ts):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z, z
+        new_s = np.ones(len(ts), dtype=bool)
+        new_s[1:] = (seg[1:] != seg[:-1]) | (np.diff(ts) > gap_us)
+        b = np.flatnonzero(new_s)
+        e = np.r_[b[1:], np.int64(len(ts))]
+        sseg = seg[b]
+        sid = np.arange(len(b), dtype=np.int64) \
+            - _seg_base(sseg, n_seg)[sseg]
+        return sid, ts[b], ts[e - 1], sseg
+
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        seg_uid = df["user_id"].to_numpy()[starts]
+        is_a = (df["event_type"] == type_a).to_numpy()
+        is_b = (df["event_type"] == type_b).to_numpy()
+        aid, astart, aend, aseg = _seg_sessions(ts_us[is_a], seg[is_a],
+                                                n_seg)
+        bid, bstart, bend, bseg = _seg_sessions(ts_us[is_b], seg[is_b],
+                                                n_seg)
         if not len(aid) or not len(bid):
             return empty
-        # rights overlapping [as, ae]: bstart <= ae AND bend >= as.
-        # both bstart and bend are sorted (disjoint sorted intervals).
-        hi = np.searchsorted(bstart, aend, side="right")
-        lo = np.searchsorted(bend, astart, side="left")
+        # b-sessions overlapping [as, ae]: bstart <= ae AND bend >= as;
+        # bstart and bend are both sorted within a segment (disjoint
+        # sorted intervals), so the matches are a contiguous range
+        hi = _seg_searchsorted(bstart, bseg, aend, aseg, "right", n_seg)
+        lo = _seg_searchsorted(bend, bseg, astart, aseg, "left", n_seg)
         cnt = np.maximum(hi - lo, 0)
-        if not cnt.sum():
+        tot = int(cnt.sum())
+        if not tot:
             return empty
         ai = np.repeat(np.arange(len(aid)), cnt)
-        # b indices: for each a, the range [lo, hi)
-        bi = (np.arange(cnt.sum()) -
+        bbase = _seg_base(bseg, n_seg)
+        bi = (np.arange(tot) -
               np.repeat(np.cumsum(cnt) - cnt, cnt) +
-              np.repeat(lo, cnt))
+              np.repeat(bbase[aseg] + lo, cnt))
         ov = (np.minimum(aend[ai], bend[bi]) -
               np.maximum(astart[ai], bstart[bi]))
-        uid = int(g["user_id"].iloc[0])
         return pd.DataFrame({
-            "user_id": np.full(len(ai), uid, dtype=np.int64),
+            "user_id": pd.Series(seg_uid[aseg[ai]], dtype="int64"),
             "a_session": aid[ai], "b_session": bid[bi],
             "a_start_us": astart[ai], "b_start_us": bstart[bi],
             "overlap_us": ov.astype(np.int64)})
 
-    return pruned.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    return _per_user_blocks(
+        pruned, ["user_id", "event_id", "ts", "event_type"], block)
 
 
 def _session_cte(name, typ, gap_us):
@@ -1468,9 +1585,9 @@ def window_join(events, left_type="purchase", right_type="click",
     Flink's interval join shape).
 
     Plan: prune to the two event types inside ``map_batches``, ONE
-    ``groupby(user_id)`` co-partitioning both sides, then per user a
-    sorted-merge pair sweep: rights are sorted once, each left's
-    matches are the contiguous searchsorted range
+    ``sort(user)`` exchange co-partitioning both sides, then a
+    whole-block segmented pair sweep: each left's matches are the
+    contiguous per-segment searchsorted range
     [ts−W, ts+W] — O((nl+nr)·log + pairs). Emits exact lag_us
     (right − left, negative = right before left); deterministic
     because pairs are identified by event ids.
@@ -1494,36 +1611,40 @@ def window_join(events, left_type="purchase", right_type="click",
         "matched_id": pd.Series([], dtype="int64"),
         "lag_us": pd.Series([], dtype="int64")})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
-            .to_numpy()
-        eid = g["event_id"].to_numpy(np.int64)
-        is_l = (g["event_type"] == left_type).to_numpy()
-        is_r = (g["event_type"] == right_type).to_numpy()
-        lt, lid = ts_us[is_l], eid[is_l]
-        rt, rid = ts_us[is_r], eid[is_r]
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        eid = df["event_id"].to_numpy(np.int64)
+        seg_uid = df["user_id"].to_numpy()[starts]
+        is_l = (df["event_type"] == left_type).to_numpy()
+        is_r = (df["event_type"] == right_type).to_numpy()
+        lt, lid, lseg = ts_us[is_l], eid[is_l], seg[is_l]
+        rt, rid, rseg = ts_us[is_r], eid[is_r], seg[is_r]
         if not len(lt) or not len(rt):
             return empty
-        order = np.argsort(rt, kind="stable")
-        rt, rid = rt[order], rid[order]
-        lo = np.searchsorted(rt, lt - w_us, side="left")
-        hi = np.searchsorted(rt, lt + w_us, side="right")
+        lo = _seg_searchsorted(rt, rseg, lt - w_us, lseg, "left", n_seg)
+        hi = _seg_searchsorted(rt, rseg, lt + w_us, lseg, "right",
+                               n_seg)
         cnt = hi - lo
-        if not cnt.sum():
+        tot = int(cnt.sum())
+        if not tot:
             return empty
+        rbase = _seg_base(rseg, n_seg)
         li = np.repeat(np.arange(len(lt)), cnt)
-        ri = (np.arange(cnt.sum()) -
+        ri = (np.arange(tot) -
               np.repeat(np.cumsum(cnt) - cnt, cnt) +
-              np.repeat(lo, cnt))
-        uid = int(g["user_id"].iloc[0])
+              np.repeat(rbase[lseg] + lo, cnt))
         return pd.DataFrame({
-            "user_id": np.full(len(li), uid, dtype=np.int64),
+            "user_id": pd.Series(seg_uid[lseg[li]], dtype="int64"),
             "event_id": lid[li],
             "matched_id": rid[ri],
             "lag_us": (rt[ri] - lt[li]).astype(np.int64)})
 
-    return pruned.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    return _per_user_blocks(
+        pruned, ["user_id", "event_id", "ts", "event_type"], block)
 
 
 def window_join_sql(left_type="purchase", right_type="click",
