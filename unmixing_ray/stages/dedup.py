@@ -742,21 +742,16 @@ def resolve_duplicate_clusters(pairs, max_rounds=16, as_dataset=False):
             "src": np.concatenate([a, b]),
             "dst": np.concatenate([b, a])})
 
-    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas") \
-        .materialize()
-    # bound the BLOCK count to the row count: the pair stream arrives
-    # in however many blocks the upstream LSH exchange produced (e.g.
-    # 128 near-empty blocks for a few hundred pairs), and every
+    # bound the BLOCK count to the row count (shared row-aware
+    # discipline, unmixing_ray/util.py:bounded_blocks): the pair stream
+    # arrives in however many blocks the upstream LSH exchange produced
+    # (e.g. 128 near-empty blocks for a few hundred pairs), and every
     # propagation round unions + sorts those blocks — sort cost scales
     # with block count, not rows, so tiny-block inputs made round k
-    # cost grow 5s -> 107s at bench scale. One repartition to
-    # ~64k-edge blocks (floor 8 for parallelism) fixes the rounds at
-    # constant cost; at O(corpus)-pair scale rows/64k exceeds the
-    # incoming block count and this is a no-op.
-    n_edges = edges.count()
-    target = max(8, min(edges.num_blocks(), n_edges // 65536 + 1))
-    if edges.num_blocks() > target:
-        edges = edges.repartition(target).materialize()
+    # cost grow 5s -> 107s at bench scale.
+    from ..util import bounded_blocks
+    edges = bounded_blocks(
+        pairs_ds.map_batches(both_dirs, batch_format="pandas"))
 
     # initial labels: lab(node) = node, nodes deduped via groupby
     labels = edges.groupby("src").aggregate(Min("src", alias_name="lab")) \

@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import bounded_blocks
+
 
 # ---------------------------------------------------------------------------
 # grouped top-k
@@ -2579,11 +2581,11 @@ def bfs_levels(edges, seeds, s="s", t="t", node_col="v", max_depth=4,
         return tag0.union(tag1).groupby(node_col)\
             .map_groups(keep, batch_format="pandas")
 
-    edges = edges.repartition(width).materialize()
-    frontier = global_dedup(
+    edges = bounded_blocks(edges, floor=width)
+    frontier = bounded_blocks(global_dedup(
         seeds.map_batches(uniq(node_col, node_col),
                           batch_format="pandas"),
-        node_col).repartition(width).materialize()
+        node_col), floor=width)
     # ``visited`` stays a LAZY union over the per-level materialized
     # frontiers: each round's anti_join re-runs only the trivial
     # level-tag maps (one execution per round, not two), and the block
@@ -2597,8 +2599,7 @@ def bfs_levels(edges, seeds, s="s", t="t", node_col="v", max_depth=4,
         cand = global_dedup(
             nbr.map_batches(uniq(t, node_col), batch_format="pandas"),
             node_col)
-        new = anti_keys(cand, visited)\
-            .repartition(width).materialize()
+        new = bounded_blocks(anti_keys(cand, visited), floor=width)
         if new.count() == 0:
             break
         frontier = new
@@ -2649,8 +2650,8 @@ def sssp_rounds(edges, seeds, s="s", t="t", w_col="w", node_col="v",
                     dist_col: df[dist_col].to_numpy(np.int64)}),
                 batch_format="pandas")
 
-    edges = edges.repartition(width).materialize()
-    dist = min_by_node(as_dist(seeds)).repartition(width).materialize()
+    edges = bounded_blocks(edges, floor=width)
+    dist = bounded_blocks(min_by_node(as_dist(seeds)), floor=width)
     for _k in range(rounds):
         probe = dist.map_batches(
             lambda df: pd.DataFrame({
@@ -2665,8 +2666,8 @@ def sssp_rounds(edges, seeds, s="s", t="t", w_col="w", node_col="v",
                 dist_col: df["__d"].to_numpy(np.int64)
                 + df[w_col].to_numpy(np.int64)}),
             batch_format="pandas")
-        dist = min_by_node(dist.union(cand))\
-            .repartition(width).materialize()
+        dist = bounded_blocks(min_by_node(dist.union(cand)),
+                              floor=width)
     return dist
 
 
@@ -2722,9 +2723,9 @@ def kcore_peel(edges, k=4, rounds=3, a="a", b="b", target_blocks=16):
     # hundreds of task launches per barrier — compaction is what keeps
     # the per-round cost proportional to data, not to upstream block
     # count (size target_blocks to the cluster at scale).
-    und = edges.map_batches(sym, batch_format="pandas")\
-        .repartition(target_blocks).materialize()
-    alive = _degree(und).repartition(target_blocks).materialize()
+    und = bounded_blocks(edges.map_batches(sym, batch_format="pandas"),
+                         floor=target_blocks)
+    alive = bounded_blocks(_degree(und), floor=target_blocks)
     peeled = []
     for r in range(1, rounds + 1):
         surv = alive.filter(expr=f"d >= {k}")
@@ -2735,19 +2736,20 @@ def kcore_peel(edges, k=4, rounds=3, a="a", b="b", target_blocks=16):
                 "deg_final": np.zeros(len(df), dtype=np.int64)}),
             batch_format="pandas")
         peeled.append(rm)
-        surv_nodes = surv.select_columns(["v"])\
-            .repartition(target_blocks).materialize()
-        und = semi_join(semi_join(und, surv_nodes, "s", right_key="v"),
-                        surv_nodes, "t", right_key="v")\
-            .repartition(target_blocks).materialize()
-        newdeg = _degree(und).repartition(target_blocks).materialize()
+        surv_nodes = bounded_blocks(surv.select_columns(["v"]),
+                                    floor=target_blocks)
+        und = bounded_blocks(
+            semi_join(semi_join(und, surv_nodes, "s", right_key="v"),
+                      surv_nodes, "t", right_key="v"),
+            floor=target_blocks)
+        newdeg = bounded_blocks(_degree(und), floor=target_blocks)
         zero = anti_join(surv_nodes, newdeg, "v").map_batches(
             lambda df: pd.DataFrame({
                 "v": df["v"].astype("int64"),
                 "d": np.zeros(len(df), dtype=np.int64)}),
             batch_format="pandas")
-        alive = newdeg.union(zero).repartition(target_blocks)\
-            .materialize()
+        alive = bounded_blocks(newdeg.union(zero),
+                               floor=target_blocks)
     out = alive.map_batches(
         lambda df: pd.DataFrame({
             "v": df["v"].astype("int64"),
@@ -2828,8 +2830,8 @@ def graph_components(edges, rounds=4, a="a", b="b", target_blocks=16):
             "s": np.concatenate([s, t]),
             "t": np.concatenate([t, s])})
 
-    und = edges.map_batches(sym, batch_format="pandas")\
-        .repartition(target_blocks).materialize()
+    und = bounded_blocks(edges.map_batches(sym, batch_format="pandas"),
+                         floor=target_blocks)
     lab = _degree(und).map_batches(
         lambda df: pd.DataFrame({"v": df["v"].astype("int64"),
                                  "comp": df["v"].astype("int64")}),
@@ -2845,11 +2847,12 @@ def graph_components(edges, rounds=4, a="a", b="b", target_blocks=16):
                 "comp": df["comp"].astype("int64")})
             .groupby("v", as_index=False).min(),
             batch_format="pandas")
-        lab = lab.union(msgs).groupby("v").aggregate(
-            Min("comp", alias_name="comp")).map_batches(
-            lambda df: df.astype({"v": "int64", "comp": "int64"}),
-            batch_format="pandas").repartition(target_blocks)\
-            .materialize()
+        lab = bounded_blocks(
+            lab.union(msgs).groupby("v").aggregate(
+                Min("comp", alias_name="comp")).map_batches(
+                lambda df: df.astype({"v": "int64", "comp": "int64"}),
+                batch_format="pandas"),
+            floor=target_blocks)
     return lab
 
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from ..util import bounded_blocks
 import pyarrow as pa
 
 from .decode import binary_views
@@ -418,7 +420,7 @@ def flow_accumulation_lattice(nodes, rounds=4):
     from ray.data.aggregate import Sum
     from .relational import hash_join
 
-    edges = flow_downstream_edges(nodes).materialize()
+    edges = bounded_blocks(flow_downstream_edges(nodes))
 
     f = edges.map_batches(
         lambda df: pd.DataFrame({
@@ -431,24 +433,26 @@ def flow_accumulation_lattice(nodes, rounds=4):
         return pd.DataFrame({"s": g["s"].to_numpy(np.int64),
                              "m": g["m"].to_numpy(np.int64)})
 
-    f = f.map_batches(combine_sum, batch_format="pandas")\
-        .groupby("s").aggregate(Sum("m", alias_name="m"))\
+    f = bounded_blocks(
+        f.map_batches(combine_sum, batch_format="pandas")
+        .groupby("s").aggregate(Sum("m", alias_name="m"))
         .map_batches(lambda df: df.astype({"s": "int64", "m": "int64"}),
-                     batch_format="pandas").materialize()
+                     batch_format="pandas"))
     acc_parts = [f]
     for _ in range(rounds - 1):
         hop = hash_join(f, edges, "s", left_cols=["m"],
                         right_cols=["t"])
-        f = hop.map_batches(
-            lambda df: pd.DataFrame({
-                "s": df["t"].astype("int64"),
-                "m": df["m"].astype("int64")}),
-            batch_format="pandas")\
-            .map_batches(combine_sum, batch_format="pandas")\
-            .groupby("s").aggregate(Sum("m", alias_name="m"))\
+        f = bounded_blocks(
+            hop.map_batches(
+                lambda df: pd.DataFrame({
+                    "s": df["t"].astype("int64"),
+                    "m": df["m"].astype("int64")}),
+                batch_format="pandas")
+            .map_batches(combine_sum, batch_format="pandas")
+            .groupby("s").aggregate(Sum("m", alias_name="m"))
             .map_batches(
-            lambda df: df.astype({"s": "int64", "m": "int64"}),
-            batch_format="pandas").materialize()
+                lambda df: df.astype({"s": "int64", "m": "int64"}),
+                batch_format="pandas"))
         acc_parts.append(f)
 
     acc = acc_parts[0]
@@ -501,18 +505,20 @@ def basin_label_lattice(nodes, doublings=4):
         p = np.where(np.isnan(t), s, t).astype(np.int64)
         return pd.DataFrame({"v": s, "p": p})
 
-    ptr = base.map_batches(to_ptr, batch_format="pandas").materialize()
+    ptr = bounded_blocks(base.map_batches(to_ptr,
+                                          batch_format="pandas"))
 
     for _ in range(doublings):
         lookup = ptr.map_batches(
             lambda df: pd.DataFrame({"p": df["v"].astype("int64"),
                                      "p2": df["p"].astype("int64")}),
             batch_format="pandas")
-        ptr = hash_join(ptr, lookup, "p", left_cols=["v"],
-                        right_cols=["p2"]).map_batches(
-            lambda df: pd.DataFrame({"v": df["v"].astype("int64"),
-                                     "p": df["p2"].astype("int64")}),
-            batch_format="pandas").materialize()
+        ptr = bounded_blocks(
+            hash_join(ptr, lookup, "p", left_cols=["v"],
+                      right_cols=["p2"]).map_batches(
+                lambda df: pd.DataFrame({"v": df["v"].astype("int64"),
+                                         "p": df["p2"].astype("int64")}),
+                batch_format="pandas"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         v = df["v"].to_numpy(np.int64)
@@ -551,9 +557,9 @@ def strahler_order_lattice(nodes, rounds=4):
     from ray.data.aggregate import Max, Sum
     from .relational import anti_join, hash_join
 
-    edges = flow_downstream_edges(nodes).map_batches(
+    edges = bounded_blocks(flow_downstream_edges(nodes).map_batches(
         lambda df: df.astype({"s": "int64", "t": "int64"}),
-        batch_format="pandas").materialize()
+        batch_format="pandas"))
     sources = anti_join(
         nodes.map_batches(lambda df: pd.DataFrame({
             "v": df["v"].astype("int64"),
@@ -595,11 +601,11 @@ def strahler_order_lattice(nodes, rounds=4):
                 "ord": (df["packed"].to_numpy(np.int64) >> 1)
                 + (df["packed"].to_numpy(np.int64) & 1)}),
             batch_format="pandas")
-        ord_ds = upd.union(sources.map_batches(
+        ord_ds = bounded_blocks(upd.union(sources.map_batches(
             lambda df: pd.DataFrame({
                 "s": df["v"].astype("int64"),
                 "ord": df["ord"].astype("int64")}),
-            batch_format="pandas")).materialize()
+            batch_format="pandas")))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         s = df["s"].to_numpy(np.int64)

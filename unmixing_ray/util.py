@@ -19,6 +19,29 @@ def combine_dicts(*dicts):
     return out
 
 
+def bounded_blocks(ds, rows_per_block=65536, floor=8):
+    """Row-aware block-count discipline for iterative union+sort/groupby
+    operators (the cluster-resolution tiny-block lesson, r4 commit
+    838f9e4): per-round exchange cost scales with BLOCK count, not rows
+    — a working set inherited as hundreds of near-empty upstream blocks
+    pays hundreds of task launches per barrier, making round cost grow
+    with upstream block count instead of data (5 s → 107 s at bench
+    scale before the fix). Materializes ``ds`` and re-buckets it to
+    ``max(floor, rows // rows_per_block + 1)`` blocks whenever the
+    current count exceeds that target; at O(rows)-scale inputs the
+    row-derived target exceeds the incoming block count and this is a
+    no-op (unlike a fixed width, which would squeeze a billion-row
+    working set into ``floor`` blocks). Shrink-only: growing the block
+    count is a pure extra shuffle that the next round's own exchange
+    already provides. Returns the materialized Dataset."""
+    ds = ds.materialize()
+    n = ds.count()
+    target = max(int(floor), n // int(rows_per_block) + 1)
+    if ds.num_blocks() > target:
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def partition(n, num_partitions):
     """Equal index ranges over n items (reference utils.py:872-887 but
     without the trailing +1 overshoot bug; used only for driver-side
