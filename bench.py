@@ -429,6 +429,22 @@ def main():
             cur_out, seq_len=512, threshold=0.35)
         queries["curation_pipeline"] = round(time.monotonic() - t0, 3)
 
+    # Halo-exchange family bench row (VERDICT r04 item 7): focal mean +
+    # Horn slope over the decoded tile lattice. The cross-tile halo
+    # exchange had no bench row, so block-shape regressions in the
+    # focal/terrain/texture family were invisible until a consumer
+    # (like the curation cluster-resolution cliff) surfaced them.
+    # Corpus generation is warmed untimed (disk-cached across runs);
+    # each row times decode + halo exchange + per-tile summary.
+    if os.environ.get("RAY_GRAFT_SKEW", "1") != "0":
+        em._corpus(sf_dir)   # warm the synthetic corpus cache untimed
+        for name in ("focal_mean", "terrain_slope"):
+            t0 = time.monotonic()
+            r = em.queries()[name](sf_dir)
+            if hasattr(r, "to_pandas"):
+                r.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
+
     # Skew-handling bench over the SKEWED corpus (half the images
     # stacked on one lattice location = one hot composite group holding
     # half the corpus as "dates"): a median composite across dates per
@@ -525,6 +541,59 @@ def main():
         assert len(s_tot) == len(p_tot) and \
             (s_tot.sort_index() == p_tot.sort_index()).all(), \
             "salted composite mismatch"
+
+        # AUTO leg (VERDICT r04 item 6): the count pre-pass runs over a
+        # COLUMN-PRUNED read (key ingredients only, no pixel payload —
+        # the full-decode second execution is the overhead that made
+        # force-salting lose at quiet windows), the bandwidth probe
+        # reads the current bus regime, and the should_salt cost model
+        # engages the split only for keys above alpha(regime) balanced
+        # worker shares. The goal: match the faster of the two fixed
+        # plans in BOTH window regimes.
+        t0 = time.monotonic()
+
+        def key_only(batch: pa.Table) -> pa.Table:
+            cells = batch["cell"].to_numpy(zero_copy_only=False)\
+                .astype(np.uint64)
+            pos = (batch["row_off"].to_numpy() // synth.TILE) \
+                * 2 + (batch["col_off"].to_numpy() // synth.TILE)
+            morton = cells & np.uint64((1 << 58) - 1)
+            key = morton * np.uint64(4) + pos.astype(np.uint64)
+            return pa.table({"cell": pa.array(key, pa.uint64())})
+
+        # the decision ratio (W_max / worker share) is scale-invariant
+        # under uniform sampling, so the audit reads every 4th fragment
+        # (column-pruned) and uses the exchange-free hot_key_audit —
+        # heavy keys surface in any uniform sample, and nothing pays a
+        # per-distinct-key groupby
+        import glob as _glob
+        frags = sorted(_glob.glob(os.path.join(skew_tiles_dir,
+                                               "*.parquet")))
+        hot_counts, tot_rows = sh.hot_key_audit(ray.data.read_parquet(
+            frags[::4] or frags,
+            columns=["cell", "row_off", "col_off"])
+            .map_batches(key_only, batch_format="pyarrow"))
+        auto_bw = sh.memory_bandwidth_probe()
+        hot = sh.should_salt(hot_counts, n_cpus=ncpu, sub=4,
+                             bandwidth_gb_s=auto_bw,
+                             total_rows=tot_rows)
+        queries["skew_auto_bw_gb_s"] = round(auto_bw, 1)
+        keyed_auto = ray.data.read_parquet(skew_tiles_dir).map_batches(
+            add_keys, batch_format="pyarrow")
+        if hot:
+            auto = comp_stage.split_hot_tiles(keyed_auto, hot, sub=4) \
+                .groupby(["cell", "sub_id"]).map_groups(
+                    comp_group, batch_format="pyarrow").to_pandas()
+        else:
+            auto = keyed_auto.groupby("cell").map_groups(
+                comp_group, batch_format="pyarrow").to_pandas()
+        queries["skew_composite_auto"] = round(
+            time.monotonic() - t0, 3)
+        queries["skew_auto_salted_keys"] = len(hot)
+        a_tot = auto.groupby("cell")["checksum_x2"].sum()
+        assert len(a_tot) == len(p_tot) and \
+            (a_tot.sort_index() == p_tot.sort_index()).all(), \
+            "auto composite mismatch"
 
     tiles_per_sec = round(n_tiles / queries["flagship"], 2)
     print(json.dumps({

@@ -43,6 +43,51 @@ def test_composite_by_cell_matches_kernel():
     assert np.allclose(got, want.astype(np.float32))
 
 
+def test_composite_by_cell_auto_matches_plain():
+    """hot_threshold="auto" (VERDICT r04 item 6): the cost-model path
+    (materialize + exchange-free hot-key audit + regime-aware
+    should_salt) produces rows identical to the plain plan, whether or
+    not the decision engages the split."""
+    rng = np.random.default_rng(77)
+    rows = []
+
+    def bin_rows(cell, dates):
+        out = []
+        for d in dates:
+            a = rng.integers(0, 100, (2, 4, 4)).astype(np.int16)
+            out.append({
+                "cell": cell, "date": d, "bands": 2, "h": 4, "w": 4,
+                "pixels": a.tobytes(),
+                "tile_id": "t%d_%d" % (cell, d),
+                "image_id": "i%d" % d, "row_off": 0, "col_off": 0})
+        return out
+
+    # one hot cell with 40 dates (dominates), a few cold cells
+    rows += bin_rows(5, range(40))
+    for c in (11, 12, 13):
+        rows += bin_rows(c, [0, 1])
+    ds = ray.data.from_items(rows)
+    plain = cstage.composite_by_cell(
+        ds, ("max*", "median"), normalize=None).to_pandas()
+    auto = cstage.composite_by_cell(
+        ds, ("max*", "median"), normalize=None,
+        hot_threshold="auto").to_pandas()
+    plain = plain.sort_values("cell").reset_index(drop=True)
+    auto = auto.sort_values("cell").reset_index(drop=True)
+    assert (plain["cell"].to_numpy() == auto["cell"].to_numpy()).all()
+    for i in range(len(plain)):
+        assert np.allclose(np.asarray(plain.iloc[i]["pixels"]),
+                           np.asarray(auto.iloc[i]["pixels"]))
+    # forced-split equivalence of the same input (hot threshold tiny)
+    forced = cstage.composite_by_cell(
+        ds, ("max*", "median"), normalize=None,
+        hot_threshold=4).to_pandas().sort_values("cell")\
+        .reset_index(drop=True)
+    for i in range(len(plain)):
+        assert np.allclose(np.asarray(plain.iloc[i]["pixels"]),
+                           np.asarray(forced.iloc[i]["pixels"]))
+
+
 def test_qa_mode_two_pass():
     rows = []
     for i in range(4):

@@ -100,3 +100,40 @@ def test_skewed_corpus_salted_equals_unsalted(tmp_path_factory):
     merged = salted.merge(plain, on="cell", suffixes=("_s", "_p"))
     assert len(merged) == len(plain) == len(salted)
     assert (merged["n_s"] == merged["n_p"]).all()
+
+
+def test_hot_key_audit_and_should_salt(ray_session):
+    """VERDICT r04 item 6: the exchange-free hot-key audit finds the
+    concentrated keys with tight lower bounds, and the cost model salts
+    only above alpha worker shares (regime-dependent alpha)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from unmixing_ray.stages import shuffle as sh
+
+    # 1 hot key with a quarter of the rows (4 worker shares at 16
+    # cpus), 1500 cold keys with 4 rows each
+    hotk = np.full(2000, 7, dtype=np.int64)
+    cold = np.repeat(np.arange(100, 1600, dtype=np.int64), 4)
+    df = pd.DataFrame({"cell": np.concatenate([hotk, cold])}).sample(
+        frac=1.0, random_state=0).reset_index(drop=True)
+    ds = ray.data.from_pandas(np.array_split(df, 16))
+    hot_counts, total = sh.hot_key_audit(ds, "cell")
+    assert total == len(df)
+    assert set(hot_counts) == {7}
+    assert 1800 <= hot_counts[7] <= 2000   # tight lower bound
+
+    # 4 worker shares on one key: salts at alpha=2 (saturated regime),
+    # not at alpha=6 (quiet regime) with 16 cpus
+    assert sh.should_salt(hot_counts, n_cpus=16, alpha=2.0,
+                          total_rows=total) == [7]
+    assert sh.should_salt(hot_counts, n_cpus=16, alpha=6.0,
+                          total_rows=total) == []
+    # regime auto-derivation from an explicit bandwidth reading
+    assert sh.should_salt(hot_counts, n_cpus=16, bandwidth_gb_s=5.0,
+                          total_rows=total) == [7]
+    assert sh.should_salt(hot_counts, n_cpus=16, bandwidth_gb_s=40.0,
+                          total_rows=total) == []
+    # the probe itself returns something physical
+    bw = sh.memory_bandwidth_probe(mb=32)
+    assert 0.1 < bw < 1000.0

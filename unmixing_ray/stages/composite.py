@@ -35,7 +35,16 @@ def composite_by_cell(tiles, reducers, normalize="sum", nodata=NODATA,
     together), the composite groups on (cell, sub_id), and a tiny
     second groupby reassembles each hot cell's sub-tiles — output rows
     are identical to the unsalted plan's. Note the pre-pass executes the
-    input pipeline once more; pass a checkpointed/cheap Dataset."""
+    input pipeline once more; pass a checkpointed/cheap Dataset.
+
+    ``hot_threshold="auto"`` (VERDICT r04 item 6) switches to the
+    cost-model decision: the input is MATERIALIZED once (so the count
+    pre-pass rides the cached blocks instead of re-executing the
+    upstream pipeline — the overhead that made force-salting lose at
+    quiet windows), and salting engages only for cells whose row count
+    exceeds ``alpha`` balanced worker shares
+    (:func:`~.shuffle.should_salt`) — below that the hot group hides
+    behind the scan and the split/reassembly taxes cannot pay."""
 
     def comp(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("date")
@@ -64,9 +73,18 @@ def composite_by_cell(tiles, reducers, normalize="sum", nodata=NODATA,
     if hot_threshold is None:
         return tiles.groupby("cell").map_groups(comp,
                                                 batch_format="pandas")
-    from .shuffle import cell_counts
-    counts = cell_counts(tiles, "cell")
-    hot = [c for c, n in counts.items() if n > hot_threshold]
+    from .shuffle import cell_counts, hot_key_audit, should_salt
+    if hot_threshold == "auto":
+        import ray
+        tiles = tiles.materialize()
+        hot_counts, tot_rows = hot_key_audit(tiles, "cell")
+        hot = should_salt(hot_counts,
+                          n_cpus=int(ray.cluster_resources()
+                                     .get("CPU", 8)), sub=sub,
+                          total_rows=tot_rows)
+    else:
+        counts = cell_counts(tiles, "cell")
+        hot = [c for c, n in counts.items() if n > hot_threshold]
     if not hot:
         return tiles.groupby("cell").map_groups(comp,
                                                 batch_format="pandas")

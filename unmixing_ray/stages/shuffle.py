@@ -44,6 +44,113 @@ def _stable_hash(s):
         hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "little")
 
 
+def hot_key_audit(ds, col="cell", per_batch_floor=32):
+    """Heavy-key audit WITHOUT a key exchange (the salting DECISION
+    path): per batch, count keys locally and flag only those with at
+    least ``per_batch_floor`` rows in that batch; the tiny flagged
+    partials plus per-batch row totals collect to the driver and sum.
+    A key hot enough to matter for salting (multiple worker shares)
+    crosses the floor in essentially every batch it touches, so its
+    driver-summed count is a tight lower bound; cold keys (a handful
+    of rows per batch) never surface, so the collected result is
+    bounded by the number of genuinely concentrated keys, not key
+    cardinality — unlike :func:`cell_counts`, which pays a full
+    groupby exchange over every distinct key (~1.5 s of fixed exchange
+    latency at bench scale, more than the salting decision saves).
+    Returns (hot_counts: dict of lower-bound counts, total_rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.select([col])[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(keys, return_counts=True)
+        keep = cnts >= per_batch_floor
+        return pa.table({
+            col: pa.array(np.concatenate([vals[keep], vals[:1]])),
+            "n": pa.array(np.concatenate(
+                [cnts[keep], np.array([0])]).astype(np.int64)),
+            "tot": pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int64),
+                 np.array([len(keys)], np.int64)]))})
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    hot, total = {}, 0
+    for r in rows:
+        total += int(r["tot"])
+        if int(r["n"]):
+            k = r[col]
+            hot[k] = hot.get(k, 0) + int(r["n"])
+    return hot, total
+
+
+def memory_bandwidth_probe(mb=128):
+    """Effective driver memory-copy bandwidth (GB/s) RIGHT NOW — a
+    cheap (~2·mb MB of traffic) probe of the shared DRAM bus. On a
+    single box the bus swings from ~2 to ~80 GB/s on minute scales
+    (BENCH.md's window regimes), and it is the regime — not the key
+    histogram — that decides whether salting a hot composite group
+    pays; the probe lets :func:`should_salt` read the regime at
+    decision time instead of assuming one."""
+    import time
+    n = int(mb) * 1024 * 1024 // 8
+    src = np.ones(n, dtype=np.float64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)                      # warm / page-fault once
+    best = 0.0
+    for _ in range(3):                       # best-of-3: least-contended
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        best = max(best, (2 * n * 8) / dt / 1e9)
+    return best
+
+
+def should_salt(counts, n_cpus, sub=4, alpha=None, hot_threshold=None,
+                bandwidth_gb_s=None, total_rows=None):
+    """Cost-model switch for hot-key salting (VERDICT r04 item 6): salt
+    only when the predicted hot-group serial time exceeds the plain
+    plan's natural floor, instead of whenever any count crosses a fixed
+    threshold.
+
+    With per-group work ~ rows, the plain plan's critical path is
+    ``max(W_tot/n_cpus, W_max)`` (W_tot = total rows, W_max = hottest
+    key): while W_max is within ``alpha`` balanced per-worker shares,
+    the hot group hides behind the scan and salting can only add its
+    split + finer-shuffle + reassembly taxes. Once one group holds many
+    shares, its serial time IS the critical path and splitting divides
+    it by sub².
+
+    ``alpha`` (the payback margin in worker shares) is REGIME-DEPENDENT
+    on a shared memory bus, so when it is None it is derived from the
+    measured copy bandwidth (``bandwidth_gb_s``, probed via
+    :func:`memory_bandwidth_probe` when not supplied): at quiet windows
+    the distributed scan hides even multi-share hot groups and the
+    taxes lose outright (BENCH r4/r5: 4-share hot keys, plain 5.1-5.8 s
+    vs salted 6.3-7.2 s), so alpha = 6; at saturated windows
+    (single-thread copy < 12 GB/s; one core reads ~18-27 GB/s on a
+    quiet bus) the serial hot group collapses with the bus while the
+    taxes stay distributed — salting measured 2.8x faster — so
+    alpha = 2.
+
+    ``counts`` is the :func:`cell_counts` dict, or the hot-only
+    lower-bound dict from :func:`hot_key_audit` with ``total_rows``
+    supplying W_tot (the audit's counts omit cold keys). Pass
+    ``hot_threshold`` to additionally enforce the caller's absolute
+    floor. Returns the list of keys to salt ([] = run the plain
+    plan)."""
+    if not counts:
+        return []
+    if alpha is None:
+        bw = bandwidth_gb_s if bandwidth_gb_s is not None \
+            else memory_bandwidth_probe()
+        alpha = 2.0 if bw < 12.0 else 6.0
+    tot = total_rows if total_rows is not None else sum(counts.values())
+    share = tot / max(int(n_cpus), 1)
+    cut = alpha * share
+    if hot_threshold is not None:
+        cut = max(cut, hot_threshold)
+    return [k for k, n in counts.items() if n > cut]
+
+
 def plan_salts(counts, hot_threshold, max_salt=16):
     """key → salt factor (1 for cold keys)."""
     plan = {}
