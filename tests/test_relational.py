@@ -960,3 +960,40 @@ def test_corpus_mix_partitioning_invariant(ray_session):
         kept_ids = set(g.loc[g["kept"] == 1, "doc_id"])
         first_q = set(g.sort_values("doc_id")["doc_id"].head(q))
         assert kept_ids == first_q
+
+
+def test_corpus_mix_generic_weights(ray_session):
+    """ADVICE r04: the tagger derives K md5-range buckets from K-1
+    thresholds generically — 2-way and 4-way mixes work, every name is
+    assignable, and mismatched weights/source_rates refuse loudly."""
+    import ray.data
+    from unmixing_ray.stages import relational as rel
+    ids = list(range(0, 900, 2))
+    ds = ray.data.from_items([{"doc_id": i} for i in ids])
+
+    for weights, rates in [
+        ((("a", 1), ("b", 1)), (0.5,)),
+        ((("w", 40), ("x", 30), ("y", 20), ("z", 10)),
+         (0.4, 0.7, 0.9)),
+    ]:
+        out = rel.corpus_mix(ds, "doc_id", weights=weights,
+                             source_rates=rates).to_pandas()
+        names = [w[0] for w in weights]
+        got = set(out["source"])
+        assert got <= set(names) and len(got) >= 2
+        assert len(out) == len(ids)
+        # quotas: exact integer arithmetic over the generic weights
+        T = len(out) * 500_000 // 1_000_000
+        wmap, wsum = dict(weights), sum(w[1] for w in weights)
+        for s, g in out.groupby("source"):
+            assert int(g["kept"].sum()) == \
+                min(len(g), T * wmap[s] // wsum)
+
+    with pytest.raises(ValueError, match="source_rates"):
+        rel.corpus_mix(ds, "doc_id",
+                       weights=(("a", 1), ("b", 1)),
+                       source_rates=(0.3, 0.6))
+    with pytest.raises(ValueError, match="ascending"):
+        rel.corpus_mix(ds, "doc_id",
+                       weights=(("a", 1), ("b", 1), ("c", 1)),
+                       source_rates=(0.6, 0.3))

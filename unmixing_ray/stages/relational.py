@@ -1109,16 +1109,29 @@ def corpus_mix(ds, id_col, weights=MIX_SOURCES, target_frac_u6=500_000,
     cumcount under broadcast bases). One groupby(bucket) is the only
     exchange; text never moves.
     """
-    t1 = "%08x" % int(source_rates[0] * (1 << 32))
-    t2 = "%08x" % int(source_rates[1] * (1 << 32))
+    # generic K-way tagging (ADVICE r04): the K source names map onto
+    # the K md5-range buckets cut at the K-1 ``source_rates``
+    # thresholds; a mismatched pair would silently distort the mix
+    # (unassigned names still diluting the quota denominator), so it
+    # refuses instead
+    if len(weights) != len(source_rates) + 1:
+        raise ValueError(
+            "corpus_mix: %d weights need exactly %d source_rates "
+            "thresholds (got %d) — one md5-range bucket per source"
+            % (len(weights), len(weights) - 1, len(source_rates)))
+    if list(source_rates) != sorted(source_rates):
+        raise ValueError("corpus_mix: source_rates must be ascending")
+    bounds = np.array(["%08x" % int(r * (1 << 32))
+                       for r in source_rates])
     names = [w[0] for w in weights]
+    names_arr = np.array(names, dtype=object)
     wsum = sum(w[1] for w in weights)
     wmap = dict(weights)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         h = _md5_hex8(df[id_col], seed)
-        src = np.where(h < t1, names[0],
-                       np.where(h < t2, names[1], names[2]))
+        src = names_arr[np.searchsorted(bounds, np.asarray(h),
+                                        side="right")]
         return pd.DataFrame({"doc_id": df[id_col].astype("int64"),
                              "source": src})
 
