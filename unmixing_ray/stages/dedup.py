@@ -839,7 +839,7 @@ def resolve_duplicate_clusters(pairs, max_rounds=16, as_dataset=False):
 
 def cross_corpus_minhash_join(corpus, benchmark, num_perm=64, bands=16,
                               k=8, threshold=0.5, seed=1234,
-                              bucket_cap=256):
+                              bucket_cap=256, as_dataset=False):
     """Fuzzy decontamination: MinHash+LSH near-duplicate JOIN between two
     corpora — emits ONLY cross pairs (a training doc whose text is a
     near-duplicate of a benchmark doc). The standard guard against
@@ -858,7 +858,11 @@ def cross_corpus_minhash_join(corpus, benchmark, num_perm=64, bands=16,
 
     Doc ids may collide across the two tables: the rendezvous key is
     ``id*2+side`` everywhere internally. Returns pandas
-    (doc_id, bench_id, jaccard_u6) with jaccard ≥ threshold, exact
+    (doc_id, bench_id, jaccard_u6) — or, with ``as_dataset=True``, the
+    same rows as a streaming Dataset so a decontamination filter can
+    anti-join against it with zero driver hops (the one remaining
+    driver hop inside is the pair-id assignment over the candidate
+    table, bounded by the contamination rate) — with jaccard ≥ threshold, exact
     char-k-gram Jaccard.
     """
     rows_per_band = num_perm // bands
@@ -979,8 +983,11 @@ def cross_corpus_minhash_join(corpus, benchmark, num_perm=64, bands=16,
     slots = texts.union(
         pairs.map_batches(tag_pair, batch_format="pandas")) \
         .groupby("key").map_groups(attach, batch_format="pandas")
-    out = slots.groupby("pair_id").map_groups(
-        verify, batch_format="pandas").to_pandas()
+    out_ds = slots.groupby("pair_id").map_groups(
+        verify, batch_format="pandas")
+    if as_dataset:
+        return out_ds
+    out = out_ds.to_pandas()
     if not len(out):
         return empty
     return out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
@@ -1243,7 +1250,7 @@ def _lcs_len(a, b):
     return int(prev[-1])
 
 
-def caption_lcs_pairs(images):
+def caption_lcs_pairs(images, as_dataset=False):
     """Caption SIMILARITY (not just equality) inside exact-duplicate
     image clusters: for every phash cluster the (keeper, other) pairs
     with the exact LCS length of their captions — grades HOW far the
@@ -1254,8 +1261,10 @@ def caption_lcs_pairs(images):
     discipline) — a count combiner finds the n≥2 phashes (output
     bounded by actual dup clusters, NEVER one Ray group per phash), the
     tiny hot set broadcasts into ONE filtered gather pass, and the
-    pair LCS runs over that bounded set. Returns (img_a, img_b,
-    lcs_len, len_a, len_b)."""
+    O(|a|·|b|) LCS DP runs inside the cluster groupby on the workers
+    (the driver never holds captions). Returns (img_a, img_b,
+    lcs_len, len_a, len_b) as pandas, or the streaming Dataset with
+    ``as_dataset=True``."""
     import pandas as pd_
 
     def count_partial(df: pd_.DataFrame) -> pd_.DataFrame:
@@ -1273,20 +1282,33 @@ def caption_lcs_pairs(images):
         keep = df["phash"].astype(np.int64).isin(hot)
         return df[keep][["phash", "image_id", "caption"]]
 
-    members = images.map_batches(gather, batch_format="pandas") \
-        .to_pandas()
-    rows = {"img_a": [], "img_b": [], "lcs_len": [], "len_a": [],
-            "len_b": []}
-    for _ph, g in members.groupby("phash"):
+    def pair_lcs(g: pd_.DataFrame) -> pd_.DataFrame:
         g = g.sort_values("image_id")
         keep_id = g["image_id"].iloc[0]
         keep_cap = g["caption"].iloc[0]
+        rows = {"img_a": [], "img_b": [], "lcs_len": [], "len_a": [],
+                "len_b": []}
         for _, r in g.iloc[1:].iterrows():
             rows["img_a"].append(keep_id)
             rows["img_b"].append(r["image_id"])
             rows["lcs_len"].append(_lcs_len(keep_cap, r["caption"]))
             rows["len_a"].append(len(keep_cap))
             rows["len_b"].append(len(r["caption"]))
-    return pd_.DataFrame(rows).astype(
-        {"lcs_len": "int64", "len_a": "int64", "len_b": "int64"}) \
-        .sort_values(["img_a", "img_b"]).reset_index(drop=True)
+        return pd_.DataFrame(rows).astype(
+            {"lcs_len": "int64", "len_a": "int64", "len_b": "int64"})
+
+    # the O(|a|·|b|) LCS DP runs INSIDE the cluster groupby — the
+    # driver never sees captions, only the bounded pair rows
+    out_ds = images.map_batches(gather, batch_format="pandas") \
+        .groupby("phash").map_groups(pair_lcs, batch_format="pandas")
+    if as_dataset:
+        return out_ds
+    out = out_ds.to_pandas()
+    if not len(out):
+        return pd_.DataFrame({
+            "img_a": pd_.Series([], dtype=object),
+            "img_b": pd_.Series([], dtype=object),
+            "lcs_len": pd_.Series([], dtype="int64"),
+            "len_a": pd_.Series([], dtype="int64"),
+            "len_b": pd_.Series([], dtype="int64")})
+    return out.sort_values(["img_a", "img_b"]).reset_index(drop=True)

@@ -119,10 +119,13 @@ def make_streaming_partition_writer(out_dir, partition_col,
 
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    # parquet codec for checkpoint data: overridable for bandwidth
-    # experiments (the sandbox's memory bus is the measured single-node
-    # scaling ceiling — see bench.py --bandwidth-control)
+    # parquet codec (+ level) for checkpoint data: overridable for
+    # bandwidth experiments (the sandbox's memory bus is the measured
+    # single-node scaling ceiling — see bench.py --bandwidth-control
+    # and the round-5 byte-diet entry in BASELINE.md)
     codec = os.environ.get("RAY_UNMIX_PARQUET_CODEC", "snappy")
+    _lvl = os.environ.get("RAY_UNMIX_PARQUET_CODEC_LEVEL")
+    codec_level = int(_lvl) if _lvl else None
 
     def write_batch(batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -142,7 +145,8 @@ def make_streaming_partition_writer(out_dir, partition_col,
                 digest_size=10).hexdigest()
             tmp = os.path.join(pdir, ".data-%s.tmp.%d" % (digest,
                                                           os.getpid()))
-            pq.write_table(sel, tmp, compression=codec)
+            pq.write_table(sel, tmp, compression=codec,
+                           compression_level=codec_level)
             final = os.path.join(pdir, "data-%s.parquet" % digest)
             os.replace(tmp, final)
             out["partition"].append(token)
