@@ -4557,6 +4557,45 @@ def _run_curation(sf_dir):
     return _CURATION_MEMO[key]
 
 
+def _run_curation_antijoin(sf_dir):
+    """The same curation composition forced onto the DISTRIBUTED
+    drop-set route (drop_broadcast_cap=0 — every non-empty drop set
+    stays a Dataset, survivors route through the tag-union anti_join,
+    the ledger is the narrow tag-code groupby(doc_id) Max union, and
+    keep-best runs the Bloom-pruned hash-join path). Same oracles as
+    the broadcast route: the strategy switch must be semantically
+    invisible (VERDICT r04 item 1)."""
+    key = "aj:" + str(sf_dir)
+    if key not in _CURATION_MEMO:
+        from unmixing_ray.pipelines import curation
+        _CURATION_MEMO[key] = curation.run_curation(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            _out_dir("curation_aj", sf_dir), seq_len=512,
+            threshold=0.35, drop_broadcast_cap=0)
+    return _CURATION_MEMO[key]
+
+
+def q_curation_ledger_antijoin(sf_dir):
+    """Per-doc verdict ledger from the anti-join drop-set route
+    (drop_broadcast_cap=0): gate | exact_dup | near_dup | kept with
+    zero driver-resident drop ids. Oracle: identical SQL decision
+    chain as curation_ledger — route-invariance is the contract."""
+    from unmixing_ray.state import manifest as ckpt
+    res = _run_curation_antijoin(sf_dir)
+    t = ckpt.read_output(res["ledger_dir"])
+    return t.select(["doc_id", "verdict"])
+
+
+def q_curation_pipeline_antijoin(sf_dir):
+    """Packed-chunk placement from the anti-join drop-set route.
+    Oracle: identical pack_chunks_sql chain as curation_pipeline."""
+    from unmixing_ray.state import manifest as ckpt
+    res = _run_curation_antijoin(sf_dir)
+    t = ckpt.read_output(res["placement_dir"])
+    return t.select(["doc_id", "n_tokens", "tok_start", "chunk_first",
+                     "chunk_last", "n_chunks"])
+
+
 def q_curation_ledger(sf_dir):
     """End-to-end curation composition, verdict ledger: one row per
     input doc with its stage of elimination (gate | exact_dup |
@@ -5271,6 +5310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "curation_ledger": q_curation_ledger,
         "curation_pipeline": q_curation_pipeline,
+        "curation_ledger_antijoin": q_curation_ledger_antijoin,
+        "curation_pipeline_antijoin": q_curation_pipeline_antijoin,
         "decontaminate": q_decontaminate,
         "dedup_exact_docs": q_dedup_exact_docs,
         "streaming_dedup": q_streaming_dedup,
@@ -7162,6 +7203,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": text.pack_chunks_sql(512),
         "curation_ledger": _curation.curation_ledger_sql(C),
         "curation_pipeline": _curation.curation_placement_sql(C, 512),
+        "curation_ledger_antijoin": _curation.curation_ledger_sql(C),
+        "curation_pipeline_antijoin":
+            _curation.curation_placement_sql(C, 512),
         "decontaminate": text.decontaminate_sql(8),
         "token_count": text.token_count_sql(),
         "doc_freq_score": text.doc_freq_score_sql(),

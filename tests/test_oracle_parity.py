@@ -135,6 +135,7 @@ def registry(ray_session):
     # end-to-end curation composition (gates -> exact -> near-dup ->
     # keep-best -> pack), ledger + packed placement (VERDICT r03 item 9)
     "curation_ledger", "curation_pipeline",
+    "curation_ledger_antijoin", "curation_pipeline_antijoin",
     # source-weighted corpus mixing via exact distributed grouped
     # row_number (range-bucket prefix table, int64 quota arithmetic)
     "corpus_mix",
