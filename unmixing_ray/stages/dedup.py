@@ -106,30 +106,66 @@ def ngram_jaccard(a, b, k=8):
     return inter / (len(sa) + len(sb) - inter)
 
 
+# md5 per distinct shingle, not per position: natural text repeats its
+# shingles heavily across (and within) documents, and md5 (~1 us) costs
+# ~10x a dict hit — the cache is per worker process, bounded, and
+# changes NOTHING semantically (same md5-derived id either way). It was
+# the hot loop of the near-dup signature stage (one md5 call per
+# character position per doc).
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_CAP = 1_000_000
+
+
+def _shingle_id_of(s):
+    v = _SHINGLE_CACHE.get(s)
+    if v is None:
+        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_CAP:
+            _SHINGLE_CACHE.clear()
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                           "little")
+        _SHINGLE_CACHE[s] = v
+    return v
+
+
 def _shingle_ids(text, k=8):
-    """Deterministic 64-bit shingle ids via md5."""
+    """Deterministic 64-bit shingle ids via md5 — one id per POSITION
+    (multiset semantics: simhash64 weights repeats)."""
     out = np.empty(max(1, len(text) - k + 1) if text else 0,
                    dtype=np.uint64)
     if not text:
         return out[:0]
     if len(text) < k:
-        h = hashlib.md5(text.encode()).digest()
-        return np.array([int.from_bytes(h[:8], "little")], dtype=np.uint64)
+        return np.array([_shingle_id_of(text)], dtype=np.uint64)
     for i in range(len(text) - k + 1):
-        h = hashlib.md5(text[i:i + k].encode()).digest()
-        out[i] = int.from_bytes(h[:8], "little")
+        out[i] = _shingle_id_of(text[i:i + k])
     return out
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+_PERM_CACHE: dict = {}
+
+
+def _minhash_perms(num_perm, seed):
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([seed, num_perm]))
+        a = rng.integers(1, (1 << 61) - 1, size=num_perm,
+                         dtype=np.uint64)
+        b = rng.integers(0, (1 << 61) - 1, size=num_perm,
+                         dtype=np.uint64)
+        _PERM_CACHE[key] = (a, b)
+    return _PERM_CACHE[key]
+
 
 def minhash_signature(text, num_perm=64, k=8, seed=1234):
-    """num_perm-wide MinHash via universal hashing a*x+b mod p."""
-    rng = np.random.default_rng(np.random.SeedSequence([seed, num_perm]))
-    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    ids = _shingle_ids(text, k)
+    """num_perm-wide MinHash via universal hashing a*x+b mod p.
+    The permutation coefficients are process-cached (they were
+    regenerated per DOCUMENT), and ids dedupe before the matmul —
+    min over a multiset equals min over its support."""
+    a, b = _minhash_perms(num_perm, seed)
+    ids = np.unique(_shingle_ids(text, k))
     if not len(ids):
         return np.zeros(num_perm, dtype=np.uint64)
     x = ids[:, None]
