@@ -120,8 +120,14 @@ def _run_scattered(op, df, nblocks, sort_cols):
     (lambda ds: ev.window_join(ds, window_s=43200),
      ["user_id", "event_id", "matched_id"]),
     (lambda ds: ev.session_lookup(ds), ["event_id"]),
+    (lambda ds: ev.daily_locf(ds), ["user_id", "day"]),
+    (lambda ds: ev.scd2_intervals(ds),
+     ["user_id", "version", "valid_from_us"]),
+    (lambda ds: ev.attribution(ds, window_s=5 * 86400), ["day"]),
+    (lambda ds: ev.user_anomalies(ds), ["user_id", "day"]),
 ], ids=["asof", "asof_fwd", "sliding", "lag", "range_window",
-        "interpolate", "overlap", "window_join", "interval"])
+        "interpolate", "overlap", "window_join", "interval",
+        "locf", "scd2", "attribution", "anomalies"])
 def test_migrated_ops_scattered_blocks(ray_session, op, sort_cols):
     df = _log(n_users=30, ev_per=20, seed=11)
     a = _run_scattered(op, df, 1, sort_cols)

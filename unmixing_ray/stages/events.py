@@ -866,10 +866,11 @@ def user_anomalies(events, z=2, min_days=5):
 
     Scale shape: per-batch (user, day, n) count partials bound the
     exchange to one row per (batch, user, active day) — never one row
-    per event; one ``groupby(user_id)`` merges each user's day
-    profile and computes the flags inside the group (a user's active
-    days are bounded by the calendar, so groups stay small even at
-    10^12 events). Guard: raises on int64 overflow of the cross
+    per event; one ``sort(user_id)`` exchange merges each user's day
+    profile and the whole block flags EVERY user at once with
+    segmented ``np.add.reduceat`` reductions (:func:`_per_user_blocks`
+    — a user's active days are bounded by the calendar, so segments
+    stay small even at 10^12 events). Guard: raises on int64 overflow of the cross
     products rather than wrapping (multi-year hyperactive keys need
     the two-word accumulation documented in stages/trend.py).
     """
@@ -887,28 +888,53 @@ def user_anomalies(events, z=2, min_days=5):
         out["n"] = out["n"].astype("int64")
         return out
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        per_day = g.groupby("day", sort=False)["n"].sum()
-        nd = np.int64(len(per_day))
-        n = per_day.to_numpy(np.int64)
-        days = per_day.index.to_numpy(np.int64)
-        s = np.int64(int(n.sum()))
-        q = np.int64(int((n * n).sum()))
-        lhs_f = (n.astype(np.float64) * float(nd) - float(s)) ** 2
-        rhs_f = z2 * (float(nd) * float(q) - float(s) ** 2)
-        if lhs_f.max(initial=0.0) > 2 ** 62 or abs(rhs_f) > 2 ** 62:
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "is_anomaly": pd.Series([], dtype=bool)})
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        dayv = df["day"].to_numpy(np.int64)
+        nv = df["n"].to_numpy(np.int64)
+        # collapse per (segment, day): rows are (seg, day)-sorted, so
+        # each (seg, day) is a contiguous run
+        rfirst = np.r_[True, (dayv[1:] != dayv[:-1])
+                       | (seg[1:] != seg[:-1])]
+        rstart = np.flatnonzero(rfirst)
+        n = np.add.reduceat(nv, rstart).astype(np.int64)
+        days = dayv[rstart]
+        rseg = seg[rstart]
+        # per-segment stats over the collapsed day rows
+        sfirst = np.r_[True, rseg[1:] != rseg[:-1]]
+        sstart = np.flatnonzero(sfirst)
+        nd_per = np.diff(np.r_[sstart, len(rstart)]).astype(np.int64)
+        s_per = np.add.reduceat(n, sstart).astype(np.int64)
+        q_per = np.add.reduceat(n * n, sstart).astype(np.int64)
+        nd = np.repeat(nd_per, nd_per)
+        s = np.repeat(s_per, nd_per)
+        q = np.repeat(q_per, nd_per)
+        lhs_f = (n.astype(np.float64) * nd.astype(np.float64)
+                 - s.astype(np.float64)) ** 2
+        rhs_f = z2 * (nd.astype(np.float64) * q.astype(np.float64)
+                      - s.astype(np.float64) ** 2)
+        if lhs_f.max(initial=0.0) > 2 ** 62 or \
+                np.abs(rhs_f).max(initial=0.0) > 2 ** 62:
             raise OverflowError(
                 "user_anomalies: day profile too deep for int64 "
                 "cross products")
         d = n * nd - s
         anom = (d * d > z2 * (nd * q - s * s)) & (nd >= min_days)
         return pd.DataFrame({
-            "user_id": np.full(len(n), int(g["user_id"].iloc[0]),
-                               np.int64),
+            "user_id": df["user_id"].to_numpy()[rstart]
+            .astype(np.int64),
             "day": days, "n_events": n, "is_anomaly": anom})
 
-    return events.map_batches(partials, batch_format="pandas") \
-        .groupby("user_id").map_groups(flag, batch_format="pandas")
+    return _per_user_blocks(
+        events.map_batches(partials, batch_format="pandas"),
+        ["user_id", "day", "n"], block, order=("day",))
 
 
 def user_anomalies_sql(z=2, min_days=5):
@@ -1675,35 +1701,51 @@ def daily_locf(events, scale=100):
     uses).
 
     Scale shape: one tiny max(ts) pass fixes the spine end; the only
-    exchange is ONE groupby(user_id) over (ts, event_id, value) rows;
-    the per-user kernel reduces to per-day last values then fills the
-    spine with a single searchsorted — O(days + events log events) per
-    user, and the output is bounded by users × days, not events."""
+    exchange is ONE ``sort(user_id)`` over (ts, event_id, value) rows;
+    the whole block then reduces to per-(user, day) last values and
+    fills every user's spine with one segmented searchsorted
+    (:func:`_per_user_blocks`) — O(days + events log events) total,
+    and the output is bounded by users × days, not events."""
     day_us = 86_400_000_000
     gmax_day = (int(pd.Timestamp(events.max("ts")).value // 1000)
                 // day_us)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
-            .to_numpy()
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="int64"),
+                "value_cents": pd.Series([], dtype="int64")})
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
         day = ts_us // day_us
-        cents = np.rint(g["value"].to_numpy(np.float64) * scale) \
+        cents = np.rint(df["value"].to_numpy(np.float64) * scale) \
             .astype(np.int64)
-        # last value per day = the last row of each day run (sorted)
-        last = np.append(np.flatnonzero(np.diff(day)), len(day) - 1)
-        dday, dval = day[last], cents[last]
-        spine = np.arange(dday[0], gmax_day + 1, dtype=np.int64)
-        idx = np.searchsorted(dday, spine, side="right") - 1
-        uid = int(g["user_id"].iloc[0])
+        # last value per (segment, day) = last row of each run
+        last = np.r_[(day[1:] != day[:-1]) | (seg[1:] != seg[:-1]),
+                     True]
+        dday, dval, dseg = day[last], cents[last], seg[last]
+        dbase = _seg_base(dseg, n_seg)
+        # per-segment spine: first active day .. corpus max day
+        first_day = dday[dbase]
+        lens = gmax_day + 1 - first_day
+        tot = int(lens.sum())
+        sseg = np.repeat(np.arange(n_seg, dtype=np.int64), lens)
+        spine = (np.arange(tot, dtype=np.int64)
+                 - np.repeat(np.cumsum(lens) - lens, lens)
+                 + np.repeat(first_day, lens))
+        idx = _seg_searchsorted(dday, dseg, spine, sseg, "right",
+                                n_seg) - 1
+        seg_uid = df["user_id"].to_numpy()[starts].astype(np.int64)
         return pd.DataFrame({
-            "user_id": np.full(len(spine), uid, dtype=np.int64),
+            "user_id": seg_uid[sseg],
             "day": spine,
-            "value_cents": dval[idx]})
+            "value_cents": dval[dbase[sseg] + idx]})
 
-    return events.select_columns(["user_id", "event_id", "ts",
-                                  "value"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _per_user_blocks(events, ["user_id", "event_id", "ts",
+                                     "value"], block)
 
 
 def daily_locf_sql(scale=100):
@@ -1809,9 +1851,10 @@ def scd2_intervals(events, attr="event_type"):
     dimension-table construction step of a warehouse ingest (the
     storage-side sibling of snapshot_diff's CDC statuses).
 
-    Shape: ONE ``groupby(user_id)`` co-locates each user's events;
-    within a group the run-length collapse is vectorized over the
-    (ts, event_id)-sorted log (event_id breaks timestamp ties
+    Shape: ONE ``sort(user_id)`` exchange co-locates each user's
+    events; the run-length collapse is vectorized over the WHOLE
+    (user, ts, event_id)-sorted block with segment resets
+    (:func:`_per_user_blocks`; event_id breaks timestamp ties
     deterministically, the same ORDER BY the SQL replay uses). Output
     is bounded by the number of value CHANGES, never the event count.
     Exact int64 microsecond bounds — hash-checkable.
@@ -1819,35 +1862,50 @@ def scd2_intervals(events, attr="event_type"):
     Returns (user_id, value, version, valid_from_us, valid_to_us,
     n_events, is_current)."""
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64") \
-            .to_numpy()
-        val = g[attr].to_numpy()
-        chg = np.ones(len(g), dtype=bool)
-        chg[1:] = val[1:] != val[:-1]
-        ver = np.cumsum(chg)               # 1-based version numbers
-        starts = np.flatnonzero(chg)
-        n_runs = len(starts)
-        counts = np.diff(np.append(starts, len(g)))
-        vfrom = ts_us[starts]
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype=object),
+                "version": pd.Series([], dtype="int64"),
+                "valid_from_us": pd.Series([], dtype="int64"),
+                "valid_to_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "is_current": pd.Series([], dtype="int64")})
+        seg = _row_segments(starts, ends)
+        ts_us = _ts_us(df)
+        val = df[attr].to_numpy()
+        chg = np.ones(n, dtype=bool)
+        chg[1:] = (val[1:] != val[:-1]) | (seg[1:] != seg[:-1])
+        rstart = np.flatnonzero(chg)
+        n_runs = len(rstart)
+        rseg = seg[rstart]
+        counts = np.diff(np.append(rstart, n))
+        vfrom = ts_us[rstart]
+        # per-segment 1-based versions + interval ends (-1 on the
+        # segment's last/open version)
+        seg_first = np.r_[True, rseg[1:] != rseg[:-1]]
+        ver = np.arange(n_runs, dtype=np.int64) \
+            - np.repeat(np.flatnonzero(seg_first),
+                        np.diff(np.r_[np.flatnonzero(seg_first),
+                                      n_runs])) + 1
+        last_of_seg = np.r_[rseg[1:] != rseg[:-1], True]
         vto = np.empty(n_runs, dtype=np.int64)
         vto[:-1] = vfrom[1:]
-        vto[-1] = -1
+        vto[last_of_seg] = -1
         return pd.DataFrame({
-            "user_id": np.full(n_runs, int(g["user_id"].iloc[0]),
-                               dtype=np.int64),
-            "value": val[starts],
-            "version": ver[starts].astype(np.int64),
+            "user_id": df["user_id"].to_numpy()[rstart]
+            .astype(np.int64),
+            "value": val[rstart],
+            "version": ver,
             "valid_from_us": vfrom,
             "valid_to_us": vto,
             "n_events": counts.astype(np.int64),
-            "is_current": np.where(
-                np.arange(n_runs) == n_runs - 1, 1, 0).astype(
-                np.int64)})
+            "is_current": last_of_seg.astype(np.int64)})
 
-    return events.select_columns(["user_id", "ts", "event_id", attr]) \
-        .groupby("user_id").map_groups(collapse, batch_format="pandas")
+    return _per_user_blocks(events, ["user_id", "ts", "event_id", attr],
+                            block)
 
 
 def scd2_intervals_sql(attr="event_type"):
@@ -2037,47 +2095,52 @@ def attribution(events, probe_type="purchase", touch_type="click",
     the distributed sum is int64-exact and SQL-replayable. Probes with
     zero touches are reported in the 'unattributed' row.
 
-    Shape: ONE groupby(user_id) co-locates each user's events; per
-    user both streams sort once and a searchsorted range sweep counts
-    the touches per probe and the credit per touch — the window_join
-    machinery specialized to aggregated credits (never materializing
-    the pair rows). Returns per day-of-probe (day, n_probes,
-    n_unattributed, credit_sum)."""
+    Shape: ONE ``sort(user_id)`` exchange co-locates each user's
+    events; the whole block then runs a segmented searchsorted range
+    sweep (:func:`_per_user_blocks`) counting touches per probe and
+    credit per touch — the window_join machinery specialized to
+    aggregated credits (never materializing the pair rows), combined
+    per day inside the block before the final groupby(day). Returns
+    per day-of-probe (day, n_probes, n_unattributed, credit_sum)."""
     from ray.data.aggregate import Sum
 
     day_us = 86_400_000_000
     w_us = int(window_s) * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = g["event_type"].to_numpy()
-        order = np.argsort(ts, kind="mergesort")
-        ts, et = ts[order], et[order]
-        pt = ts[et == probe_type]
-        tt = ts[et == touch_type]
+    def block(df: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_probes": pd.Series([], dtype="int64"),
+            "n_unattributed": pd.Series([], dtype="int64"),
+            "credit_sum": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        n_seg = len(starts)
+        seg = _row_segments(starts, ends)
+        ts = _ts_us(df)
+        et = df["event_type"].to_numpy()
+        is_p = et == probe_type
+        is_t = et == touch_type
+        pt, pseg = ts[is_p], seg[is_p]
+        tt, tseg = ts[is_t], seg[is_t]
         if not len(pt):
-            return pd.DataFrame({
-                "day": pd.Series([], dtype="int64"),
-                "n_probes": pd.Series([], dtype="int64"),
-                "n_unattributed": pd.Series([], dtype="int64"),
-                "credit_sum": pd.Series([], dtype="int64")})
-        lo = np.searchsorted(tt, pt - w_us, side="left")
-        hi = np.searchsorted(tt, pt, side="right")
+            return empty
+        lo = _seg_searchsorted(tt, tseg, pt - w_us, pseg, "left",
+                               n_seg)
+        hi = _seg_searchsorted(tt, tseg, pt, pseg, "right", n_seg)
         n_touch = hi - lo
         credit = np.where(n_touch > 0,
                           (scale // np.maximum(n_touch, 1)) * n_touch,
                           0)
-        day = pt // day_us
         out = pd.DataFrame({
-            "day": day,
+            "day": pt // day_us,
             "n_probes": np.ones(len(pt), dtype=np.int64),
             "n_unattributed": (n_touch == 0).astype(np.int64),
             "credit_sum": credit.astype(np.int64)})
         return out.groupby("day", as_index=False).sum()
 
-    out = events.select_columns(["user_id", "ts", "event_type"]) \
-        .groupby("user_id").map_groups(per_user,
-                                       batch_format="pandas") \
+    out = _per_user_blocks(events, ["user_id", "ts", "event_type"],
+                           block, order=("ts",)) \
         .groupby("day").aggregate(
             Sum("n_probes", alias_name="n_probes"),
             Sum("n_unattributed", alias_name="n_unattributed"),
