@@ -185,3 +185,36 @@ def test_funnel_scattered_blocks(ray_session, nblocks):
                                        "n_converted"])
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want.astype("int64"))
+
+
+def test_seg_searchsorted_matches_per_segment_numpy():
+    """Property check for the primitive underpinning the vectorized
+    events family: _seg_searchsorted == np.searchsorted applied per
+    segment, for both sides, across random segment layouts including
+    empty val-segments, empty query-segments, ties and duplicates."""
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        n_seg = int(rng.integers(1, 9))
+        vals, vseg, queries, qseg = [], [], [], []
+        for s in range(n_seg):
+            nv = int(rng.integers(0, 12))
+            nq = int(rng.integers(0, 12))
+            v = np.sort(rng.integers(0, 15, nv))
+            q = rng.integers(-2, 17, nq)
+            vals.append(v)
+            vseg.append(np.full(nv, s))
+            queries.append(q)
+            qseg.append(np.full(nq, s))
+        vals = np.concatenate(vals).astype(np.int64)
+        vseg = np.concatenate(vseg).astype(np.int64)
+        queries = np.concatenate(queries).astype(np.int64)
+        qseg = np.concatenate(qseg).astype(np.int64)
+        for side in ("left", "right"):
+            got = ev._seg_searchsorted(vals, vseg, queries, qseg,
+                                       side, n_seg)
+            want = np.empty(len(queries), dtype=np.int64)
+            for s in range(n_seg):
+                vm = vals[vseg == s]
+                qm = qseg == s
+                want[qm] = np.searchsorted(vm, queries[qm], side=side)
+            assert (got == want).all(), (trial, side)
