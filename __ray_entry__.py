@@ -4540,6 +4540,21 @@ def q_pack_chunks(sf_dir):
         seq_len=512)
 
 
+def q_chunk_spans(sf_dir):
+    """Overlapping sliding-window chunk spans per document (the RAG /
+    long-context chunker complementing pack_chunks' disjoint stream
+    packing): windows of 32 tokens advancing by 24 (sized so the
+    testdata's 10-99-token docs produce real multi-chunk overlap),
+    pure per-row
+    Arrow explode, no shuffle (stages/text.py:chunk_spans). Oracle:
+    generate_series lateral over identical integer window
+    arithmetic."""
+    from unmixing_ray.stages import text as tstage
+    return tstage.chunk_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        seq_len=32, stride=24)
+
+
 _CURATION_MEMO = {}
 
 
@@ -5308,6 +5323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_anomalies": q_user_anomalies,
         "csv_window": q_csv_window,
         "pack_chunks": q_pack_chunks,
+        "chunk_spans": q_chunk_spans,
         "curation_ledger": q_curation_ledger,
         "curation_pipeline": q_curation_pipeline,
         "curation_ledger_antijoin": q_curation_ledger_antijoin,
@@ -7201,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, text FROM "
                 f"read_parquet('{C}/planted_docs.parquet')")),
         "pack_chunks": text.pack_chunks_sql(512),
+        "chunk_spans": text.chunk_spans_sql(32, 24),
         "curation_ledger": _curation.curation_ledger_sql(C),
         "curation_pipeline": _curation.curation_placement_sql(C, 512),
         "curation_ledger_antijoin": _curation.curation_ledger_sql(C),

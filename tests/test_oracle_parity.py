@@ -84,7 +84,7 @@ def registry(ray_session):
     # round 3 (cont. 4): terrain/warp halo stages, substring dedup,
     # sequence packing, benchmark decontamination
     "terrain_slope", "warp_bilinear", "substring_dup",
-    "pack_chunks", "decontaminate", "raster_components",
+    "pack_chunks", "chunk_spans", "decontaminate", "raster_components",
     # round 3 (cont. 5): phash near-dup (pure-SQL Hamming oracle),
     # hillshade via the halo exchange, grid re-chunking, full outer join
     "phash_near_dup", "hillshade", "retile", "customer_orders_outer",

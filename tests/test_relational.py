@@ -997,3 +997,47 @@ def test_corpus_mix_generic_weights(ray_session):
         rel.corpus_mix(ds, "doc_id",
                        weights=(("a", 1), ("b", 1), ("c", 1)),
                        source_rates=(0.6, 0.3))
+
+
+def test_chunk_spans_bruteforce(ray_session):
+    """chunk_spans vs a per-doc Python reference: full coverage,
+    overlap = seq_len - stride, short tails, empty docs emit nothing,
+    and invalid stride refuses."""
+    import ray.data
+    from unmixing_ray.stages import text as tstage
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b c d e f g h i j",          # 10 tokens
+                 "x",                            # 1
+                 "",                             # 0 -> no chunks
+                 " ".join("t%d" % i for i in range(25)),   # 25
+                 "p  q   r",                     # 3 (multi-space)
+                 " ".join("z" for _ in range(8))]})        # 8
+    L, S = 8, 5
+    out = tstage.chunk_spans(
+        ray.data.from_pandas(docs).repartition(3),
+        seq_len=L, stride=S).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows = []
+    for _, r in docs.iterrows():
+        n = len([t for t in r["text"].split(" ") if t])
+        i = 0
+        while i * S < n:
+            e = min(i * S + L, n)
+            rows.append((r["doc_id"], i, i * S, e, e - i * S))
+            i += 1
+    want = pd.DataFrame(rows, columns=[
+        "doc_id", "chunk_id", "tok_start", "tok_end",
+        "n_chunk_tokens"]).astype("int64") \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want)
+    # every token of every doc is covered by >= 1 chunk
+    for did, g in out.groupby("doc_id"):
+        n = want.loc[want["doc_id"] == did, "tok_end"].max()
+        covered = np.zeros(int(n), dtype=bool)
+        for _, c in g.iterrows():
+            covered[c["tok_start"]:c["tok_end"]] = True
+        assert covered.all()
+    with pytest.raises(ValueError, match="stride"):
+        tstage.chunk_spans(ray.data.from_pandas(docs), seq_len=4,
+                           stride=9)

@@ -892,6 +892,83 @@ def pack_chunks_sql(seq_len=2048,
         FROM s"""
 
 
+def chunk_spans(docs, seq_len=256, stride=192, text_col="text"):
+    """Per-document OVERLAPPING sliding-window chunk spans — the RAG /
+    long-context training chunker (:func:`pack_chunks` packs docs into
+    a disjoint global stream; this cuts EACH doc into windows of
+    ``seq_len`` tokens advancing by ``stride``, so consecutive chunks
+    overlap by ``seq_len - stride`` tokens of context). Chunk i of a
+    doc covers whitespace tokens [i·stride, min(i·stride + seq_len,
+    n)); windows start while i·stride < n, so every token is covered
+    and the tail chunk may be short. Returns one row per chunk:
+    (doc_id, chunk_id, tok_start, tok_end, n_chunk_tokens).
+
+    Scale shape: pure per-row explode — the token count comes from one
+    Arrow regex kernel over the batch, the chunk rows are built with
+    np.repeat/arange (no Python loop over docs), nothing shuffles, and
+    the output is bounded by Σ ceil(n/stride). Text never leaves the
+    batch; downstream slicing joins spans back by doc_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    L, S = int(seq_len), int(stride)
+    if L <= 0 or S <= 0 or S > L:
+        raise ValueError("chunk_spans: need 0 < stride <= seq_len")
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t[text_col], pa.string())
+        n = pc.count_substring_regex(txt, r"[^ ]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_chunks = np.where(n > 0, (n + S - 1) // S, 0)
+        tot = int(n_chunks.sum())
+        if not tot:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "tok_end": pa.array([], pa.int64()),
+                "n_chunk_tokens": pa.array([], pa.int64())})
+        rid = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        cid = (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        start = cid * S
+        end = np.minimum(start + L, n[rid])
+        return pa.table({
+            "doc_id": pa.array(ids[rid], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "tok_start": pa.array(start, pa.int64()),
+            "tok_end": pa.array(end, pa.int64()),
+            "n_chunk_tokens": pa.array(end - start, pa.int64())})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_spans_sql(seq_len=256, stride=192,
+                    base_sql="SELECT doc_id, text FROM documents"):
+    """DuckDB oracle for :func:`chunk_spans` — a generate_series
+    lateral per doc over the identical integer window arithmetic."""
+    L, S = int(seq_len), int(stride)
+    return f"""
+        WITH base AS ({base_sql}),
+        t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS n
+          FROM base WHERE len(list_filter(string_split(text, ' '),
+                           x -> x <> '')) > 0)
+        SELECT t.doc_id,
+               CAST(g.i AS BIGINT) AS chunk_id,
+               CAST(g.i * {S} AS BIGINT) AS tok_start,
+               CAST(least(g.i * {S} + {L}, t.n) AS BIGINT) AS tok_end,
+               CAST(least(g.i * {S} + {L}, t.n) - g.i * {S} AS BIGINT)
+                 AS n_chunk_tokens
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(0,
+              CAST((t.n + {S} - 1) // {S} AS BIGINT) - 1)) AS i) g"""
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (GPT-3 appendix C / Lee et al. 2021 style):
 # mark training documents that share any n-token window with an
