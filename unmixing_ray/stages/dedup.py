@@ -377,39 +377,75 @@ def verify_jaccard_pairs(docs, cand, k, threshold, as_dataset=False,
                                     np.ones(len(df), dtype=np.int64)]),
             "txt": pd.Series([None] * (2 * len(df)), dtype=object)})
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        tx = g.loc[g["role"] < 0, "txt"]
-        req = g[g["role"] >= 0]
-        if not len(req) or not len(tx):
-            return pd.DataFrame({
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "role": pd.Series([], dtype="int64"),
-                "txt": pd.Series([], dtype=object)})
-        return pd.DataFrame({
-            "doc_a": req["doc_a"].to_numpy(dtype=np.int64),
-            "doc_b": req["doc_b"].to_numpy(dtype=np.int64),
-            "role": req["role"].to_numpy(dtype=np.int64),
-            "txt": tx.iloc[0]})
+    # both exchanges run sort(key) + WHOLE-BLOCK segmented processing
+    # (the _per_user_blocks shape, stages/events.py): per-group pandas
+    # calls cost ~0.4 ms each, and the pair/slot tables are
+    # O(duplicate mass) — at crawl scale that multiplier IS the verify
+    # cost, while the block form pays one Python call per block plus
+    # the (inherent) per-pair jaccard kernel.
+    _attach_empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "role": pd.Series([], dtype="int64"),
+        "txt": pd.Series([], dtype=object)})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return empty.copy()
-        g = g.sort_values("role")
-        j = ngram_jaccard(g["txt"].iloc[0], g["txt"].iloc[1], k)
-        if j < threshold:
-            return empty.copy()
+    def attach_block(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return _attach_empty
+        key = df["key"].to_numpy(np.int64)
+        role = df["role"].to_numpy(np.int64)
+        idx = np.lexsort((role, key))        # text row (-1) first
+        key, role = key[idx], role[idx]
+        txt = df["txt"].to_numpy()[idx]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        np.diff(np.r_[starts, n]))
+        has_txt = role[starts] < 0
+        is_req = role >= 0
+        keep = is_req & has_txt[seg]
         return pd.DataFrame({
-            "doc_a": pd.Series([int(g["doc_a"].iloc[0])], dtype="int64"),
-            "doc_b": pd.Series([int(g["doc_b"].iloc[0])], dtype="int64"),
-            "jaccard_u6": pd.Series([int(np.floor(j * 1_000_000))],
-                                    dtype="int64")})
+            "doc_a": df["doc_a"].to_numpy(np.int64)[idx][keep],
+            "doc_b": df["doc_b"].to_numpy(np.int64)[idx][keep],
+            "role": role[keep],
+            "txt": txt[starts][seg][keep]})
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return empty.copy()
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        role = df["role"].to_numpy(np.int64)
+        idx = np.lexsort((role, b, a))
+        a, b, role = a[idx], b[idx], role[idx]
+        txt = df["txt"].to_numpy()[idx]
+        starts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        lens = np.diff(np.r_[starts, n])
+        ok = lens == 2
+        ok[ok] &= (role[starts[ok]] == 0) & (role[starts[ok] + 1] == 1)
+        out_a, out_b, out_j = [], [], []
+        for s in starts[ok]:
+            j = ngram_jaccard(txt[s], txt[s + 1], k)
+            if j >= threshold:
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+                out_j.append(int(np.floor(j * 1_000_000)))
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "jaccard_u6": pd.Series(out_j, dtype="int64")})
 
     slots = texts.map_batches(tag_text, batch_format="pandas").union(
         pairs.map_batches(tag_pair, batch_format="pandas")) \
-        .groupby("key").map_groups(attach, batch_format="pandas")
-    out_ds = slots.groupby(["doc_a", "doc_b"]).map_groups(
-        verify, batch_format="pandas")
+        .sort("key").map_batches(attach_block, batch_size=None,
+                                 batch_format="pandas")
+    # both rows of a pair share doc_a, so sort(doc_a) co-locates them
+    # (group containment per Ray's sort, the _per_user_blocks
+    # invariant); the block then segments on the full (doc_a, doc_b)
+    out_ds = slots.sort("doc_a").map_batches(
+        verify_block, batch_size=None, batch_format="pandas")
     if as_dataset:
         return out_ds
     out = out_ds.to_pandas()
